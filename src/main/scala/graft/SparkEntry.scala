@@ -1,13 +1,159 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Analytics, Relational}
+
+/** Driver contract — see SURVEY.md §2 for the operator inventory.
+  *
+  * Every implemented operator has a `queries` entry; SQL-expressible
+  * ones also carry a DuckDB oracle in `oracleSql` with IDENTICAL output
+  * column names (the driver compares by sorted column name + value
+  * hash). Aggregates over binary-inexact doubles go through
+  * [[graft.functions.Parity]] so both engines produce bit-identical
+  * values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.q1Agg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — reference surface (movie_rec) —
+    "q_ratings_etl"      -> ((s, d) => Relational.ratingsEtl(s, d)),
+    "q_movie_stats"      -> ((s, d) => Relational.movieStats(s, d)),
+    "q_top_movies"       -> ((s, d) => Relational.topMovies(s, d)),
+    "q_user_top_ratings" -> ((s, d) => Relational.userTopRatings(s, d)),
+    "q_user_latest"      -> ((s, d) => Relational.userLatest(s, d)),
+    "q_recs_fallback"    -> ((s, d) => Relational.recsFallback(s, d)),
+    "q_implicit_backfill" -> ((s, d) => Relational.implicitBackfill(s, d)),
+    "q_round_half"       -> ((s, d) => Relational.roundHalf(s, d)),
+    "q_point_lookup"     -> ((s, d) => Relational.pointLookup(s, d)),
+    // — analytics headliners —
+    "q1_agg"         -> ((s, d) => Analytics.q1Agg(s, d)),
+    "q3_join"        -> ((s, d) => Analytics.q3Join(s, d)),
+    "q_events_window" -> ((s, d) => Analytics.eventsWindow(s, d)),
+    "q_sessionize"   -> ((s, d) => Analytics.sessionize(s, d)),
+  )
+
+  private val I = Tables.interactionsSql
+
+  def oracleSql: Map[String, String] = Map(
+    "q_ratings_etl" ->
+      s"""$I SELECT user_id, item_id, rating, is_implicit FROM interactions""",
+
+    "q_movie_stats" ->
+      s"""$I SELECT item_id,
+         |  count(user_id) AS count_users,
+         |  round(avg(rating), 4) AS avg_rating
+         |FROM interactions WHERE NOT is_implicit
+         |GROUP BY item_id HAVING count(user_id) > 5""".stripMargin,
+
+    "q_top_movies" ->
+      s"""$I SELECT i.item_id,
+         |  round(avg(i.rating), 4) AS avg_rating,
+         |  count(i.user_id) AS votes,
+         |  p.p_name, p.p_brand
+         |FROM interactions i JOIN part p ON i.item_id = p.p_partkey
+         |WHERE i.rating >= 3.5
+         |GROUP BY i.item_id, p.p_name, p.p_brand
+         |ORDER BY votes DESC, avg_rating DESC, item_id ASC
+         |LIMIT 100""".stripMargin,
+
+    "q_user_top_ratings" ->
+      s"""$I SELECT user_id, item_id, rating, rn FROM (
+         |  SELECT user_id, item_id, rating,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY rating DESC, ts DESC, item_id ASC) AS rn
+         |  FROM interactions) WHERE rn <= 5""".stripMargin,
+
+    "q_user_latest" ->
+      """SELECT user_id, event_id, ts_ms, event_type, rn FROM (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn <= 5""".stripMargin,
+
+    "q_recs_fallback" ->
+      s"""$I, top AS (
+         |  SELECT item_id,
+         |    round(avg(rating), 4) AS avg_rating,
+         |    count(user_id) AS votes
+         |  FROM interactions WHERE rating >= 3.5
+         |  GROUP BY item_id),
+         |seen AS (SELECT DISTINCT item_id FROM interactions WHERE user_id = 1)
+         |SELECT t.item_id, t.avg_rating, t.votes FROM top t
+         |WHERE t.item_id NOT IN (SELECT item_id FROM seen)
+         |ORDER BY votes DESC, avg_rating DESC, item_id ASC
+         |LIMIT 20""".stripMargin,
+
+    "q_implicit_backfill" ->
+      s"""$I, stats AS (
+         |  SELECT item_id, round(avg(rating), 4) AS item_avg
+         |  FROM interactions WHERE NOT is_implicit
+         |  GROUP BY item_id HAVING count(user_id) > 5)
+         |SELECT i.user_id, i.item_id,
+         |  coalesce(s.item_avg, 3.5) AS implicit_rating
+         |FROM interactions i LEFT JOIN stats s ON i.item_id = s.item_id
+         |WHERE i.is_implicit""".stripMargin,
+
+    "q_round_half" ->
+      """SELECT event_id,
+        |  round(least(5.0, greatest(0.5, round(value / 40.0 * 2.0) / 2.0)), 1) AS half_star
+        |FROM events""".stripMargin,
+
+    "q_point_lookup" ->
+      """SELECT c.c_custkey, c.c_name, c.c_mktsegment, n.n_name
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_custkey = 1""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join" ->
+      """SELECT l.l_orderkey,
+        |  round(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY l.l_orderkey
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+        |  event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS is_break
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id,
+        |  count(*) AS n_events,
+        |  epoch_ms(min(ts)) AS session_start_ms,
+        |  epoch_ms(max(ts)) AS session_end_ms,
+        |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+  )
 }

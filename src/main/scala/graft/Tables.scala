@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders over a scale-factor directory, plus the
+  * `interactions` view that maps the driver's TPC-H-ish testdata onto
+  * the reference's user/item/rating model (see SURVEY.md §1; reference
+  * data model at /root/reference/web/app/models.py:6-77).
+  *
+  * Every loader returns a lazy DataFrame — filters/projections applied
+  * downstream are pushed into the parquet scan by Catalyst, so callers
+  * never pay for columns they don't read.
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads via
+    * the nanosAsLong legacy mode. We convert the ns long to a µs
+    * TIMESTAMP with integer division (double division would lose
+    * precision above 2^53 ns). DuckDB keeps ns natively; oracle-facing
+    * queries therefore surface epoch millis, identical on both.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Half-star rating scale used by the reference (surprise
+    * Reader(rating_scale=(0.5, 5.0)), prototype/trainer.py:37) mapped
+    * from l_quantity (1..50): clamp(round(q/5), 0.5, 5.0) in half-star
+    * steps. Pure column expression → stays inside whole-stage codegen.
+    */
+  def halfStarRating(qty: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(lit(5.0), greatest(lit(0.5), round(qty / 5.0 * 2.0) / 2.0))
+
+  /** The user-item interactions fact: orders ⋈ lineitem on orderkey.
+    *
+    * Mirrors the reference's `recommendation_ratings` table
+    * (models.py:6): (user_id, item_id, rating, is_implicit, ts).
+    * At cluster scale both fact tables would be bucketed by orderkey,
+    * making this join shuffle-free; here Catalyst plans a shuffled
+    * hash/sort-merge join on the single equi-key.
+    */
+  def interactions(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(
+        o("o_custkey").as("user_id"),
+        l("l_partkey").as("item_id"),
+        halfStarRating(l("l_quantity")).as("rating"),
+        (l("l_returnflag") === lit("R")).as("is_implicit"),
+        o("o_orderdate").as("ts"))
+  }
+
+  /** DuckDB-side SQL equivalent of [[interactions]], used as a CTE
+    * prefix by the relational oracles. Column names must match the
+    * Spark side exactly (driver compares by sorted column name).
+    */
+  val interactionsSql: String =
+    """WITH interactions AS (
+      |  SELECT o.o_custkey AS user_id,
+      |         l.l_partkey AS item_id,
+      |         least(5.0, greatest(0.5, round(l.l_quantity / 5.0 * 2.0) / 2.0)) AS rating,
+      |         (l.l_returnflag = 'R') AS is_implicit,
+      |         o.o_orderdate AS ts
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |)""".stripMargin
+}

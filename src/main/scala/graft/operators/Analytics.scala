@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Parity._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Benchmark-headline analytics: classic scan-agg and join shapes plus
+  * the event-stream batch analytics (tumbling windows, sessionization)
+  * that mirror the reference's periodically-scheduled recompute jobs
+  * (/root/reference/web/service.py APScheduler).
+  */
+object Analytics {
+
+  /** TPC-H Q1-shaped multi-aggregate scan: the partial-agg + whole-stage
+    * codegen showcase. One shuffle on the (tiny-cardinality) group key.
+    */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumExpr(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-shaped join: customer(filtered, broadcast) ⋈ orders ⋈
+    * lineitem, revenue per order, global top-k via
+    * TakeOrderedAndProject (per-partition top-k + driver merge).
+    */
+  def q3Join(spark: SparkSession, sfDir: String, segment: String = "BUILDING", topN: Int = 10): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey"))
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(round(dsumExpr(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(topN)
+  }
+
+  /** Tumbling 1-hour window aggregate per event type — the batch twin
+    * of the streaming pipeline in graft.streaming.EventStream. Window
+    * start surfaced as epoch millis for oracle parity.
+    */
+  def eventsWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(
+        window(col("ts"), "1 hour").as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .select(
+        unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sessionization with a 30-minute inactivity gap: lag + cumulative
+    * session-break sum per user — two window passes over one shuffle by
+    * user_id, then a per-(user, session) aggregate. The canonical
+    * clickstream operator the reference's scheduler-driven stats jobs
+    * would need at scale.
+    */
+  def sessionize(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMs = gapMinutes * 60L * 1000L
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > gapMs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_break")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_millis(min(col("ts"))).as("session_start_ms"),
+        unix_millis(max(col("ts"))).as("session_end_ms"),
+        dsum(col("value")).as("sum_value"))
+  }
+}

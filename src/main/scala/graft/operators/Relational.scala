@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spark-first re-expressions of the reference service's SQL surface
+  * (anskarl/movie_rec, /root/reference/web/app/controller.py and
+  * recommender/statistics.py). Each query is a pure logical plan over
+  * [[graft.Tables.interactions]]; aggregates surfaced to the oracle are
+  * rounded to 4 decimals for cross-engine float parity.
+  */
+object Relational {
+
+  /** The interactions ETL itself (SURVEY §2 `q_ratings_etl`): the
+    * reference's ratings table materialization (prepare_dataset.py:170).
+    */
+  def ratingsEtl(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.interactions(spark, sfDir)
+      .select(col("user_id"), col("item_id"), col("rating"), col("is_implicit"))
+
+  /** statistics.py:19 `calc_rating_stats`: per-item explicit-rating
+    * stats with a minimum-voter threshold. Single shuffle on item_id
+    * with map-side partial aggregation; HAVING is a post-agg filter.
+    */
+  def movieStats(spark: SparkSession, sfDir: String, usersLowerLimit: Int = 5): DataFrame =
+    Tables.interactions(spark, sfDir)
+      .filter(!col("is_implicit"))
+      .groupBy(col("item_id"))
+      .agg(
+        count(col("user_id")).as("count_users"),
+        round(avg(col("rating")), 4).as("avg_rating"))
+      .filter(col("count_users") > usersLowerLimit)
+
+  /** controller.py:77 `get_top_movies`: most-voted, highest-rated items
+    * with the item dimension joined in. Aggregate-then-broadcast-join:
+    * the agg shrinks the fact side to |items| before the dim join, and
+    * TakeOrderedAndProject keeps the global top-N merge at N rows per
+    * partition. Ties broken by item_id for determinism.
+    */
+  def topMovies(spark: SparkSession, sfDir: String, topN: Int = 100, ratingLimit: Double = 3.5): DataFrame = {
+    val agg = Tables.interactions(spark, sfDir)
+      .filter(col("rating") >= ratingLimit)
+      .groupBy(col("item_id"))
+      .agg(
+        round(avg(col("rating")), 4).as("avg_rating"),
+        count(col("user_id")).as("votes"))
+    agg.join(broadcast(Tables.part(spark, sfDir)), agg("item_id") === col("p_partkey"))
+      .select(col("item_id"), col("avg_rating"), col("votes"), col("p_name"), col("p_brand"))
+      .orderBy(col("votes").desc, col("avg_rating").desc, col("item_id").asc)
+      .limit(topN)
+  }
+
+  /** controller.py:60 `get_user_top_ratings`, generalized to ALL users
+    * at once (per-user top-k via window rank — one shuffle by user_id,
+    * no global sort). The reference does ORDER BY rating DESC, ts DESC
+    * LIMIT k for a single user; at 100 TB the all-users form is the
+    * operator that matters.
+    */
+  def userTopRatings(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("rating").desc, col("ts").desc, col("item_id").asc)
+    Tables.interactions(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("user_id"), col("item_id"), col("rating"), col("rn"))
+  }
+
+  /** controller.py:47 `get_user_ratings` (latest first), generalized to
+    * all users: latest-k events per user from the event stream.
+    * Timestamps surfaced as epoch millis (ns-precision parquet would
+    * otherwise diverge between Spark µs and DuckDB ns).
+    */
+  def userLatest(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(
+        col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("event_type"), col("rn"))
+  }
+
+  /** controller.py:262 `get_avg_recommendations`: cold-start fallback —
+    * globally top items (votes desc, avg desc) LEFT ANTI JOIN the
+    * target user's already-seen items, limit N. The anti side (one
+    * user's history) is broadcast-small by construction.
+    */
+  def recsFallback(spark: SparkSession, sfDir: String, userId: Long = 1L, topN: Int = 20, defaultRating: Double = 3.5): DataFrame = {
+    val inter = Tables.interactions(spark, sfDir)
+    val top = inter
+      .filter(col("rating") >= defaultRating)
+      .groupBy(col("item_id"))
+      .agg(
+        round(avg(col("rating")), 4).as("avg_rating"),
+        count(col("user_id")).as("votes"))
+    val seen = inter.filter(col("user_id") === userId).select(col("item_id")).distinct()
+    top.join(broadcast(seen), Seq("item_id"), "left_anti")
+      .orderBy(col("votes").desc, col("avg_rating").desc, col("item_id").asc)
+      .limit(topN)
+  }
+
+  /** controller.py:150 `set_movie_watched`: implicit interactions take
+    * the item's explicit average rating when stats exist, else the 3.5
+    * default. Expressed as a left join onto the stats aggregate +
+    * coalesce — the reference's redis lookup becomes a broadcast join
+    * against the (much smaller) per-item aggregate.
+    */
+  def implicitBackfill(spark: SparkSession, sfDir: String, usersLowerLimit: Int = 5, defaultRating: Double = 3.5): DataFrame = {
+    val inter = Tables.interactions(spark, sfDir)
+    val stats = inter
+      .filter(!col("is_implicit"))
+      .groupBy(col("item_id"))
+      .agg(round(avg(col("rating")), 4).as("item_avg"), count(col("user_id")).as("cnt"))
+      .filter(col("cnt") > usersLowerLimit)
+      .select(col("item_id"), col("item_avg"))
+    inter.filter(col("is_implicit"))
+      .join(broadcast(stats), Seq("item_id"), "left")
+      .select(
+        col("user_id"), col("item_id"),
+        coalesce(col("item_avg"), lit(defaultRating)).as("implicit_rating"))
+  }
+
+  /** controller.py:330 `round_rating`: half-star normalization of a raw
+    * score stream — distinct normalized values of events.value scaled
+    * into the 0.5..5.0 band.
+    */
+  def roundHalf(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_id"),
+        round(least(lit(5.0), greatest(lit(0.5), round(col("value") / 40.0 * 2.0) / 2.0)), 1).as("half_star"))
+
+  /** controller.py:19/73 point lookups (user info, movie info) — fused
+    * into one result: the customer row and its nation, keyed. At scale
+    * this is a partition-pruned / index-like read, expressed relationally.
+    */
+  def pointLookup(spark: SparkSession, sfDir: String, custkey: Long = 1L): DataFrame = {
+    val c = Tables.customer(spark, sfDir).filter(col("c_custkey") === custkey)
+    c.join(broadcast(Tables.nation(spark, sfDir)), c("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("n_name"))
+  }
+}
