@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, Relational}
+import graft.recommender.Als
 
 /** Driver contract — see SURVEY.md §2 for the operator inventory.
   *
@@ -29,6 +30,10 @@ object SparkEntry {
     "q_implicit_backfill" -> ((s, d) => Relational.implicitBackfill(s, d)),
     "q_round_half"       -> ((s, d) => Relational.roundHalf(s, d)),
     "q_point_lookup"     -> ((s, d) => Relational.pointLookup(s, d)),
+    // — recommender (rows-only: ML, not SQL-expressible) —
+    "als_top_n" -> ((s, d) => Als.topN(s, d)),
+    "als_eval"  -> ((s, d) => Als.evaluate(s, d)),
+    "als_grid"  -> ((s, d) => Als.gridSearch(s, d)),
     // — analytics headliners —
     "q1_agg"         -> ((s, d) => Analytics.q1Agg(s, d)),
     "q3_join"        -> ((s, d) => Analytics.q3Join(s, d)),

@@ -1,0 +1,129 @@
+package graft.recommender
+
+import graft.Tables
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Matrix-factorization recommender — the Spark-native re-expression of
+  * the reference's scikit-surprise SVD pipeline
+  * (/root/reference/web/app/recommender/estimator.py:104
+  * `recompute_recommendations`, /root/reference/prototype/trainer.py).
+  *
+  * Funk SVD and ALS fit the same low-rank user×item model; ALS is the
+  * factorizer that actually distributes (block-partitioned normal
+  * equations, no driver-side matrix), which is why MLlib ships it and
+  * not SGD-SVD. Same capability, Spark-first execution:
+  *
+  *  - estimator.load_dataset  → [[graft.Tables.interactions]]
+  *  - SVD.fit                 → ALS.fit (rank/maxIter/regParam ↔
+  *                              n_factors/n_epochs/reg_all)
+  *  - build_anti_testset + test + get_top_n
+  *                            → recommendForAllUsers (blocked top-k via
+  *                              BLAS gemm) + distributed anti-join of
+  *                              seen pairs (the anti-testset filter)
+  *  - GridSearchCV(rmse/mae)  → train/validation sweep with
+  *                              RegressionEvaluator
+  *
+  * The reference materializes the full anti-testset (all unseen
+  * user×item pairs) in memory — O(|U|·|I|) on the driver, the exact
+  * thing that cannot survive 100 TB. Here the candidate set never
+  * materializes: recommendForAllUsers scores in factor-block batches
+  * and keeps only per-user top-k heaps.
+  */
+object Als {
+
+  /** ALS requires 32-bit ids; testdata keys fit. At larger key spaces
+    * the standard move is a dense re-indexing pass (zipWithIndex on the
+    * distinct keys) before training.
+    */
+  private def trainingSet(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.interactions(spark, sfDir)
+      .select(
+        col("user_id").cast("int").as("user"),
+        col("item_id").cast("int").as("item"),
+        col("rating").cast("float").as("rating"))
+
+  def fit(train: DataFrame, rank: Int = 8, maxIter: Int = 10, regParam: Double = 0.1,
+          implicitPrefs: Boolean = false, seed: Long = 42L): ALSModel =
+    new ALS()
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
+      .setImplicitPrefs(implicitPrefs)
+      .setSeed(seed)
+      .setColdStartStrategy("drop")
+      .fit(train)
+
+  /** Per-user top-N over UNSEEN items (the reference's anti-testset
+    * semantics): over-fetch n+buffer candidates from the blocked top-k,
+    * anti-join the seen pairs, re-rank, keep n. Users whose seen-count
+    * exceeds the buffer may return fewer than n — the buffer trades a
+    * bounded candidate set for exactness, the right trade at scale.
+    */
+  def topN(spark: SparkSession, sfDir: String, n: Int = 20, buffer: Int = 100): DataFrame = {
+    val train = trainingSet(spark, sfDir).cache()
+    val model = fit(train)
+    val recs = model.recommendForAllUsers(n + buffer)
+      .select(col("user"), explode(col("recommendations")).as("rec"))
+      .select(col("user"), col("rec.item").as("item"), col("rec.rating").as("score"))
+    val seen = train.select(col("user"), col("item")).distinct()
+    val unseen = recs.join(seen, Seq("user", "item"), "left_anti")
+    val w = Window.partitionBy(col("user"))
+      .orderBy(col("score").desc, col("item").asc)
+    val out = unseen
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select(
+        col("user").as("user_id"), col("item").as("item_id"),
+        round(col("score").cast("double"), 4).as("score"), col("rn"))
+    train.unpersist()
+    out
+  }
+
+  /** RMSE + MAE on a deterministic 80/20 split — the reference's
+    * evaluation measures (trainer.py:57 GridSearchCV measures=['rmse','mae']).
+    */
+  def evaluate(spark: SparkSession, sfDir: String, rank: Int = 8, maxIter: Int = 10,
+               regParam: Double = 0.1): DataFrame = {
+    import spark.implicits._
+    val all = trainingSet(spark, sfDir)
+      .withColumn("fold", pmod(hash(col("user"), col("item")), lit(5)))
+    val train = all.filter(col("fold") =!= 0).drop("fold").cache()
+    val test = all.filter(col("fold") === 0).drop("fold").cache()
+    val model = fit(train, rank, maxIter, regParam)
+    val pred = model.transform(test).cache()
+    val rmse = new RegressionEvaluator().setMetricName("rmse")
+      .setLabelCol("rating").setPredictionCol("prediction").evaluate(pred)
+    val mae = new RegressionEvaluator().setMetricName("mae")
+      .setLabelCol("rating").setPredictionCol("prediction").evaluate(pred)
+    val nTest = pred.count()
+    Seq((rank, maxIter, regParam, math.rint(rmse * 10000) / 10000,
+         math.rint(mae * 10000) / 10000, nTest))
+      .toDF("rank", "max_iter", "reg_param", "rmse", "mae", "n_test")
+  }
+
+  /** Hyper-parameter sweep on a train/validation split, best-by-RMSE
+    * first (trainer.py:45 find_best_params). Grid kept small so the
+    * verify gate stays fast; the sweep parallelism is per-model — each
+    * fit is itself distributed.
+    */
+  def gridSearch(spark: SparkSession, sfDir: String,
+                 ranks: Seq[Int] = Seq(4, 8), regs: Seq[Double] = Seq(0.05, 0.1)): DataFrame = {
+    import spark.implicits._
+    val all = trainingSet(spark, sfDir)
+      .withColumn("fold", pmod(hash(col("user"), col("item")), lit(5)))
+    val train = all.filter(col("fold") =!= 0).drop("fold").cache()
+    val valid = all.filter(col("fold") === 0).drop("fold").cache()
+    val evalRmse = new RegressionEvaluator().setMetricName("rmse")
+      .setLabelCol("rating").setPredictionCol("prediction")
+    val rows = for (r <- ranks; reg <- regs) yield {
+      val m = fit(train, rank = r, maxIter = 5, regParam = reg)
+      val rmse = evalRmse.evaluate(m.transform(valid))
+      (r, reg, math.rint(rmse * 10000) / 10000)
+    }
+    train.unpersist(); valid.unpersist()
+    rows.toDF("rank", "reg_param", "rmse").orderBy(col("rmse").asc, col("rank").asc)
+  }
+}
