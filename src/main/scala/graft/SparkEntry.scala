@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Relational}
+import graft.operators.{Analytics, Dedup, Relational}
 import graft.recommender.Als
 
 /** Driver contract — see SURVEY.md §2 for the operator inventory.
@@ -34,6 +34,12 @@ object SparkEntry {
     "als_top_n" -> ((s, d) => Als.topN(s, d)),
     "als_eval"  -> ((s, d) => Als.evaluate(s, d)),
     "als_grid"  -> ((s, d) => Als.gridSearch(s, d)),
+    // — deduplication —
+    "dedup_exact"         -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_minhash"       -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_embed_cosine"  -> ((s, d) => Dedup.embedCosine(s, d)),
     // — analytics headliners —
     "q1_agg"         -> ((s, d) => Analytics.q1Agg(s, d)),
     "q3_join"        -> ((s, d) => Analytics.q3Join(s, d)),
@@ -111,6 +117,19 @@ object SparkEntry {
       """SELECT c.c_custkey, c.c_name, c.c_mktsegment, n.n_name
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |WHERE c.c_custkey = 1""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_embed_cosine" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.45""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
