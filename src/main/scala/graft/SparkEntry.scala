@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Relational}
+import graft.operators.{Analytics, Dedup, Relational, Similarity, TextAnalysis}
 import graft.recommender.Als
+import graft.multimodal.Multimodal
 
 /** Driver contract — see SURVEY.md §2 for the operator inventory.
   *
@@ -40,6 +41,16 @@ object SparkEntry {
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embed_cosine"  -> ((s, d) => Dedup.embedCosine(s, d)),
+    // — similarity search —
+    "knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
+    "knn_ivf"   -> ((s, d) => Similarity.ivfSearch(s, d)),
+    // — text analysis —
+    "text_quality"     -> ((s, d) => TextAnalysis.quality(s, d)),
+    "text_tokens"      -> ((s, d) => TextAnalysis.termFrequencies(s, d)),
+    "text_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // — multimodal —
+    "mm_features" -> ((s, d) => Multimodal.features(s, d)),
     // — analytics headliners —
     "q1_agg"         -> ((s, d) => Analytics.q1Agg(s, d)),
     "q3_join"        -> ((s, d) => Analytics.q3Join(s, d)),
@@ -130,6 +141,34 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.45""".stripMargin,
+
+    "knn_brute" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT query_id, neighbor_id, cos, rn FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(c.v, q.v), 4) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(c.v, q.v), 4) DESC, c.vec_id ASC) AS rn
+        |  FROM c JOIN c q ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |WHERE rn <= 10""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, n_chars,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  round(CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 4) AS avg_token_len,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 4) AS type_token_ratio,
+        |  round(CAST(len(list_intersect(string_split(text, ' '),
+        |          ['the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'])) AS DOUBLE)
+        |        / len(list_distinct(string_split(text, ' '))), 4) AS stopword_type_ratio
+        |FROM documents""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT token, count(*) AS freq FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,65 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+// Top-level (not object-nested) so the Catalyst encoder's generated
+// code can access them — private nested case classes fail codegen.
+case class MmAsset(doc_id: Long, mime: String, payload: Array[Byte])
+case class MmDecoded(doc_id: Long, mime: String, width: Int, height: Int,
+                     n_bytes: Int, features: Array[Float])
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata
+  * + a partition-batched decode/feature-extract pass.
+  *
+  * The Spark-side structure is real and tested — binary column, typed
+  * metadata struct, `mapPartitions` batch decode (the JVM analog of a
+  * Pandas-UDF `mapInPandas` stage), stable output schema — while the
+  * codec itself is a clearly-marked deterministic STUB (this container
+  * has no image/audio libraries). Swapping `stubDecode` for a real
+  * JNI/FFmpeg/ImageIO call changes no plan shape: decode stays
+  * partition-local, no shuffle, batch-sized by the input splits.
+  */
+object Multimodal {
+
+  /** STUB codec: stands in for image decode. Deterministic pure
+    * function of the payload bytes so results are reproducible across
+    * runs/engines. A real implementation replaces ONLY this body.
+    */
+  private[multimodal] def stubDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val h = payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+    val width = 64 + math.floorMod(h, 1921L).toInt        // fake 64..1984 px
+    val height = 64 + math.floorMod(h >> 11, 1081L).toInt // fake 64..1144 px
+    // fake feature vector: 8-bin byte histogram, L1-normalized
+    val hist = new Array[Float](8)
+    payload.foreach(b => hist(math.floorMod(b, 8)) += 1f)
+    val n = math.max(1f, payload.length.toFloat)
+    (width, height, hist.map(_ / n))
+  }
+
+  /** Build the multimodal table (binary payload column + metadata) and
+    * run the batched decode → feature-extraction pass. The payload here
+    * is the document text's bytes — a stand-in blob with realistic
+    * per-row variance; in production this column comes from the lake.
+    */
+  def features(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val assets = Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("image/png")).otherwise(lit("audio/wav")).as("mime"),
+        col("text").cast("binary").as("payload"))
+      .as[MmAsset]
+    assets.mapPartitions { it =>
+      // partition-local batch: one decoder instance per partition, the
+      // same amortization a Pandas-UDF batch gives in PySpark
+      it.map { a =>
+        val (w, hgt, feats) = stubDecode(a.payload)
+        MmDecoded(a.doc_id, a.mime, w, hgt, a.payload.length, feats)
+      }
+    }.toDF()
+      .withColumn("feat_l1", round(expr("aggregate(features, 0D, (acc, x) -> acc + x)"), 2))
+      .select(col("doc_id"), col("mime"), col("width"), col("height"), col("n_bytes"), col("feat_l1"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Two paths, per SURVEY §2: brute-force cosine top-k as the exactness
+  * baseline (linear scan — only viable because the query set is
+  * broadcast-small), and an IVF-style path (coarse k-means centroids,
+  * probe the nearest clusters) whose scan cost is corpus_fraction ≈
+  * nprobe/nlist — the structure that survives 100 TB.
+  */
+object Similarity {
+
+  private def corpus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+
+  private val dot = "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+  /** Exact top-k cosine neighbors for each query vector (queries =
+    * vec_id < nQueries, self-matches excluded). The corpus side stays
+    * partition-local: broadcast queries × corpus scan, per-query top-k
+    * via window rank. Ranking uses the 4-decimal-rounded cosine (ties
+    * broken by neighbor id) so the result is engine-deterministic.
+    */
+  def knnBrute(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 10): DataFrame = {
+    val c = corpus(spark, sfDir)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(expr(dot) / (col("norm") * col("qnorm")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /** IVF-style ANN: k-means coarse quantizer (MLlib, fixed seed),
+    * corpus bucketed by nearest centroid, queries probe their
+    * `nprobe` nearest centroids and scan only those buckets.
+    * Output schema matches [[knnBrute]] plus the probed-cluster id, so
+    * recall against the brute-force baseline is a direct join.
+    */
+  def ivfSearch(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 10,
+                nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    val c = corpus(spark, sfDir).withColumn("fv", array_to_vector(col("v"))).cache()
+    val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("fv").fit(c)
+    val assigned = model.transform(c).withColumnRenamed("prediction", "cluster")
+      .select(col("vec_id"), col("v"), col("norm"), col("cluster"))
+
+    // centroid table is tiny: ship it in the closure-free way — as a DataFrame
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (vec, i) => (i, vec.toArray) }.toSeq.toDF("cluster", "cv")
+
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    // probe list: nprobe nearest centroids per query (centroids broadcast)
+    val qc = q.join(broadcast(cents), lit(true))
+      .withColumn("cdist", expr("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("cdist").asc, col("cluster").asc)
+    val probes = qc.withColumn("pr", row_number().over(wq)).filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qnorm"), col("cluster"))
+
+    val scored = assigned.join(broadcast(probes),
+        assigned("cluster") === probes("cluster") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(expr(dot) / (col("norm") * col("qnorm")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    val out = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"),
+        assigned("cluster").as("cluster"))
+    c.unpersist()
+    out
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` corpus: the quality /
+  * statistics layer a training-data pipeline runs before dedup and
+  * sampling. Everything is per-row column arithmetic (zero shuffle)
+  * except the corpus term-frequency aggregate.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+
+  /** Per-document quality scores: token count, average token length,
+    * type-token ratio, stopword ratio — the standard cheap filters
+    * (C4/Gopher-style) expressed as codegen'd column ops.
+    */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", toks)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        round((col("n_chars") - (size(col("toks")) - 1)).cast("double") / size(col("toks")), 4)
+          .as("avg_token_len"),
+        round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 4)
+          .as("type_token_ratio"),
+        round(size(array_intersect(col("toks"), stopArr)).cast("double") / size(array_distinct(col("toks"))), 4)
+          .as("stopword_type_ratio"))
+  }
+
+  /** Corpus term frequencies: tokenize → explode → count, top terms.
+    * The explode fans out map-side; one shuffle on the token key with
+    * partial aggregation (the classic word-count plan).
+    */
+  def termFrequencies(spark: SparkSession, sfDir: String, topK: Int = 100): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(topK)
+
+  /** Language-ID heuristic: score each document against tiny
+    * marker-token profiles per language; best score wins (ties → 'und').
+    * A real pipeline plugs fastText/CLD here — the operator shape
+    * (per-row scoring against broadcast profiles) is the same.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val profiles = Map(
+      "en" -> Seq("the", "a", "of", "and", "is"),
+      "es" -> Seq("el", "la", "de", "y", "es"),
+      "de" -> Seq("der", "die", "das", "und", "ist"))
+    val toks = split(col("text"), " ")
+    val scoreCols = profiles.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val m = array(markers.map(lit): _*)
+      struct(
+        round(size(array_intersect(toks, m)).cast("double") / lit(markers.size), 4).as("score"),
+        lit(lang).as("lang"))
+    }
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        array_max(array(scoreCols: _*)).as("best"))
+      .select(
+        col("doc_id"),
+        when(col("best.score") > 0, col("best.lang")).otherwise(lit("und")).as("lang_pred"),
+        col("best.score").as("score"))
+  }
+
+  /** Rolling polynomial (Rabin-Karp-style) document fingerprint over
+    * token hashes — order-sensitive, unlike the bag-of-shingles
+    * signatures in [[Dedup]]. Arithmetic kept modular (acc < 2^31,
+    * multiplier 2^20) so it never overflows a long — Spark 4's ANSI
+    * mode makes wrap-around an error, and modular form is portable.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        expr("aggregate(transform(split(text, ' '), t -> xxhash64(t)), " +
+             "0L, (acc, h) -> pmod(acc * 1000003L + (h & 4294967295L), 2147483647L))")
+          .as("fingerprint"))
+}
