@@ -27,7 +27,7 @@ object Multimodal {
     * function of the payload bytes so results are reproducible across
     * runs/engines. A real implementation replaces ONLY this body.
     */
-  private[multimodal] def stubDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+  private[graft] def stubDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val h = payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
     val width = 64 + math.floorMod(h, 1921L).toInt        // fake 64..1984 px
     val height = 64 + math.floorMod(h >> 11, 1081L).toInt // fake 64..1144 px

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event row for streaming pipelines (µs timestamp — see
+  * graft.Tables.events for the ns-parquet handling).
+  */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+
+/** Per-user running rating state — the streaming twin of the
+  * reference's live redis counters (`n_ratings_<user>` incr/decr in
+  * /root/reference/web/app/controller.py:127-146) and of its
+  * 15-minute APScheduler recompute loop: instead of periodically
+  * re-reading PostgreSQL, state updates ride the event stream.
+  */
+case class UserRatingState(n_events: Long, sum_value: Double)
+case class UserRatingUpdate(user_id: Long, n_events: Long, sum_value: Double)
+
+object EventStream {
+
+  /** Continuous version of [[graft.operators.Analytics.eventsWindow]]:
+    * watermarked tumbling-window aggregate per event type. Late data
+    * beyond the watermark is dropped instead of blocking state growth —
+    * the property that keeps this runnable forever at 100 TB/day.
+    */
+  def windowedStats(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Per-user running counters via mapGroupsWithState — emits the
+    * updated (count, sum) for each user seen in the micro-batch.
+    * State is per-key and bounded by the user population; a production
+    * deployment adds a timeout to reap idle users.
+    */
+  def userRatingCounters(events: Dataset[Event]): Dataset[UserRatingUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRatingState, UserRatingUpdate](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRatingState]) =>
+          val prev = state.getOption.getOrElse(UserRatingState(0L, 0.0))
+          val (n, s) = batch.foldLeft((prev.n_events, prev.sum_value)) {
+            case ((cnt, sum), e) => (cnt + 1, sum + e.value)
+          }
+          state.update(UserRatingState(n, s))
+          UserRatingUpdate(userId, n, math.rint(s * 100) / 100)
+      }
+  }
+
+  /** Start [[windowedStats]] against an in-memory sink (used by tests
+    * and local smoke runs; swap the sink for kafka/delta in
+    * production — the plan is identical).
+    */
+  def startMemorySink(agg: DataFrame, queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    agg.writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+}

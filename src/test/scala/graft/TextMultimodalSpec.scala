@@ -1,0 +1,46 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextMultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("quality ratios stay in [0, 1] and token counts are positive") {
+    val df = TextAnalysis.quality(spark, sf).cache()
+    assert(df.filter(col("n_tokens") <= 0).count() === 0)
+    assert(df.filter(col("type_token_ratio") < 0 || col("type_token_ratio") > 1).count() === 0)
+    df.unpersist()
+  }
+
+  test("term frequencies sum is bounded by total token count") {
+    val top = TextAnalysis.termFrequencies(spark, sf, topK = 1000)
+    val freqSum = top.agg(sum("freq")).head().getLong(0)
+    val tokens = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " "))).count()
+    assert(freqSum === tokens) // vocab < 1000 here, so top-k covers all
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val a = TextAnalysis.fingerprint(spark, sf).orderBy("doc_id").limit(5).collect()
+    val b = TextAnalysis.fingerprint(spark, sf).orderBy("doc_id").limit(5).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("stub decode is a pure function of payload bytes") {
+    val x = Multimodal.stubDecode("hello world".getBytes("UTF-8"))
+    val y = Multimodal.stubDecode("hello world".getBytes("UTF-8"))
+    assert(x._1 === y._1 && x._2 === y._2 && x._3.sameElements(y._3))
+    assert(math.abs(x._3.sum - 1.0f) < 1e-5) // L1-normalized histogram
+  }
+
+  test("mm_features keeps one row per document with positive fake dims") {
+    val df = Multimodal.features(spark, sf).cache()
+    assert(df.count() === Tables.documents(spark, sf).count())
+    assert(df.filter(col("width") < 64 || col("height") < 64).count() === 0)
+    df.unpersist()
+  }
+}
