@@ -16,19 +16,16 @@ object Dedup {
 
   private def words(c: Column): Column = split(c, "\\s+")
 
-  /** 3-word shingles (distinct); docs shorter than 3 words fall back to
-    * the whole text as a single shingle.
+  /** Distinct 3-word shingles per doc via the native
+    * [[graft.functions.VectorFunctions.Shingles]] expression — one
+    * O(words) pass per row (see its scaladoc for why the pure-SQL
+    * formulation degenerates to O(words²) under Catalyst inlining).
     */
-  private val shinglesExpr: Column = {
-    val w = words(col("text"))
-    when(size(w) >= 3,
-      expr("transform(sequence(0, size(split(text, '\\\\s+')) - 3), i -> array_join(slice(split(text, '\\\\s+'), i + 1, 3), ' '))"))
-      .otherwise(array(col("text")))
-  }
-
-  private def shingled(spark: SparkSession, sfDir: String): DataFrame =
+  private def shingled(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), array_distinct(shinglesExpr).as("shingles"))
+      .select(col("doc_id"), expr("graft_shingles(text, 3)").as("shingles"))
+  }
 
   /** Exact dedup: group by content hash, keep the smallest doc_id.
     * Output covers every group (n_copies=1 for uniques) so the result
@@ -49,11 +46,10 @@ object Dedup {
     * matching signature positions / 64, thresholded.
     */
   def minhashLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.5): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     val sigs = shingled(spark, sfDir)
-      .select(col("doc_id"), expr(
-        "transform(sequence(0, 63), i -> " +
-        "  array_min(transform(shingles, s -> xxhash64(concat(s, '#', i)))))"
-      ).as("sig"))
+      .select(col("doc_id"),
+        expr("graft_minhash64(transform(shingles, s -> xxhash64(s)))").as("sig"))
       .cache()
     val bands = sigs.select(col("doc_id"), explode(expr(
       "transform(sequence(0, 15), b -> " +
@@ -79,13 +75,10 @@ object Dedup {
     * distance cap. Output: one row per near-dup pair.
     */
   def simhash(spark: SparkSession, sfDir: String, maxHamming: Int = 6): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     val fp = Tables.documents(spark, sfDir)
       .select(col("doc_id"), words(col("text")).as("toks"))
-      .withColumn("hs", expr("transform(toks, t -> xxhash64(t))"))
-      .withColumn("fp", expr(
-        "aggregate(sequence(0, 63), 0L, (acc, i) -> acc | IF(" +
-        "  aggregate(hs, 0L, (a, h) -> a + IF((shiftright(h, i) & 1) = 1, 1, -1)) > 0, " +
-        "  shiftleft(1L, i), 0L))"))
+      .withColumn("fp", expr("graft_simhash64(transform(toks, t -> xxhash64(t)))"))
       .select(col("doc_id"), col("fp"))
       .cache()
     val bands = fp.select(col("doc_id"), col("fp"), explode(expr(
@@ -107,8 +100,14 @@ object Dedup {
     * |A∩B| / (|A|+|B|-|A∩B|) thresholded.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
+    // join on the 64-bit shingle hash, not the string: same pairs
+    // (collision odds ~1e-9 at corpus scale), far cheaper shuffle keys
+    // cache: this exploded index feeds both join sides AND the size
+    // table — without it the optimizer re-derives the shingling 4×
     val sh = shingled(spark, sfDir)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -128,15 +127,15 @@ object Dedup {
     * baseline; the scale path is [[Similarity.ivfSearch]]'s bucketing.
     */
   def embedCosine(spark: SparkSession, sfDir: String, threshold: Double = 0.45): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("cos", round(
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-          (col("na") * col("nb")), 4))
+        expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }

@@ -17,12 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def corpus(spark: SparkSession, sfDir: String): DataFrame =
+  private def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+  }
 
-  private val dot = "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  private val dot = "graft_dot(qv, v)"
 
   /** Exact top-k cosine neighbors for each query vector (queries =
     * vec_id < nQueries, self-matches excluded). The corpus side stays
@@ -64,7 +66,8 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     // probe list: nprobe nearest centroids per query (centroids broadcast)
     val qc = q.join(broadcast(cents), lit(true))
-      .withColumn("cdist", expr("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cdist",
+        expr("graft_dot(qv, qv)") + expr("graft_dot(cv, cv)") - lit(2.0) * expr("graft_dot(qv, cv)"))
     val wq = Window.partitionBy(col("query_id")).orderBy(col("cdist").asc, col("cluster").asc)
     val probes = qc.withColumn("pr", row_number().over(wq)).filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("qnorm"), col("cluster"))
