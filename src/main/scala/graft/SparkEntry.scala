@@ -51,6 +51,10 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     // — multimodal —
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
+    // — MovieLens fidelity harness (reference's own dataset; rows-only) —
+    "ml_top_movies" -> ((s, _) => graft.sources.MovieLens.topMovies(s)),
+    "ml_als_eval"   -> ((s, _) => graft.sources.MovieLens.alsEval(s)),
+    "ml_als_top_n"  -> ((s, _) => graft.sources.MovieLens.topNWithTitles(s)),
     // — analytics headliners —
     "q1_agg"         -> ((s, d) => Analytics.q1Agg(s, d)),
     "q3_join"        -> ((s, d) => Analytics.q3Join(s, d)),

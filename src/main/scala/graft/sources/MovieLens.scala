@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CSV source layer for the reference's actual dataset (MovieLens
+  * ml-latest-small, shipped read-only with the reference at
+  * /root/reference/prototype/ml-latest-small/) — the Spark twin of
+  * prepare_dataset.py:73-167 (pandas read_csv + dtype maps) and the
+  * fidelity harness: running this engine's recommender and analytics
+  * over the SAME data the reference trains on
+  * (prototype/trainer.py:21-42).
+  *
+  * Explicit schemas (never inferSchema — an extra full scan at scale),
+  * header handling, quoted multiline-free fields; the enriched movie
+  * CSV uses full quoting exactly as written by prepare_dataset.py:125.
+  */
+object MovieLens {
+
+  val defaultDir = "/root/reference/prototype/ml-latest-small"
+
+  private val ratingsSchema = StructType(Seq(
+    StructField("user_id", IntegerType, nullable = false),
+    StructField("movie_id", IntegerType, nullable = false),
+    StructField("rating", FloatType, nullable = false),
+    StructField("ts", LongType, nullable = false)))
+
+  private val moviesSchema = StructType(Seq(
+    StructField("movie_id", IntegerType, nullable = false),
+    StructField("title", StringType),
+    StructField("year", IntegerType),
+    StructField("genres", StringType),
+    StructField("description", StringType)))
+
+  private val linksSchema = StructType(Seq(
+    StructField("movie_id", IntegerType, nullable = false),
+    StructField("imdb_id", StringType),
+    StructField("tmdb_id", IntegerType)))
+
+  def ratings(spark: SparkSession, dir: String = defaultDir): DataFrame =
+    spark.read.schema(ratingsSchema).option("header", "true")
+      .csv(s"$dir/ratings.csv")
+      .withColumn("ts", to_timestamp(from_unixtime(col("ts"))))
+
+  def movies(spark: SparkSession, dir: String = defaultDir): DataFrame =
+    spark.read.schema(moviesSchema)
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .csv(s"$dir/movies_enriched.csv")
+
+  def links(spark: SparkSession, dir: String = defaultDir): DataFrame =
+    spark.read.schema(linksSchema).option("header", "true")
+      .csv(s"$dir/links.csv")
+
+  /** controller.get_top_movies over the real dataset: votes + avg per
+    * movie (rating >= 3.5), movie dim broadcast-joined, top-N.
+    */
+  def topMovies(spark: SparkSession, topN: Int = 20): DataFrame = {
+    val r = ratings(spark).filter(col("rating") >= 3.5)
+      .groupBy(col("movie_id"))
+      .agg(
+        round(avg(col("rating")), 4).as("avg_rating"),
+        count(col("user_id")).as("votes"))
+    r.join(broadcast(movies(spark)), Seq("movie_id"))
+      .select(col("movie_id"), col("title"), col("avg_rating"), col("votes"))
+      .orderBy(col("votes").desc, col("avg_rating").desc, col("movie_id").asc)
+      .limit(topN)
+  }
+
+  /** The reference's full training loop on its own data: ALS on the
+    * 100k MovieLens ratings, RMSE/MAE on a held-out split — the
+    * fidelity check against trainer.py's reported scikit-surprise SVD
+    * scores (~0.87 RMSE on this dataset).
+    */
+  def alsEval(spark: SparkSession, rank: Int = 12, maxIter: Int = 12, regParam: Double = 0.08): DataFrame = {
+    import spark.implicits._
+    val all = ratings(spark)
+      .select(col("user_id").as("user"), col("movie_id").as("item"), col("rating"))
+      .withColumn("fold", pmod(hash(col("user"), col("item")), lit(5)))
+    val train = all.filter(col("fold") =!= 0).drop("fold").cache()
+    val test = all.filter(col("fold") === 0).drop("fold")
+    val model = graft.recommender.Als.fit(train, rank, maxIter, regParam)
+    val pred = model.transform(test)
+      .withColumn("prediction",
+        least(lit(5.0), greatest(lit(0.5), col("prediction")))) // clamp to rating scale like surprise
+      .cache()
+    val rmse = new org.apache.spark.ml.evaluation.RegressionEvaluator()
+      .setMetricName("rmse").setLabelCol("rating").setPredictionCol("prediction").evaluate(pred)
+    val mae = new org.apache.spark.ml.evaluation.RegressionEvaluator()
+      .setMetricName("mae").setLabelCol("rating").setPredictionCol("prediction").evaluate(pred)
+    val n = pred.count()
+    train.unpersist()
+    Seq((rank, maxIter, regParam, math.rint(rmse * 10000) / 10000,
+         math.rint(mae * 10000) / 10000, n))
+      .toDF("rank", "max_iter", "reg_param", "rmse", "mae", "n_test")
+  }
+
+  /** Per-user top-N recommendations over unseen movies on the real
+    * dataset, with titles — the full estimator.recompute_recommendations
+    * output (sans the redis write, which becomes a sink of choice).
+    */
+  def topNWithTitles(spark: SparkSession, n: Int = 10, sampleUsers: Int = 50): DataFrame = {
+    val train = ratings(spark)
+      .select(col("user_id").as("user"), col("movie_id").as("item"), col("rating"))
+      .cache()
+    val model = graft.recommender.Als.fit(train)
+    val recs = model.recommendForAllUsers(n + 60)
+      .filter(col("user") <= sampleUsers)
+      .select(col("user"), explode(col("recommendations")).as("rec"))
+      .select(col("user"), col("rec.item").as("item"), col("rec.rating").as("score"))
+    val seen = train.select(col("user"), col("item")).distinct()
+    val w = Window.partitionBy(col("user")).orderBy(col("score").desc, col("item").asc)
+    val out = recs.join(seen, Seq("user", "item"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .join(broadcast(movies(spark).select(col("movie_id").as("item"), col("title"))), Seq("item"))
+      .select(col("user").as("user_id"), col("item").as("movie_id"),
+        round(col("score").cast("double"), 4).as("score"), col("rn"), col("title"))
+    train.unpersist()
+    out
+  }
+}
