@@ -60,6 +60,10 @@ object SparkEntry {
     "q3_join"        -> ((s, d) => Analytics.q3Join(s, d)),
     "q_events_window" -> ((s, d) => Analytics.eventsWindow(s, d)),
     "q_sessionize"   -> ((s, d) => Analytics.sessionize(s, d)),
+    "q5_nation"      -> ((s, d) => Analytics.q5Nation(s, d)),
+    "q1_rollup"      -> ((s, d) => Analytics.q1Rollup(s, d)),
+    "q_moving_avg"   -> ((s, d) => Analytics.movingAvg(s, d)),
+    "q_events_props" -> ((s, d) => Analytics.eventsProps(s, d)),
   )
 
   private val I = Tables.interactionsSql
@@ -202,6 +206,40 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q5_nation" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q1_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS daily_total
+        |  FROM orders GROUP BY 1)
+        |SELECT order_date, daily_total,
+        |  round(avg(daily_total) OVER (ORDER BY order_date
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma
+        |FROM daily""".stripMargin,
+
+    "q_events_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (

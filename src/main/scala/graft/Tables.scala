@@ -50,25 +50,34 @@ object Tables {
   def halfStarRating(qty: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     least(lit(5.0), greatest(lit(0.5), round(qty / 5.0 * 2.0) / 2.0))
 
-  /** The user-item interactions fact: orders ⋈ lineitem on orderkey.
+  /** The user-item interactions fact: orders ⋈ lineitem on orderkey,
+    * upserted to one row per (user_id, item_id).
     *
     * Mirrors the reference's `recommendation_ratings` table
-    * (models.py:6): (user_id, item_id, rating, is_implicit, ts).
-    * At cluster scale both fact tables would be bucketed by orderkey,
-    * making this join shuffle-free; here Catalyst plans a shuffled
-    * hash/sort-merge join on the single equi-key.
+    * (models.py:6-15, PRIMARY KEY (user_id, movie_id)) and its
+    * `session.merge` upsert semantics (controller.py:124): a re-rate
+    * replaces, never duplicates — latest ts wins, deterministic
+    * tie-breaks. At cluster scale both fact tables would be bucketed
+    * by orderkey, making the join shuffle-free; the upsert window is
+    * one shuffle on the (user, item) key.
     */
   def interactions(spark: SparkSession, sfDir: String): DataFrame = {
     val o = orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate")
     val l = lineitem(spark, sfDir)
       .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
+    val raw = l.join(o, l("l_orderkey") === o("o_orderkey"))
       .select(
         o("o_custkey").as("user_id"),
         l("l_partkey").as("item_id"),
         halfStarRating(l("l_quantity")).as("rating"),
         (l("l_returnflag") === lit("R")).as("is_implicit"),
         o("o_orderdate").as("ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("item_id"))
+      .orderBy(col("ts").desc, col("rating").desc, col("is_implicit").asc)
+    raw.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
   }
 
   /** DuckDB-side SQL equivalent of [[interactions]], used as a CTE
@@ -76,12 +85,19 @@ object Tables {
     * Spark side exactly (driver compares by sorted column name).
     */
   val interactionsSql: String =
-    """WITH interactions AS (
+    """WITH interactions_raw AS (
       |  SELECT o.o_custkey AS user_id,
       |         l.l_partkey AS item_id,
       |         least(5.0, greatest(0.5, round(l.l_quantity / 5.0 * 2.0) / 2.0)) AS rating,
       |         (l.l_returnflag = 'R') AS is_implicit,
       |         o.o_orderdate AS ts
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |),
+      |interactions AS (
+      |  SELECT user_id, item_id, rating, is_implicit, ts FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, item_id
+      |      ORDER BY ts DESC, rating DESC, is_implicit ASC) AS rn
+      |    FROM interactions_raw)
+      |  WHERE rn = 1
       |)""".stripMargin
 }

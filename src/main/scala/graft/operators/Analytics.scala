@@ -47,6 +47,66 @@ object Analytics {
       .limit(topN)
   }
 
+  /** TPC-H Q5-shaped multi-join: revenue per nation for one region —
+    * the dim chain region→nation→customer broadcasts stage by stage,
+    * the fact join shuffles once on orderkey, aggregate shrinks to
+    * |nations| before the final sort.
+    */
+  def q5Nation(spark: SparkSession, sfDir: String, region: String = "ASIA"): DataFrame = {
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === region)
+    val n = Tables.nation(spark, sfDir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, sfDir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(dsumExpr(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** ROLLUP aggregate (grouping-sets family): per-(flag, status),
+    * per-flag subtotals, and the grand total in one pass.
+    */
+  def q1Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
+  /** 7-day moving average of daily order revenue — a frame-based
+    * window (rowsBetween) over one date-keyed aggregate. The
+    * unpartitioned window is safe at any SF: its input is the daily
+    * aggregate (|distinct dates| rows), not the fact table.
+    */
+  def movingAvg(spark: SparkSession, sfDir: String, days: Int = 7): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("order_date"))
+      .agg(dsum(col("o_totalprice")).as("daily_total"))
+    val w = Window.orderBy(col("order_date"))
+      .rowsBetween(-(days - 1), Window.currentRow)
+    daily.withColumn("ma", round(avg(col("daily_total")).over(w), 4))
+      .select(col("order_date").cast("string").as("order_date"), col("daily_total"), col("ma"))
+  }
+
+  /** Semi-structured column handling: extract the JSON `k` attribute
+    * from events.props, bucket it, aggregate. get_json_object keeps
+    * parsing codegen'd and map-side.
+    */
+  def eventsProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket"),
+        col("value"))
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+
   /** Tumbling 1-hour window aggregate per event type — the batch twin
     * of the streaming pipeline in graft.streaming.EventStream. Window
     * start surfaced as epoch millis for oracle parity.
