@@ -64,6 +64,7 @@ object SparkEntry {
     "q1_rollup"      -> ((s, d) => Analytics.q1Rollup(s, d)),
     "q_moving_avg"   -> ((s, d) => Analytics.movingAvg(s, d)),
     "q_events_props" -> ((s, d) => Analytics.eventsProps(s, d)),
+    "q_asof_join"    -> ((s, d) => Analytics.asofEnrich(s, d)),
   )
 
   private val I = Tables.interactionsSql
@@ -240,6 +241,16 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_asof_join" ->
+      s"""$I, basket AS (
+         |  SELECT user_id AS b_user_id, ts AS b_ts,
+         |    count(*) AS last_n_items, max(rating) AS last_max_rating
+         |  FROM interactions GROUP BY 1, 2)
+         |SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+         |  b.last_n_items, b.last_max_rating, epoch_ms(b.b_ts) AS asof_ts_ms
+         |FROM events e ASOF LEFT JOIN basket b
+         |  ON e.user_id = b.b_user_id AND e.ts >= b.b_ts""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (

@@ -107,6 +107,29 @@ object Analytics {
       .groupBy(col("k_bucket"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
 
+  /** AS-OF enrichment via the custom [[graft.plans.AsOfJoin]] operator:
+    * each event picks up the user's most recent basket state (count +
+    * max rating of the interactions sharing that order date) as of the
+    * event time. The right side is unique per (user, ts) so the as-of
+    * pick is deterministic on both engines (DuckDB native ASOF JOIN is
+    * the oracle).
+    */
+  def asofEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val basket = Tables.interactions(spark, sfDir)
+      .groupBy(col("user_id").as("b_user_id"), col("ts").as("b_ts"))
+      .agg(count(lit(1)).as("n_items"), max(col("rating")).as("max_rating"))
+    graft.plans.AsOf.join(spark, e, basket,
+        keys = Seq("user_id" -> "b_user_id"), leftTimeCol = "ts", rightTimeCol = "b_ts")
+      .select(
+        col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("n_items").as("last_n_items"),
+        col("max_rating").as("last_max_rating"),
+        unix_millis(col("b_ts").cast("timestamp")).as("asof_ts_ms"))
+  }
+
   /** Tumbling 1-hour window aggregate per event type — the batch twin
     * of the streaming pipeline in graft.streaming.EventStream. Window
     * start surfaced as epoch millis for oracle parity.
