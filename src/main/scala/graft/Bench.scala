@@ -17,6 +17,8 @@ object Bench {
     "q1_agg", "q3_join", "q_ratings_etl", "q_movie_stats", "q_top_movies",
     "q_user_top_ratings", "q_user_latest", "q_recs_fallback",
     "q_implicit_backfill", "q_events_window", "q_sessionize",
+    "q5_nation", "q1_rollup", "q_moving_avg", "q_events_props", "q_asof_join",
+    "q_item_cooc", "q_item_sim", "q_item_cf_recs", "text_tfidf",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embed_cosine", "knn_brute", "knn_ivf",
     "text_quality", "text_tokens", "text_langid", "text_fingerprint",

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Relational, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, ItemCF, Relational, Similarity, TextAnalysis}
 import graft.recommender.Als
 import graft.multimodal.Multimodal
 
@@ -51,6 +51,11 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     // — multimodal —
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
+    // — neighborhood (item-item) collaborative filtering —
+    "q_item_cooc"    -> ((s, d) => ItemCF.cooccurrence(s, d)),
+    "q_item_sim"     -> ((s, d) => ItemCF.itemSimilarity(s, d)),
+    "q_item_cf_recs" -> ((s, d) => ItemCF.recommend(s, d)),
+    "text_tfidf"     -> ((s, d) => TextAnalysis.tfIdf(s, d)),
     // — MovieLens fidelity harness (reference's own dataset; rows-only) —
     "ml_top_movies" -> ((s, _) => graft.sources.MovieLens.topMovies(s)),
     "ml_als_eval"   -> ((s, _) => graft.sources.MovieLens.alsEval(s)),
@@ -241,6 +246,79 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_item_cooc" ->
+      s"""$I SELECT a.item_id AS item_a, b.item_id AS item_b,
+         |  count(*) AS n_users
+         |FROM interactions a JOIN interactions b
+         |  ON a.user_id = b.user_id AND a.item_id < b.item_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    "q_item_sim" ->
+      s"""$I, norms AS (
+         |  SELECT item_id, sqrt(sum(rating * rating)) AS norm
+         |  FROM interactions GROUP BY item_id),
+         |dots AS (
+         |  SELECT a.item_id AS item_a, b.item_id AS item_b,
+         |    sum(a.rating * b.rating) AS dot, count(*) AS n_common
+         |  FROM interactions a JOIN interactions b
+         |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT d.item_a, d.item_b, d.n_common,
+         |  round(d.dot / (na.norm * nb.norm), 4) AS sim
+         |FROM dots d
+         |JOIN norms na ON d.item_a = na.item_id
+         |JOIN norms nb ON d.item_b = nb.item_id
+         |WHERE round(d.dot / (na.norm * nb.norm), 4) >= 0.0""".stripMargin,
+
+    "q_item_cf_recs" ->
+      s"""$I, norms AS (
+         |  SELECT item_id, sqrt(sum(rating * rating)) AS norm
+         |  FROM interactions GROUP BY item_id),
+         |dots AS (
+         |  SELECT a.item_id AS item_a, b.item_id AS item_b,
+         |    sum(a.rating * b.rating) AS dot, count(*) AS n_common
+         |  FROM interactions a JOIN interactions b
+         |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |sims AS (
+         |  SELECT d.item_a, d.item_b, round(d.dot / (na.norm * nb.norm), 4) AS sim
+         |  FROM dots d
+         |  JOIN norms na ON d.item_a = na.item_id
+         |  JOIN norms nb ON d.item_b = nb.item_id
+         |  WHERE round(d.dot / (na.norm * nb.norm), 4) >= 0.0),
+         |sym AS (
+         |  SELECT item_a AS item_i, item_b AS item_j, sim FROM sims
+         |  UNION ALL
+         |  SELECT item_b AS item_i, item_a AS item_j, sim FROM sims),
+         |scores AS (
+         |  SELECT r.user_id, s.item_j,
+         |    CAST(round(sum(CAST(s.sim AS DECIMAL(12,4)) * CAST(r.rating AS DECIMAL(8,2))), 4) AS DOUBLE) AS score
+         |  FROM interactions r JOIN sym s ON r.item_id = s.item_i
+         |  GROUP BY 1, 2),
+         |unseen AS (
+         |  SELECT sc.* FROM scores sc
+         |  LEFT JOIN interactions r ON sc.user_id = r.user_id AND sc.item_j = r.item_id
+         |  WHERE r.item_id IS NULL)
+         |SELECT user_id, item_j AS item_id, score, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY score DESC, item_j ASC) AS rn
+         |  FROM unseen) WHERE rn <= 10""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tokens GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, token, tfidf, rn FROM (
+        |  SELECT tf.doc_id, tf.token,
+        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) DESC,
+        |               tf.token ASC) AS rn
+        |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+        |WHERE rn <= 3""".stripMargin,
 
     "q_asof_join" ->
       s"""$I, basket AS (

@@ -73,6 +73,27 @@ object TextAnalysis {
         col("best.score").as("score"))
   }
 
+  /** TF-IDF top terms per document: tf·ln(N/df) with the document
+    * count joined in as a broadcast scalar (stays declarative — no
+    * driver-side collect), top-k terms per doc via window rank.
+    */
+  def tfIdf(spark: SparkSession, sfDir: String, topK: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tokens = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("doc_id"), col("token"), col("tfidf"), col("rn"))
+  }
+
   /** Rolling polynomial (Rabin-Karp-style) document fingerprint over
     * token hashes — order-sensitive, unlike the bag-of-shingles
     * signatures in [[Dedup]]. Arithmetic kept modular (acc < 2^31,
