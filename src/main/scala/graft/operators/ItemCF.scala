@@ -64,7 +64,9 @@ object ItemCF {
     * Als.topN's anti-testset semantics.
     */
   def recommend(spark: SparkSession, sfDir: String, topN: Int = 10, minCommon: Int = 3): DataFrame = {
-    val sims = itemSimilarity(spark, sfDir, minCommon)
+    // cache: the union below consumes sims twice — uncached, the whole
+    // shared-user dots chain would recompute per branch
+    val sims = itemSimilarity(spark, sfDir, minCommon).cache()
     // symmetrize: sim table stores item_a < item_b only
     val sym = sims.select(col("item_a").as("item_i"), col("item_b").as("item_j"), col("sim"))
       .unionAll(sims.select(col("item_b").as("item_i"), col("item_a").as("item_j"), col("sim")))

@@ -62,7 +62,7 @@ object Als {
     * exceeds the buffer may return fewer than n — the buffer trades a
     * bounded candidate set for exactness, the right trade at scale.
     */
-  def topN(spark: SparkSession, sfDir: String, n: Int = 20, buffer: Int = 100): DataFrame = {
+  def topN(spark: SparkSession, sfDir: String, n: Int = 20, buffer: Int = 110): DataFrame = {
     val train = trainingSet(spark, sfDir).cache()
     val model = fit(train)
     val recs = model.recommendForAllUsers(n + buffer)
