@@ -70,6 +70,7 @@ object SparkEntry {
     "q_moving_avg"   -> ((s, d) => Analytics.movingAvg(s, d)),
     "q_events_props" -> ((s, d) => Analytics.eventsProps(s, d)),
     "q_asof_join"    -> ((s, d) => Analytics.asofEnrich(s, d)),
+    "q_approx_stats" -> ((s, d) => Analytics.approxStats(s, d)),
   )
 
   private val I = Tables.interactionsSql

@@ -107,6 +107,21 @@ object Analytics {
       .groupBy(col("k_bucket"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
 
+  /** Sketch aggregates: HyperLogLog++ distinct counts and t-digest-ish
+    * approximate quantiles per event type — the constant-memory
+    * answers that replace exact distinct/sort at 100 TB. Estimates are
+    * engine-specific (Spark HLL++ vs DuckDB's HLL differ by design) →
+    * rows-only; the spec bounds them against exact values instead.
+    */
+  def approxStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"),
+        round(percentile_approx(col("value"), lit(0.5), lit(10000)), 2).as("p50_value"),
+        round(percentile_approx(col("value"), lit(0.99), lit(10000)), 2).as("p99_value"))
+
   /** AS-OF enrichment via the custom [[graft.plans.AsOfJoin]] operator:
     * each event picks up the user's most recent basket state (count +
     * max rating of the interactions sharing that order date) as of the

@@ -37,6 +37,21 @@ object EventStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming gap-sessionization with the native session_window —
+    * the continuous twin of [[graft.operators.Analytics.sessionize]].
+    * State per (user, open session) merges as events arrive; the
+    * watermark closes sessions and bounds state.
+    */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** Per-user running counters via mapGroupsWithState — emits the
     * updated (count, sum) for each user seen in the micro-batch.
     * State is per-key and bounded by the user population; a production
