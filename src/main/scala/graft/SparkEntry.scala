@@ -26,6 +26,7 @@ object SparkEntry {
     "q_movie_stats"      -> ((s, d) => Relational.movieStats(s, d)),
     "q_top_movies"       -> ((s, d) => Relational.topMovies(s, d)),
     "q_user_top_ratings" -> ((s, d) => Relational.userTopRatings(s, d)),
+    "q_user_topk_agg"    -> ((s, d) => Relational.userTopKAgg(s, d)),
     "q_user_latest"      -> ((s, d) => Relational.userLatest(s, d)),
     "q_recs_fallback"    -> ((s, d) => Relational.recsFallback(s, d)),
     "q_implicit_backfill" -> ((s, d) => Relational.implicitBackfill(s, d)),
@@ -102,6 +103,13 @@ object SparkEntry {
          |  SELECT user_id, item_id, rating,
          |    row_number() OVER (PARTITION BY user_id
          |      ORDER BY rating DESC, ts DESC, item_id ASC) AS rn
+         |  FROM interactions) WHERE rn <= 5""".stripMargin,
+
+    "q_user_topk_agg" ->
+      s"""$I SELECT user_id, item_id, rating, rn FROM (
+         |  SELECT user_id, item_id, rating,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY rating DESC, item_id ASC) AS rn
          |  FROM interactions) WHERE rn <= 5""".stripMargin,
 
     "q_user_latest" ->

@@ -67,6 +67,25 @@ object Relational {
       .select(col("user_id"), col("item_id"), col("rating"), col("rn"))
   }
 
+  /** [[userTopRatings]] re-expressed with the heap-based
+    * [[graft.functions.TopKAgg]] aggregate: identical results (modulo
+    * the ts tiebreak), but map-side partial top-k instead of a full
+    * per-user sort — at scale the shuffle carries ≤ k rows per user
+    * per map partition instead of every interaction.
+    */
+  def userTopKAgg(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    graft.functions.TopKAgg.register(spark)
+    Tables.interactions(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(expr(s"graft_topk(rating, item_id, $k)").as("topk"))
+      .select(col("user_id"), posexplode(col("topk")))
+      .select(
+        col("user_id"),
+        col("col.id").as("item_id"),
+        col("col.score").as("rating"),
+        (col("pos") + 1).as("rn"))
+  }
+
   /** controller.py:47 `get_user_ratings` (latest first), generalized to
     * all users: latest-k events per user from the event stream.
     * Timestamps surfaced as epoch millis (ns-precision parquet would
