@@ -36,6 +36,7 @@ object SparkEntry {
     "als_top_n" -> ((s, d) => Als.topN(s, d)),
     "als_eval"  -> ((s, d) => Als.evaluate(s, d)),
     "als_grid"  -> ((s, d) => Als.gridSearch(s, d)),
+    "als_cv"    -> ((s, d) => Als.crossValidate(s, d)),
     // — deduplication —
     "dedup_exact"         -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash"       -> ((s, d) => Dedup.minhashLsh(s, d)),

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lake-native re-expression of the reference's mutation surface —
+  * the REST writes in /root/reference/web/app/controller.py:
+  *
+  *  - set_movie_rating (PUT, controller.py:107): upsert, rating
+  *    normalized to half-stars
+  *  - delete_movie_rating (DELETE, controller.py:132)
+  *  - set_movie_watched (PUT, controller.py:150): implicit rating =
+  *    current item average else default
+  *
+  * On a lake these become a CDC batch merged into the ratings fact:
+  * updates carry an op (upsert/delete) and a batch timestamp; merge =
+  * union + latest-wins window + tombstone filter. The same merge runs
+  * identically as a Structured Streaming foreachBatch sink at scale.
+  */
+object Mutations {
+
+  /** Normalize to the reference's half-star lattice, clamped to
+    * [0.5, 5.0] (controller.round_rating + the 0.5..5.0 Reader scale).
+    */
+  def normalizeRating(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(lit(5.0), greatest(lit(0.5), round(c * 2.0) / 2.0))
+
+  /** Merge a mutation batch into a ratings snapshot.
+    *
+    * @param base    current ratings: (user_id, item_id, rating, is_implicit, ts)
+    * @param updates batch: (user_id, item_id, rating, is_implicit, ts, op)
+    *                with op ∈ {"upsert", "delete"}
+    * @return        next snapshot, same schema as base
+    */
+  def applyBatch(base: DataFrame, updates: DataFrame): DataFrame = {
+    val cols = Seq("user_id", "item_id", "rating", "is_implicit", "ts")
+    val unioned = base
+      .select(cols.map(col): _*)
+      .withColumn("op", lit("upsert"))
+      .unionByName(updates
+        .withColumn("rating", normalizeRating(col("rating")))
+        .select((cols :+ "op").map(col): _*))
+    // latest ts wins; a same-ts upsert/delete conflict resolves to the
+    // upsert ("upsert" > "delete" lexicographically, op desc)
+    val w = Window.partitionBy(col("user_id"), col("item_id"))
+      .orderBy(col("ts").desc, col("op").desc)
+    unioned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "delete")
+      .select(cols.map(col): _*)
+  }
+
+  /** set_movie_watched as a batch: watched events become implicit
+    * ratings valued at the item's current average (min voters) else
+    * the default — composed from the stats aggregate exactly like
+    * [[Relational.implicitBackfill]].
+    */
+  def watchedBatch(spark: SparkSession, base: DataFrame, watched: DataFrame,
+                   usersLowerLimit: Int = 5, defaultRating: Double = 3.5): DataFrame = {
+    val stats = base.filter(!col("is_implicit"))
+      .groupBy(col("item_id"))
+      .agg(avg(col("rating")).as("item_avg"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > usersLowerLimit)
+      .select(col("item_id"), col("item_avg"))
+    watched
+      .join(broadcast(stats), Seq("item_id"), "left")
+      .select(
+        col("user_id"), col("item_id"),
+        normalizeRating(coalesce(col("item_avg"), lit(defaultRating))).as("rating"),
+        lit(true).as("is_implicit"),
+        col("ts"),
+        lit("upsert").as("op"))
+  }
+}

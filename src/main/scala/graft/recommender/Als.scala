@@ -104,6 +104,32 @@ object Als {
       .toDF("rank", "max_iter", "reg_param", "rmse", "mae", "n_test")
   }
 
+  /** K-fold cross-validation (the reference's 3-fold CV,
+    * trainer.py:45 `find_best_params(cv=3)`): deterministic hash
+    * folds, one distributed fit per fold, mean±range RMSE/MAE.
+    */
+  def crossValidate(spark: SparkSession, sfDir: String, folds: Int = 3,
+                    rank: Int = 8, maxIter: Int = 5, regParam: Double = 0.1): DataFrame = {
+    import spark.implicits._
+    val all = trainingSet(spark, sfDir)
+      .withColumn("fold", pmod(hash(col("user"), col("item")), lit(folds)))
+      .cache()
+    val evalRmse = new RegressionEvaluator().setMetricName("rmse")
+      .setLabelCol("rating").setPredictionCol("prediction")
+    val evalMae = new RegressionEvaluator().setMetricName("mae")
+      .setLabelCol("rating").setPredictionCol("prediction")
+    val rows = (0 until folds).map { f =>
+      val model = fit(all.filter(col("fold") =!= f).drop("fold"), rank, maxIter, regParam)
+      val pred = model.transform(all.filter(col("fold") === f).drop("fold")).cache()
+      val r = (f, math.rint(evalRmse.evaluate(pred) * 10000) / 10000,
+               math.rint(evalMae.evaluate(pred) * 10000) / 10000, pred.count())
+      pred.unpersist()
+      r
+    }
+    all.unpersist()
+    rows.toDF("fold", "rmse", "mae", "n_test")
+  }
+
   /** Hyper-parameter sweep on a train/validation split, best-by-RMSE
     * first (trainer.py:45 find_best_params). Grid kept small so the
     * verify gate stays fast; the sweep parallelism is per-model — each

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Mutations
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MutationsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("applyBatch upserts, deletes, and normalizes like the REST surface") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, 10L, 4.0, false, ts("2024-01-01 00:00:00")),
+      (1L, 11L, 3.0, false, ts("2024-01-01 00:00:00")),
+      (2L, 10L, 5.0, false, ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "item_id", "rating", "is_implicit", "ts")
+    val updates = Seq(
+      // re-rate 1/10 with a raw 3.8 → normalized to 4.0? round(3.8*2)/2 = 4.0
+      (1L, 10L, 3.8, false, ts("2024-01-02 00:00:00"), "upsert"),
+      // delete 1/11
+      (1L, 11L, 0.0, false, ts("2024-01-02 00:00:00"), "delete"),
+      // brand-new rating 2/12 at 0.2 → clamps to 0.5
+      (2L, 12L, 0.2, false, ts("2024-01-02 00:00:00"), "upsert"))
+      .toDF("user_id", "item_id", "rating", "is_implicit", "ts", "op")
+
+    val next = Mutations.applyBatch(base, updates).cache()
+    val m = next.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 10L)) === 4.0)      // upsert replaced, normalized 3.8 → 4.0
+    assert(!m.contains((1L, 11L)))    // deleted
+    assert(m((2L, 10L)) === 5.0)      // untouched
+    assert(m((2L, 12L)) === 0.5)      // clamped to the scale floor
+    assert(next.count() === 3)
+    next.unpersist()
+  }
+
+  test("watchedBatch assigns the item average, else the 3.5 default") {
+    import spark.implicits._
+    // item 10 has 6 explicit ratings avg 4.0 (> lower limit); item 99 unknown
+    val base = (1 to 6).map(u => (u.toLong, 10L, 4.0, false, ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "item_id", "rating", "is_implicit", "ts")
+    val watched = Seq(
+      (7L, 10L, ts("2024-01-02 00:00:00")),
+      (7L, 99L, ts("2024-01-02 00:00:00")))
+      .toDF("user_id", "item_id", "ts")
+    val out = Mutations.watchedBatch(spark, base, watched).collect()
+      .map(r => r.getAs[Long]("item_id") -> r.getAs[Double]("rating")).toMap
+    assert(out(10L) === 4.0)  // item average
+    assert(out(99L) === 3.5)  // cold item → default
+    // and merging the watched batch yields implicit rows
+    val next = Mutations.applyBatch(base, Mutations.watchedBatch(spark, base, watched))
+    assert(next.filter(col("is_implicit")).count() === 2)
+  }
+}
