@@ -19,6 +19,7 @@ object Bench {
     "q_implicit_backfill", "q_events_window", "q_sessionize",
     "q5_nation", "q1_rollup", "q_moving_avg", "q_events_props", "q_asof_join",
     "q_item_cooc", "q_item_sim", "q_item_cf_recs", "text_tfidf",
+    "q_user_topk_agg", "q_approx_stats",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embed_cosine", "knn_brute", "knn_ivf",
     "text_quality", "text_tokens", "text_langid", "text_fingerprint",
@@ -49,7 +50,12 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // operators cache intermediates (sig tables, sim chains) for
+        // intra-query reuse; drop them between queries or 34 queries'
+        // worth of cached blocks pile up and GC-thrash the tail
+        spark.catalog.clearCache()
+        name -> dt
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
