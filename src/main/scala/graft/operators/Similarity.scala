@@ -53,7 +53,9 @@ object Similarity {
   def ivfSearch(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 10,
                 nlist: Int = 8, nprobe: Int = 2): DataFrame = {
     val c = corpus(spark, sfDir).withColumn("fv", array_to_vector(col("v"))).cache()
-    val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("fv").fit(c)
+    val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("fv")
+      .setMaxIter(10) // coarse quantizer: centroid quality plateaus early
+      .fit(c)
     val assigned = model.transform(c).withColumnRenamed("prediction", "cluster")
       .select(col("vec_id"), col("v"), col("norm"), col("cluster"))
 

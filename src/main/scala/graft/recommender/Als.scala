@@ -54,6 +54,9 @@ object Als {
       .setImplicitPrefs(implicitPrefs)
       .setSeed(seed)
       .setColdStartStrategy("drop")
+      // default block count: at this data size more blocks only add
+      // shuffle overhead (A/B-tested 10/16/32 at sf0.1); on a real
+      // cluster set user/item blocks ≈ total cores
       .fit(train)
 
   /** Per-user top-N over UNSEEN items (the reference's anti-testset
