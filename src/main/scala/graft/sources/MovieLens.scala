@@ -68,6 +68,21 @@ object MovieLens {
       .limit(topN)
   }
 
+  /** controller.get_user_top_ratings / get_user_ratings on the real
+    * data: one user's ratings joined to the movie dim, ordered by
+    * (rating desc, ts desc) or (ts desc) — the two README-documented
+    * REST endpoints.
+    */
+  def userRatings(spark: SparkSession, userId: Int, limit: Int = 20, byRating: Boolean = true): DataFrame = {
+    val r = ratings(spark).filter(col("user_id") === userId)
+      .join(broadcast(movies(spark)), Seq("movie_id"))
+      .select(col("user_id"), col("movie_id"), col("rating"), col("ts"), col("title"), col("year"))
+    val ordered =
+      if (byRating) r.orderBy(col("rating").desc, col("ts").desc, col("movie_id").asc)
+      else r.orderBy(col("ts").desc, col("rating").desc, col("movie_id").asc)
+    ordered.limit(limit)
+  }
+
   /** The reference's full training loop on its own data: ALS on the
     * 100k MovieLens ratings, RMSE/MAE on a held-out split — the
     * fidelity check against trainer.py's reported scikit-surprise SVD

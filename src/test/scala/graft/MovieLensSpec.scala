@@ -39,6 +39,24 @@ class MovieLensSpec extends AnyFunSuite {
     assert(top(1).getAs[Long]("votes") === 276L)
   }
 
+  test("user 40's top ratings reproduce the README's documented response") {
+    // README GET /user/40/ratings/top example: It's My Party (685,
+    // 5.0, 1996-05-14 07:54:02) then Antonia's Line (82, 5.0, 07:49:11)
+    val top = MovieLens.userRatings(spark, userId = 40, limit = 2).collect()
+    assert(top(0).getAs[Int]("movie_id") === 685)
+    assert(top(0).getAs[String]("title") === "It's My Party")
+    assert(top(1).getAs[Int]("movie_id") === 82)
+    assert(top(1).getAs[String]("title") === "Antonia's Line")
+  }
+
+  test("user 50's latest rating reproduces the README's documented response") {
+    // README GET /user/50/ratings/latest example: The Good, the Bad
+    // and the Ugly (1201, 4.0, 2018-09-13 20:20:06)
+    val latest = MovieLens.userRatings(spark, userId = 50, limit = 1, byRating = false).head()
+    assert(latest.getAs[Int]("movie_id") === 1201)
+    assert(latest.getAs[Float]("rating") === 4.0f)
+  }
+
   test("ALS on MovieLens approaches the reference's SVD accuracy") {
     val row = MovieLens.alsEval(spark).head()
     val rmse = row.getAs[Double]("rmse")

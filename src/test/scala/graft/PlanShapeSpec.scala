@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.{Analytics, Relational}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guards for the PLAN properties that make these operators
+  * scale — a query can stay value-correct while silently losing its
+  * pushdown or broadcast, so correctness tests alone won't catch it.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q3: the segment filter is pushed into the customer parquet scan") {
+    val p = plan(Analytics.q3Join(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
+  test("q1: scan reads only the five referenced lineitem columns") {
+    val p = plan(Analytics.q1Agg(spark, sf))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_orderkey") && !read.contains("l_shipdate"), read)
+    assert(read.contains("l_quantity") && read.contains("l_returnflag"), read)
+  }
+
+  test("top-movies: global top-N plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan(Relational.topMovies(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("movie-stats: partial aggregation runs before the shuffle") {
+    val p = plan(Relational.movieStats(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial_avg"), p)
+  }
+
+  test("fallback recs: the seen-items exclusion is a broadcast anti join") {
+    val p = plan(Relational.recsFallback(spark, sf))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("EqualTo(o_custkey,1)"), p) // user filter reached the scan
+  }
+
+  test("interactions: exactly one window shuffle implements the upsert") {
+    // the is_implicit filter CANNOT push below the latest-wins window
+    // (the kept row determines the flag) — but the upsert must cost
+    // exactly one (user,item) exchange, not one per consumer branch
+    val p = plan(Relational.movieStats(spark, sf))
+    val windowExchanges = p.linesIterator
+      .count(l => l.contains("hashpartitioning(user_id") && l.contains("item_id"))
+    assert(windowExchanges === 1, p)
+  }
+}
