@@ -46,6 +46,7 @@ object SparkEntry {
     // — similarity search —
     "knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "knn_ivf"   -> ((s, d) => Similarity.ivfSearch(s, d)),
+    "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     // — text analysis —
     "text_quality"     -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_tokens"      -> ((s, d) => TextAnalysis.termFrequencies(s, d)),
@@ -176,6 +177,13 @@ object SparkEntry {
         |      ORDER BY round(list_cosine_similarity(c.v, q.v), 4) DESC, c.vec_id ASC) AS rn
         |  FROM c JOIN c q ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE rn <= 10""".stripMargin,
+
+    "q_label_centroids" ->
+      """SELECT e.label, t.i AS dim,
+        |  round(avg(CAST(e.embedding[t.i + 1] AS DOUBLE)), 6) AS centroid,
+        |  count(*) AS n_vectors
+        |FROM embeddings e, range(64) t(i)
+        |GROUP BY e.label, t.i""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id, n_chars,

@@ -44,6 +44,19 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /** Per-label mean embedding (centroids) via positional explode —
+    * the embedding-aggregation primitive behind IVF training, label
+    * prototypes, and class-balanced sampling. Sums of float-precision
+    * values in double arithmetic are exact up to 2^29 rows, so the
+    * centroids are engine-deterministic and SQL-oracle-checkable.
+    */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("label"), col("pos").as("dim"))
+      .agg(round(avg(col("col")), 6).as("centroid"), count(lit(1)).as("n_vectors"))
+      .select(col("label"), col("dim"), col("centroid"), col("n_vectors"))
+
   /** IVF-style ANN: k-means coarse quantizer (MLlib, fixed seed),
     * corpus bucketed by nearest centroid, queries probe their
     * `nprobe` nearest centroids and scan only those buckets.
