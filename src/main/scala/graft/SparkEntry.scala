@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, ItemCF, Relational, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, ItemCF, Relational, Sampling, Similarity, TextAnalysis}
 import graft.recommender.Als
 import graft.multimodal.Multimodal
 
@@ -59,6 +59,9 @@ object SparkEntry {
     "q_item_sim"     -> ((s, d) => ItemCF.itemSimilarity(s, d)),
     "q_item_cf_recs" -> ((s, d) => ItemCF.recommend(s, d)),
     "text_tfidf"     -> ((s, d) => TextAnalysis.tfIdf(s, d)),
+    // — deterministic sampling —
+    "q_sample_hash"     -> ((s, d) => Sampling.sampleDocs(s, d)),
+    "q_sample_balanced" -> ((s, d) => Sampling.balancedSample(s, d)),
     // — MovieLens fidelity harness (reference's own dataset; rows-only) —
     "ml_top_movies" -> ((s, _) => graft.sources.MovieLens.topMovies(s)),
     "ml_als_eval"   -> ((s, _) => graft.sources.MovieLens.alsEval(s)),
@@ -184,6 +187,18 @@ object SparkEntry {
         |  count(*) AS n_vectors
         |FROM embeddings e, range(64) t(i)
         |GROUP BY e.label, t.i""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        |GROUP BY lang""".stripMargin,
+
+    "q_sample_balanced" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM documents) WHERE rn <= 30""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id, n_chars,

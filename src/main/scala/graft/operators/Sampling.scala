@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * `df.sample()` is seed-dependent on partitioning and engine-specific;
+  * a reproducible corpus needs CONTENT-derived sampling: the decision
+  * for a row must be a pure function of its key, identical across
+  * engines, re-runs, and cluster layouts. We hash with md5 (available
+  * and bit-identical in Spark and DuckDB) and compare hex prefixes —
+  * a lexicographic threshold on the first two hex chars selects
+  * thr/256 of the keyspace.
+  */
+object Sampling {
+
+  /** True for ≈ thr/256 of keys, deterministically. */
+  private def hashGate(key: Column, thr: Int): Column =
+    substring(md5(key.cast("string")), 1, 2) < lit(f"$thr%02x")
+
+  /** Reproducible ~10% document sample with per-language counts —
+    * the sanity aggregate a sampling stage reports.
+    */
+  def sampleDocs(spark: SparkSession, sfDir: String, thr256: Int = 26): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(hashGate(col("doc_id"), thr256))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 4).as("avg_chars"))
+
+  /** Class-balanced resample: k docs per language, chosen by hash
+    * order (not "first k seen" — that depends on scan order). One
+    * shuffle on the class key; the window input is already the
+    * filtered corpus.
+    */
+  def balancedSample(spark: SparkSession, sfDir: String, perClass: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perClass)
+      .select(col("doc_id"), col("lang"), col("rn"))
+  }
+}

@@ -72,6 +72,31 @@ object EventStream {
       }
   }
 
+  /** Continuous CDC apply: a stream of rating mutations merged into a
+    * parquet ratings snapshot per micro-batch via foreachBatch +
+    * [[graft.operators.Mutations.applyBatch]] — the streaming version
+    * of the reference's REST write path (its PostgreSQL upserts become
+    * snapshot rewrites here; on a real lake the same merge is one
+    * `MERGE INTO` against Delta/Iceberg, with identical batch logic).
+    *
+    * @param updates   streaming DataFrame with applyBatch's update schema
+    * @param snapshot  directory holding the current ratings snapshot
+    */
+  def startCdcApply(updates: DataFrame, snapshot: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val base = spark.read.parquet(snapshot)
+        val merged = graft.operators.Mutations.applyBatch(base, batch.toDF())
+        // two-phase write: never read and overwrite the same files in one job
+        val tmp = snapshot + "_next"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(snapshot)
+        ()
+      }
+      .start()
+
   /** Start [[windowedStats]] against an in-memory sink (used by tests
     * and local smoke runs; swap the sink for kafka/delta in
     * production — the plan is identical).
