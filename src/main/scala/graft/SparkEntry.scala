@@ -42,6 +42,10 @@ object SparkEntry {
     "dedup_minhash"       -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    // NOTE: Dedup.embedLsh is library-only, not registered: hyperplane
+    // LSH targets cos ≥ ~0.9 and this corpus's closest pairs sit at
+    // 0.45-0.6, so its (correct) result here is empty — see
+    // DedupSimilaritySpec for the synthetic near-dup coverage.
     "dedup_embed_cosine"  -> ((s, d) => Dedup.embedCosine(s, d)),
     // — similarity search —
     "knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),

@@ -191,6 +191,74 @@ object VectorFunctions {
       copy(child = newChild)
   }
 
+  /** hyperplane64(v) over array<double> → 64-bit random-hyperplane
+    * (sign-of-projection) signature. Plane p's component for dimension
+    * d is a deterministic ±1/uniform derived from splitmix-style
+    * mixing of (p, d) — no stored hyperplane matrix, identical on
+    * every executor. P(bit differs) = angle/π, so Hamming distance
+    * estimates cosine: the classic SimHash-for-vectors LSH, used to
+    * bucket near-duplicate candidates without an all-pairs join.
+    */
+  case class Hyperplane64(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double> input, got ${other.simpleString}")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_hyperplane64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      var sig = 0L
+      var p = 0
+      while (p < 64) {
+        var dot = 0.0
+        var d = 0
+        while (d < v.numElements()) {
+          var x = (p.toLong << 32 | d.toLong) * -7046029254386353131L
+          x = (x ^ (x >>> 30)) * -4658895280553007687L
+          x = (x ^ (x >>> 27)) * -7723592293110705685L
+          x ^= (x >>> 31)
+          // map mixed bits to a uniform in [-1, 1)
+          dot += v.getDouble(d) * (x.toDouble / 9.223372036854776e18)
+          d += 1
+        }
+        if (dot > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val sig = ctx.freshName("sig")
+        val p = ctx.freshName("p")
+        val d = ctx.freshName("d")
+        val x = ctx.freshName("x")
+        val dot = ctx.freshName("dot")
+        s"""
+           |long $sig = 0L;
+           |for (int $p = 0; $p < 64; $p++) {
+           |  double $dot = 0.0;
+           |  for (int $d = 0; $d < $a.numElements(); $d++) {
+           |    long $x = (((long) $p << 32) | (long) $d) * -7046029254386353131L;
+           |    $x = ($x ^ ($x >>> 30)) * -4658895280553007687L;
+           |    $x = ($x ^ ($x >>> 27)) * -7723592293110705685L;
+           |    $x ^= ($x >>> 31);
+           |    $dot += $a.getDouble($d) * ((double) $x / 9.223372036854776e18);
+           |  }
+           |  if ($dot > 0) $sig |= (1L << $p);
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** shingles(text, n) → distinct n-word shingles in one O(words) pass.
     *
     * The pure-SQL formulation (`transform(sequence(...), i ->
@@ -253,5 +321,7 @@ object VectorFunctions {
       "graft_minhash64", exprs => MinHashSig(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles", exprs => Shingles(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hyperplane64", exprs => Hyperplane64(exprs.head), "built-in")
   }
 }

@@ -121,6 +121,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** LSH-bucketed embedding near-dup: 64-bit random-hyperplane
+    * signatures (map-side, codegen), 4×16-bit band blocking, exact
+    * cosine verification only WITHIN buckets — the scale path that
+    * replaces [[embedCosine]]'s all-pairs join. Recall is probabilistic
+    * (a true pair is a candidate iff one 16-bit band matches — near-1
+    * for near-identical vectors, tunable via bands); precision is
+    * exact because candidates are re-verified with the true cosine.
+    *
+    * Regime note: band-match probability is (1-θ/π)^16 per band — at
+    * cos 0.95 that's ≈ 0.56 over 4 bands, at cos 0.45 effectively 0.
+    * This operator is for true near-dup corpora; for mid-similarity
+    * search use [[Similarity.ivfSearch]] or [[embedCosine]].
+    */
+  def embedLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.9): DataFrame =
+    embedLshOn(spark, Tables.embeddings(spark, sfDir), threshold)
+
+  private[graft] def embedLshOn(spark: SparkSession, embeddings: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .withColumn("sig", expr("graft_hyperplane64(v)"))
+      .cache()
+    val bands = e.select(col("vec_id"), explode(expr(
+      "transform(sequence(0, 3), b -> named_struct('band', b, 'key', shiftright(sig, b * 16) & 65535))"
+    )).as("x")).select(col("vec_id"), col("x.band"), col("x.key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb")), Seq("vec_b"))
+      .withColumn("cos", round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   /** Embedding-cosine near-dup pairs. Norms are precomputed per row
     * (map-side); the pair join is a self-join thresholded on cosine.
     * Brute-force all-pairs is intentional here — it is the exactness

@@ -32,6 +32,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("embedLsh finds planted near-duplicates without an all-pairs join") {
+    import spark.implicits._
+    // 200 random vectors + 10 planted near-dup pairs (tiny perturbation)
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 200).map(i => (i.toLong, vec()))
+    val dups = (0 until 10).map { i =>
+      val (_, v) = base(i)
+      (1000L + i, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val found = graft.operators.Dedup.embedLshOn(spark, df, threshold = 0.95)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val expected = (0 until 10).map(i => (i.toLong, 1000L + i)).toSet
+    val recall = expected.count(found.contains).toDouble / expected.size
+    assert(recall >= 0.4, s"recall $recall, found $found") // 4 bands ≈ 0.56 expected
+    assert(found.forall { case (a, b) => expected.contains((a, b)) || a < b })
+  }
+
   test("knnBrute returns k ranked neighbors per query, no self-match") {
     val df = Similarity.knnBrute(spark, sf, nQueries = 3, k = 5).cache()
     assert(df.count() === 15)
