@@ -62,6 +62,7 @@ object SparkEntry {
     "q_item_cooc"    -> ((s, d) => ItemCF.cooccurrence(s, d)),
     "q_item_sim"     -> ((s, d) => ItemCF.itemSimilarity(s, d)),
     "q_item_cf_recs" -> ((s, d) => ItemCF.recommend(s, d)),
+    "q_user_sim"     -> ((s, d) => ItemCF.userSimilarity(s, d)),
     "text_tfidf"     -> ((s, d) => TextAnalysis.tfIdf(s, d)),
     // — deterministic sampling —
     "q_sample_hash"     -> ((s, d) => Sampling.sampleDocs(s, d)),
@@ -306,6 +307,23 @@ object SparkEntry {
          |FROM dots d
          |JOIN norms na ON d.item_a = na.item_id
          |JOIN norms nb ON d.item_b = nb.item_id
+         |WHERE round(d.dot / (na.norm * nb.norm), 4) >= 0.0""".stripMargin,
+
+    "q_user_sim" ->
+      s"""$I, norms AS (
+         |  SELECT user_id, sqrt(sum(rating * rating)) AS norm
+         |  FROM interactions GROUP BY user_id),
+         |dots AS (
+         |  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         |    sum(a.rating * b.rating) AS dot, count(*) AS n_common
+         |  FROM interactions a JOIN interactions b
+         |    ON a.item_id = b.item_id AND a.user_id < b.user_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT d.user_a, d.user_b, d.n_common,
+         |  round(d.dot / (na.norm * nb.norm), 4) AS sim
+         |FROM dots d
+         |JOIN norms na ON d.user_a = na.user_id
+         |JOIN norms nb ON d.user_b = nb.user_id
          |WHERE round(d.dot / (na.norm * nb.norm), 4) >= 0.0""".stripMargin,
 
     "q_item_cf_recs" ->

@@ -58,6 +58,31 @@ object ItemCF {
       .select(col("item_a"), col("item_b"), col("n_common"), col("sim"))
   }
 
+  /** User-user cosine similarity over item-rating vectors — the third
+    * member of the CF family (MF in [[graft.recommender.Als]],
+    * item-item above). Same sparse-join shape with the roles swapped:
+    * pairs form through shared items, norms broadcast per user.
+    */
+  def userSimilarity(spark: SparkSession, sfDir: String, minCommon: Int = 3, minSim: Double = 0.0): DataFrame = {
+    val i = Tables.interactions(spark, sfDir)
+      .select(col("user_id"), col("item_id"), col("rating"))
+    val norms = i.groupBy(col("user_id"))
+      .agg(sqrt(sum(col("rating") * col("rating"))).as("norm"))
+    val a = i.select(col("item_id"), col("user_id").as("user_a"), col("rating").as("ra"))
+    val b = i.select(col("item_id"), col("user_id").as("user_b"), col("rating").as("rb"))
+    val dots = a.join(b, Seq("item_id"))
+      .filter(col("user_a") < col("user_b"))
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(sum(col("ra") * col("rb")).as("dot"), count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    dots
+      .join(broadcast(norms.withColumnRenamed("user_id", "user_a").withColumnRenamed("norm", "na")), Seq("user_a"))
+      .join(broadcast(norms.withColumnRenamed("user_id", "user_b").withColumnRenamed("norm", "nb")), Seq("user_b"))
+      .withColumn("sim", round(col("dot") / (col("na") * col("nb")), 4))
+      .filter(col("sim") >= minSim)
+      .select(col("user_a"), col("user_b"), col("n_common"), col("sim"))
+  }
+
   /** Item-CF recommendations for all users: score(u, j) =
     * Σ_{i ∈ rated(u)} sim(i, j) · r_ui over the top-similar pairs,
     * excluding already-seen items — the neighborhood twin of
