@@ -85,6 +85,10 @@ object SparkEntry {
   )
 
   private val I = Tables.interactionsSql
+  // degree-capped CF working sets (see ItemCF scaladoc): capped per
+  // user for item-pair joins, per item for user-pair joins
+  private val IU = Tables.cappedSql("user_id", "item_id", graft.operators.ItemCF.DefaultMaxDegree)
+  private val II = Tables.cappedSql("item_id", "user_id", graft.operators.ItemCF.DefaultMaxDegree)
 
   def oracleSql: Map[String, String] = Map(
     "q_ratings_etl" ->
@@ -286,20 +290,20 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
 
     "q_item_cooc" ->
-      s"""$I SELECT a.item_id AS item_a, b.item_id AS item_b,
+      s"""$IU SELECT a.item_id AS item_a, b.item_id AS item_b,
          |  count(*) AS n_users
-         |FROM interactions a JOIN interactions b
+         |FROM capped a JOIN capped b
          |  ON a.user_id = b.user_id AND a.item_id < b.item_id
          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
 
     "q_item_sim" ->
-      s"""$I, norms AS (
+      s"""$IU, norms AS (
          |  SELECT item_id, sqrt(sum(rating * rating)) AS norm
-         |  FROM interactions GROUP BY item_id),
+         |  FROM capped GROUP BY item_id),
          |dots AS (
          |  SELECT a.item_id AS item_a, b.item_id AS item_b,
          |    sum(a.rating * b.rating) AS dot, count(*) AS n_common
-         |  FROM interactions a JOIN interactions b
+         |  FROM capped a JOIN capped b
          |    ON a.user_id = b.user_id AND a.item_id < b.item_id
          |  GROUP BY 1, 2 HAVING count(*) >= 3)
          |SELECT d.item_a, d.item_b, d.n_common,
@@ -310,13 +314,13 @@ object SparkEntry {
          |WHERE round(d.dot / (na.norm * nb.norm), 4) >= 0.0""".stripMargin,
 
     "q_user_sim" ->
-      s"""$I, norms AS (
+      s"""$II, norms AS (
          |  SELECT user_id, sqrt(sum(rating * rating)) AS norm
-         |  FROM interactions GROUP BY user_id),
+         |  FROM capped GROUP BY user_id),
          |dots AS (
          |  SELECT a.user_id AS user_a, b.user_id AS user_b,
          |    sum(a.rating * b.rating) AS dot, count(*) AS n_common
-         |  FROM interactions a JOIN interactions b
+         |  FROM capped a JOIN capped b
          |    ON a.item_id = b.item_id AND a.user_id < b.user_id
          |  GROUP BY 1, 2 HAVING count(*) >= 3)
          |SELECT d.user_a, d.user_b, d.n_common,
@@ -327,13 +331,13 @@ object SparkEntry {
          |WHERE round(d.dot / (na.norm * nb.norm), 4) >= 0.0""".stripMargin,
 
     "q_item_cf_recs" ->
-      s"""$I, norms AS (
+      s"""$IU, norms AS (
          |  SELECT item_id, sqrt(sum(rating * rating)) AS norm
-         |  FROM interactions GROUP BY item_id),
+         |  FROM capped GROUP BY item_id),
          |dots AS (
          |  SELECT a.item_id AS item_a, b.item_id AS item_b,
          |    sum(a.rating * b.rating) AS dot, count(*) AS n_common
-         |  FROM interactions a JOIN interactions b
+         |  FROM capped a JOIN capped b
          |    ON a.user_id = b.user_id AND a.item_id < b.item_id
          |  GROUP BY 1, 2 HAVING count(*) >= 3),
          |sims AS (
@@ -349,7 +353,7 @@ object SparkEntry {
          |scores AS (
          |  SELECT r.user_id, s.item_j,
          |    CAST(round(sum(CAST(s.sim AS DECIMAL(12,4)) * CAST(r.rating AS DECIMAL(8,2))), 4) AS DOUBLE) AS score
-         |  FROM interactions r JOIN sym s ON r.item_id = s.item_i
+         |  FROM capped r JOIN sym s ON r.item_id = s.item_i
          |  GROUP BY 1, 2),
          |unseen AS (
          |  SELECT sc.* FROM scores sc

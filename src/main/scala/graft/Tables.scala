@@ -80,6 +80,26 @@ object Tables {
       .drop("rn")
   }
 
+  /** Degree-capped CF working set: keep at most `cap` interactions per
+    * `key` (top by rating desc, ts desc, tie-broken by `tieId` asc —
+    * a total order because `tieId` is unique within `key` after the
+    * upsert dedup). This bounds the pair self-joins in
+    * [[graft.operators.ItemCF]] to O(Σ min(deg,cap)²): without it one
+    * power user with 10⁵ interactions alone emits 10¹⁰ pairs at 100 TB.
+    * The cap (default 128) exceeds the max degree at every test SF
+    * (90 at sf0.01, 105 at sf0.1), so small-SF results are unchanged —
+    * but the SQL oracles express the same cap, so correctness stays
+    * checkable even where it prunes.
+    */
+  def capDegree(df: DataFrame, key: String, tieId: String, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy(col("rating").desc, col("ts").desc, col(tieId).asc)
+    df.withColumn("deg_rn", row_number().over(w))
+      .filter(col("deg_rn") <= cap)
+      .drop("deg_rn")
+  }
+
   /** DuckDB-side SQL equivalent of [[interactions]], used as a CTE
     * prefix by the relational oracles. Column names must match the
     * Spark side exactly (driver compares by sorted column name).
@@ -100,4 +120,16 @@ object Tables {
       |    FROM interactions_raw)
       |  WHERE rn = 1
       |)""".stripMargin
+
+  /** SQL twin of [[capDegree]]: appends a `capped` CTE to
+    * [[interactionsSql]] keeping ≤ `cap` rows per `key`, same total
+    * order as the Spark side.
+    */
+  def cappedSql(key: String, tieId: String, cap: Int): String =
+    s"""$interactionsSql, capped AS (
+       |  SELECT user_id, item_id, rating, is_implicit, ts FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY $key
+       |      ORDER BY rating DESC, ts DESC, $tieId ASC) AS deg_rn
+       |    FROM interactions) WHERE deg_rn <= $cap
+       |)""".stripMargin
 }

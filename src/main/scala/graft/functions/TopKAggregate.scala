@@ -37,8 +37,15 @@ case class TopKAgg(
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr, kExpr)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (scoreExpr.dataType, idExpr.dataType) match {
-      case (DoubleType, LongType) if kExpr.foldable => TypeCheckResult.TypeCheckSuccess
+    (scoreExpr.dataType, idExpr.dataType, kExpr.dataType) match {
+      case (DoubleType, LongType, IntegerType) if kExpr.foldable =>
+        // fail misuse at analysis time, not execution: a non-literal or
+        // non-positive k would otherwise surface as a runtime CCE /
+        // silently-empty arrays deep inside the aggregation
+        val kv = kExpr.eval()
+        if (kv == null || kv.asInstanceOf[Int] <= 0)
+          TypeCheckResult.TypeCheckFailure("graft_topk requires a positive int literal k")
+        else TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         "graft_topk requires (double, bigint, int literal)")
     }

@@ -15,16 +15,43 @@ import org.apache.spark.sql.functions._
   * All arithmetic is exact in binary (half-star ratings → quarter-step
   * products), so the cosine similarities are engine-deterministic and
   * fully SQL-oracle-checkable — unlike the ALS path.
+  *
+  * '''Scale contract''': every pair self-join here runs over a
+  * degree-capped working set ([[Tables.capDegree]], default 128 per
+  * user for item pairs / per item for user pairs). Pair count is
+  * Σ_key deg(key)², so without the cap a single power user with 10⁵
+  * interactions emits 10¹⁰ pairs — a data-dependent blowup no runtime
+  * feature (AQE skew split included) rescues. With it, the shuffle is
+  * bounded by cap × |working set|. The cap is profile truncation by
+  * (rating, recency) — the standard neighborhood-CF practice — and the
+  * SQL oracles express the identical cap, so results stay hash-checked.
   */
 object ItemCF {
 
+  /** Max interactions kept per user (item-pair joins) or per item
+    * (user-pair joins). Above every test SF's max degree (90 at
+    * sf0.01, 105 at sf0.1) so small-SF output is unchanged; at 100 TB
+    * it is the O(Σ deg²) bound that keeps the pair join runnable.
+    */
+  val DefaultMaxDegree = 128
+
+  /** One shared, cached working set per query: the interactions build
+    * (orders⋈lineitem + upsert window) feeds 2-4 branches of every CF
+    * plan; uncached, Catalyst re-derives that two-shuffle chain per
+    * branch.
+    */
+  private def cappedByUser(spark: SparkSession, sfDir: String, cap: Int): DataFrame =
+    Tables.capDegree(Tables.interactions(spark, sfDir), "user_id", "item_id", cap)
+      .select(col("user_id"), col("item_id"), col("rating"))
+      .cache()
+
   /** Market-basket co-occurrence: item pairs sharing users. The pair
     * space forms ONLY through the per-user self-join (sparse — never
-    * |items|² ), with map-side pruning of single-interaction users
-    * implicit in the join itself.
+    * |items|²), degree-capped per user.
     */
-  def cooccurrence(spark: SparkSession, sfDir: String, minUsers: Int = 3): DataFrame = {
-    val i = Tables.interactions(spark, sfDir).select(col("user_id"), col("item_id"))
+  def cooccurrence(spark: SparkSession, sfDir: String, minUsers: Int = 3,
+                   maxDegree: Int = DefaultMaxDegree): DataFrame = {
+    val i = cappedByUser(spark, sfDir, maxDegree).select(col("user_id"), col("item_id"))
     val a = i.select(col("user_id"), col("item_id").as("item_a"))
     val b = i.select(col("user_id"), col("item_id").as("item_b"))
     a.join(b, Seq("user_id"))
@@ -38,9 +65,11 @@ object ItemCF {
     * sim(i,j) = Σ_u r_ui·r_uj / (‖r_i‖·‖r_j‖), pairs formed through
     * shared users only, norms precomputed per item (broadcastable).
     */
-  def itemSimilarity(spark: SparkSession, sfDir: String, minCommon: Int = 3, minSim: Double = 0.0): DataFrame = {
-    val i = Tables.interactions(spark, sfDir)
-      .select(col("user_id"), col("item_id"), col("rating"))
+  def itemSimilarity(spark: SparkSession, sfDir: String, minCommon: Int = 3, minSim: Double = 0.0,
+                     maxDegree: Int = DefaultMaxDegree): DataFrame =
+    itemSimilarityOn(cappedByUser(spark, sfDir, maxDegree), minCommon, minSim)
+
+  private def itemSimilarityOn(i: DataFrame, minCommon: Int, minSim: Double): DataFrame = {
     val norms = i.groupBy(col("item_id"))
       .agg(sqrt(sum(col("rating") * col("rating"))).as("norm"))
     val a = i.select(col("user_id"), col("item_id").as("item_a"), col("rating").as("ra"))
@@ -61,11 +90,14 @@ object ItemCF {
   /** User-user cosine similarity over item-rating vectors — the third
     * member of the CF family (MF in [[graft.recommender.Als]],
     * item-item above). Same sparse-join shape with the roles swapped:
-    * pairs form through shared items, norms broadcast per user.
+    * pairs form through shared items (degree-capped per ITEM — the
+    * blowup key here is item popularity), norms broadcast per user.
     */
-  def userSimilarity(spark: SparkSession, sfDir: String, minCommon: Int = 3, minSim: Double = 0.0): DataFrame = {
-    val i = Tables.interactions(spark, sfDir)
+  def userSimilarity(spark: SparkSession, sfDir: String, minCommon: Int = 3, minSim: Double = 0.0,
+                     maxDegree: Int = DefaultMaxDegree): DataFrame = {
+    val i = Tables.capDegree(Tables.interactions(spark, sfDir), "item_id", "user_id", maxDegree)
       .select(col("user_id"), col("item_id"), col("rating"))
+      .cache()
     val norms = i.groupBy(col("user_id"))
       .agg(sqrt(sum(col("rating") * col("rating"))).as("norm"))
     val a = i.select(col("item_id"), col("user_id").as("user_a"), col("rating").as("ra"))
@@ -87,16 +119,29 @@ object ItemCF {
     * Σ_{i ∈ rated(u)} sim(i, j) · r_ui over the top-similar pairs,
     * excluding already-seen items — the neighborhood twin of
     * Als.topN's anti-testset semantics.
+    *
+    * Similarities and scores run over the capped profiles; the
+    * seen-item anti-join uses the FULL history (a user must never be
+    * re-recommended an item truncation dropped from their profile).
     */
-  def recommend(spark: SparkSession, sfDir: String, topN: Int = 10, minCommon: Int = 3): DataFrame = {
+  def recommend(spark: SparkSession, sfDir: String, topN: Int = 10, minCommon: Int = 3,
+                maxDegree: Int = DefaultMaxDegree): DataFrame = {
+    // base feeds the capped working set AND the seen filter; capped
+    // feeds norms + both pair-join sides + the scoring ratings — cache
+    // both or the orders⋈lineitem+window chain re-derives per branch
+    val base = Tables.interactions(spark, sfDir)
+      .select(col("user_id"), col("item_id"), col("rating"), col("ts"))
+      .cache()
+    val capped = Tables.capDegree(base, "user_id", "item_id", maxDegree)
+      .select(col("user_id"), col("item_id"), col("rating"))
+      .cache()
     // cache: the union below consumes sims twice — uncached, the whole
     // shared-user dots chain would recompute per branch
-    val sims = itemSimilarity(spark, sfDir, minCommon).cache()
+    val sims = itemSimilarityOn(capped, minCommon, minSim = 0.0).cache()
     // symmetrize: sim table stores item_a < item_b only
     val sym = sims.select(col("item_a").as("item_i"), col("item_b").as("item_j"), col("sim"))
       .unionAll(sims.select(col("item_b").as("item_i"), col("item_a").as("item_j"), col("sim")))
-    val ratings = Tables.interactions(spark, sfDir)
-      .select(col("user_id"), col("item_id").as("item_i"), col("rating"))
+    val ratings = capped.select(col("user_id"), col("item_id").as("item_i"), col("rating"))
     // decimal product keeps the weighted sum exact (sim is a rounded
     // 4-decimal value, rating a half-star), and the final round happens
     // IN the decimal domain — rounding after a double cast diverges
@@ -105,7 +150,7 @@ object ItemCF {
       .groupBy(col("user_id"), col("item_j"))
       .agg(round(sum(col("sim").cast("decimal(12,4)") * col("rating").cast("decimal(8,2)")), 4)
         .cast("double").as("score"))
-    val seen = ratings.select(col("user_id"), col("item_i").as("item_j"))
+    val seen = base.select(col("user_id"), col("item_id").as("item_j"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("score").desc, col("item_j").asc)
     scores.join(seen, Seq("user_id", "item_j"), "left_anti")

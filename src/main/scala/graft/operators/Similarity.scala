@@ -91,11 +91,13 @@ object Similarity {
         assigned("cluster") === probes("cluster") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(expr(dot) / (col("norm") * col("qnorm")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    val out = scored.withColumn("rn", row_number().over(w))
+    // NOTE: c stays cached — the returned plan scans it again for both
+    // the probe and corpus sides, so unpersisting here would force the
+    // caller's action to recompute the corpus + assignment from scratch.
+    // Callers (bench, verify) drop it via spark.catalog.clearCache().
+    scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"),
         assigned("cluster").as("cluster"))
-    c.unpersist()
-    out
   }
 }

@@ -117,6 +117,10 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIt.next()
           val lk = lKeyProj(l)
+          // SQL equi-join semantics: a null key matches nothing (the
+          // natural ordering would otherwise pair null-keyed left rows
+          // with null-keyed right rows) — emit the null-extended row
+          if (lk.anyNull) return joined(l, nullRight)
           val lt = lTimeProj(l).getLong(0)
           if (lastKey != null && keyOrd.compare(lastKey, lk) != 0) {
             lastRow = null; lastKey = null
@@ -154,6 +158,12 @@ object AsOf {
 
   /** leftDf ASOF LEFT JOIN rightDf ON keys AND right.timeCol <= left.timeCol,
     * keeping the latest qualifying right row.
+    *
+    * Analysis-time validation (the exec reads time values as raw
+    * longs): both time columns must be TimestampType or LongType and
+    * identical to each other — a DateType/IntegerType would otherwise
+    * silently compare day/int units against micros — and key columns
+    * must match pairwise in type.
     */
   def join(spark: SparkSession, leftDf: DataFrame, rightDf: DataFrame,
            keys: Seq[(String, String)], leftTimeCol: String, rightTimeCol: String): DataFrame = {
@@ -161,13 +171,30 @@ object AsOf {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
+    val lKeys = keys.map(k => attr(leftDf, k._1))
+    val rKeys = keys.map(k => attr(rightDf, k._2))
+    val lTime = attr(leftDf, leftTimeCol)
+    val rTime = attr(rightDf, rightTimeCol)
+    // TIMESTAMP and TIMESTAMP_NTZ are both micros-encoded longs and
+    // may mix (identical under the UTC session TZ this library pins);
+    // BIGINT must pair with BIGINT. DateType/IntegerType would compare
+    // day/int units against micros — reject at analysis time.
+    def isMicros(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt == org.apache.spark.sql.types.TimestampType ||
+      dt == org.apache.spark.sql.types.TimestampNTZType
+    val bothLong = lTime.dataType == org.apache.spark.sql.types.LongType &&
+      rTime.dataType == org.apache.spark.sql.types.LongType
+    require((isMicros(lTime.dataType) && isMicros(rTime.dataType)) || bothLong,
+      s"as-of time columns must both be TIMESTAMP(_NTZ) or both BIGINT; " +
+      s"got ${lTime.dataType} vs ${rTime.dataType}")
+    lKeys.zip(rKeys).foreach { case (lk, rk) =>
+      require(lk.dataType == rk.dataType,
+        s"as-of key type mismatch: ${lk.name}: ${lk.dataType} vs ${rk.name}: ${rk.dataType}")
+    }
     val plan = AsOfJoin(
       leftDf.queryExecution.analyzed,
       rightDf.queryExecution.analyzed,
-      keys.map(k => attr(leftDf, k._1)),
-      keys.map(k => attr(rightDf, k._2)),
-      attr(leftDf, leftTimeCol),
-      attr(rightDf, rightTimeCol))
+      lKeys, rKeys, lTime, rTime)
     GraftShims.ofRows(spark, plan)
   }
 }

@@ -87,15 +87,66 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
+        recoverSnapshot(snapshot)
         val base = spark.read.parquet(snapshot)
         val merged = graft.operators.Mutations.applyBatch(base, batch.toDF())
-        // two-phase write: never read and overwrite the same files in one job
-        val tmp = snapshot + "_next"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(snapshot)
+        // stage the next snapshot in a sibling dir, then swap in via
+        // directory renames: the live dir is never a partially-written
+        // parquet directory, and every crash window leaves a complete
+        // copy under one of (snapshot, _staged, _old) for
+        // recoverSnapshot to promote. Production path on a lake is a
+        // Delta/Iceberg MERGE, which owns this atomicity natively.
+        merged.write.mode("overwrite").parquet(snapshot + "_staged")
+        swapSnapshot(snapshot)
         ()
       }
       .start()
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  /** Promote staged → live: rename live aside, rename staged in, drop
+    * the old copy. Directory renames are atomic on POSIX/HDFS; the only
+    * non-atomic window (between the two renames) is covered by
+    * [[recoverSnapshot]] because the staged dir is already complete
+    * (guarded by its _SUCCESS marker).
+    */
+  private def swapSnapshot(snapshot: String): Unit = {
+    val fs = java.nio.file.FileSystems.getDefault
+    val live = fs.getPath(snapshot)
+    val staged = fs.getPath(snapshot + "_staged")
+    val old = fs.getPath(snapshot + "_old")
+    require(java.nio.file.Files.exists(staged.resolve("_SUCCESS")),
+      s"staged snapshot $staged incomplete (no _SUCCESS)")
+    deleteRecursively(old)
+    java.nio.file.Files.move(live, old)
+    java.nio.file.Files.move(staged, live)
+    deleteRecursively(old)
+  }
+
+  /** Crash recovery: if the live dir is missing, promote the completed
+    * staged copy (crash between the two renames) or restore the old
+    * copy (staged incomplete). Called before every merge, so a
+    * restarted query always reads a complete base snapshot.
+    */
+  private def recoverSnapshot(snapshot: String): Unit = {
+    val fs = java.nio.file.FileSystems.getDefault
+    val live = fs.getPath(snapshot)
+    val staged = fs.getPath(snapshot + "_staged")
+    val old = fs.getPath(snapshot + "_old")
+    if (!java.nio.file.Files.exists(live)) {
+      if (java.nio.file.Files.exists(staged.resolve("_SUCCESS"))) {
+        java.nio.file.Files.move(staged, live)
+      } else if (java.nio.file.Files.exists(old)) {
+        java.nio.file.Files.move(old, live)
+      }
+    }
+  }
 
   /** Start [[windowedStats]] against an in-memory sink (used by tests
     * and local smoke runs; swap the sink for kafka/delta in
