@@ -18,10 +18,11 @@ object Bench {
     "q_user_top_ratings", "q_user_latest", "q_recs_fallback",
     "q_implicit_backfill", "q_events_window", "q_sessionize",
     "q5_nation", "q1_rollup", "q_moving_avg", "q_events_props", "q_asof_join",
-    "q_item_cooc", "q_item_sim", "q_item_cf_recs", "text_tfidf",
+    "q_item_cooc", "q_item_sim", "q_item_cf_recs", "q_recs_serve",
+    "q_user_mutations", "text_tfidf",
     "q_user_topk_agg", "q_approx_stats",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_embed_cosine", "knn_brute", "knn_ivf",
+    "dedup_embed_cosine", "dedup_embed_lsh", "knn_brute", "knn_ivf",
     "text_quality", "text_tokens", "text_langid", "text_fingerprint",
     "mm_features", "als_top_n")
 
@@ -33,6 +34,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // local[32] with shuffle.partitions=32: post-shuffle coalescing
+      // can only drop below core count and idle cores (measured
+      // ~1.5 s/query on the pair joins). On a real cluster — where
+      // partitions >> cores — leave it on.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -43,7 +49,12 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val results = headline.flatMap { name =>
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run (local iteration)
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+      .map(only => headline.filter(only))
+      .getOrElse(headline)
+    val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, ItemCF, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, ItemCF, Relational, Sampling, Serving, Similarity, TextAnalysis}
 import graft.recommender.Als
 import graft.multimodal.Multimodal
 
@@ -42,11 +42,10 @@ object SparkEntry {
     "dedup_minhash"       -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
-    // NOTE: Dedup.embedLsh is library-only, not registered: hyperplane
-    // LSH targets cos ≥ ~0.9 and this corpus's closest pairs sit at
-    // 0.45-0.6, so its (correct) result here is empty — see
-    // DedupSimilaritySpec for the synthetic near-dup coverage.
     "dedup_embed_cosine"  -> ((s, d) => Dedup.embedCosine(s, d)),
+    // the LSH scale path, exercised in its regime via deterministic
+    // planted near-dups (rows-only; recall vs all-pairs is spec-gated)
+    "dedup_embed_lsh"     -> ((s, d) => Dedup.embedLshPlanted(s, d)),
     // — similarity search —
     "knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "knn_ivf"   -> ((s, d) => Similarity.ivfSearch(s, d)),
@@ -63,12 +62,15 @@ object SparkEntry {
     "q_item_sim"     -> ((s, d) => ItemCF.itemSimilarity(s, d)),
     "q_item_cf_recs" -> ((s, d) => ItemCF.recommend(s, d)),
     "q_user_sim"     -> ((s, d) => ItemCF.userSimilarity(s, d)),
+    "q_recs_serve"   -> ((s, d) => Serving.recsServe(s, d)),
+    "q_user_mutations" -> ((s, d) => graft.operators.Mutations.userMutationsSnapshot(s, d)),
     "text_tfidf"     -> ((s, d) => TextAnalysis.tfIdf(s, d)),
     // — deterministic sampling —
     "q_sample_hash"     -> ((s, d) => Sampling.sampleDocs(s, d)),
     "q_sample_balanced" -> ((s, d) => Sampling.balancedSample(s, d)),
     // — MovieLens fidelity harness (reference's own dataset; rows-only) —
     "ml_top_movies" -> ((s, _) => graft.sources.MovieLens.topMovies(s)),
+    "ml_genre_stats" -> ((s, _) => graft.sources.MovieLens.genreStats(s)),
     "ml_als_eval"   -> ((s, _) => graft.sources.MovieLens.alsEval(s)),
     "ml_als_top_n"  -> ((s, _) => graft.sources.MovieLens.topNWithTitles(s)),
     // — analytics headliners —
@@ -363,6 +365,96 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY user_id
          |    ORDER BY score DESC, item_j ASC) AS rn
          |  FROM unseen) WHERE rn <= 10""".stripMargin,
+
+    "q_recs_serve" ->
+      s"""$I,
+         |snap AS (SELECT * FROM interactions WHERE ts < TIMESTAMP '2000-07-01'),
+         |capped AS (
+         |  SELECT user_id, item_id, rating FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY rating DESC, ts DESC, item_id ASC) AS deg_rn
+         |    FROM snap) WHERE deg_rn <= 128),
+         |norms AS (
+         |  SELECT item_id, sqrt(sum(rating * rating)) AS norm
+         |  FROM capped GROUP BY item_id),
+         |dots AS (
+         |  SELECT a.item_id AS item_a, b.item_id AS item_b,
+         |    sum(a.rating * b.rating) AS dot, count(*) AS n_common
+         |  FROM capped a JOIN capped b
+         |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |sims AS (
+         |  SELECT d.item_a, d.item_b, round(d.dot / (na.norm * nb.norm), 4) AS sim
+         |  FROM dots d
+         |  JOIN norms na ON d.item_a = na.item_id
+         |  JOIN norms nb ON d.item_b = nb.item_id
+         |  WHERE round(d.dot / (na.norm * nb.norm), 4) >= 0.0),
+         |sym AS (
+         |  SELECT item_a AS item_i, item_b AS item_j, sim FROM sims
+         |  UNION ALL
+         |  SELECT item_b AS item_i, item_a AS item_j, sim FROM sims),
+         |scores AS (
+         |  SELECT r.user_id, s.item_j,
+         |    CAST(round(sum(CAST(s.sim AS DECIMAL(12,4)) * CAST(r.rating AS DECIMAL(8,2))), 4) AS DOUBLE) AS score
+         |  FROM capped r JOIN sym s ON r.item_id = s.item_i
+         |  GROUP BY 1, 2),
+         |cf_recs AS (
+         |  SELECT user_id, item_j AS item_id, score FROM (
+         |    SELECT sc.*, row_number() OVER (PARTITION BY sc.user_id
+         |      ORDER BY sc.score DESC, sc.item_j ASC) AS cf_rn
+         |    FROM scores sc LEFT JOIN snap r
+         |      ON sc.user_id = r.user_id AND sc.item_j = r.item_id
+         |    WHERE r.item_id IS NULL) WHERE cf_rn <= 10),
+         |survivors AS (
+         |  SELECT c.user_id, c.item_id, c.score,
+         |    row_number() OVER (PARTITION BY c.user_id
+         |      ORDER BY c.score DESC, c.item_id ASC) AS rec_rank
+         |  FROM cf_recs c LEFT JOIN interactions f
+         |    ON c.user_id = f.user_id AND c.item_id = f.item_id
+         |  WHERE f.item_id IS NULL),
+         |n_surv AS (SELECT user_id, count(*) AS n_surv FROM survivors GROUP BY 1),
+         |pool AS (
+         |  SELECT item_id, round(avg(rating), 4) AS avg_rating, count(user_id) AS votes
+         |  FROM interactions WHERE rating >= 3.5 GROUP BY 1
+         |  ORDER BY votes DESC, avg_rating DESC, item_id ASC LIMIT 200),
+         |pad_cand AS (
+         |  SELECT u.user_id, p.item_id, p.avg_rating, p.votes
+         |  FROM (SELECT DISTINCT user_id FROM interactions) u
+         |  CROSS JOIN pool p
+         |  LEFT JOIN interactions f ON u.user_id = f.user_id AND p.item_id = f.item_id
+         |  LEFT JOIN survivors s ON u.user_id = s.user_id AND p.item_id = s.item_id
+         |  WHERE f.item_id IS NULL AND s.item_id IS NULL),
+         |padded AS (
+         |  SELECT pc.user_id, pc.item_id,
+         |    coalesce(ns.n_surv, 0) + pc.pad_rn AS rec_rank
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |          ORDER BY votes DESC, avg_rating DESC, item_id ASC) AS pad_rn
+         |        FROM pad_cand) pc
+         |  LEFT JOIN n_surv ns ON pc.user_id = ns.user_id
+         |  WHERE pc.pad_rn <= 10 - coalesce(ns.n_surv, 0))
+         |SELECT user_id, item_id, CAST(rec_rank AS BIGINT) AS rec_rank,
+         |  score, 'cf' AS source FROM survivors
+         |UNION ALL
+         |SELECT user_id, item_id, CAST(rec_rank AS BIGINT) AS rec_rank,
+         |  CAST(NULL AS DOUBLE) AS score, 'fallback' AS source FROM padded""".stripMargin,
+
+    "q_user_mutations" ->
+      s"""$I, cust AS (
+         |  SELECT c_custkey AS user_id, c_name AS name, c_mktsegment AS segment
+         |  FROM customer),
+         |merged AS (
+         |  SELECT user_id, name, segment FROM cust
+         |  WHERE user_id % 97 <> 0 AND user_id % 89 <> 0
+         |  UNION ALL
+         |  SELECT user_id, name || ' [renamed]' AS name, 'REACTIVATED' AS segment
+         |  FROM cust WHERE user_id % 89 = 0
+         |  UNION ALL
+         |  SELECT user_id + 10000000 AS user_id, 'NEW ' || name AS name, 'SIGNUP' AS segment
+         |  FROM cust WHERE user_id % 101 = 0),
+         |counts AS (SELECT user_id, count(*) AS n FROM interactions GROUP BY 1)
+         |SELECT m.user_id, m.name, m.segment,
+         |  coalesce(c.n, 0) AS n_ratings
+         |FROM merged m LEFT JOIN counts c ON m.user_id = c.user_id""".stripMargin,
 
     "text_tfidf" ->
       """WITH tokens AS (

@@ -41,15 +41,23 @@ object Dedup {
         count(lit(1)).as("n_copies"))
 
   /** MinHash (64 permutations via seeded xxhash64) + LSH banding
-    * (16 bands × 4 rows): signatures map-side, candidate pairs only
-    * within equal (band, band-hash) buckets, estimated Jaccard =
-    * matching signature positions / 64, thresholded.
+    * (16 bands × 4 rows) + exact verification: signatures map-side,
+    * candidate pairs only within equal (band, band-hash) buckets, then
+    * each candidate is VERIFIED with the exact Jaccard over the true
+    * shingle-hash sets (array_intersect on the two docs' sets — O(n+m)
+    * per pair, only for the LSH-proposed pairs, never all-pairs) and
+    * thresholded on the exact value. The signature estimate rides
+    * along as `est_jaccard` for calibration.
     */
   def minhashLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.5): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val sigs = shingled(spark, sfDir)
+    // shingle-hash sets feed both the signatures and the verify join
+    val sets = shingled(spark, sfDir)
       .select(col("doc_id"),
-        expr("graft_minhash64(transform(shingles, s -> xxhash64(s)))").as("sig"))
+        expr("transform(shingles, s -> xxhash64(s))").as("hs"))
+      .cache()
+    val sigs = sets
+      .select(col("doc_id"), expr("graft_minhash64(hs)").as("sig"))
       .cache()
     val bands = sigs.select(col("doc_id"), explode(expr(
       "transform(sequence(0, 15), b -> " +
@@ -60,13 +68,18 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val withEst = cand
+    val verified = cand
       .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), Seq("doc_a"))
       .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), Seq("doc_b"))
+      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"), Seq("doc_a"))
+      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hs_b"), Seq("doc_b"))
       .withColumn("est_jaccard", round(
         expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)") / 64.0, 4))
-    withEst.filter(col("est_jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard", round(
+        col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4))
+    verified.filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
   }
 
   /** 64-bit SimHash per document (token-hash bit votes, computed
@@ -137,6 +150,32 @@ object Dedup {
   def embedLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.9): DataFrame =
     embedLshOn(spark, Tables.embeddings(spark, sfDir), threshold)
 
+  /** [[embedLsh]] exercised in its actual regime (registered as
+    * `dedup_embed_lsh`): the corpus's own closest pairs sit at cos
+    * 0.45-0.6 — below hyperplane-LSH's recall band — so we plant
+    * deterministic near-duplicates: the first `nPlant` vectors get a
+    * copy (id + 1 000 000) perturbed by hash-derived noise of ±0.01
+    * per component (unit vectors → cos ≈ 0.999). No RNG anywhere:
+    * the same pairs surface on every engine and every run. The spec
+    * asserts recall against the all-pairs [[embedCosine]] baseline on
+    * the identical augmented corpus.
+    */
+  def embedLshPlanted(spark: SparkSession, sfDir: String, nPlant: Int = 50,
+                      threshold: Double = 0.9): DataFrame = {
+    embedLshOn(spark, plantedCorpus(spark, sfDir, nPlant), threshold)
+  }
+
+  private[graft] def plantedCorpus(spark: SparkSession, sfDir: String, nPlant: Int): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val planted = e.filter(col("vec_id") < nPlant)
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, i) -> " +
+        "  x + 0.01 * ((pmod(xxhash64(vec_id * 64 + i), 1000) - 500) / 500.0))"))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    e.unionByName(planted)
+  }
+
   private[graft] def embedLshOn(spark: SparkSession, embeddings: DataFrame, threshold: Double): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val e = embeddings
@@ -165,9 +204,12 @@ object Dedup {
     * Brute-force all-pairs is intentional here — it is the exactness
     * baseline; the scale path is [[Similarity.ivfSearch]]'s bucketing.
     */
-  def embedCosine(spark: SparkSession, sfDir: String, threshold: Double = 0.45): DataFrame = {
+  def embedCosine(spark: SparkSession, sfDir: String, threshold: Double = 0.45): DataFrame =
+    embedCosineOn(spark, Tables.embeddings(spark, sfDir), threshold)
+
+  private[graft] def embedCosineOn(spark: SparkSession, embeddings: DataFrame, threshold: Double): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val e = Tables.embeddings(spark, sfDir)
+    val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))

@@ -69,7 +69,7 @@ object ItemCF {
                      maxDegree: Int = DefaultMaxDegree): DataFrame =
     itemSimilarityOn(cappedByUser(spark, sfDir, maxDegree), minCommon, minSim)
 
-  private def itemSimilarityOn(i: DataFrame, minCommon: Int, minSim: Double): DataFrame = {
+  private[operators] def itemSimilarityOn(i: DataFrame, minCommon: Int, minSim: Double): DataFrame = {
     val norms = i.groupBy(col("item_id"))
       .agg(sqrt(sum(col("rating") * col("rating"))).as("norm"))
     val a = i.select(col("user_id"), col("item_id").as("item_a"), col("rating").as("ra"))
@@ -135,6 +135,21 @@ object ItemCF {
     val capped = Tables.capDegree(base, "user_id", "item_id", maxDegree)
       .select(col("user_id"), col("item_id"), col("rating"))
       .cache()
+    val scores = cfScores(capped, minCommon)
+    val seen = base.select(col("user_id"), col("item_id").as("item_j"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("score").desc, col("item_j").asc)
+    scores.join(seen, Seq("user_id", "item_j"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topN)
+      .select(col("user_id"), col("item_j").as("item_id"), col("score"), col("rn"))
+  }
+
+  /** Item-CF weighted-sum scores per (user, candidate item) over a
+    * capped working set: score(u, j) = Σ sim(i, j) · r_ui. Shared by
+    * [[recommend]] and the serving blend in [[Serving]].
+    */
+  private[operators] def cfScores(capped: DataFrame, minCommon: Int): DataFrame = {
     // cache: the union below consumes sims twice — uncached, the whole
     // shared-user dots chain would recompute per branch
     val sims = itemSimilarityOn(capped, minCommon, minSim = 0.0).cache()
@@ -146,16 +161,9 @@ object ItemCF {
     // 4-decimal value, rating a half-star), and the final round happens
     // IN the decimal domain — rounding after a double cast diverges
     // between engines when the exact sum sits on a .xxxx5 boundary
-    val scores = ratings.join(sym, Seq("item_i"))
+    ratings.join(sym, Seq("item_i"))
       .groupBy(col("user_id"), col("item_j"))
       .agg(round(sum(col("sim").cast("decimal(12,4)") * col("rating").cast("decimal(8,2)")), 4)
         .cast("double").as("score"))
-    val seen = base.select(col("user_id"), col("item_id").as("item_j"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("score").desc, col("item_j").asc)
-    scores.join(seen, Seq("user_id", "item_j"), "left_anti")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topN)
-      .select(col("user_id"), col("item_j").as("item_id"), col("score"), col("rn"))
   }
 }

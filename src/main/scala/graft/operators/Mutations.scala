@@ -51,6 +51,77 @@ object Mutations {
       .select(cols.map(col): _*)
   }
 
+  /** User-dimension CDC merge — the reference's add_user/delete_user
+    * REST surface (controller.py:23-45, routes.py:31-48) as a batch
+    * merge, same latest-wins + tombstone shape as [[applyBatch]].
+    *
+    * @param base    current user dim: (user_id, name, segment)
+    * @param updates batch: (user_id, name, segment, bts, op) with
+    *                op ∈ {"upsert", "delete"}; bts is the batch
+    *                sequence (base rows rank as bts = 0)
+    * @return        next user snapshot, same schema as base
+    */
+  def applyUserBatch(base: DataFrame, updates: DataFrame): DataFrame = {
+    val cols = Seq("user_id", "name", "segment")
+    val unioned = base
+      .select(cols.map(col): _*)
+      .withColumn("bts", lit(0L))
+      .withColumn("op", lit("upsert"))
+      .unionByName(updates.select((cols ++ Seq("bts", "op")).map(col): _*))
+    // latest batch wins; a same-batch upsert/delete conflict resolves
+    // to the upsert ("upsert" > "delete" lexicographically, op desc)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("bts").desc, col("op").desc)
+    unioned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "delete")
+      .select(cols.map(col): _*)
+  }
+
+  /** FK cascade (reference models.py: Rating.user_id → User): only
+    * ratings whose user survives in the merged dim are kept — a
+    * deleted user's ratings tombstone with them.
+    */
+  def cascadeToRatings(ratings: DataFrame, mergedUsers: DataFrame): DataFrame =
+    ratings.join(mergedUsers.select(col("user_id")), Seq("user_id"), "left_semi")
+
+  /** Oracle-gated user-CDC snapshot (`q_user_mutations`): applies a
+    * deterministic, data-derived mutation batch to the customer dim —
+    * custkey % 97 = 0 → delete, % 89 = 0 → upsert (rename + segment
+    * move; wins over a same-batch delete), % 101 = 0 → a NEW user id
+    * (+10M offset) — then merges, cascades, and reports the surviving
+    * users with their post-cascade rating counts.
+    */
+  def userMutationsSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = graft.Tables.customer(spark, sfDir).select(
+      col("c_custkey").as("user_id"),
+      col("c_name").as("name"),
+      col("c_mktsegment").as("segment"))
+    val dels = cust.filter(col("user_id") % 97 === 0)
+      .withColumn("op", lit("delete"))
+    val upds = cust.filter(col("user_id") % 89 === 0)
+      .select(col("user_id"),
+        concat(col("name"), lit(" [renamed]")).as("name"),
+        lit("REACTIVATED").as("segment"))
+      .withColumn("op", lit("upsert"))
+    val adds = cust.filter(col("user_id") % 101 === 0)
+      .select((col("user_id") + 10000000L).as("user_id"),
+        concat(lit("NEW "), col("name")).as("name"),
+        lit("SIGNUP").as("segment"))
+      .withColumn("op", lit("upsert"))
+    val updates = dels.unionByName(upds).unionByName(adds)
+      .withColumn("bts", lit(1L))
+    val merged = applyUserBatch(cust, updates)
+    val ratings = graft.Tables.interactions(spark, sfDir)
+      .select(col("user_id"), col("item_id"))
+    val surviving = cascadeToRatings(ratings, merged)
+    val counts = surviving.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ratings"))
+    merged.join(counts, Seq("user_id"), "left")
+      .select(col("user_id"), col("name"), col("segment"),
+        coalesce(col("n_ratings"), lit(0L)).as("n_ratings"))
+  }
+
   /** set_movie_watched as a batch: watched events become implicit
     * ratings valued at the item's current average (min voters) else
     * the default — composed from the stats aggregate exactly like

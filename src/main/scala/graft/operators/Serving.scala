@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The recommendation SERVING blend — the endpoint every user of the
+  * reference hits on every request
+  * (controller.get_recommendations, /root/reference/web/app/controller.py:180-315):
+  *
+  *  1. look up the user's PRECOMPUTED recommendations (redis `u<id>`,
+  *     written by the periodic recompute);
+  *  2. drop any the user has rated/watched SINCE the recompute;
+  *  3. if fewer than top-N survive, PAD from the popularity fallback
+  *     (top movies by votes then avg rating), excluding both the
+  *     user's seen items and the already-recommended ids;
+  *  4. a user with no precomputed entry gets the pure fallback.
+  *
+  * Batch re-expression, generalized to ALL users at once: the
+  * "recompute moment" is a train-time cutoff — CF recommendations are
+  * computed on interactions with ts < cutoff (the snapshot the last
+  * model run saw), while serving filters against the FULL history, so
+  * post-cutoff activity knocks out stale recs exactly like the
+  * reference's recently-watched filter. Pure relational algebra
+  * (union + anti-joins + window re-rank) → fully SQL-oracle-checkable.
+  *
+  * Scale shape: the fallback pool is a global top-`poolSize` aggregate
+  * (TakeOrderedAndProject → broadcast); pad candidates are
+  * users × pool via broadcast join — linear in users, never a shuffle
+  * of the fact table beyond the aggregates already computed.
+  */
+object Serving {
+
+  def recsServe(spark: SparkSession, sfDir: String, topN: Int = 10,
+                poolSize: Int = 200, cutoff: String = "2000-07-01",
+                minCommon: Int = 3, maxDegree: Int = ItemCF.DefaultMaxDegree): DataFrame = {
+    // full history: serve-time seen filter + fallback aggregates
+    val base = Tables.interactions(spark, sfDir)
+      .select(col("user_id"), col("item_id"), col("rating"), col("ts"))
+      .cache()
+    // train-time snapshot: what the last recompute saw
+    val snap = base.filter(col("ts") < lit(cutoff).cast("timestamp"))
+    val capped = Tables.capDegree(snap, "user_id", "item_id", maxDegree)
+      .select(col("user_id"), col("item_id"), col("rating"))
+      .cache()
+
+    // 1. precomputed per-user top-N: item-CF scores on the snapshot,
+    //    anti-joined against snapshot-seen (as the recompute would)
+    val scores = ItemCF.cfScores(capped, minCommon)
+    val snapSeen = snap.select(col("user_id"), col("item_id").as("item_j"))
+    val wCf = Window.partitionBy(col("user_id"))
+      .orderBy(col("score").desc, col("item_j").asc)
+    val cfRecs = scores.join(snapSeen, Seq("user_id", "item_j"), "left_anti")
+      .withColumn("cf_rn", row_number().over(wCf))
+      .filter(col("cf_rn") <= topN)
+      .select(col("user_id"), col("item_j").as("item_id"), col("score"))
+
+    // 2. serve-time filter: drop recs rated/watched since the cutoff
+    val seen = base.select(col("user_id"), col("item_id"))
+    val wSurv = Window.partitionBy(col("user_id"))
+      .orderBy(col("score").desc, col("item_id").asc)
+    val survivors = cfRecs.join(seen, Seq("user_id", "item_id"), "left_anti")
+      .withColumn("rec_rank", row_number().over(wSurv))
+      .cache() // feeds the output union AND the pad exclusion/count
+
+    val nSurv = survivors.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_surv"))
+
+    // 3. popularity fallback pool (controller.get_avg_recommendations):
+    //    global top items over the FULL history — tiny, broadcast
+    val pool = base.filter(col("rating") >= 3.5)
+      .groupBy(col("item_id"))
+      .agg(round(avg(col("rating")), 4).as("avg_rating"), count(col("user_id")).as("votes"))
+      .orderBy(col("votes").desc, col("avg_rating").desc, col("item_id").asc)
+      .limit(poolSize)
+
+    // pad candidates: every known user × pool, minus seen, minus the
+    // surviving recs; users with no precomputed entry (n_surv null →
+    // 0) get the pure-fallback branch of the reference for free
+    val users = base.select(col("user_id")).distinct()
+    val wPad = Window.partitionBy(col("user_id"))
+      .orderBy(col("votes").desc, col("avg_rating").desc, col("item_id").asc)
+    val padded = users.join(broadcast(pool), lit(true))
+      .join(seen, Seq("user_id", "item_id"), "left_anti")
+      .join(survivors.select(col("user_id"), col("item_id")), Seq("user_id", "item_id"), "left_anti")
+      .withColumn("pad_rn", row_number().over(wPad))
+      .join(nSurv, Seq("user_id"), "left")
+      .withColumn("n_surv", coalesce(col("n_surv"), lit(0L)))
+      .filter(col("pad_rn") <= lit(topN) - col("n_surv"))
+      .select(
+        col("user_id"), col("item_id"),
+        (col("n_surv") + col("pad_rn")).as("rec_rank"),
+        lit(null).cast("double").as("score"),
+        lit("fallback").as("source"))
+
+    // 4. blend: surviving precomputed recs first, fallback pad after
+    survivors
+      .select(col("user_id"), col("item_id"), col("rec_rank").cast("long").as("rec_rank"),
+        col("score"), lit("cf").as("source"))
+      .unionByName(padded.select(col("user_id"), col("item_id"),
+        col("rec_rank").cast("long").as("rec_rank"), col("score"), col("source")))
+  }
+}

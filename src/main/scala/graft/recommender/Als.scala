@@ -61,13 +61,26 @@ object Als {
 
   /** Per-user top-N over UNSEEN items (the reference's anti-testset
     * semantics): over-fetch n+buffer candidates from the blocked top-k,
-    * anti-join the seen pairs, re-rank, keep n. Users whose seen-count
-    * exceeds the buffer may return fewer than n — the buffer trades a
-    * bounded candidate set for exactness, the right trade at scale.
+    * anti-join the seen pairs, re-rank, keep n.
+    *
+    * The buffer is MEASURED, not guessed: buffer = max per-user seen
+    * count (one cheap agg over the cached training set), which is the
+    * smallest value guaranteeing every user still has ≥ n unseen
+    * candidates after the anti-join. recommendForAllUsers scores every
+    * item per user regardless of k (k only sizes the top-k heap and
+    * output), so the win is in the exploded output volume: at sf0.1
+    * this is k = 125 vs the previous hardcoded 130, and it stays
+    * minimal as data grows instead of silently under- or
+    * over-fetching. `bufferCap` bounds a pathological power user (at
+    * 100 TB, profile truncation — the ItemCF degree-cap policy —
+    * applies before this ever binds).
     */
-  def topN(spark: SparkSession, sfDir: String, n: Int = 20, buffer: Int = 110): DataFrame = {
+  def topN(spark: SparkSession, sfDir: String, n: Int = 20, bufferCap: Int = 1000): DataFrame = {
     val train = trainingSet(spark, sfDir).cache()
     val model = fit(train)
+    val maxSeen = train.groupBy(col("user")).count()
+      .agg(max(col("count"))).head().getLong(0).toInt
+    val buffer = math.min(maxSeen, bufferCap)
     val recs = model.recommendForAllUsers(n + buffer)
       .select(col("user"), explode(col("recommendations")).as("rec"))
       .select(col("user"), col("rec.item").as("item"), col("rec.rating").as("score"))

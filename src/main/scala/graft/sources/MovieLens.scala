@@ -47,6 +47,12 @@ object MovieLens {
   def movies(spark: SparkSession, dir: String = defaultDir): DataFrame =
     spark.read.schema(moviesSchema)
       .option("header", "true").option("quote", "\"").option("escape", "\"")
+      // descriptions written by prepare_dataset.py carry raw newlines
+      // inside their quotes (e.g. movie 5047): without multiLine the
+      // parser shears those rows and description text leaks into
+      // `genres`. Cost note: multiLine forbids intra-file splits — fine
+      // for a dim table; a 100 TB fact CSV should be newline-clean.
+      .option("multiLine", "true")
       .csv(s"$dir/movies_enriched.csv")
 
   def links(spark: SparkSession, dir: String = defaultDir): DataFrame =
@@ -81,6 +87,42 @@ object MovieLens {
       if (byRating) r.orderBy(col("rating").desc, col("ts").desc, col("movie_id").asc)
       else r.orderBy(col("ts").desc, col("rating").desc, col("movie_id").asc)
     ordered.limit(limit)
+  }
+
+  /** The dataset-prep enrichment analytics
+    * (prepare_dataset.py:73-167): the reference derives `year` (from
+    * the release date, or the classic MovieLens "Title (1995)" suffix)
+    * and a pipe-joined `genres` list per movie. Re-expressed as
+    * columns: a title-regex year extract (coalesced with the enriched
+    * year column, which wins when the title carries no suffix) and a
+    * genre split/explode, aggregated per genre with the rating stats
+    * joined in — the whole derivation stays in whole-stage codegen,
+    * no UDFs.
+    */
+  def genreStats(spark: SparkSession): DataFrame = {
+    val m = movies(spark)
+      .withColumn("year_derived", coalesce(
+        when(regexp_extract(col("title"), "\\((\\d{4})\\)\\s*$", 1) === "", lit(null))
+          .otherwise(regexp_extract(col("title"), "\\((\\d{4})\\)\\s*$", 1)).cast("int"),
+        col("year")))
+    val exploded = m
+      .select(col("movie_id"), col("year_derived"),
+        explode(split(coalesce(col("genres"), lit("")), "\\|")).as("genre"))
+      .filter(col("genre") =!= "")
+    val stats = ratings(spark).groupBy(col("movie_id"))
+      .agg(count(col("user_id")).as("votes"), sum(col("rating")).as("rating_sum"))
+    exploded.join(stats, Seq("movie_id"), "left")
+      .groupBy(col("genre"))
+      .agg(
+        count(col("movie_id")).as("n_movies"),
+        min(col("year_derived")).as("min_year"),
+        max(col("year_derived")).as("max_year"),
+        sum(coalesce(col("votes"), lit(0L))).as("votes"),
+        // ANSI mode: guard the division — an unrated genre has 0 votes
+        when(sum(coalesce(col("votes"), lit(0L))) > 0,
+          round(sum(coalesce(col("rating_sum"), lit(0.0))) /
+            sum(coalesce(col("votes"), lit(0L))), 4)).as("avg_rating"))
+      .orderBy(col("votes").desc, col("genre").asc)
   }
 
   /** The reference's full training loop on its own data: ALS on the

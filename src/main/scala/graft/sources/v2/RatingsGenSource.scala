@@ -65,10 +65,15 @@ class RatingsGenTable(props: Map[String, String]) extends Table with SupportsRea
       partitions = options.getInt("partitions", 4),
       users = options.getLong("users", 1000L),
       items = options.getLong("items", 200L),
-      seed = options.getLong("seed", 42L))
+      seed = options.getLong("seed", 42L),
+      // skewPct% of rows land on user_id 0 (hot-key skew for join
+      // mitigation tests); the gate is its own hash draw so the other
+      // columns keep their distributions
+      skewPct = options.getInt("skewPct", 0))
 }
 
-class RatingsGenScan(rows: Long, partitions: Int, users: Long, items: Long, seed: Long)
+class RatingsGenScan(rows: Long, partitions: Int, users: Long, items: Long, seed: Long,
+                     skewPct: Int = 0)
   extends ScanBuilder with Scan with Batch {
 
   override def build(): Scan = this
@@ -80,14 +85,15 @@ class RatingsGenScan(rows: Long, partitions: Int, users: Long, items: Long, seed
     (0 until partitions).flatMap { p =>
       val start = p * per
       val n = math.min(per, rows - start)
-      if (n > 0) Some(RatingsGenPartition(start, n, users, items, seed): InputPartition) else None
+      if (n > 0) Some(RatingsGenPartition(start, n, users, items, seed, skewPct): InputPartition) else None
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = RatingsGenReaderFactory
 }
 
-case class RatingsGenPartition(start: Long, count: Long, users: Long, items: Long, seed: Long)
+case class RatingsGenPartition(start: Long, count: Long, users: Long, items: Long, seed: Long,
+                               skewPct: Int = 0)
   extends InputPartition
 
 object RatingsGenReaderFactory extends PartitionReaderFactory {
@@ -107,7 +113,10 @@ object RatingsGenReaderFactory extends PartitionReaderFactory {
         val h2 = mix(h1)
         val h3 = mix(h2)
         val h4 = mix(h3)
-        row(0) = java.lang.Long.valueOf(java.lang.Long.remainderUnsigned(h1, p.users))
+        val hot = p.skewPct > 0 &&
+          java.lang.Long.remainderUnsigned(mix(h4), 100L) < p.skewPct
+        row(0) = java.lang.Long.valueOf(
+          if (hot) 0L else java.lang.Long.remainderUnsigned(h1, p.users))
         row(1) = java.lang.Long.valueOf(java.lang.Long.remainderUnsigned(h2, p.items))
         // half-star rating in [0.5, 5.0]
         row(2) = java.lang.Double.valueOf(

@@ -13,14 +13,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(total === Tables.documents(spark, sf).count())
   }
 
-  test("minhash estimate tracks exact ngram jaccard on shared pairs") {
-    val est = Dedup.minhashLsh(spark, sf).withColumnRenamed("est_jaccard", "est")
+  test("minhash verified jaccard IS the exact ngram jaccard on shared pairs") {
+    val mh = Dedup.minhashLsh(spark, sf)
+      .withColumnRenamed("jaccard", "mh_jaccard")
+      .withColumnRenamed("est_jaccard", "est")
     val exact = Dedup.ngramJaccard(spark, sf, threshold = 0.5)
-    val joined = est.join(exact, Seq("doc_a", "doc_b")).collect()
+    val joined = mh.join(exact, Seq("doc_a", "doc_b")).collect()
     assert(joined.nonEmpty)
     joined.foreach { r =>
+      // the verify join computes the same exact Jaccard the inverted
+      // index does — equality, not approximation
+      assert(r.getAs[Double]("mh_jaccard") === r.getAs[Double]("jaccard"))
+      // and the signature estimate still tracks it (calibration)
       assert(math.abs(r.getAs[Double]("est") - r.getAs[Double]("jaccard")) < 0.2)
     }
+  }
+
+  test("registered embedLshPlanted recalls the all-pairs baseline on planted dups") {
+    val corpus = Dedup.plantedCorpus(spark, sf, nPlant = 50)
+    val lsh = Dedup.embedLshPlanted(spark, sf)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    // all-pairs exact baseline over the SAME augmented corpus
+    val exact = Dedup.embedCosineOn(spark, corpus, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(exact.size >= 50) // every planted copy is a true near-dup
+    assert(lsh.subsetOf(exact)) // precision 1.0: candidates re-verified exactly
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
   test("simhash near-dup pairs have symmetric, bounded hamming") {

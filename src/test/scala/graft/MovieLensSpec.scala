@@ -64,4 +64,24 @@ class MovieLensSpec extends AnyFunSuite {
     assert(rmse < 1.0, s"rmse=$rmse should be in the reference's ballpark (~0.87)")
     assert(mae < 0.8, s"mae=$mae")
   }
+
+  test("genre enrichment analytics re-derive prepare_dataset.py's columns") {
+    val rows = MovieLens.genreStats(spark).collect()
+    val byGenre = rows.map(r => r.getAs[String]("genre") -> r).toMap
+    // the enriched CSV's own header row genres (Toy Story:
+    // Animation|Comedy|Family) must all surface as explode groups
+    assert(Seq("Animation", "Comedy", "Family").forall(byGenre.contains))
+    // no empty-genre group leaks through the split
+    assert(!byGenre.contains(""))
+    rows.foreach { r =>
+      val miny = r.getAs[Int]("min_year"); val maxy = r.getAs[Int]("max_year")
+      assert(miny >= 1900 && maxy <= 2020 && miny <= maxy,
+        s"${r.getAs[String]("genre")}: years $miny..$maxy")
+    }
+    // votes-weighted avg rating stays on the half-star scale
+    rows.filter(_.getAs[Long]("votes") > 0).foreach { r =>
+      val a = r.getAs[Double]("avg_rating")
+      assert(a >= 0.5 && a <= 5.0)
+    }
+  }
 }

@@ -35,6 +35,37 @@ class MutationsSpec extends AnyFunSuite {
     next.unpersist()
   }
 
+  test("applyUserBatch upserts, deletes, and resolves same-batch conflicts to upsert") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "alice", "AUTOMOBILE"),
+      (2L, "bob", "BUILDING"),
+      (3L, "carol", "MACHINERY"))
+      .toDF("user_id", "name", "segment")
+    val updates = Seq(
+      (2L, "bob", "BUILDING", 1L, "delete"),            // delete user 2
+      (3L, "carol2", "FURNITURE", 1L, "upsert"),        // rename user 3
+      (3L, "carol", "MACHINERY", 1L, "delete"),         // same-batch conflict → upsert wins
+      (4L, "dave", "HOUSEHOLD", 1L, "upsert"))          // new user
+      .toDF("user_id", "name", "segment", "bts", "op")
+    val next = Mutations.applyUserBatch(base, updates)
+    val m = next.collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(m(1L) === (("alice", "AUTOMOBILE"))) // untouched
+    assert(!m.contains(2L))                     // deleted
+    assert(m(3L) === (("carol2", "FURNITURE"))) // upsert beat the same-batch delete
+    assert(m(4L) === (("dave", "HOUSEHOLD")))   // added
+    assert(m.size === 3)
+  }
+
+  test("cascadeToRatings drops a deleted user's ratings with them") {
+    import spark.implicits._
+    val users = Seq((1L, "alice", "A"), (3L, "carol", "C")).toDF("user_id", "name", "segment")
+    val ratings = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 12L)).toDF("user_id", "item_id")
+    val surviving = Mutations.cascadeToRatings(ratings, users)
+    assert(surviving.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 10L), (3L, 12L)))
+  }
+
   test("watchedBatch assigns the item average, else the 3.5 default") {
     import spark.implicits._
     // item 10 has 6 explicit ratings avg 4.0 (> lower limit); item 99 unknown
