@@ -22,7 +22,7 @@ object Bench {
     "q_user_mutations", "text_tfidf",
     "q_user_topk_agg", "q_approx_stats",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_embed_cosine", "dedup_embed_lsh", "knn_brute", "knn_ivf",
+    "dedup_embed_cosine", "dedup_embed_lsh", "knn_brute", "knn_ivf", "knn_sq8",
     "text_quality", "text_tokens", "text_langid", "text_fingerprint",
     "mm_features", "als_top_n")
 

@@ -49,6 +49,7 @@ object SparkEntry {
     // — similarity search —
     "knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "knn_ivf"   -> ((s, d) => Similarity.ivfSearch(s, d)),
+    "knn_sq8"   -> ((s, d) => Similarity.knnSq8(s, d)),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     // — text analysis —
     "text_quality"     -> ((s, d) => TextAnalysis.quality(s, d)),

@@ -259,6 +259,108 @@ object VectorFunctions {
       copy(child = newChild)
   }
 
+  /** sq8_encode(v) over array<double> → binary: 8-bit scalar
+    * quantization, one byte per component, code = round((x+1)·127.5)
+    * clamped to [0, 255] (components of unit-norm embeddings live in
+    * [-1, 1]). The point at 100 TB is footprint: a 64-dim float8
+    * sketch is 64 B vs 512 B of doubles — 8× less scan bandwidth and
+    * cache pressure during candidate generation; exact re-ranking of
+    * the survivors uses the full vectors (see Similarity.knnSq8).
+    */
+  case class Sq8Encode(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double> input, got ${other.simpleString}")
+    }
+    override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+    override def prettyName: String = "graft_sq8"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val out = new Array[Byte](v.numElements())
+      var i = 0
+      while (i < out.length) {
+        val c = Math.max(0, Math.min(255, Math.round((v.getDouble(i) + 1.0) * 127.5).toInt))
+        out(i) = c.toByte
+        i += 1
+      }
+      out
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val c = ctx.freshName("c")
+        val out = ctx.freshName("out")
+        s"""
+           |byte[] $out = new byte[$a.numElements()];
+           |for (int $i = 0; $i < $out.length; $i++) {
+           |  int $c = (int) Math.round(($a.getDouble($i) + 1.0) * 127.5);
+           |  if ($c < 0) $c = 0; if ($c > 255) $c = 255;
+           |  $out[$i] = (byte) $c;
+           |}
+           |${ev.value} = $out;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** sq8_dot(a, b) over (binary, binary) → approximate dot product of
+    * the dequantized vectors — the candidate-scoring loop over the
+    * 8-bit sketches. Integer multiply-accumulate inside codegen (one
+    * int MAC per component), dequantized once at the end:
+    * dot ≈ (Σ (ca-127.5)(cb-127.5)) / 127.5².
+    */
+  case class Sq8Dot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType == org.apache.spark.sql.types.BinaryType)
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary inputs, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_sq8_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[Array[Byte]]
+      val y = b.asInstanceOf[Array[Byte]]
+      val n = math.min(x.length, y.length)
+      // scaled-integer MAC: (2c - 255) is the code centered at zero,
+      // doubled — exact in Long, one divide at the end
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        s += (2 * (x(i) & 0xFF) - 255).toLong * (2 * (y(i) & 0xFF) - 255).toLong
+        i += 1
+      }
+      s / (4.0 * 127.5 * 127.5)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.length, $b.length);
+           |long $s = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += (long)(2 * ($a[$i] & 0xFF) - 255) * (long)(2 * ($b[$i] & 0xFF) - 255);
+           |}
+           |${ev.value} = $s / (4.0 * 127.5 * 127.5);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** shingles(text, n) → distinct n-word shingles in one O(words) pass.
     *
     * The pure-SQL formulation (`transform(sequence(...), i ->
@@ -323,5 +425,9 @@ object VectorFunctions {
       "graft_shingles", exprs => Shingles(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hyperplane64", exprs => Hyperplane64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sq8", exprs => Sq8Encode(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sq8_dot", exprs => Sq8Dot(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -57,6 +57,44 @@ object Similarity {
       .agg(round(avg(col("col")), 6).as("centroid"), count(lit(1)).as("n_vectors"))
       .select(col("label"), col("dim"), col("centroid"), col("n_vectors"))
 
+  /** Two-stage ANN over an 8-bit scalar-quantized sketch: stage 1
+    * scores every (query, corpus) pair on the 64-BYTE sq8 codes
+    * (integer MAC loop, 8× less scan bandwidth than the doubles) and
+    * keeps `oversample`·k candidates per query; stage 2 re-ranks only
+    * those with the exact double-precision cosine. At 100 TB the
+    * sketch column is what fits in memory/page cache while the full
+    * vectors stay on disk for the (tiny) re-rank set. Output schema
+    * matches [[knnBrute]] so recall is a direct join (spec-gated).
+    */
+  def knnSq8(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 10,
+             oversample: Int = 4): DataFrame = {
+    val c = corpus(spark, sfDir)
+      .withColumn("code", expr("graft_sq8(v)"))
+      .cache()
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("code").as("qcode"))
+    // stage 1: coarse scores on the byte codes only
+    val coarse = c.select(col("vec_id"), col("code"))
+      .join(broadcast(q.select(col("query_id"), col("qcode"))),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("approx", expr("graft_sq8_dot(code, qcode)"))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val cands = coarse.withColumn("crn", row_number().over(wCoarse))
+      .filter(col("crn") <= k * oversample)
+      .select(col("query_id"), col("vec_id"))
+    // stage 2: exact re-rank of the survivors only
+    val exact = cands
+      .join(c.select(col("vec_id"), col("v"), col("norm")), Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qnorm"))), Seq("query_id"))
+      .withColumn("cos", round(expr(dot) / (col("norm") * col("qnorm")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
+  }
+
   /** IVF-style ANN: k-means coarse quantizer (MLlib, fixed seed),
     * corpus bucketed by nearest centroid, queries probe their
     * `nprobe` nearest centroids and scan only those buckets.

@@ -102,6 +102,53 @@ object EventStream {
       }
       .start()
 
+  /** Continuous retrain loop — the reference's periodic recompute
+    * (web/service.py APScheduler: recompute_recommendations every
+    * 15/30 min) turned data-driven: mutations stream into the ratings
+    * snapshot exactly like [[startCdcApply]], and once `retrainEvery`
+    * mutations have accumulated since the last train, ALS refits on
+    * the merged snapshot and rewrites the per-user top-N recs (the
+    * reference's redis `u<id>` export refresh).
+    *
+    * The pending counter is process-local (a restart retrains on the
+    * first qualifying batch — safe, just eager); production tracking
+    * belongs in the streaming checkpoint / a metadata table.
+    */
+  def startRetrainLoop(updates: DataFrame, snapshot: String, recsDir: String,
+                       retrainEvery: Long = 100, topN: Int = 10,
+                       rank: Int = 4, maxIter: Int = 5): org.apache.spark.sql.streaming.StreamingQuery = {
+    val pending = new java.util.concurrent.atomic.AtomicLong(0L)
+    updates.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        recoverSnapshot(snapshot)
+        val b = batch.toDF().cache()
+        val n = b.count()
+        val merged = graft.operators.Mutations.applyBatch(spark.read.parquet(snapshot), b)
+        merged.write.mode("overwrite").parquet(snapshot + "_staged")
+        swapSnapshot(snapshot)
+        b.unpersist()
+        if (n > 0 && pending.addAndGet(n) >= retrainEvery) {
+          pending.set(0L)
+          val train = spark.read.parquet(snapshot).select(
+            col("user_id").cast("int").as("user"),
+            col("item_id").cast("int").as("item"),
+            col("rating").cast("float").as("rating"))
+          val model = graft.recommender.Als.fit(train, rank, maxIter)
+          model.recommendForAllUsers(topN)
+            .select(col("user"), explode(col("recommendations")).as("rec"))
+            .select(
+              col("user").cast("long").as("user_id"),
+              col("rec.item").cast("long").as("item_id"),
+              round(col("rec.rating").cast("double"), 4).as("score"))
+            .write.mode("overwrite").parquet(recsDir)
+        }
+        ()
+      }
+      .start()
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {

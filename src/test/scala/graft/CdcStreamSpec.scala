@@ -43,4 +43,37 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(!snap.contains((2L, 10L))) // deleted in batch 2
     assert(snap.size === 2)
   }
+
+  test("retrain loop refreshes the per-user recs once enough mutations land") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("retrain").toString
+    val dir = root + "/ratings"
+    val recsDir = root + "/recs"
+    // seed: 8 users × 6 items so tiny-rank ALS has signal
+    val seed = for (u <- 1L to 8L; i <- 1L to 6L if (u + i) % 3 != 0)
+      yield (u, i, 0.5 + ((u * i) % 9) * 0.5, false, ts("2024-01-01 00:00:00"))
+    seed.toDF("user_id", "item_id", "rating", "is_implicit", "ts").write.parquet(dir)
+
+    val input = MemoryStream[RatingUpdate]
+    val q = graft.streaming.EventStream.startRetrainLoop(
+      input.toDF(), dir, recsDir, retrainEvery = 2, topN = 3)
+    // batch 1: one mutation — below the threshold, no model yet
+    input.addData(RatingUpdate(1L, 6L, 5.0, false, ts("2024-01-02 00:00:00"), "upsert"))
+    q.processAllAvailable()
+    assert(!new java.io.File(recsDir).exists())
+    // batch 2: second mutation crosses retrainEvery=2 → ALS refit + recs written
+    input.addData(RatingUpdate(2L, 5L, 4.5, false, ts("2024-01-03 00:00:00"), "upsert"))
+    q.processAllAvailable()
+    q.stop()
+
+    val recs = spark.read.parquet(recsDir)
+    assert(recs.count() > 0)
+    assert(recs.columns.toSet === Set("user_id", "item_id", "score"))
+    // every user in the snapshot got its top-N refresh
+    assert(recs.select("user_id").distinct().count() === 8)
+    // and the snapshot itself carries both mutations
+    val snap = spark.read.parquet(dir)
+    assert(snap.filter(col("user_id") === 2L && col("item_id") === 5L).count() === 1)
+  }
 }

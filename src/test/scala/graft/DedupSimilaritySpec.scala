@@ -80,6 +80,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("sq8 two-stage knn recalls the exact brute-force top-k") {
+    val brute = Similarity.knnBrute(spark, sf, nQueries = 5, k = 10)
+      .select("query_id", "neighbor_id", "cos")
+    val sq8 = Similarity.knnSq8(spark, sf, nQueries = 5, k = 10)
+      .select("query_id", "neighbor_id", "cos")
+    val bruteSet = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8Rows = sq8.collect()
+    val recall = sq8Rows.count(r => bruteSet.contains((r.getLong(0), r.getLong(1)))).toDouble / bruteSet.size
+    assert(recall >= 0.9, s"sq8 recall $recall")
+    // survivors are re-ranked with the SAME exact cosine as brute force
+    val cosMismatch = sq8.join(
+        brute.withColumnRenamed("cos", "bcos"), Seq("query_id", "neighbor_id"))
+      .filter(col("cos") =!= col("bcos")).count()
+    assert(cosMismatch === 0)
+  }
+
   test("IVF results are a subset of the brute-force ranking universe") {
     val brute = Similarity.knnBrute(spark, sf, nQueries = 3, k = 50)
       .select("query_id", "neighbor_id")
