@@ -111,25 +111,47 @@ object Dedup {
     * index: pairs form only through shared shingles (the
     * sim-join standard at scale — never all-pairs), then
     * |A∩B| / (|A|+|B|-|A∩B|) thresholded.
+    *
+    * Skew guard: a shingle appearing in d docs emits d² candidate
+    * pairs, so one boilerplate phrase ("all rights reserved") can
+    * dominate the whole shuffle. Shingles with document frequency
+    * above `dfCap` are dropped from candidate GENERATION only —
+    * the Jaccard itself is verified exactly against the full shingle
+    * sets (array_intersect, candidates only), so the value is never
+    * approximated. A qualifying pair is missed only if EVERY shared
+    * shingle is ultra-frequent — impossible above moderate thresholds
+    * unless the docs are pure boilerplate (at jaccard ≥ 0.8 the pair
+    * shares most of its shingles; they can't all sit above dfCap in a
+    * corpus where the pair itself is rare). DedupSimilaritySpec
+    * asserts capped ≡ uncapped output on the test corpus.
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
+  def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.8,
+                   dfCap: Int = 10000): DataFrame = {
     // join on the 64-bit shingle hash, not the string: same pairs
-    // (collision odds ~1e-9 at corpus scale), far cheaper shuffle keys
-    // cache: this exploded index feeds both join sides AND the size
-    // table — without it the optimizer re-derives the shingling 4×
-    val sh = shingled(spark, sfDir)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    // (collision odds ~1e-9 at corpus scale), far cheaper shuffle keys.
+    // cache: the sets feed candidate generation AND the verify join —
+    // without it the optimizer re-derives the shingling per branch
+    val sets = shingled(spark, sfDir)
+      .select(col("doc_id"),
+        expr("transform(shingles, s -> xxhash64(s))").as("hs"))
       .cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val sh = sets.select(col("doc_id"), explode(col("hs")).as("shingle"))
+    // stop-shingle list: tiny by construction (only keys hotter than
+    // dfCap), so the anti-join broadcasts — no shuffle added
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select(col("shingle"))
+    val idx = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val cand = idx.as("a").join(idx.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a")), Seq("doc_a"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b")), Seq("doc_b"))
-      .withColumn("jaccard", round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard", round(
+        col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

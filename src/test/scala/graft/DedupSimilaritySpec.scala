@@ -42,6 +42,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("stop-shingle DF cap changes the candidate index, not the output") {
+    // a tight cap forces real pruning of the inverted index; output
+    // must still be identical because every qualifying pair shares at
+    // least one sub-cap shingle and the jaccard is verified exactly
+    val uncapped = Dedup.ngramJaccard(spark, sf, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.ngramJaccard(spark, sf, threshold = 0.5, dfCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(uncapped.nonEmpty)
+    assert(capped === uncapped)
+  }
+
   test("simhash near-dup pairs have symmetric, bounded hamming") {
     val rows = Dedup.simhash(spark, sf).collect()
     assert(rows.nonEmpty)
