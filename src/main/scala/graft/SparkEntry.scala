@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, ItemCF, Relational, Sampling, Serving, Similarity, TextAnalysis}
+import graft.operators.{Analytics, CorpusPrep, Dedup, ItemCF, Relational, Sampling, Serving, Similarity, TextAnalysis}
 import graft.recommender.Als
 import graft.multimodal.Multimodal
 
@@ -69,6 +69,7 @@ object SparkEntry {
     // — deterministic sampling —
     "q_sample_hash"     -> ((s, d) => Sampling.sampleDocs(s, d)),
     "q_sample_balanced" -> ((s, d) => Sampling.balancedSample(s, d)),
+    "q_corpus_prep"     -> ((s, d) => CorpusPrep.prep(s, d)),
     // — MovieLens fidelity harness (reference's own dataset; rows-only) —
     "ml_top_movies" -> ((s, _) => graft.sources.MovieLens.topMovies(s)),
     "ml_genre_stats" -> ((s, _) => graft.sources.MovieLens.genreStats(s)),
@@ -211,6 +212,20 @@ object SparkEntry {
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
         |  FROM documents) WHERE rn <= 30""".stripMargin,
+
+    "q_corpus_prep" ->
+      """SELECT doc_id, lang, source, n_chars, n_tokens, type_token_ratio FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |          / len(string_split(text, ' ')), 4) AS type_token_ratio,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 10
+        |    AND round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |          / len(string_split(text, ' ')), 4) >= 0.3
+        |    AND substr(md5(text), 1, 2) < '80'
+        |) WHERE rn = 1""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id, n_chars,

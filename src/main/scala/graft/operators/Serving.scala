@@ -81,8 +81,13 @@ object Serving {
     val users = base.select(col("user_id")).distinct()
     val wPad = Window.partitionBy(col("user_id"))
       .orderBy(col("votes").desc, col("avg_rating").desc, col("item_id").asc)
+    // the pad exclusion only ever tests pool items, so pre-filter the
+    // seen table to them: the anti-join side shrinks from the full
+    // fact table to ≤ users×poolSize rows — at 100 TB this is the
+    // difference between re-shuffling the corpus and a bounded join
+    val seenInPool = seen.join(broadcast(pool.select(col("item_id"))), Seq("item_id"), "left_semi")
     val padded = users.join(broadcast(pool), lit(true))
-      .join(seen, Seq("user_id", "item_id"), "left_anti")
+      .join(seenInPool, Seq("user_id", "item_id"), "left_anti")
       .join(survivors.select(col("user_id"), col("item_id")), Seq("user_id", "item_id"), "left_anti")
       .withColumn("pad_rn", row_number().over(wPad))
       .join(nSurv, Seq("user_id"), "left")
