@@ -60,6 +60,9 @@ object SparkEntry {
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
     // — neighborhood (item-item) collaborative filtering —
     "q_item_cooc"    -> ((s, d) => ItemCF.cooccurrence(s, d)),
+    // incremental-view-maintenance path; oracle = the BATCH pair count,
+    // so the gate checks the IVM identity itself
+    "q_item_cooc_inc" -> ((s, d) => ItemCF.coocIncremental(s, d)),
     "q_item_sim"     -> ((s, d) => ItemCF.itemSimilarity(s, d)),
     "q_item_cf_recs" -> ((s, d) => ItemCF.recommend(s, d)),
     "q_user_sim"     -> ((s, d) => ItemCF.userSimilarity(s, d)),
@@ -311,6 +314,13 @@ object SparkEntry {
       s"""$IU SELECT a.item_id AS item_a, b.item_id AS item_b,
          |  count(*) AS n_users
          |FROM capped a JOIN capped b
+         |  ON a.user_id = b.user_id AND a.item_id < b.item_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    "q_item_cooc_inc" ->
+      s"""$I SELECT a.item_id AS item_a, b.item_id AS item_b,
+         |  count(*) AS n_users
+         |FROM interactions a JOIN interactions b
          |  ON a.user_id = b.user_id AND a.item_id < b.item_id
          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
 

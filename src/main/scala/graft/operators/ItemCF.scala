@@ -64,6 +64,14 @@ object ItemCF {
   def cooccurrence(spark: SparkSession, sfDir: String, minUsers: Int = 3,
                    maxDegree: Int = DefaultMaxDegree): DataFrame = {
     val i = cappedByUser(spark, sfDir, maxDegree).select(col("user_id"), col("item_id"))
+    coocCountsOn(i).filter(col("n_users") >= minUsers)
+  }
+
+  /** Unfiltered pair counts (minUsers = 1) over an arbitrary
+    * (user_id, item_id) fact set — the shared core of [[cooccurrence]]
+    * and the incremental path below.
+    */
+  private def coocCountsOn(i: DataFrame): DataFrame = {
     val a = i.select(col("user_id"), col("item_id").as("item_a"))
     val b = i.select(col("user_id"), col("item_id").as("item_b"))
     a.join(b, Seq("user_id"))
@@ -71,8 +79,75 @@ object ItemCF {
       .select(packPair(col("item_a"), col("item_b")).as("pk"))
       .groupBy(col("pk"))
       .agg(count(lit(1)).as("n_users"))
-      .filter(col("n_users") >= minUsers)
       .select(unpackA(col("pk")).as("item_a"), unpackB(col("pk")).as("item_b"), col("n_users"))
+  }
+
+  /** Incremental maintenance of the co-occurrence matrix: merge a
+    * delta batch of interactions into existing pair counts with work
+    * proportional to the DELTA, never the corpus. Co-occurrence is an
+    * additive join-aggregate, so the textbook IVM identity applies —
+    * the new pairs are (delta × delta within a user) ∪ (delta × that
+    * user's existing profile):
+    *
+    *   cooc(old ∪ Δ) = cooc(old) + pairs(Δ, Δ) + pairs(Δ, old)
+    *
+    * At 100 TB this is the difference between re-shuffling the full
+    * fact table on every recompute tick and touching only the users
+    * the delta names (the reference recomputes from scratch on a
+    * timer — prototype/trainer.py's periodic rebuild; this is the
+    * operator that lets that tick scale). The profile lookup
+    * semi-filters the fact table by the delta's users with a broadcast
+    * (delta user lists are small by definition of "delta"); a bucketed
+    * profile store ([[graft.sources.Sinks.writeBucketed]]) makes the
+    * remaining join shuffle-free.
+    *
+    * Contracts: `oldCooc` must be UNFILTERED counts (minUsers = 1 —
+    * a thresholded matrix cannot be incremented, counts below the
+    * threshold are lost); threshold on the MERGED output. Degree
+    * capping is a profile-maintenance policy applied upstream of the
+    * delta feed, not here.
+    */
+  def coocIncrement(oldFacts: DataFrame, oldCooc: DataFrame, delta: DataFrame): DataFrame = {
+    val old = oldFacts.select(col("user_id"), col("item_id"))
+    // new facts only: a (user, item) already present adds no pair
+    val d = delta.select(col("user_id"), col("item_id")).distinct()
+      .join(old, Seq("user_id", "item_id"), "left_anti")
+      .cache()
+    // existing profiles of only the users the delta touches
+    val touched = old.join(broadcast(d.select(col("user_id")).distinct()),
+      Seq("user_id"), "left_semi")
+    val dA = d.select(col("user_id"), col("item_id").as("item_a"))
+    val newNew = dA.join(d.select(col("user_id"), col("item_id").as("item_b")), Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .select(col("item_a"), col("item_b"))
+    val cross = dA.join(touched.select(col("user_id"), col("item_id").as("item_b")), Seq("user_id"))
+      .select(least(col("item_a"), col("item_b")).as("item_a"),
+        greatest(col("item_a"), col("item_b")).as("item_b"))
+    val deltaPairs = newNew.unionByName(cross)
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_users"))
+    oldCooc.select(col("item_a"), col("item_b"), col("n_users"))
+      .unionByName(deltaPairs)
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(sum(col("n_users")).as("n_users"))
+  }
+
+  /** [[coocIncrement]] exercised end-to-end (registered as
+    * `q_item_cooc_inc`): split the interactions at `cutoff`, build the
+    * base matrix on the old half, merge the post-cutoff half as the
+    * delta. The SQL oracle is the BATCH pair count over the full
+    * fact set — the query passes only if the incremental path
+    * reproduces the from-scratch answer exactly.
+    */
+  def coocIncremental(spark: SparkSession, sfDir: String, cutoff: String = "1996-01-01",
+                      minUsers: Int = 3): DataFrame = {
+    val base = Tables.interactions(spark, sfDir)
+      .select(col("user_id"), col("item_id"), col("ts"))
+      .cache()
+    val old = base.filter(col("ts") < lit(cutoff).cast("date")).cache()
+    val delta = base.filter(col("ts") >= lit(cutoff).cast("date"))
+    coocIncrement(old, coocCountsOn(old), delta)
+      .filter(col("n_users") >= minUsers)
   }
 
   /** Item-item cosine similarity over user-rating vectors:

@@ -43,6 +43,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("incremental cooc merge reproduces the batch recompute exactly") {
+    import org.apache.spark.sql.functions._
+    // the IVM identity: cooc(old ∪ Δ) == increment(cooc(old), Δ).
+    // cooccurrence() is the batch path (cap inactive at test SF)
+    val inc = operators.ItemCF.coocIncremental(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = operators.ItemCF.cooccurrence(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    assert(inc === batch)
+  }
+
+  test("incremental cooc with an empty delta is the identity") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.interactions(spark, sf)
+      .select(col("user_id"), col("item_id"))
+    val cooc = operators.ItemCF.cooccurrence(spark, sf, minUsers = 1)
+    val merged = operators.ItemCF.coocIncrement(base, cooc, base.limit(0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val orig = cooc.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged === orig)
+  }
+
   test("q1 aggregates the full lineitem rowcount") {
     val total = Analytics.q1Agg(spark, sf).agg(sum("count_order")).head().getLong(0)
     assert(total === Tables.lineitem(spark, sf).count())
