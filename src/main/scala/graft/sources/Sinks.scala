@@ -32,6 +32,43 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * ~`targetBytes` each. Streaming/CDC sinks (e.g.
+    * [[graft.streaming.EventStream.startCdcApply]]) emit one file per
+    * micro-batch partition; after a day that is thousands of KB-sized
+    * files, and every subsequent scan pays a per-file open + footer
+    * read. Compaction is the standing maintenance job every lake runs
+    * (Delta OPTIMIZE / Iceberg rewrite_data_files — here the plain-
+    * parquet equivalent).
+    *
+    * The target file count comes from the directory's actual on-disk
+    * bytes (compressed), not a row-count guess. The rewrite stages to
+    * a sibling dir then swaps, so a concurrent reader never sees a
+    * half-written directory; crash mid-swap leaves `_staged` intact
+    * for recovery — same protocol as the CDC snapshot writer.
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20): Unit = {
+    val dir = new java.io.File(path)
+    val onDisk = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    val nFiles = math.max(1, math.ceil(onDisk.toDouble / targetBytes).toInt)
+    val staged = path + "_staged"
+    spark.read.parquet(path)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(staged)
+    val target = new java.io.File(path)
+    val old = new java.io.File(path + "_old")
+    deleteRecursively(old)
+    target.renameTo(old)
+    new java.io.File(staged).renameTo(target)
+    deleteRecursively(old)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
   /** The reference's redis export shape (estimator.persist:81-99):
     * key `u<user_id>`, value `item;item;...` ordered by rank. Emitted
     * as a DataFrame so any KV-capable sink (redis connector, kafka,

@@ -27,6 +27,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(clicks.getAs[Double]("sum_value") === 3.0)
   }
 
+  test("streaming dedup admits each content once across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[graft.streaming.Doc]
+    val q = graft.streaming.DocStream.dedup(input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("sd_test").start()
+    input.addData(
+      graft.streaming.Doc(1, ts(1), "hello world"),
+      graft.streaming.Doc(2, ts(2), "something else"))
+    q.processAllAvailable()
+    // second batch: one exact duplicate (dropped), one fresh doc
+    input.addData(
+      graft.streaming.Doc(3, ts(3), "hello world"),
+      graft.streaming.Doc(4, ts(4), "fresh content"))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("sd_test").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids === Set(1L, 2L, 4L))
+  }
+
   test("userRatingCounters carries state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
