@@ -23,7 +23,8 @@ object Bench {
     "q_user_topk_agg", "q_approx_stats",
     "q_corpus_prep",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_embed_cosine", "dedup_embed_lsh", "knn_brute", "knn_ivf", "knn_sq8",
+    "dedup_embed_cosine", "dedup_embed_lsh", "dedup_clusters",
+    "knn_brute", "knn_ivf", "knn_sq8",
     "text_quality", "text_tokens", "text_langid", "text_fingerprint",
     "mm_features", "als_top_n")
 

@@ -46,6 +46,9 @@ object SparkEntry {
     // the LSH scale path, exercised in its regime via deterministic
     // planted near-dups (rows-only; recall vs all-pairs is spec-gated)
     "dedup_embed_lsh"     -> ((s, d) => Dedup.embedLshPlanted(s, d)),
+    // pair graph → connected components → survivor manifest (rows-only;
+    // the component identity is spec-gated on planted chains)
+    "dedup_clusters"      -> ((s, d) => Dedup.dedupClusters(s, d)),
     // — similarity search —
     "knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "knn_ivf"   -> ((s, d) => Similarity.ivfSearch(s, d)),

@@ -82,6 +82,29 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
   }
 
+  /** Near-dup CLUSTER resolution — the step between pairwise
+    * detection and an actual dedup decision. Similarity pairs are not
+    * transitive (A~B and B~C does not imply A~C was emitted), but
+    * "keep one copy" must treat them as one group, so the verified
+    * MinHash pairs are resolved into connected components
+    * ([[Graph.connectedComponents]]) and the minimum doc_id of each
+    * component becomes its cluster id / survivor. Every corpus doc
+    * appears in the output: singletons are their own keeper — the
+    * result IS the post-dedup corpus manifest.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.5): DataFrame = {
+    val edges = minhashLsh(spark, sfDir, threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comps = Graph.connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+  }
+
   /** 64-bit SimHash per document (token-hash bit votes, computed
     * per-row with higher-order functions — zero shuffle), plus
     * near-dup pairs found by 4×16-bit band blocking with a Hamming

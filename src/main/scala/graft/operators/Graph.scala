@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the missing
+  * piece between pairwise near-dup detection and an actual dedup
+  * decision: similarity is not transitive, but "is a duplicate of"
+  * must be, so the pair graph has to be resolved into components
+  * before survivors can be chosen.
+  *
+  * Min-label propagation: every vertex starts labelled with itself;
+  * each round it adopts the smallest label among itself and its
+  * neighbors; converged when no label changes. Rounds = the graph
+  * diameter — near-dup clusters are shallow (pairs/chains of a few
+  * docs), so 2-4 rounds in practice; `maxIter` guards adversarial
+  * chains. Each round is one shuffle join + aggregate, fully
+  * distributed; the driver only evaluates the has-anything-changed
+  * count (the standard iterate-until-fixpoint pattern — GraphX/Pregel
+  * does exactly this underneath). For web-scale graphs with large
+  * diameters the two-phase star-contraction variant (Kiveris et al.,
+  * "Connected Components in MapReduce", SoCC'14) drops rounds to
+  * O(log n); the per-round dataflow here is the same shape.
+  */
+object Graph {
+
+  /** @param edges two long columns (`src`, `dst`); undirected, self
+    *              loops ignored.
+    * @return (id, label) — label is the component's minimum vertex id.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nl")).as("nbr_label"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      // the count() both materializes the new labels (cutting the
+      // iteration lineage at the cache) and decides convergence
+      val changed = updated
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

@@ -42,6 +42,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("connected components resolve transitive chains to the min label") {
+    import spark.implicits._
+    // two chains and an isolated edge: {1,2,3,4} via 1-2,2-3,3-4; {10,11}
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val labels = operators.Graph.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedup clusters cover the corpus and agree with the pair graph") {
+    val clusters = Dedup.dedupClusters(spark, sf).cache()
+    // a complete manifest: every doc exactly once
+    assert(clusters.count() === Tables.documents(spark, sf).count())
+    val byDoc = clusters.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // every detected pair ended up in the same cluster
+    val pairs = Dedup.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(byDoc(a)._1 === byDoc(b)._1) }
+    // keeper = the cluster's min doc_id, exactly one per cluster
+    byDoc.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min === cid)
+      assert(members.count(_._2._2) === 1)
+      assert(byDoc(cid)._2)
+    }
+    clusters.unpersist()
+  }
+
   test("stop-shingle DF cap changes the candidate index, not the output") {
     // a tight cap forces real pruning of the inverted index; output
     // must still be identical because every qualifying pair shares at
