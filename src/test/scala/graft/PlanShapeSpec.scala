@@ -61,6 +61,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p.take(4000))
   }
 
+  test("corpus-prep: both gates filter BEFORE the dedup window shuffle") {
+    // the whole design is that quality + sample gates are map-side:
+    // in the executed plan the Filter containing the gates must sit
+    // below (= appear after, in toString order) the one exchange, and
+    // there must be exactly one shuffle (the dedup window)
+    val p = plan(graft.operators.CorpusPrep.prep(spark, sf))
+    val allExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(allExchanges === 1, s"expected 1 shuffle, got $allExchanges\n" + p.take(4000))
+    // the gate filter must be on the scan side of the exchange: the
+    // substring after the Exchange line must contain the n_tokens gate
+    val afterExchange = p.substring(p.indexOf("Exchange hashpartitioning"))
+    assert(afterExchange.contains(">= 10") || afterExchange.contains("size("),
+      afterExchange.take(2000))
+  }
+
+  test("cooc-increment: the profile lookup is a broadcast semi join") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.interactions(spark, sf).select(col("user_id"), col("item_id"))
+    val cooc = ItemCF.cooccurrence(spark, sf, minUsers = 1)
+    val p = plan(ItemCF.coocIncrement(base, cooc, base.limit(10)))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(4000))
+  }
+
   test("interactions: exactly one window shuffle implements the upsert") {
     // the is_implicit filter CANNOT push below the latest-wins window
     // (the kept row determines the flag) — but the upsert must cost
