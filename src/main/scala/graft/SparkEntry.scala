@@ -58,6 +58,7 @@ object SparkEntry {
     "text_quality"     -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_tokens"      -> ((s, d) => TextAnalysis.termFrequencies(s, d)),
     "text_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
+    "text_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     // — multimodal —
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
@@ -232,6 +233,17 @@ object SparkEntry {
         |          / len(string_split(text, ' ')), 4) >= 0.3
         |    AND substr(md5(text), 1, 2) < '80'
         |) WHERE rn = 1""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id, n_chars,
+        |  len(regexp_split_to_array(text, '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+'))
+        |    AS n_bpe_tokens,
+        |  round(CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')), 4)
+        |    AS chars_per_bpe_token
+        |FROM documents""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id, n_chars,

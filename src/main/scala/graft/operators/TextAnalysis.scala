@@ -46,6 +46,29 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(topK)
 
+  /** Token counting under two tokenizers — the budget metric every
+    * training-mix decision is priced in. `n_ws_tokens` is the
+    * whitespace count; `n_bpe_tokens` approximates a byte-pair-encoded
+    * count with the GPT-2-style pre-tokenizer regex (contraction
+    * suffixes / letter runs / digit runs / punctuation runs, each with
+    * an optional leading space — the split BPE merges then operate
+    * within; counting those fragments tracks real tokenizer output
+    * closely enough for mix budgeting). Pure regexp_extract_all column
+    * work, no UDF; the pattern avoids lookarounds/backreferences so
+    * the Java (Spark) and RE2 (DuckDB oracle) dialects agree.
+    */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val bpeish = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(split(col("text"), "\\s+")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(bpeish), lit(0))).as("n_bpe_tokens"))
+      .withColumn("chars_per_bpe_token",
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 4))
+  }
+
   /** Language-ID heuristic: score each document against tiny
     * marker-token profiles per language; best score wins (ties → 'und').
     * A real pipeline plugs fastText/CLD here — the operator shape
