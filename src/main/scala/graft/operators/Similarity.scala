@@ -104,9 +104,14 @@ object Similarity {
   def ivfSearch(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 10,
                 nlist: Int = 8, nprobe: Int = 2): DataFrame = {
     val c = corpus(spark, sfDir).withColumn("fv", array_to_vector(col("v"))).cache()
+    // FAISS-style: train the coarse quantizer on a deterministic
+    // ~25% sample, not the corpus — at 100 TB the quantizer needs
+    // O(100k) training points for O(1k) centroids, never a full pass;
+    // the hash gate keeps the sample engine/layout independent
+    val train = c.filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit("40"))
     val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("fv")
       .setMaxIter(10) // coarse quantizer: centroid quality plateaus early
-      .fit(c)
+      .fit(train)
     val assigned = model.transform(c).withColumnRenamed("prediction", "cluster")
       .select(col("vec_id"), col("v"), col("norm"), col("cluster"))
 
