@@ -26,7 +26,7 @@ object Bench {
     "dedup_embed_cosine", "dedup_embed_lsh", "dedup_clusters",
     "knn_brute", "knn_ivf", "knn_sq8",
     "text_quality", "text_tokens", "text_token_count", "text_langid", "text_fingerprint",
-    "mm_features", "als_top_n")
+    "mm_features", "mm_resize", "mm_frames", "als_top_n")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -62,6 +62,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     // — multimodal —
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
+    "mm_resize"   -> ((s, d) => Multimodal.resizePlan(s, d)),
+    "mm_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
     // — neighborhood (item-item) collaborative filtering —
     "q_item_cooc"    -> ((s, d) => ItemCF.cooccurrence(s, d)),
     // incremental-view-maintenance path; oracle = the BATCH pair count,

@@ -43,4 +43,39 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(df.filter(col("width") < 64 || col("height") < 64).count() === 0)
     df.unpersist()
   }
+
+  test("resize plan clamps the long side, preserves aspect, never upscales") {
+    val rows = Multimodal.resizePlan(spark, sf, maxDim = 224).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
+      val s = r.getAs[Double]("scale")
+      assert(math.max(ow, oh) <= 224 || s === 1.0)
+      assert(s <= 1.0) // no upscale
+      // aspect preserved within integer rounding: ow = round(w·s) and
+      // oh = round(h·s) each contribute at most half a pixel
+      val ratio = w.toDouble / h
+      assert(math.abs(ow - oh * ratio) <= 0.5 + 0.5 * ratio + 1e-9,
+        s"w=$w h=$h ow=$ow oh=$oh")
+    }
+  }
+
+  test("frame sampling amplifies rows by the stub frame count / stride") {
+    val frames = Multimodal.frameSample(spark, sf, stride = 10).cache()
+    val perDoc = frames.groupBy(col("doc_id")).count()
+    // stub emits 24..263 frames → 3..27 sampled rows per doc at stride 10
+    assert(perDoc.filter(col("count") < 3 || col("count") > 27).count() === 0)
+    // deterministic: a second run produces the identical frame set
+    val a = frames.collect().map(r => (r.getLong(0), r.getInt(1), r.getFloat(3))).toSet
+    val b = Multimodal.frameSample(spark, sf, stride = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getFloat(3))).toSet
+    assert(a === b)
+    // frame indices respect the stride and timestamps the fps
+    frames.collect().foreach { r =>
+      assert(r.getInt(1) % 10 === 0)
+      assert(r.getLong(2) === r.getInt(1) * 1000L / 24)
+    }
+    frames.unpersist()
+  }
 }
