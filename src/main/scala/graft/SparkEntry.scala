@@ -79,6 +79,7 @@ object SparkEntry {
     "q_sample_hash"     -> ((s, d) => Sampling.sampleDocs(s, d)),
     "q_sample_balanced" -> ((s, d) => Sampling.balancedSample(s, d)),
     "q_corpus_prep"     -> ((s, d) => CorpusPrep.prep(s, d)),
+    "q_sample_weighted" -> ((s, d) => Sampling.weightedSample(s, d)),
     // — MovieLens fidelity harness (reference's own dataset; rows-only) —
     "ml_top_movies" -> ((s, _) => graft.sources.MovieLens.topMovies(s)),
     "ml_genre_stats" -> ((s, _) => graft.sources.MovieLens.genreStats(s)),
@@ -221,6 +222,15 @@ object SparkEntry {
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
         |  FROM documents) WHERE rn <= 30""".stripMargin,
+
+    "q_sample_weighted" ->
+      """SELECT doc_id, source, lang, n_chars FROM (
+        |  SELECT doc_id, source, lang, n_chars,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS gate,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) < 7 THEN 'c0'
+        |         WHEN CAST(substr(source, 4) AS INT) < 14 THEN '80'
+        |         ELSE '40' END AS thr
+        |  FROM documents) WHERE gate < thr""".stripMargin,
 
     "q_corpus_prep" ->
       """SELECT doc_id, lang, source, n_chars, n_tokens, type_token_ratio FROM (

@@ -30,6 +30,33 @@ object Sampling {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 4).as("avg_chars"))
 
+  /** Training-mix weighting: keep a per-SOURCE fraction of documents,
+    * deterministically. This is the "mix weights" step of corpus
+    * assembly (2× web, 0.5× forum, …) — upsampling is a separate
+    * repeat-explode; here the thinning side. Entirely map-side: the
+    * per-row decision is hashGate(doc_id) against the row's source
+    * threshold, no shuffle at all, so at 100 TB it rides the ingest
+    * scan. Unknown sources default to keep-nothing (explicit mix or
+    * it's not in the corpus).
+    */
+  /** Default mix over the testdata's src0..src19: three weight tiers
+    * (expressed identically in the SQL oracle's CASE).
+    */
+  val DefaultMix: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" ->
+      (if (i < 7) 0.75 else if (i < 14) 0.5 else 0.25)).toMap
+
+  def weightedSample(spark: SparkSession, sfDir: String,
+                     weights: Map[String, Double] = DefaultMix): DataFrame = {
+    val thr = weights.foldLeft(lit(0)) { case (acc, (src, frac)) =>
+      when(col("source") === src, lit((frac * 256).toInt)).otherwise(acc)
+    }
+    Tables.documents(spark, sfDir)
+      .withColumn("gate", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .filter(col("gate") < format_string("%02x", thr))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+  }
+
   /** Class-balanced resample: k docs per language, chosen by hash
     * order (not "first k seen" — that depends on scan order). One
     * shuffle on the class key; the window input is already the
