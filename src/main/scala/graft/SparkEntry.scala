@@ -80,6 +80,7 @@ object SparkEntry {
     "q_sample_balanced" -> ((s, d) => Sampling.balancedSample(s, d)),
     "q_corpus_prep"     -> ((s, d) => CorpusPrep.prep(s, d)),
     "q_sample_weighted" -> ((s, d) => Sampling.weightedSample(s, d)),
+    "q_sample_upsample" -> ((s, d) => Sampling.weightedUpsample(s, d)),
     // — MovieLens fidelity harness (reference's own dataset; rows-only) —
     "ml_top_movies" -> ((s, _) => graft.sources.MovieLens.topMovies(s)),
     "ml_genre_stats" -> ((s, _) => graft.sources.MovieLens.genreStats(s)),
@@ -231,6 +232,16 @@ object SparkEntry {
         |         WHEN CAST(substr(source, 4) AS INT) < 14 THEN '80'
         |         ELSE '40' END AS thr
         |  FROM documents) WHERE gate < thr""".stripMargin,
+
+    "q_sample_upsample" ->
+      """SELECT doc_id, source,
+        |  unnest(generate_series(1,
+        |    CASE WHEN source = 'src0' THEN 2 WHEN source = 'src1' THEN 1 ELSE 0 END
+        |    + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |        (CASE WHEN source = 'src0' THEN '80' WHEN source = 'src1' THEN '40' ELSE '00' END)
+        |      THEN 1 ELSE 0 END)) AS copy_idx
+        |FROM documents
+        |WHERE source IN ('src0', 'src1')""".stripMargin,
 
     "q_corpus_prep" ->
       """SELECT doc_id, lang, source, n_chars, n_tokens, type_token_ratio FROM (

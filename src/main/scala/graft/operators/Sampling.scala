@@ -57,6 +57,30 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
   }
 
+  /** The upsampling half of mix weighting: weight 2.3 means every doc
+    * appears twice and a deterministic 30% of docs a third time (the
+    * fractional copy chosen by the hash gate, so the same docs repeat
+    * on every engine/run). Map-side explode — row amplification with
+    * no shuffle; `copy_idx` disambiguates repeats downstream (e.g. for
+    * epoch-aware shuffling).
+    */
+  def weightedUpsample(spark: SparkSession, sfDir: String,
+                       weights: Map[String, Double] = Map("src0" -> 2.5, "src1" -> 1.25)): DataFrame = {
+    val base = weights.foldLeft(lit(0)) { case (acc, (src, w)) =>
+      when(col("source") === src, lit(w.toInt)).otherwise(acc)
+    }
+    val fracThr = weights.foldLeft(lit(0)) { case (acc, (src, w)) =>
+      when(col("source") === src, lit(((w - w.toInt) * 256).toInt)).otherwise(acc)
+    }
+    Tables.documents(spark, sfDir)
+      .withColumn("n_reps", base +
+        when(substring(md5(col("doc_id").cast("string")), 1, 2)
+          < format_string("%02x", fracThr), 1).otherwise(0))
+      .filter(col("n_reps") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("n_reps"))).as("copy_idx"))
+  }
+
   /** Class-balanced resample: k docs per language, chosen by hash
     * order (not "first k seen" — that depends on scan order). One
     * shuffle on the class key; the window input is already the
