@@ -263,9 +263,11 @@ object SparkEntry {
         |  len(regexp_extract_all(text,
         |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+'))
         |    AS n_bpe_tokens,
-        |  round(CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text,
-        |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')), 4)
-        |    AS chars_per_bpe_token
+        |  CASE WHEN len(regexp_extract_all(text,
+        |      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')) > 0
+        |    THEN round(CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text,
+        |      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')), 4)
+        |  END AS chars_per_bpe_token
         |FROM documents""".stripMargin,
 
     "text_quality" ->

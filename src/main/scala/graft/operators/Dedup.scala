@@ -21,10 +21,12 @@ object Dedup {
     * O(words) pass per row (see its scaladoc for why the pure-SQL
     * formulation degenerates to O(words²) under Catalyst inlining).
     */
-  private def shingled(spark: SparkSession, sfDir: String): DataFrame = {
+  private def shingled(spark: SparkSession, sfDir: String): DataFrame =
+    shingledOn(spark, Tables.documents(spark, sfDir))
+
+  private def shingledOn(spark: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), expr("graft_shingles(text, 3)").as("shingles"))
+    docs.select(col("doc_id"), expr("graft_shingles(text, 3)").as("shingles"))
   }
 
   /** Exact dedup: group by content hash, keep the smallest doc_id.
@@ -49,17 +51,20 @@ object Dedup {
     * thresholded on the exact value. The signature estimate rides
     * along as `est_jaccard` for calibration.
     */
-  def minhashLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.5): DataFrame = {
+  def minhashLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.5): DataFrame =
+    minhashLshOn(spark, Tables.documents(spark, sfDir), threshold)
+
+  private[graft] def minhashLshOn(spark: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    // shingle-hash sets feed both the signatures and the verify join
-    val sets = shingled(spark, sfDir)
+    // one cached table carries BOTH the shingle-hash set (verify join)
+    // and its signature (estimate) — one join per pair side, single
+    // cache residency
+    val sets = shingledOn(spark, docs)
       .select(col("doc_id"),
         expr("transform(shingles, s -> xxhash64(s))").as("hs"))
+      .withColumn("sig", expr("graft_minhash64(hs)"))
       .cache()
-    val sigs = sets
-      .select(col("doc_id"), expr("graft_minhash64(hs)").as("sig"))
-      .cache()
-    val bands = sigs.select(col("doc_id"), explode(expr(
+    val bands = sets.select(col("doc_id"), explode(expr(
       "transform(sequence(0, 15), b -> " +
       "  named_struct('band', b, 'bh', xxhash64(array_join(slice(sig, b * 4 + 1, 4), ','))))"
     )).as("e")).select(col("doc_id"), col("e.band"), col("e.bh"))
@@ -69,15 +74,19 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val verified = cand
-      .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), Seq("doc_a"))
-      .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), Seq("doc_b"))
-      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"), Seq("doc_a"))
-      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hs_b"), Seq("doc_b"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .withColumn("est_jaccard", round(
         expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)") / 64.0, 4))
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
-      .withColumn("jaccard", round(
-        col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4))
+      // two sub-3-word docs have EMPTY shingle sets yet identical
+      // all-sentinel signatures, so they collide in every band and
+      // reach the division with union size 0 — define their jaccard
+      // as 0 (ANSI mode would otherwise abort on 0/0); empty-content
+      // identity belongs to exact dedup, not similarity
+      .withColumn("uni", size(col("hs_a")) + size(col("hs_b")) - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") > 0, round(col("inter") / col("uni"), 4)).otherwise(lit(0.0)))
     verified.filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
   }

@@ -29,9 +29,10 @@ object Graph {
     * @return (id, label) — label is the component's minimum vertex id.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
+    val fwd = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = fwd
+      .unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache()
     var labels = sym.select(col("src").as("id")).distinct()
@@ -60,6 +61,13 @@ object Graph {
       iter += 1
     }
     sym.unpersist()
+    // returning labels of a non-converged run would silently split
+    // true components (each fragment electing its own keeper) — fail
+    // loudly instead; callers with deeper graphs raise maxIter or
+    // switch to star-contraction
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds " +
+      "(component diameter exceeds maxIter)")
     labels
   }
 }

@@ -54,7 +54,9 @@ object ItemCF {
     */
   private def packPair(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     shiftleft(a, 32) + b
-  private def unpackA(pk: org.apache.spark.sql.Column) = shiftright(pk, 32)
+  // unsigned shift: an id in [2^31, 2^32) sets the packed long's sign
+  // bit, and an arithmetic shift would sign-extend it back negative
+  private def unpackA(pk: org.apache.spark.sql.Column) = shiftrightunsigned(pk, 32)
   private def unpackB(pk: org.apache.spark.sql.Column) = pk.bitwiseAND(lit(0xffffffffL))
 
   /** Market-basket co-occurrence: item pairs sharing users. The pair

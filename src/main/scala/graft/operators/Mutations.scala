@@ -69,9 +69,11 @@ object Mutations {
       .withColumn("op", lit("upsert"))
       .unionByName(updates.select((cols ++ Seq("bts", "op")).map(col): _*))
     // latest batch wins; a same-batch upsert/delete conflict resolves
-    // to the upsert ("upsert" > "delete" lexicographically, op desc)
+    // to the upsert ("upsert" > "delete" lexicographically, op desc).
+    // name/segment complete the total order: two same-batch upserts
+    // for one user would otherwise resolve to an arbitrary winner
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("bts").desc, col("op").desc)
+      .orderBy(col("bts").desc, col("op").desc, col("name").asc, col("segment").asc)
     unioned
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") =!= "delete")

@@ -65,8 +65,11 @@ object TextAnalysis {
         col("n_chars"),
         size(split(col("text"), "\\s+")).as("n_ws_tokens"),
         size(regexp_extract_all(col("text"), lit(bpeish), lit(0))).as("n_bpe_tokens"))
+      // empty/whitespace-only docs have zero bpe tokens — NULL ratio,
+      // not an ANSI divide-by-zero abort
       .withColumn("chars_per_bpe_token",
-        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 4))
+        when(col("n_bpe_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 4)))
   }
 
   /** Language-ID heuristic: score each document against tiny

@@ -103,13 +103,20 @@ case class AsOfJoinExec(
         private var lastKey: UnsafeRow = _
 
         private def advanceRight(): Boolean = {
-          if (rRow != null) return true
-          if (!rIt.hasNext) return false
-          val r = rIt.next()
-          rRow = r.copy()
-          rKey = rKeyProj(rRow).copy()
-          rTime = rTimeProj(rRow).getLong(0)
-          true
+          while (rRow == null && rIt.hasNext) {
+            val r = rIt.next()
+            val t = rTimeProj(r)
+            // SQL comparison semantics: NULL time never satisfies
+            // r.time <= l.time (getLong on a null field would read
+            // epoch 0 and spuriously match) — skip null-timed rows
+            if (!t.isNullAt(0)) {
+              val time = t.getLong(0)
+              rRow = r.copy()
+              rKey = rKeyProj(rRow).copy()
+              rTime = time
+            }
+          }
+          rRow != null
         }
 
         override def hasNext: Boolean = lIt.hasNext
@@ -121,7 +128,11 @@ case class AsOfJoinExec(
           // natural ordering would otherwise pair null-keyed left rows
           // with null-keyed right rows) — emit the null-extended row
           if (lk.anyNull) return joined(l, nullRight)
-          val lt = lTimeProj(l).getLong(0)
+          val ltRow = lTimeProj(l)
+          // a null-timed left row can match no right row (NULL <= NULL
+          // and ts <= NULL are both false in SQL) — null-extend it
+          if (ltRow.isNullAt(0)) return joined(l, nullRight)
+          val lt = ltRow.getLong(0)
           if (lastKey != null && keyOrd.compare(lastKey, lk) != 0) {
             lastRow = null; lastKey = null
           }

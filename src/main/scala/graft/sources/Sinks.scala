@@ -56,17 +56,25 @@ object Sinks {
     spark.read.parquet(path)
       .repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(staged)
-    val target = new java.io.File(path)
-    val old = new java.io.File(path + "_old")
+    // Files.move THROWS on failure (File.renameTo only returns false,
+    // and ignoring it could delete the sole surviving copy); a crash
+    // between the two moves leaves _old or _staged intact for manual
+    // recovery, never zero copies
+    val fs = java.nio.file.FileSystems.getDefault
+    val live = fs.getPath(path)
+    val old = fs.getPath(path + "_old")
     deleteRecursively(old)
-    target.renameTo(old)
-    new java.io.File(staged).renameTo(target)
+    java.nio.file.Files.move(live, old)
+    java.nio.file.Files.move(fs.getPath(staged), live)
     deleteRecursively(old)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
   }
 
   /** The reference's redis export shape (estimator.persist:81-99):

@@ -130,19 +130,25 @@ object EventStream {
         swapSnapshot(snapshot)
         b.unpersist()
         if (n > 0 && pending.addAndGet(n) >= retrainEvery) {
-          pending.set(0L)
           val train = spark.read.parquet(snapshot).select(
             col("user_id").cast("int").as("user"),
             col("item_id").cast("int").as("item"),
             col("rating").cast("float").as("rating"))
           val model = graft.recommender.Als.fit(train, rank, maxIter)
+          // recsDir is the serving surface (the reference's redis
+          // export): stage + atomic swap so a reader never observes a
+          // half-written directory, and reset the pending counter only
+          // AFTER the recs landed — a crash mid-train retrains on the
+          // next batch instead of serving stale recs for a full window
           model.recommendForAllUsers(topN)
             .select(col("user"), explode(col("recommendations")).as("rec"))
             .select(
               col("user").cast("long").as("user_id"),
               col("rec.item").cast("long").as("item_id"),
               round(col("rec.rating").cast("double"), 4).as("score"))
-            .write.mode("overwrite").parquet(recsDir)
+            .write.mode("overwrite").parquet(recsDir + "_staged")
+          promoteStaged(recsDir)
+          pending.set(0L)
         }
         ()
       }
@@ -163,15 +169,20 @@ object EventStream {
     * [[recoverSnapshot]] because the staged dir is already complete
     * (guarded by its _SUCCESS marker).
     */
-  private def swapSnapshot(snapshot: String): Unit = {
+  private def swapSnapshot(snapshot: String): Unit = promoteStaged(snapshot)
+
+  /** Same protocol for any staged directory; tolerates a missing live
+    * dir (first-ever write of e.g. the recs export).
+    */
+  private def promoteStaged(path: String): Unit = {
     val fs = java.nio.file.FileSystems.getDefault
-    val live = fs.getPath(snapshot)
-    val staged = fs.getPath(snapshot + "_staged")
-    val old = fs.getPath(snapshot + "_old")
+    val live = fs.getPath(path)
+    val staged = fs.getPath(path + "_staged")
+    val old = fs.getPath(path + "_old")
     require(java.nio.file.Files.exists(staged.resolve("_SUCCESS")),
-      s"staged snapshot $staged incomplete (no _SUCCESS)")
+      s"staged dir $staged incomplete (no _SUCCESS)")
     deleteRecursively(old)
-    java.nio.file.Files.move(live, old)
+    if (java.nio.file.Files.exists(live)) java.nio.file.Files.move(live, old)
     java.nio.file.Files.move(staged, live)
     deleteRecursively(old)
   }

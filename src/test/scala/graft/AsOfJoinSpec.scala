@@ -34,6 +34,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("t4") === null)  // no quotes for key at all
   }
 
+  test("null timestamps match nothing instead of reading as epoch 0") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, Option(ts("2024-01-01 10:00:05")), "t1"),
+      (1L, Option.empty[java.sql.Timestamp], "t_null")) // null left ts
+      .toDF("key", "t", "trade")
+    val quotes = Seq(
+      (1L, Option.empty[java.sql.Timestamp], 99.0), // null right ts: never a match
+      (1L, Option(ts("2024-01-01 10:00:00")), 100.0))
+      .toDF("qkey", "qt", "price")
+    val out = AsOf.join(spark, trades, quotes, Seq("key" -> "qkey"), "t", "qt")
+      .select(col("trade"), col("price"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out("t1") === 100.0)   // the real quote, not the null-ts one
+    assert(out("t_null") === null) // null left time → null-extended
+  }
+
   test("physical plan uses the custom exec, not a cartesian fallback") {
     import spark.implicits._
     val l = Seq((1L, ts("2024-01-01 00:00:01"))).toDF("k", "t")

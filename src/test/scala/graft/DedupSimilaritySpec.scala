@@ -42,6 +42,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("sub-3-word docs (empty shingle sets) don't break minhash verification") {
+    import spark.implicits._
+    // empty shingle sets share the all-sentinel signature, so these
+    // two docs collide in every LSH band; the verify step must define
+    // their jaccard (0) instead of dividing 0/0
+    val docs = Seq((1L, "hi there"), (2L, "yo"), (3L, "short one too"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashLshOn(spark, docs, threshold = 0.5).collect()
+    assert(out.isEmpty) // nothing real to match; and no ANSI abort
+  }
+
   test("connected components resolve transitive chains to the min label") {
     import spark.implicits._
     // two chains and an isolated edge: {1,2,3,4} via 1-2,2-3,3-4; {10,11}

@@ -57,6 +57,18 @@ class MutationsSpec extends AnyFunSuite {
     assert(m.size === 3)
   }
 
+  test("two same-batch upserts for one user resolve deterministically") {
+    import spark.implicits._
+    val base = Seq((1L, "alice", "AUTOMOBILE")).toDF("user_id", "name", "segment")
+    val updates = Seq(
+      (1L, "zed", "HOUSEHOLD", 1L, "upsert"),
+      (1L, "amy", "BUILDING", 1L, "upsert")) // identical bts → name asc wins
+      .toDF("user_id", "name", "segment", "bts", "op")
+    val out = Mutations.applyUserBatch(base, updates).collect()
+    assert(out.length === 1)
+    assert(out.head.getString(1) === "amy" && out.head.getString(2) === "BUILDING")
+  }
+
   test("cascadeToRatings drops a deleted user's ratings with them") {
     import spark.implicits._
     val users = Seq((1L, "alice", "A"), (3L, "carol", "C")).toDF("user_id", "name", "segment")
