@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, CorpusPrep, Dedup, ItemCF, Relational, Sampling, Serving, Similarity, TextAnalysis}
+import graft.operators.{Analytics, CorpusPrep, Decontamination, Dedup, ItemCF, Relational, Sampling, SeqPack, Serving, Similarity, TextAnalysis}
 import graft.recommender.Als
 import graft.multimodal.Multimodal
 
@@ -59,7 +59,10 @@ object SparkEntry {
     "text_tokens"      -> ((s, d) => TextAnalysis.termFrequencies(s, d)),
     "text_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "text_repetition"  -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "q_decontaminate"  -> ((s, d) => Decontamination.flagContaminated(s, d)),
+    "q_seq_pack"       -> ((s, d) => SeqPack.pack(s, d)),
     // — multimodal —
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
     "mm_resize"   -> ((s, d) => Multimodal.resizePlan(s, d)),
@@ -286,6 +289,40 @@ object SparkEntry {
       """SELECT token, count(*) AS freq FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+        |            FROM w WHERE len(w) >= 3))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+        |  round(1.0 - count(DISTINCT gram) / count(*), 4) AS dup_gram_frac
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+        |      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-3)) AS i
+        |            FROM w WHERE len(w) >= 4)),
+        |eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+        |SELECT t.doc_id, CAST(count(DISTINCT t.gram) AS BIGINT) AS n_hits
+        |FROM (SELECT * FROM g WHERE doc_id % 20 <> 0) t JOIN eval_g e USING (gram)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH t AS (SELECT doc_id, doc_id % 16 AS bucket,
+        |             len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, bucket, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM t)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(bucket * 1000000 + (cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+        |  CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  ((cum - n_tokens) // 512) <> ((cum - 1) // 512) AS is_split
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

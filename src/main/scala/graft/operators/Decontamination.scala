@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Train/test decontamination — flag training documents that share
+  * word n-grams with a held-out evaluation set, so benchmark text
+  * never leaks into the training mix. The counterpart of the hygiene
+  * pass the reference runs before modelling
+  * (/root/reference/prototype/prepare_dataset.py:30-70 drops rows the
+  * model must not see); at corpus scale the contract becomes "the
+  * model must not see the eval suite".
+  *
+  * Shape, chosen for 100 TB:
+  *  - the EVAL side is tiny (benchmark suites are MBs against a
+  *    corpus of TBs): its distinct n-grams are broadcast, so the
+  *    corpus-side scan never shuffles on the gram key — flagging is
+  *    a map-side explode + broadcast hash join + per-doc aggregate;
+  *  - the corpus side explodes grams lazily off the ingest scan; the
+  *    only shuffle is the final per-doc count, keyed on doc_id (the
+  *    table's natural key, no skew);
+  *  - gram width n=4 keeps the FP rate low (4-gram collisions across
+  *    independent docs are rare) while still catching verbatim leaks.
+  *  If the eval side ever outgrows broadcast, the same plan degrades
+  *  gracefully to a shuffled semi-join — flip the hint, nothing else.
+  *
+  * Here the "eval set" is carved from the corpus deterministically
+  * (doc_id % evalMod == 0) so the operator is self-contained and
+  * oracle-checkable; production passes a real benchmark table.
+  */
+object Decontamination {
+
+  /** @return (doc_id, n_hits) for contaminated TRAIN docs only —
+    *         n_hits = distinct eval n-grams the doc contains.
+    */
+  def flagContaminated(spark: SparkSession, sfDir: String, n: Int = 4,
+                       evalMod: Int = 20): DataFrame =
+    flagContaminatedOf(Tables.documents(spark, sfDir), n, evalMod)
+
+  /** Core on an injectable corpus (docs: doc_id, text) — spec entry. */
+  def flagContaminatedOf(docs: DataFrame, n: Int = 4,
+                         evalMod: Int = 20): DataFrame = {
+    val grams = docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))"))
+          .as("gram"))
+    val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
+      .select(col("gram")).distinct()
+    grams.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+}

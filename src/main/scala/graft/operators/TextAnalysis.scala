@@ -120,6 +120,33 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("tfidf"), col("rn"))
   }
 
+  /** Within-document repetition score — the Gopher-style "fraction of
+    * duplicate n-grams" quality filter: machine-generated and boiler-
+    * plate text repeats itself, and a high duplicate-trigram fraction
+    * is one of the strongest cheap signals for dropping it. Pure
+    * per-row column work (no shuffle): build the gram list, compare
+    * total vs distinct counts. Docs shorter than `n` tokens carry no
+    * gram evidence and are excluded (same rule as the oracle).
+    */
+  def repetition(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame =
+    repetitionOf(Tables.documents(spark, sfDir), n)
+
+  /** Core on an injectable corpus (docs: doc_id, text) — spec entry. */
+  def repetitionOf(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))")
+          .as("grams"))
+      .select(
+        col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+      .withColumn("dup_gram_frac",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 4))
+      .orderBy(col("doc_id"))
+
   /** Rolling polynomial (Rabin-Karp-style) document fingerprint over
     * token hashes — order-sensitive, unlike the bag-of-shingles
     * signatures in [[Dedup]]. Arithmetic kept modular (acc < 2^31,

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-case specs for the training-prep trio: repetition scoring,
+  * decontamination, and sequence packing — each checked against
+  * hand-computed expectations (the DuckDB oracle gates the same ops on
+  * the real corpus).
+  */
+class TrainingPrepSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  test("repetition: duplicate-trigram fraction matches hand computation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),        // grams: aba, bab, aba, bab → 4 total, 2 distinct
+      (2L, "x y z w"),            // grams: xyz, yzw → no dups
+      (3L, "t u")                 // shorter than n → excluded
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionOf(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r.keySet === Set(1L, 2L))
+    assert(r(1L) === ((4L, 2L, 0.5)))
+    assert(r(2L) === ((2L, 2L, 0.0)))
+  }
+
+  test("decontamination flags exactly the train docs sharing an eval 4-gram") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),       // eval (0 % 20 == 0)
+      (1L, "zzz alpha beta gamma delta yyy"),       // train, contains eval gram
+      (2L, "one two three four five"),              // train, clean
+      (3L, "alpha beta gamma delta beta gamma delta epsilon") // train, 2 distinct hits
+    ).toDF("doc_id", "text")
+    val r = Decontamination.flagContaminatedOf(docs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 1L, 3L -> 2L))
+  }
+
+  test("sequence packing: offsets, boundary split, per-bucket independence") {
+    import spark.implicits._
+    def words(k: Int): String = Seq.fill(k)("w").mkString(" ")
+    // bucket 0: 300 + 300 + 100 tokens against budget 512
+    val docs = Seq(
+      (0L, words(300)),   // seq 0, offset 0, ends 299 → no split
+      (16L, words(300)),  // starts 300 → seq 0, crosses 512 → split
+      (32L, words(100)),  // starts 600 → seq 1, offset 88, no split
+      (1L, words(600))    // bucket 1: own id space, splits 512
+    ).toDF("doc_id", "text")
+    val r = SeqPack.packOf(docs).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(2), x.getLong(3), x.getBoolean(5)))).toMap
+    assert(r(0L) === ((0L, 0L, false)))
+    assert(r(16L) === ((0L, 300L, true)))
+    assert(r(32L) === ((1L, 88L, false)))
+    assert(r(1L) === ((SeqPack.SeqStride, 0L, true)))
+  }
+
+  test("sequence packing is parallelism-independent (repartition invariance)") {
+    import spark.implicits._
+    val docs = (0L until 64L).map(i => (i, Seq.fill((i % 7 + 1).toInt * 40)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = SeqPack.packOf(docs).collect().toSeq
+    val b = SeqPack.packOf(docs.repartition(13)).collect().toSeq
+    assert(a === b)
+  }
+}
