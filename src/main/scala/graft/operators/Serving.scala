@@ -49,12 +49,17 @@ object Serving {
     //    anti-joined against snapshot-seen (as the recompute would)
     val scores = ItemCF.cfScores(capped, minCommon)
     val snapSeen = snap.select(col("user_id"), col("item_id").as("item_j"))
-    val wCf = Window.partitionBy(col("user_id"))
-      .orderBy(col("score").desc, col("item_j").asc)
+    // top-N via the heap aggregate (see ItemCF.recommend): partial
+    // aggregation ships ≤ N rows per user per map partition instead of
+    // window-sorting the full scored candidate set; same
+    // (score desc, id asc) total order. The later windows here run
+    // over ≤ topN (or ≤ poolSize) rows per user — those stay windows.
+    graft.functions.TopKAgg.register(spark)
     val cfRecs = scores.join(snapSeen, Seq("user_id", "item_j"), "left_anti")
-      .withColumn("cf_rn", row_number().over(wCf))
-      .filter(col("cf_rn") <= topN)
-      .select(col("user_id"), col("item_j").as("item_id"), col("score"))
+      .groupBy(col("user_id"))
+      .agg(expr(s"graft_topk(score, item_j, $topN)").as("topk"))
+      .select(col("user_id"), explode(col("topk")).as("kv"))
+      .select(col("user_id"), col("kv.id").as("item_id"), col("kv.score").as("score"))
 
     // 2. serve-time filter: drop recs rated/watched since the cutoff
     val seen = base.select(col("user_id"), col("item_id"))
