@@ -84,6 +84,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(4000))
   }
 
+  test("decontaminate: eval grams broadcast — corpus side never shuffles on the gram key") {
+    val p = plan(graft.operators.Decontamination.flagContaminated(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    // the only hash exchanges allowed: the eval-side distinct and the
+    // per-doc aggregate — never one keyed on the corpus gram column
+    val gramShuffles = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(gram"))
+    assert(gramShuffles <= 1, s"corpus gram-key shuffle crept in\n" + p.take(4000))
+  }
+
+  test("seq-pack: one bucket-keyed window shuffle, no global sort before it") {
+    val p = plan(graft.operators.SeqPack.pack(spark, sf))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 bucket shuffle, got $exchanges\n" + p.take(4000))
+    assert(p.contains("hashpartitioning(bucket"), p.take(4000))
+  }
+
+  test("recommend: top-N is the partial-aggregating heap, not a window sort") {
+    // partial_graft_topk below the exchange = map-side combine ships
+    // ≤ N rows per user per partition (the degree-cap window's
+    // row_number elsewhere in the plan is expected)
+    val p = plan(ItemCF.recommend(spark, sf))
+    assert(p.contains("partial_graft_topk"), p.take(4000))
+  }
+
   test("interactions: exactly one window shuffle implements the upsert") {
     // the is_implicit filter CANNOT push below the latest-wins window
     // (the kept row determines the flag) — but the upsert must cost
