@@ -84,6 +84,8 @@ object SparkEntry {
     "q_corpus_prep"     -> ((s, d) => CorpusPrep.prep(s, d)),
     "q_sample_weighted" -> ((s, d) => Sampling.weightedSample(s, d)),
     "q_sample_upsample" -> ((s, d) => Sampling.weightedUpsample(s, d)),
+    "q_sample_curriculum" -> ((s, d) => Sampling.curriculumSample(s, d)),
+    "q_mix_plan"          -> ((s, d) => Sampling.mixPlan(s, d)),
     // — MovieLens fidelity harness (reference's own dataset; rows-only) —
     "ml_top_movies" -> ((s, _) => graft.sources.MovieLens.topMovies(s)),
     "ml_genre_stats" -> ((s, _) => graft.sources.MovieLens.genreStats(s)),
@@ -235,6 +237,33 @@ object SparkEntry {
         |         WHEN CAST(substr(source, 4) AS INT) < 14 THEN '80'
         |         ELSE '40' END AS thr
         |  FROM documents) WHERE gate < thr""".stripMargin,
+
+    "q_sample_curriculum" ->
+      """SELECT doc_id, source, q_bucket, ttr FROM (
+        |  SELECT doc_id, source, ttr, gate,
+        |    ntile(4) OVER (PARTITION BY source ORDER BY ttr DESC, doc_id ASC) AS q_bucket
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |            / len(string_split(text, ' ')), 4) AS ttr,
+        |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS gate
+        |    FROM documents))
+        |WHERE q_bucket = 1
+        |   OR gate < (CASE q_bucket WHEN 2 THEN '80' WHEN 3 THEN '40' ELSE '20' END)""".stripMargin,
+
+    "q_mix_plan" ->
+      """SELECT source, n_docs, n_tokens, weight,
+        |  CAST(floor(3000000 * weight / 10.25) AS BIGINT) AS target_tokens,
+        |  round(CAST(floor(3000000 * weight / 10.25) AS DOUBLE) / n_tokens, 6) AS rate,
+        |  CAST(ceil(round(CAST(floor(3000000 * weight / 10.25) AS DOUBLE) / n_tokens, 6))
+        |    AS BIGINT) AS n_epochs
+        |FROM (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    CAST(CASE WHEN CAST(substr(source, 4) AS INT) < 7 THEN 0.75
+        |         WHEN CAST(substr(source, 4) AS INT) < 14 THEN 0.5
+        |         ELSE 0.25 END AS DOUBLE) AS weight
+        |  FROM documents GROUP BY source)""".stripMargin,
 
     "q_sample_upsample" ->
       """SELECT doc_id, source,

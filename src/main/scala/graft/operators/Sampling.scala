@@ -94,4 +94,65 @@ object Sampling {
       .filter(col("rn") <= perClass)
       .select(col("doc_id"), col("lang"), col("rn"))
   }
+
+  /** Curriculum / quality-bucketed sampling: rank documents into
+    * per-source quality quartiles (type-token ratio, ties broken by
+    * doc_id) and keep a decaying fraction per quartile — all of the
+    * best bucket, half of the next, then a quarter, then an eighth.
+    * The keep decision is the same content-derived hash gate as every
+    * sampler here, so the output is engine/layout/run independent.
+    *
+    * Scale shape: the quartile assignment is a per-SOURCE window
+    * (sources are the parallel unit — one sort per source, no global
+    * sort). ntile is chosen for EXACTNESS (it makes the operator
+    * SQL-oracle-checkable); at corpus scale where one source may be
+    * TBs, swap the ntile for approx_percentile quality thresholds —
+    * one pass, no sort, same output contract, approximate bucket
+    * boundaries.
+    */
+  def curriculumSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("ttr").desc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .withColumn("ttr",
+        round(size(array_distinct(toks)).cast("double") / size(toks), 4))
+      .withColumn("q_bucket", ntile(4).over(w).cast("long"))
+      .withColumn("gate", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .filter(col("q_bucket") === 1 ||
+        col("gate") < when(col("q_bucket") === 2, lit("80"))
+          .when(col("q_bucket") === 3, lit("40")).otherwise(lit("20")))
+      .select(col("doc_id"), col("source"), col("q_bucket"), col("ttr"))
+  }
+
+  /** Training-mix planner: turn per-source token inventories plus mix
+    * weights and a global token budget into per-source sampling rates
+    * — the arithmetic that decides what [[weightedSample]] /
+    * [[weightedUpsample]] are RUN WITH. target_s = budget·w_s/Σw;
+    * rate_s = target_s/tokens_s (rate > 1 ⇒ the source upsamples,
+    * n_epochs = ⌈rate⌉ passes). One small aggregate over the corpus
+    * (per-source partial sums ride the scan); the plan itself is a
+    * |sources|-row table.
+    */
+  def mixPlan(spark: SparkSession, sfDir: String,
+              budgetTokens: Long = 3000000L): DataFrame = {
+    // same three weight tiers as DefaultMix, keyed off the source
+    // index (mirrored in the oracle's CASE)
+    val srcIdx = substring(col("source"), 4, 8).cast("int")
+    val weight = when(srcIdx < 7, 0.75).when(srcIdx < 14, 0.5).otherwise(0.25)
+    val sumW = 0.75 * 7 + 0.5 * 7 + 0.25 * 6
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"),
+        first(weight).as("weight"))
+      .withColumn("target_tokens",
+        floor(lit(budgetTokens) * col("weight") / lit(sumW)).cast("long"))
+      .withColumn("rate",
+        round(col("target_tokens").cast("double") / col("n_tokens"), 6))
+      .withColumn("n_epochs", ceil(col("rate")).cast("long"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("target_tokens"), col("rate"), col("n_epochs"))
+  }
 }
