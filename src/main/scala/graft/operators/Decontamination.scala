@@ -44,10 +44,7 @@ object Decontamination {
     val grams = docs
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))"))
-          .as("gram"))
+      .select(col("doc_id"), explode(TextAnalysis.wordGrams(n)).as("gram"))
     val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
       .select(col("gram")).distinct()
     grams.filter(col("doc_id") % evalMod =!= 0)

@@ -84,35 +84,16 @@ object ItemCF {
       .select(unpackA(col("pk")).as("item_a"), unpackB(col("pk")).as("item_b"), col("n_users"))
   }
 
-  /** Incremental maintenance of the co-occurrence matrix: merge a
-    * delta batch of interactions into existing pair counts with work
-    * proportional to the DELTA, never the corpus. Co-occurrence is an
-    * additive join-aggregate, so the textbook IVM identity applies —
-    * the new pairs are (delta × delta within a user) ∪ (delta × that
-    * user's existing profile):
-    *
-    *   cooc(old ∪ Δ) = cooc(old) + pairs(Δ, Δ) + pairs(Δ, old)
-    *
-    * At 100 TB this is the difference between re-shuffling the full
-    * fact table on every recompute tick and touching only the users
-    * the delta names (the reference recomputes from scratch on a
-    * timer — prototype/trainer.py's periodic rebuild; this is the
-    * operator that lets that tick scale). The profile lookup
-    * semi-filters the fact table by the delta's users with a broadcast
-    * (delta user lists are small by definition of "delta"); a bucketed
-    * profile store ([[graft.sources.Sinks.writeBucketed]]) makes the
-    * remaining join shuffle-free.
-    *
-    * Contracts: `oldCooc` must be UNFILTERED counts (minUsers = 1 —
-    * a thresholded matrix cannot be incremented, counts below the
-    * threshold are lost); threshold on the MERGED output. Degree
-    * capping is a profile-maintenance policy applied upstream of the
-    * delta feed, not here.
-    */
   /** Pair-count contributions of a delta batch, keyed by packed pair:
     * pairs(Δ,Δ) ∪ pairs(Δ, touched profiles), all small-side work —
     * the fact table is scanned map-side (small side broadcast), never
     * shuffled. Shared core of [[coocDelta]] and [[coocIncrement]].
+    *
+    * Caching contract (repo-wide operator convention): intermediates
+    * the plan consumes more than once are cached and left for the
+    * CALLER to drop (`spark.catalog.clearCache()`, as Bench does per
+    * query) — unpersisting before the returned lazy plan materializes
+    * would defeat the cache entirely.
     */
   private def deltaPairCounts(oldFacts: DataFrame, delta: DataFrame): DataFrame = {
     val old = oldFacts.select(col("user_id"), col("item_id"))
@@ -165,6 +146,24 @@ object ItemCF {
         col("n_users"))
   }
 
+  /** Incremental maintenance of the co-occurrence matrix — merge a
+    * delta batch of interactions into existing pair counts. The
+    * textbook IVM identity for this additive join-aggregate:
+    *
+    *   cooc(old ∪ Δ) = cooc(old) + pairs(Δ, Δ) + pairs(Δ, old)
+    *
+    * At 100 TB this is the difference between re-shuffling the full
+    * fact table on every recompute tick and touching only the users
+    * the delta names (the reference recomputes from scratch on a
+    * timer — prototype/trainer.py's periodic rebuild; this is the
+    * operator that lets that tick scale).
+    *
+    * Contracts: `oldCooc` must be UNFILTERED counts (minUsers = 1 — a
+    * thresholded matrix cannot be incremented, counts below the
+    * threshold are lost); threshold on the MERGED output. Degree
+    * capping is a profile-maintenance policy applied upstream of the
+    * delta feed, not here.
+    */
   def coocIncrement(oldFacts: DataFrame, oldCooc: DataFrame, delta: DataFrame): DataFrame = {
     val deltaPairs = deltaPairCounts(oldFacts, delta)
     // Full-merge output (the oracle gates the IVM identity on it) via

@@ -120,6 +120,17 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("tfidf"), col("rn"))
   }
 
+  /** Word n-gram list over a column named `w` (the space-split token
+    * array): gram i = tokens [i, i+n). Shared by [[repetitionOf]] and
+    * [[Decontamination]] so the two stay gram-compatible (and both
+    * match the DuckDB oracles' `w[i] || ' ' || …` construction).
+    * Callers must pre-filter `size(w) >= n`. Note: NOT the same as
+    * `graft_shingles`, which dedups, tokenizes on `\s+`, and emits
+    * short docs as a single shingle.
+    */
+  private[operators] def wordGrams(n: Int): org.apache.spark.sql.Column =
+    expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))")
+
   /** Within-document repetition score — the Gopher-style "fraction of
     * duplicate n-grams" quality filter: machine-generated and boiler-
     * plate text repeats itself, and a high duplicate-trigram fraction
@@ -136,9 +147,7 @@ object TextAnalysis {
     docs
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"),
-        expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))")
-          .as("grams"))
+      .select(col("doc_id"), wordGrams(n).as("grams"))
       .select(
         col("doc_id"),
         size(col("grams")).cast("long").as("n_grams"),
