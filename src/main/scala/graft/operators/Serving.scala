@@ -80,10 +80,17 @@ object Serving {
       .orderBy(col("votes").desc, col("avg_rating").desc, col("item_id").asc)
       .limit(poolSize)
 
-    // pad candidates: every known user × pool, minus seen, minus the
-    // surviving recs; users with no precomputed entry (n_surv null →
-    // 0) get the pure-fallback branch of the reference for free
+    // pad candidates: only DEFICIT users (fewer than topN surviving
+    // recs — including users with no precomputed entry at all, n_surv
+    // null → 0, the reference's pure-fallback branch) ever produce a
+    // pad row, so restrict the candidate build to them up front: in a
+    // healthy recommender most users have a full top-N, and the
+    // users×pool cross, both anti joins, and the pad window all
+    // shrink from |users|×pool to |deficit|×pool
     val users = base.select(col("user_id")).distinct()
+      .join(nSurv, Seq("user_id"), "left")
+      .withColumn("n_surv", coalesce(col("n_surv"), lit(0L)))
+      .filter(col("n_surv") < topN)
     val wPad = Window.partitionBy(col("user_id"))
       .orderBy(col("votes").desc, col("avg_rating").desc, col("item_id").asc)
     // the pad exclusion only ever tests pool items, so pre-filter the
@@ -95,8 +102,6 @@ object Serving {
       .join(seenInPool, Seq("user_id", "item_id"), "left_anti")
       .join(survivors.select(col("user_id"), col("item_id")), Seq("user_id", "item_id"), "left_anti")
       .withColumn("pad_rn", row_number().over(wPad))
-      .join(nSurv, Seq("user_id"), "left")
-      .withColumn("n_surv", coalesce(col("n_surv"), lit(0L)))
       .filter(col("pad_rn") <= lit(topN) - col("n_surv"))
       .select(
         col("user_id"), col("item_id"),
