@@ -13,7 +13,9 @@ object ExplainAll {
     val interesting = Seq(
       "q1_agg", "q3_join", "q_movie_stats", "q_top_movies",
       "q_user_top_ratings", "q_recs_fallback", "q_implicit_backfill",
-      "q_ratings_etl", "dedup_exact", "knn_brute", "text_tokens")
+      "q_ratings_etl", "dedup_exact", "knn_brute", "text_tokens",
+      "q_decontaminate", "q_seq_pack", "text_repetition",
+      "q_sample_curriculum", "q_mix_plan", "q_recs_serve")
     interesting.foreach { name =>
       w.println(s"========== $name ==========")
       w.println(SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
