@@ -85,6 +85,9 @@ object SparkEntry {
     "q_sample_weighted" -> ((s, d) => Sampling.weightedSample(s, d)),
     "q_sample_upsample" -> ((s, d) => Sampling.weightedUpsample(s, d)),
     "q_sample_curriculum" -> ((s, d) => Sampling.curriculumSample(s, d)),
+    // scale path (approx_percentile cutpoints): rows-only — sketch
+    // boundaries are engine-specific; CurriculumSpec gates agreement
+    "q_sample_curriculum_approx" -> ((s, d) => Sampling.curriculumSampleApprox(s, d)),
     "q_mix_plan"          -> ((s, d) => Sampling.mixPlan(s, d)),
     // — MovieLens fidelity harness (reference's own dataset; rows-only) —
     "ml_top_movies" -> ((s, _) => graft.sources.MovieLens.topMovies(s)),

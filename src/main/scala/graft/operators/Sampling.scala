@@ -125,6 +125,40 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("q_bucket"), col("ttr"))
   }
 
+  /** The scale path of [[curriculumSample]]: quartile boundaries from
+    * `approx_percentile` instead of an exact per-source ntile sort.
+    * Two passes, both sort-free: a per-source aggregate computes the
+    * three quality cutpoints (a tiny |sources|-row table, broadcast
+    * back), then a map-side comparison assigns buckets and applies
+    * the same decaying hash gates. A source of any size costs one
+    * partial-aggregated scan — no per-source sort — at the price of
+    * approximate bucket boundaries (CurriculumSpec pins ≥95% bucket
+    * agreement with the exact path at test SF). Ties across a
+    * cutpoint all land in the SAME bucket here, whereas ntile splits
+    * them to equalize bucket sizes — that's the semantic difference,
+    * not just sketch error.
+    */
+  def curriculumSampleApprox(spark: SparkSession, sfDir: String,
+                             accuracy: Int = 10000): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = Tables.documents(spark, sfDir)
+      .withColumn("ttr",
+        round(size(array_distinct(toks)).cast("double") / size(toks), 4))
+    val cuts = scored.groupBy(col("source"))
+      .agg(expr(s"approx_percentile(ttr, array(0.75, 0.5, 0.25), $accuracy)").as("cuts"))
+    scored.join(broadcast(cuts), Seq("source"))
+      .withColumn("q_bucket",
+        when(col("ttr") >= col("cuts")(0), 1L)
+          .when(col("ttr") >= col("cuts")(1), 2L)
+          .when(col("ttr") >= col("cuts")(2), 3L)
+          .otherwise(4L))
+      .withColumn("gate", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .filter(col("q_bucket") === 1 ||
+        col("gate") < when(col("q_bucket") === 2, lit("80"))
+          .when(col("q_bucket") === 3, lit("40")).otherwise(lit("20")))
+      .select(col("doc_id"), col("source"), col("q_bucket"), col("ttr"))
+  }
+
   /** Training-mix planner: turn per-source token inventories plus mix
     * weights and a global token budget into per-source sampling rates
     * — the arithmetic that decides what [[weightedSample]] /
