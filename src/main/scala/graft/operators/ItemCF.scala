@@ -73,7 +73,7 @@ object ItemCF {
     * (user_id, item_id) fact set — the shared core of [[cooccurrence]]
     * and the incremental path below.
     */
-  private[operators] def coocCountsOn(i: DataFrame): DataFrame = {
+  private[graft] def coocCountsOn(i: DataFrame): DataFrame = {
     val a = i.select(col("user_id"), col("item_id").as("item_a"))
     val b = i.select(col("user_id"), col("item_id").as("item_b"))
     a.join(b, Seq("user_id"))

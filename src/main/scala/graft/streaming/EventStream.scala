@@ -102,6 +102,60 @@ object EventStream {
       }
       .start()
 
+  /** Streaming materialized view of the co-occurrence matrix: each
+    * micro-batch of new interactions flows through
+    * [[graft.operators.ItemCF.coocDelta]] (changed matrix rows only —
+    * work ∝ batch, zero shuffles of matrix or facts) and is applied
+    * to the matrix snapshot with the store-apply semantics the
+    * IvmTimingSpec proves correct (changed pairs replace, untouched
+    * carry over). This is the reference's 15-minute full recompute
+    * (web/service.py APScheduler) turned into a continuously
+    * maintained view whose per-tick cost no longer grows with
+    * history.
+    *
+    * Snapshot protocol is the same staged-swap as [[startCdcApply]].
+    * The matrix rewrite here is O(matrix) in the parquet copy — on a
+    * lake both writes become transactional MERGE/INSERT (Delta/
+    * Iceberg) and only the delta moves; the COMPUTE is already
+    * delta-sized, which is the part a lake cannot fix for you.
+    *
+    * @param interactions streaming (user_id, item_id) new-interaction rows
+    * @param factsDir     parquet snapshot of interactions seen so far
+    * @param matrixDir    parquet snapshot of UNFILTERED pair counts
+    *                     (minUsers = 1, coocIncrement's contract)
+    */
+  def startCoocMaintain(interactions: DataFrame, factsDir: String,
+                        matrixDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    interactions.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        recoverSnapshot(factsDir); recoverSnapshot(matrixDir)
+        val b = batch.toDF().select(col("user_id"), col("item_id")).cache()
+        if (b.count() > 0) {
+          val old = spark.read.parquet(factsDir)
+          val matrix = spark.read.parquet(matrixDir)
+          val changes = graft.operators.ItemCF.coocDelta(old, matrix, b)
+          matrix
+            .join(changes.select(col("item_a"), col("item_b")),
+              Seq("item_a", "item_b"), "left_anti")
+            .unionByName(changes)
+            .write.mode("overwrite").parquet(matrixDir + "_staged")
+          swapSnapshot(matrixDir)
+          // facts gain only the batch's genuinely-new (user, item)
+          // rows (coocDelta ignored the rest); materialize before
+          // writing — the plan reads the directory being appended to
+          val newFacts = b.join(old, Seq("user_id", "item_id"), "left_anti").cache()
+          newFacts.count()
+          newFacts.write.mode("append").parquet(factsDir)
+          newFacts.unpersist()
+        }
+        b.unpersist()
+        spark.catalog.clearCache() // coocDelta caches internals by convention
+        ()
+      }
+      .start()
+
   /** Continuous retrain loop — the reference's periodic recompute
     * (web/service.py APScheduler: recompute_recommendations every
     * 15/30 min) turned data-driven: mutations stream into the ratings
