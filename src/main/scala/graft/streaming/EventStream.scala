@@ -128,20 +128,29 @@ object EventStream {
                         matrixDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     interactions.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         recoverSnapshot(factsDir); recoverSnapshot(matrixDir)
         val b = batch.toDF().select(col("user_id"), col("item_id")).cache()
         if (b.count() > 0) {
           val old = spark.read.parquet(factsDir)
-          val matrix = spark.read.parquet(matrixDir)
-          val changes = graft.operators.ItemCF.coocDelta(old, matrix, b)
-          matrix
-            .join(changes.select(col("item_a"), col("item_b")),
-              Seq("item_a", "item_b"), "left_anti")
-            .unionByName(changes)
-            .write.mode("overwrite").parquet(matrixDir + "_staged")
-          swapSnapshot(matrixDir)
+          // foreachBatch is at-least-once: a replayed batch must not
+          // bump the matrix twice. The applied-batch marker travels
+          // INSIDE the staged dir, so marker and matrix swap in
+          // atomically; on replay (marker >= batchId) the matrix
+          // apply is skipped and only the facts append re-runs —
+          // itself a no-op via the anti-join if it had completed
+          if (appliedBatchId(matrixDir) < batchId) {
+            val matrix = spark.read.parquet(matrixDir)
+            val changes = graft.operators.ItemCF.coocDelta(old, matrix, b)
+            matrix
+              .join(changes.select(col("item_a"), col("item_b")),
+                Seq("item_a", "item_b"), "left_anti")
+              .unionByName(changes)
+              .write.mode("overwrite").parquet(matrixDir + "_staged")
+            writeBatchMarker(matrixDir + "_staged", batchId)
+            swapSnapshot(matrixDir)
+          }
           // facts gain only the batch's genuinely-new (user, item)
           // rows (coocDelta ignored the rest); materialize before
           // writing — the plan reads the directory being appended to
@@ -155,6 +164,20 @@ object EventStream {
         ()
       }
       .start()
+
+  private val BatchMarker = "_graft_applied_batch"
+
+  private def appliedBatchId(dir: String): Long = {
+    val p = java.nio.file.FileSystems.getDefault.getPath(dir, BatchMarker)
+    if (java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p)).trim.toLong
+    else -1L
+  }
+
+  private def writeBatchMarker(dir: String, batchId: Long): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.FileSystems.getDefault.getPath(dir, BatchMarker),
+      batchId.toString.getBytes)
 
   /** Continuous retrain loop — the reference's periodic recompute
     * (web/service.py APScheduler: recompute_recommendations every

@@ -112,5 +112,11 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(matrixNow.contains((10L, 11L, 3L))) // bumped by user 4
     // facts snapshot deduplicated the repeat (seed 6 + 3 new)
     assert(spark.read.parquet(factsDir).count() === 9)
+    // the applied-batch marker swapped in with the matrix (replay
+    // guard: a redelivered batch <= marker skips the matrix apply)
+    val marker = java.nio.file.FileSystems.getDefault
+      .getPath(matrixDir, "_graft_applied_batch")
+    assert(java.nio.file.Files.exists(marker))
+    assert(new String(java.nio.file.Files.readAllBytes(marker)).trim.toLong === 1L)
   }
 }
