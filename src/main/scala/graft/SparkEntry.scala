@@ -72,6 +72,8 @@ object SparkEntry {
     // incremental-view-maintenance path; oracle = the BATCH pair count,
     // so the gate checks the IVM identity itself
     "q_item_cooc_inc" -> ((s, d) => ItemCF.coocIncremental(s, d)),
+    // the tick payload (changed rows only); oracle = pair-count diff
+    "q_item_cooc_delta" -> ((s, d) => ItemCF.coocDeltaDemo(s, d)),
     "q_item_sim"     -> ((s, d) => ItemCF.itemSimilarity(s, d)),
     "q_item_cf_recs" -> ((s, d) => ItemCF.recommend(s, d)),
     "q_user_sim"     -> ((s, d) => ItemCF.userSimilarity(s, d)),
@@ -432,6 +434,60 @@ object SparkEntry {
          |FROM interactions a JOIN interactions b
          |  ON a.user_id = b.user_id AND a.item_id < b.item_id
          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    "q_item_cooc_delta" ->
+      s"""$I, pc_all AS (
+         |  SELECT a.item_id AS item_a, b.item_id AS item_b, count(*) AS n_users
+         |  FROM interactions a JOIN interactions b
+         |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2),
+         |old_i AS (SELECT user_id, item_id FROM interactions WHERE ts < DATE '2001-06-01'),
+         |pc_old AS (
+         |  SELECT a.item_id AS item_a, b.item_id AS item_b, count(*) AS n_users
+         |  FROM old_i a JOIN old_i b
+         |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2)
+         |SELECT f.item_a, f.item_b, f.n_users
+         |FROM pc_all f LEFT JOIN pc_old o USING (item_a, item_b)
+         |WHERE o.n_users IS NULL OR f.n_users <> o.n_users""".stripMargin,
+
+    "text_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    round(CAST(len(list_intersect(string_split(text, ' '),
+        |      ['der','die','das','und','ist'])) AS DOUBLE) / 5, 4) AS s_de,
+        |    round(CAST(len(list_intersect(string_split(text, ' '),
+        |      ['the','a','of','and','is'])) AS DOUBLE) / 5, 4) AS s_en,
+        |    round(CAST(len(list_intersect(string_split(text, ' '),
+        |      ['el','la','de','y','es'])) AS DOUBLE) / 5, 4) AS s_es
+        |  FROM documents),
+        |b AS (SELECT doc_id, list_sort([
+        |    struct_pack(score := s_de, lang := 'de'),
+        |    struct_pack(score := s_en, lang := 'en'),
+        |    struct_pack(score := s_es, lang := 'es')])[3] AS best FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+        |  best.score AS score
+        |FROM b""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+        |                             for i in range(1, len(w) - 1)])
+        |    END AS grams
+        |  FROM w),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.grams, b.grams)) AS i,
+        |    len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS u
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / u, 4) AS jaccard
+        |FROM p WHERE round(CAST(i AS DOUBLE) / u, 4) >= 0.8""".stripMargin,
 
     "q_item_sim" ->
       s"""$IU, norms AS (

@@ -210,6 +210,25 @@ object ItemCF {
       .filter(col("n_users") >= minUsers)
   }
 
+  /** [[coocDelta]] exercised end-to-end (registered as
+    * `q_item_cooc_delta`): same cutoff split as [[coocIncremental]],
+    * but emitting only the CHANGED matrix rows — the tick payload.
+    * SQL-oracled as the set difference of the full and pre-cutoff
+    * pair counts (a pair is in the delta iff its count moved), so the
+    * gate checks the changed-rows contract itself.
+    */
+  def coocDeltaDemo(spark: SparkSession, sfDir: String,
+                    cutoff: String = "2001-06-01"): DataFrame = {
+    val base = Tables.interactions(spark, sfDir)
+      .select(col("user_id"), col("item_id"), col("ts"))
+      .cache()
+    val old = base.filter(col("ts") < lit(cutoff).cast("date"))
+      .select(col("user_id"), col("item_id")).cache()
+    val delta = base.filter(col("ts") >= lit(cutoff).cast("date"))
+      .select(col("user_id"), col("item_id"))
+    coocDelta(old, coocCountsOn(old), delta)
+  }
+
   /** Item-item cosine similarity over user-rating vectors:
     * sim(i,j) = Σ_u r_ui·r_uj / (‖r_i‖·‖r_j‖), pairs formed through
     * shared users only, norms precomputed per item (broadcastable).
