@@ -95,7 +95,15 @@ object ItemCF {
     * query) — unpersisting before the returned lazy plan materializes
     * would defeat the cache entirely.
     */
-  private def deltaPairCounts(oldFacts: DataFrame, delta: DataFrame): DataFrame = {
+  private def deltaPairCounts(oldFacts: DataFrame, delta: DataFrame): DataFrame =
+    deltaPairCountsTracked(oldFacts, delta)._1
+
+  /** [[deltaPairCounts]] plus the frames it cached, so streaming
+    * callers can unpersist this tick's intermediates without a
+    * session-wide clearCache.
+    */
+  private def deltaPairCountsTracked(oldFacts: DataFrame,
+                                     delta: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val old = oldFacts.select(col("user_id"), col("item_id"))
     // new facts only: a (user, item) already present adds no pair.
     // Phrased as semi-then-anti with the SMALL side broadcast both
@@ -116,9 +124,10 @@ object ItemCF {
     val cross = dA.join(touched.select(col("user_id"), col("item_id").as("item_b")), Seq("user_id"))
       .select(packPair(least(col("item_a"), col("item_b")),
         greatest(col("item_a"), col("item_b"))).as("pk"))
-    newNew.unionByName(cross)
+    val pairs = newNew.unionByName(cross)
       .groupBy(col("pk"))
       .agg(count(lit(1)).as("dn"))
+    (pairs, Seq(d0, d))
   }
 
   /** The deployment tick: CHANGED matrix rows only — (item_a, item_b,
@@ -132,8 +141,17 @@ object ItemCF {
     * table and ONE over the matrix (inner join against the broadcast
     * delta pairs); zero shuffles of either.
     */
-  def coocDelta(oldFacts: DataFrame, oldCooc: DataFrame, delta: DataFrame): DataFrame = {
-    val deltaPairs = deltaPairCounts(oldFacts, delta).cache()
+  def coocDelta(oldFacts: DataFrame, oldCooc: DataFrame, delta: DataFrame): DataFrame =
+    coocDeltaTracked(oldFacts, oldCooc, delta)._1
+
+  /** [[coocDelta]] plus every frame it cached — streaming callers
+    * unpersist these after the tick's writes land instead of a
+    * session-wide clearCache.
+    */
+  private[graft] def coocDeltaTracked(oldFacts: DataFrame, oldCooc: DataFrame,
+                                      delta: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val (pairCounts, pairCaches) = deltaPairCountsTracked(oldFacts, delta)
+    val deltaPairs = pairCounts.cache()
     val oldPk = oldCooc
       .select(packPair(col("item_a"), col("item_b")).as("pk"), col("n_users"))
     val bumped = oldPk.join(broadcast(deltaPairs), Seq("pk"))
@@ -141,9 +159,10 @@ object ItemCF {
       .cache()
     val brandNew = deltaPairs.join(broadcast(bumped.select(col("pk"))), Seq("pk"), "left_anti")
       .select(col("pk"), col("dn").as("n_users"))
-    bumped.unionByName(brandNew)
+    val changes = bumped.unionByName(brandNew)
       .select(unpackA(col("pk")).as("item_a"), unpackB(col("pk")).as("item_b"),
         col("n_users"))
+    (changes, pairCaches ++ Seq(deltaPairs, bumped))
   }
 
   /** Incremental maintenance of the co-occurrence matrix — merge a

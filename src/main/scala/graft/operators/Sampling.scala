@@ -111,19 +111,31 @@ object Sampling {
     * boundaries.
     */
   def curriculumSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = split(col("text"), " ")
     val w = Window.partitionBy(col("source"))
       .orderBy(col("ttr").desc, col("doc_id").asc)
+    applyCurriculumGates(
+      scoredDocs(spark, sfDir).withColumn("q_bucket", ntile(4).over(w).cast("long")))
+  }
+
+  /** Shared quality scoring for both curriculum paths — one ttr
+    * definition, so exact and approx cannot silently diverge. */
+  private def scoredDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("text"), " ")
     Tables.documents(spark, sfDir)
       .withColumn("ttr",
         round(size(array_distinct(toks)).cast("double") / size(toks), 4))
-      .withColumn("q_bucket", ntile(4).over(w).cast("long"))
+  }
+
+  /** Shared decaying keep gates over an assigned `q_bucket` — one set
+    * of keep-rate literals for both curriculum paths (CurriculumSpec's
+    * agreement contract depends on gate identity). */
+  private def applyCurriculumGates(bucketed: DataFrame): DataFrame =
+    bucketed
       .withColumn("gate", substring(md5(col("doc_id").cast("string")), 1, 2))
       .filter(col("q_bucket") === 1 ||
         col("gate") < when(col("q_bucket") === 2, lit("80"))
           .when(col("q_bucket") === 3, lit("40")).otherwise(lit("20")))
       .select(col("doc_id"), col("source"), col("q_bucket"), col("ttr"))
-  }
 
   /** The scale path of [[curriculumSample]]: quartile boundaries from
     * `approx_percentile` instead of an exact per-source ntile sort.
@@ -137,26 +149,29 @@ object Sampling {
     * cutpoint all land in the SAME bucket here, whereas ntile splits
     * them to equalize bucket sizes — that's the semantic difference,
     * not just sketch error.
+    *
+    * Reproducibility caveat: approx_percentile's sketch boundaries
+    * can shift with partition layout, so unlike every other sampler
+    * here the keep decision is NOT layout-independent unless the
+    * cutpoints are FROZEN — compute them once, persist the tiny
+    * |sources|-row table, and pass it as `cutpoints` on every rerun
+    * (given fixed cutpoints, bucketing and gates are pure row
+    * functions again). The default recomputes, for self-containment.
     */
   def curriculumSampleApprox(spark: SparkSession, sfDir: String,
-                             accuracy: Int = 10000): DataFrame = {
-    val toks = split(col("text"), " ")
-    val scored = Tables.documents(spark, sfDir)
-      .withColumn("ttr",
-        round(size(array_distinct(toks)).cast("double") / size(toks), 4))
-    val cuts = scored.groupBy(col("source"))
-      .agg(expr(s"approx_percentile(ttr, array(0.75, 0.5, 0.25), $accuracy)").as("cuts"))
-    scored.join(broadcast(cuts), Seq("source"))
-      .withColumn("q_bucket",
-        when(col("ttr") >= col("cuts")(0), 1L)
-          .when(col("ttr") >= col("cuts")(1), 2L)
-          .when(col("ttr") >= col("cuts")(2), 3L)
-          .otherwise(4L))
-      .withColumn("gate", substring(md5(col("doc_id").cast("string")), 1, 2))
-      .filter(col("q_bucket") === 1 ||
-        col("gate") < when(col("q_bucket") === 2, lit("80"))
-          .when(col("q_bucket") === 3, lit("40")).otherwise(lit("20")))
-      .select(col("doc_id"), col("source"), col("q_bucket"), col("ttr"))
+                             accuracy: Int = 10000,
+                             cutpoints: Option[DataFrame] = None): DataFrame = {
+    val scored = scoredDocs(spark, sfDir)
+    val cuts = cutpoints.getOrElse(
+      scored.groupBy(col("source"))
+        .agg(expr(s"approx_percentile(ttr, array(0.75, 0.5, 0.25), $accuracy)").as("cuts")))
+    applyCurriculumGates(
+      scored.join(broadcast(cuts), Seq("source"))
+        .withColumn("q_bucket",
+          when(col("ttr") >= col("cuts")(0), 1L)
+            .when(col("ttr") >= col("cuts")(1), 2L)
+            .when(col("ttr") >= col("cuts")(2), 3L)
+            .otherwise(4L)))
   }
 
   /** Training-mix planner: turn per-source token inventories plus mix

@@ -119,19 +119,30 @@ object EventStream {
     * Iceberg) and only the delta moves; the COMPUTE is already
     * delta-sized, which is the part a lake cannot fix for you.
     *
-    * @param interactions streaming (user_id, item_id) new-interaction rows
-    * @param factsDir     parquet snapshot of interactions seen so far
-    * @param matrixDir    parquet snapshot of UNFILTERED pair counts
-    *                     (minUsers = 1, coocIncrement's contract)
+    * @param interactions  streaming (user_id, item_id) new-interaction rows
+    * @param factsDir      parquet snapshot of interactions seen so far
+    * @param matrixDir     parquet snapshot of UNFILTERED pair counts
+    *                      (minUsers = 1, coocIncrement's contract)
+    * @param checkpointDir durable streaming checkpoint. REQUIRED for
+    *                      the replay guard to be sound: without one,
+    *                      batch ids restart at 0 on every launch while
+    *                      the applied-batch marker persists, and the
+    *                      guard would skip real matrix updates forever
     */
   def startCoocMaintain(interactions: DataFrame, factsDir: String,
-                        matrixDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                        matrixDir: String,
+                        checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     interactions.writeStream
       .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         recoverSnapshot(factsDir); recoverSnapshot(matrixDir)
-        val b = batch.toDF().select(col("user_id"), col("item_id")).cache()
+        // distinct: the matrix path dedups internally (coocDelta), so
+        // the facts append must too — a doubly-delivered row inside
+        // one trigger would otherwise corrupt the facts snapshot
+        val b = batch.toDF().select(col("user_id"), col("item_id"))
+          .distinct().cache()
         if (b.count() > 0) {
           val old = spark.read.parquet(factsDir)
           // foreachBatch is at-least-once: a replayed batch must not
@@ -139,10 +150,13 @@ object EventStream {
           // INSIDE the staged dir, so marker and matrix swap in
           // atomically; on replay (marker >= batchId) the matrix
           // apply is skipped and only the facts append re-runs —
-          // itself a no-op via the anti-join if it had completed
+          // itself a no-op via the anti-join if it had completed.
+          // Sound because the durable checkpoint makes batch ids
+          // monotonic and replays carry identical data.
           if (appliedBatchId(matrixDir) < batchId) {
             val matrix = spark.read.parquet(matrixDir)
-            val changes = graft.operators.ItemCF.coocDelta(old, matrix, b)
+            val (changes, cached) =
+              graft.operators.ItemCF.coocDeltaTracked(old, matrix, b)
             matrix
               .join(changes.select(col("item_a"), col("item_b")),
                 Seq("item_a", "item_b"), "left_anti")
@@ -150,6 +164,9 @@ object EventStream {
               .write.mode("overwrite").parquet(matrixDir + "_staged")
             writeBatchMarker(matrixDir + "_staged", batchId)
             swapSnapshot(matrixDir)
+            // unpersist ONLY this tick's intermediates — a session-wide
+            // clearCache would thrash concurrent queries' caches
+            cached.foreach(_.unpersist())
           }
           // facts gain only the batch's genuinely-new (user, item)
           // rows (coocDelta ignored the rest); materialize before
@@ -160,7 +177,6 @@ object EventStream {
           newFacts.unpersist()
         }
         b.unpersist()
-        spark.catalog.clearCache() // coocDelta caches internals by convention
         ()
       }
       .start()

@@ -91,7 +91,8 @@ class CdcStreamSpec extends AnyFunSuite {
 
     val input = MemoryStream[(Long, Long)]
     val q = EventStream.startCoocMaintain(
-      input.toDF().toDF("user_id", "item_id"), factsDir, matrixDir)
+      input.toDF().toDF("user_id", "item_id"), factsDir, matrixDir,
+      root + "/ckpt")
 
     def matrixNow = spark.read.parquet(matrixDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -99,8 +100,9 @@ class CdcStreamSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
     // tick 1: new pairs for user 1 (bump 10-11 profile cross) + a
-    // duplicate fact (must be a no-op)
-    input.addData((1L, 12L), (1L, 10L))
+    // cross-batch duplicate fact AND a within-batch double delivery
+    // of (1,12) — both must be no-ops for facts and matrix alike
+    input.addData((1L, 12L), (1L, 12L), (1L, 10L))
     q.processAllAvailable()
     assert(matrixNow === batchNow)
     assert(matrixNow.contains((10L, 11L, 2L))) // untouched pair carried over
@@ -110,7 +112,7 @@ class CdcStreamSpec extends AnyFunSuite {
     q.stop()
     assert(matrixNow === batchNow)
     assert(matrixNow.contains((10L, 11L, 3L))) // bumped by user 4
-    // facts snapshot deduplicated the repeat (seed 6 + 3 new)
+    // facts snapshot deduplicated both repeats (seed 6 + 3 new)
     assert(spark.read.parquet(factsDir).count() === 9)
     // the applied-batch marker swapped in with the matrix (replay
     // guard: a redelivered batch <= marker skips the matrix apply)
