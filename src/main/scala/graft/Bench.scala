@@ -23,7 +23,7 @@ object Bench {
     "q_user_mutations", "text_tfidf",
     "q_user_topk_agg", "q_approx_stats",
     "q_corpus_prep", "q_sample_weighted", "q_sample_upsample",
-    "q_sample_curriculum", "q_mix_plan",
+    "q_sample_curriculum", "q_mix_plan", "q_epoch_shuffle",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embed_cosine", "dedup_embed_lsh", "dedup_clusters",
     "knn_brute", "knn_ivf", "knn_sq8",

@@ -91,6 +91,7 @@ object SparkEntry {
     // boundaries are engine-specific; CurriculumSpec gates agreement
     "q_sample_curriculum_approx" -> ((s, d) => Sampling.curriculumSampleApprox(s, d)),
     "q_mix_plan"          -> ((s, d) => Sampling.mixPlan(s, d)),
+    "q_epoch_shuffle"     -> ((s, d) => Sampling.epochShuffle(s, d)),
     // — MovieLens fidelity harness (reference's own dataset; rows-only) —
     "ml_top_movies" -> ((s, _) => graft.sources.MovieLens.topMovies(s)),
     "ml_genre_stats" -> ((s, _) => graft.sources.MovieLens.genreStats(s)),
@@ -269,6 +270,22 @@ object SparkEntry {
         |         WHEN CAST(substr(source, 4) AS INT) < 14 THEN 0.5
         |         ELSE 0.25 END AS DOUBLE) AS weight
         |  FROM documents GROUP BY source)""".stripMargin,
+
+    "q_epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT doc_id, unnest(generate_series(0, 1)) AS epoch FROM documents),
+        |h AS (
+        |  SELECT doc_id, epoch,
+        |    md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM e),
+        |s AS (
+        |  SELECT doc_id, epoch, h,
+        |    CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8 AS BIGINT) AS shard
+        |  FROM h)
+        |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, shard
+        |    ORDER BY h ASC, doc_id ASC) AS BIGINT) AS shard_rank
+        |FROM s""".stripMargin,
 
     "q_sample_upsample" ->
       """SELECT doc_id, source,

@@ -174,6 +174,39 @@ object Sampling {
             .otherwise(4L)))
   }
 
+  /** Epoch shuffling — the last prep step before the trainer reads:
+    * each epoch must present the corpus in a different pseudorandom
+    * order, reproducibly. Deterministic two-level shuffle, no global
+    * sort anywhere:
+    *  - shard = first hex digit of md5(epoch:doc_id) mod `shards` —
+    *    epoch-dependent, so documents MIX ACROSS shards between
+    *    epochs (round-robin by doc_id would pin each doc to a shard
+    *    forever);
+    *  - within-shard order = rank by the same hash (window per
+    *    (epoch, shard) — `shards`-way parallel, executor-sized).
+    * The (epoch, doc) → (shard, rank) mapping is a pure function of
+    * content keys: identical across engines, re-runs, and layouts —
+    * the same reproducibility contract as every sampler here.
+    */
+  def epochShuffle(spark: SparkSession, sfDir: String, epochs: Int = 2,
+                   shards: Int = 8): DataFrame = {
+    require(shards >= 1 && shards <= 16, "shard count maps off one hex digit")
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("h", md5(concat_ws(":", col("epoch"), col("doc_id"))))
+      // first hex digit → 0-15 (DuckDB oracle twin:
+      // strpos('0123456789abcdef', substr(h,1,1)) - 1)
+      .withColumn("shard",
+        ((expr("locate(substring(h, 1, 1), '0123456789abcdef')") - 1) % shards)
+          .cast("long"))
+      .withColumn("shard_rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("epoch").cast("long").as("epoch"),
+        col("shard"), col("shard_rank"))
+  }
+
   /** Training-mix planner: turn per-source token inventories plus mix
     * weights and a global token budget into per-source sampling rates
     * — the arithmetic that decides what [[weightedSample]] /
