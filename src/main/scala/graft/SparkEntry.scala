@@ -102,6 +102,7 @@ object SparkEntry {
     "q3_join"        -> ((s, d) => Analytics.q3Join(s, d)),
     "q_events_window" -> ((s, d) => Analytics.eventsWindow(s, d)),
     "q_sessionize"   -> ((s, d) => Analytics.sessionize(s, d)),
+    "q_interval_join" -> ((s, d) => Analytics.intervalJoin(s, d)),
     "q5_nation"      -> ((s, d) => Analytics.q5Nation(s, d)),
     "q1_rollup"      -> ((s, d) => Analytics.q1Rollup(s, d)),
     "q_moving_avg"   -> ((s, d) => Analytics.movingAvg(s, d)),
@@ -688,6 +689,29 @@ object SparkEntry {
          |  b.last_n_items, b.last_max_rating, epoch_ms(b.b_ts) AS asof_ts_ms
          |FROM events e ASOF LEFT JOIN basket b
          |  ON e.user_id = b.b_user_id AND e.ts >= b.b_ts""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS is_break
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, session_id,
+        |    epoch_ms(min(ts)) AS s_ms, epoch_ms(max(ts)) AS e_ms
+        |  FROM sessions GROUP BY user_id, session_id)
+        |SELECT s.user_id, s.session_id, count(*) AS n_concurrent
+        |FROM sess s JOIN events e
+        |  ON epoch_ms(e.ts) >= s.s_ms AND epoch_ms(e.ts) <= s.e_ms
+        | AND e.user_id <> s.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (

@@ -167,6 +167,43 @@ object Analytics {
     * clickstream operator the reference's scheduler-driven stats jobs
     * would need at scale.
     */
+  /** Interval (range) join WITHOUT an equi key — "which events from
+    * OTHER users fell inside each session's time window". The naive
+    * plan for a pure range predicate is a nested-loop cross product
+    * (|intervals| × |events| comparisons — unrunnable at scale); the
+    * classic fix, used here, is BINNING: intervals explode to the
+    * hour buckets they overlap (sessions are minutes long → 1-2 rows
+    * each), events map to exactly one bucket, and the join becomes an
+    * EQUI join on the bucket plus an exact containment filter.
+    * Candidate pairs shrink from |e|·|i| to Σ_bucket e_b·i_b, and the
+    * shuffle is hash-partitioned on time — embarrassingly parallel.
+    * Because an event lives in exactly one bucket, no dedup is needed.
+    * Tuning: bin ≈ median interval length; a hot bucket (traffic
+    * spike) is a skew key — salt it or let AQE split (Skew.scaladoc).
+    * This is composition order (a) of the custom-operator ladder: the
+    * built-in equi-join machinery expresses it once binned, no custom
+    * exec needed (contrast [[graft.plans.AsOfJoin]], which isn't
+    * expressible this way).
+    */
+  def intervalJoin(spark: SparkSession, sfDir: String, gapMinutes: Int = 30,
+                   binMinutes: Int = 60): DataFrame = {
+    val binMs = binMinutes * 60L * 1000L
+    val intervals = sessionize(spark, sfDir, gapMinutes)
+      .select(col("user_id"), col("session_id"),
+        col("session_start_ms"), col("session_end_ms"))
+      .withColumn("bucket", explode(sequence(
+        expr(s"session_start_ms div $binMs"), expr(s"session_end_ms div $binMs"))))
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id").as("e_user"), unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("bucket", expr(s"ts_ms div $binMs"))
+    intervals.join(events, Seq("bucket"))
+      .filter(col("ts_ms") >= col("session_start_ms") &&
+        col("ts_ms") <= col("session_end_ms") &&
+        col("e_user") =!= col("user_id"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_concurrent"))
+  }
+
   def sessionize(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapMs = gapMinutes * 60L * 1000L

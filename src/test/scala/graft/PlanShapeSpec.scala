@@ -109,6 +109,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_graft_topk"), p.take(4000))
   }
 
+  test("interval join: binned to an equi join — no nested-loop/cartesian plan") {
+    val p = plan(Analytics.intervalJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range predicate degenerated to a cross product\n" + p.take(4000))
+    assert(p.contains("bucket"), p.take(2000))
+  }
+
   test("interactions: exactly one window shuffle implements the upsert") {
     // the is_implicit filter CANNOT push below the latest-wins window
     // (the kept row determines the flag) — but the upsert must cost
