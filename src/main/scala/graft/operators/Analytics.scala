@@ -161,12 +161,6 @@ object Analytics {
         unix_millis(col("w.start")).as("window_start_ms"),
         col("event_type"), col("n_events"), col("sum_value"))
 
-  /** Sessionization with a 30-minute inactivity gap: lag + cumulative
-    * session-break sum per user — two window passes over one shuffle by
-    * user_id, then a per-(user, session) aggregate. The canonical
-    * clickstream operator the reference's scheduler-driven stats jobs
-    * would need at scale.
-    */
   /** Interval (range) join WITHOUT an equi key — "which events from
     * OTHER users fell inside each session's time window". The naive
     * plan for a pure range predicate is a nested-loop cross product
@@ -204,6 +198,12 @@ object Analytics {
       .agg(count(lit(1)).as("n_concurrent"))
   }
 
+  /** Sessionization with a 30-minute inactivity gap: lag + cumulative
+    * session-break sum per user — two window passes over one shuffle by
+    * user_id, then a per-(user, session) aggregate. The canonical
+    * clickstream operator the reference's scheduler-driven stats jobs
+    * would need at scale.
+    */
   def sessionize(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapMs = gapMinutes * 60L * 1000L

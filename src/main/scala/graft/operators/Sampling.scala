@@ -190,13 +190,19 @@ object Sampling {
     */
   def epochShuffle(spark: SparkSession, sfDir: String, epochs: Int = 2,
                    shards: Int = 8): DataFrame = {
-    require(shards >= 1 && shards <= 16, "shard count maps off one hex digit")
+    // one hex digit mod shards is UNIFORM only when shards divides 16
+    // (9 shards would give the low residues 2/16 and the rest 1/16 — a
+    // persistent 2x training-shard imbalance)
+    require(Set(1, 2, 4, 8, 16)(shards), "shards must divide 16")
     val w = Window.partitionBy(col("epoch"), col("shard"))
       .orderBy(col("h").asc, col("doc_id").asc)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
-      .withColumn("h", md5(concat_ws(":", col("epoch"), col("doc_id"))))
+      // concat (not concat_ws): a NULL key must propagate to a NULL
+      // hash exactly as the oracle's || does, not be silently dropped
+      .withColumn("h", md5(concat(col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string"))))
       // first hex digit → 0-15 (DuckDB oracle twin:
       // strpos('0123456789abcdef', substr(h,1,1)) - 1)
       .withColumn("shard",
