@@ -56,6 +56,25 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(r(1L) === ((SeqPack.SeqStride, 0L, true)))
   }
 
+  test("epoch shuffle mixes docs across shards between epochs") {
+    val r = Sampling.epochShuffle(spark, "/root/testdata/sf0.001",
+      epochs = 2, shards = 8).collect()
+    val e0 = r.filter(_.getLong(1) == 0).map(x => x.getLong(0) -> x.getLong(2)).toMap
+    val e1 = r.filter(_.getLong(1) == 1).map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(e0.size === 500 && e1.size === 500)
+    // epoch-dependent hashing: ~7/8 of docs should change shard
+    val moved = e0.keys.count(id => e0(id) != e1(id)).toDouble / e0.size
+    assert(moved > 0.7, f"only $moved%.2f of docs changed shard between epochs")
+    // every shard populated, no shard grossly over-loaded
+    val sizes = r.filter(_.getLong(1) == 0).groupBy(_.getLong(2)).map(_._2.length)
+    assert(sizes.size === 8 && sizes.max < 3 * sizes.min,
+      s"imbalanced shards: ${sizes.toSeq.sorted}")
+    // non-divisor shard counts are rejected (uniformity contract)
+    intercept[IllegalArgumentException] {
+      Sampling.epochShuffle(spark, "/root/testdata/sf0.001", shards = 9)
+    }
+  }
+
   test("sequence packing is parallelism-independent (repartition invariance)") {
     import spark.implicits._
     val docs = (0L until 64L).map(i => (i, Seq.fill((i % 7 + 1).toInt * 40)("w").mkString(" ")))
