@@ -59,19 +59,33 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
       .map(only => headline.filter(only))
       .getOrElse(headline)
+    // SPARK_GRAFT_BENCH_REPS=n: repeat each query and report the MIN,
+    // so a transiently contended host cannot fake a regression. To keep
+    // total wall bounded, extra reps apply only to queries whose first
+    // run came in under repCutoffSec (the heavy ML/CF queries run once).
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1).max(1)
+    val repCutoffSec = 10.0
     val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // operators cache intermediates (sig tables, sim chains) for
+          // intra-query reuse; drop them between queries or 34 queries'
+          // worth of cached blocks pile up and GC-thrash the tail
+          spark.catalog.clearCache()
+          dt
         }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // operators cache intermediates (sig tables, sim chains) for
-        // intra-query reuse; drop them between queries or 34 queries'
-        // worth of cached blocks pile up and GC-thrash the tail
-        spark.catalog.clearCache()
-        name -> dt
+        val first = once()
+        val best =
+          if (reps > 1 && first <= repCutoffSec)
+            (first +: Seq.fill(reps - 1)(once())).min
+          else first
+        name -> best
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

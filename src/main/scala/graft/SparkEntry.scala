@@ -42,7 +42,10 @@ object SparkEntry {
     "dedup_minhash"       -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
-    "dedup_embed_cosine"  -> ((s, d) => Dedup.embedCosine(s, d)),
+    // exact-cosine audit over a deterministic hash-gated slice — the
+    // all-pairs plan is never registered over the full corpus (the
+    // unsliced baseline lives in specs; scale paths: embed_lsh, knn_ivf)
+    "dedup_embed_cosine"  -> ((s, d) => Dedup.embedCosineGated(s, d)),
     // the LSH scale path, exercised in its regime via deterministic
     // planted near-dups (rows-only; recall vs all-pairs is spec-gated)
     "dedup_embed_lsh"     -> ((s, d) => Dedup.embedLshPlanted(s, d)),
@@ -199,10 +202,13 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
     "dedup_embed_cosine" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      """WITH s AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '80')
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |FROM s a JOIN s b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.45""".stripMargin,
 
@@ -281,7 +287,7 @@ object SparkEntry {
         |  FROM e),
         |s AS (
         |  SELECT doc_id, epoch, h,
-        |    CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8 AS BIGINT) AS shard
+        |    CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT) % 8 AS BIGINT) AS shard
         |  FROM h)
         |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, shard,
         |  CAST(row_number() OVER (PARTITION BY epoch, shard

@@ -261,6 +261,25 @@ object Dedup {
   def embedCosine(spark: SparkSession, sfDir: String, threshold: Double = 0.45): DataFrame =
     embedCosineOn(spark, Tables.embeddings(spark, sfDir), threshold)
 
+  /** The REGISTERED form of [[embedCosine]]: an O(n²) all-pairs plan
+    * must never ship as a full-corpus query, so the exact-cosine audit
+    * runs over a deterministic hash-gated slice (same md5-prefix gate
+    * as every sampler in [[Sampling]], mirrored in the DuckDB oracle).
+    * At 100 TB this is the standard exactness AUDIT: a reproducible
+    * sample sized so slice²·d stays in budget, cross-checking the
+    * registered scale paths ([[embedLsh]], [[Similarity.ivfSearch]]).
+    * The quadratic term is bounded by the gate — gateHex "80" keeps
+    * 1/2 of vectors, i.e. 1/4 of the pair work — and PlanShapeSpec
+    * asserts every BroadcastNestedLoopJoin in registered plans sits
+    * above a gated scan, never the full corpus.
+    */
+  def embedCosineGated(spark: SparkSession, sfDir: String, threshold: Double = 0.45,
+                       gateHex: String = "80"): DataFrame = {
+    val sliced = Tables.embeddings(spark, sfDir)
+      .filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit(gateHex))
+    embedCosineOn(spark, sliced, threshold)
+  }
+
   private[graft] def embedCosineOn(spark: SparkSession, embeddings: DataFrame, threshold: Double): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val e = embeddings

@@ -190,10 +190,13 @@ object Sampling {
     */
   def epochShuffle(spark: SparkSession, sfDir: String, epochs: Int = 2,
                    shards: Int = 8): DataFrame = {
-    // one hex digit mod shards is UNIFORM only when shards divides 16
-    // (9 shards would give the low residues 2/16 and the rest 1/16 — a
-    // persistent 2x training-shard imbalance)
-    require(Set(1, 2, 4, 8, 16)(shards), "shards must divide 16")
+    // shard = first 8 hex chars of the hash as a 32-bit int, mod
+    // shards: EXACTLY uniform when shards divides 2^32 (any power of
+    // two up to the full 32-bit space — shard count scales with the
+    // cluster, no parallelism ceiling), and off by at most
+    // shards/2^32 < 1e-6 otherwise. The per-(epoch, shard) rank sort
+    // is therefore corpus/shards rows per task at ANY cluster size.
+    require(shards >= 1, "shards must be >= 1")
     val w = Window.partitionBy(col("epoch"), col("shard"))
       .orderBy(col("h").asc, col("doc_id").asc)
     Tables.documents(spark, sfDir)
@@ -203,10 +206,10 @@ object Sampling {
       // hash exactly as the oracle's || does, not be silently dropped
       .withColumn("h", md5(concat(col("epoch").cast("string"), lit(":"),
         col("doc_id").cast("string"))))
-      // first hex digit → 0-15 (DuckDB oracle twin:
-      // strpos('0123456789abcdef', substr(h,1,1)) - 1)
+      // 8 hex chars → 0..2^32-1 (DuckDB oracle twin:
+      // CAST('0x' || substr(h, 1, 8) AS BIGINT))
       .withColumn("shard",
-        ((expr("locate(substring(h, 1, 1), '0123456789abcdef')") - 1) % shards)
+        (expr("conv(substring(h, 1, 8), 16, 10)").cast("long") % shards)
           .cast("long"))
       .withColumn("shard_rank", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("epoch").cast("long").as("epoch"),

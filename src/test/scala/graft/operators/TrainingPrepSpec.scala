@@ -69,10 +69,27 @@ class TrainingPrepSpec extends AnyFunSuite {
     val sizes = r.filter(_.getLong(1) == 0).groupBy(_.getLong(2)).map(_._2.length)
     assert(sizes.size === 8 && sizes.max < 3 * sizes.min,
       s"imbalanced shards: ${sizes.toSeq.sorted}")
-    // non-divisor shard counts are rejected (uniformity contract)
-    intercept[IllegalArgumentException] {
-      Sampling.epochShuffle(spark, "/root/testdata/sf0.001", shards = 9)
-    }
+  }
+
+  test("epoch shuffle scales past 16 shards: uniform and mixing at shards=64") {
+    val r = Sampling.epochShuffle(spark, "/root/testdata/sf0.01",
+      epochs = 2, shards = 64).collect()
+    val e0 = r.filter(_.getLong(1) == 0)
+    // 5000 docs over 64 shards: the 32-bit hash residue must keep the
+    // max/min shard-size ratio tight (the old single-hex-digit scheme
+    // could not even form 64 shards)
+    val sizes = e0.groupBy(_.getLong(2)).map(_._2.length)
+    assert(sizes.size === 64, s"only ${sizes.size} shards populated")
+    assert(sizes.max < 2 * sizes.min,
+      s"imbalanced shards: min=${sizes.min} max=${sizes.max}")
+    // cross-epoch mixing: with 64 shards ~63/64 of docs should move
+    val m0 = e0.map(x => x.getLong(0) -> x.getLong(2)).toMap
+    val m1 = r.filter(_.getLong(1) == 1).map(x => x.getLong(0) -> x.getLong(2)).toMap
+    val moved = m0.keys.count(id => m0(id) != m1(id)).toDouble / m0.size
+    assert(moved > 0.9, f"only $moved%.2f of docs changed shard between epochs")
+    // non-power-of-two shard counts are accepted (bias < shards/2^32)
+    assert(Sampling.epochShuffle(spark, "/root/testdata/sf0.001", shards = 9)
+      .select("shard").distinct().count() === 9)
   }
 
   test("sequence packing is parallelism-independent (repartition invariance)") {
