@@ -202,9 +202,11 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
     "dedup_embed_cosine" ->
-      """WITH s AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '80')
+      """WITH n AS (SELECT count(*) AS gate_n FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, embedding FROM embeddings, n
+        |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) AS BIGINT)
+        |        < LEAST(CAST(ceil(65536.0 * 1000 / gate_n) AS BIGINT), 65536))
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos

@@ -266,17 +266,29 @@ object Dedup {
     * runs over a deterministic hash-gated slice (same md5-prefix gate
     * as every sampler in [[Sampling]], mirrored in the DuckDB oracle).
     * At 100 TB this is the standard exactness AUDIT: a reproducible
-    * sample sized so slice²·d stays in budget, cross-checking the
-    * registered scale paths ([[embedLsh]], [[Similarity.ivfSearch]]).
-    * The quadratic term is bounded by the gate — gateHex "80" keeps
-    * 1/2 of vectors, i.e. 1/4 of the pair work — and PlanShapeSpec
-    * asserts every BroadcastNestedLoopJoin in registered plans sits
-    * above a gated scan, never the full corpus.
+    * sample cross-checking the registered scale paths ([[embedLsh]],
+    * [[Similarity.ivfSearch]]).
+    *
+    * The slice is BUDGET-bounded, not proportional: the gate keeps
+    * ~`budget` vectors regardless of corpus size (threshold =
+    * ⌈2¹⁶·budget/n⌉ over the first 4 hex chars of md5(vec_id), with n
+    * the corpus count computed in-plan and broadcast — no driver
+    * collect). Pair work is therefore O(budget²) at ANY scale — the
+    * 100× corpus runs the same-sized audit. When n ≤ budget the gate
+    * keeps everything (threshold saturates at 2¹⁶), so the small-SF
+    * oracle check covers the full all-pairs result. PlanShapeSpec
+    * ("embed-cosine audit: ...") asserts the registered plan's
+    * BroadcastNestedLoopJoin sits above the gated scan, never the
+    * full corpus.
     */
   def embedCosineGated(spark: SparkSession, sfDir: String, threshold: Double = 0.45,
-                       gateHex: String = "80"): DataFrame = {
-    val sliced = Tables.embeddings(spark, sfDir)
-      .filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit(gateHex))
+                       budget: Int = 1000): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cnt = emb.agg(count(lit(1)).as("gate_n"))
+    val sliced = emb.crossJoin(broadcast(cnt))
+      .filter(expr("conv(substring(md5(cast(vec_id as string)), 1, 4), 16, 10)").cast("long")
+        < least(ceil(lit(65536.0) * budget / col("gate_n")), lit(65536L)))
+      .drop("gate_n")
     embedCosineOn(spark, sliced, threshold)
   }
 

@@ -116,6 +116,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("bucket"), p.take(2000))
   }
 
+  test("embed-cosine audit: the BNLJ sits above the budget gate, never the full corpus") {
+    // the registered exact-cosine audit is the ONLY all-pairs join in
+    // the library; it is allowed to exist solely because its inputs
+    // pass the fixed-budget md5 gate first. A future edit that drops
+    // the gate silently re-registers an O(n²)-in-corpus plan — this
+    // pin makes that a test failure, not a 100 TB incident.
+    // pin on the OPTIMIZED LOGICAL plan (the physical BNLJ hides under
+    // AdaptiveSparkPlanExec pre-execution): every non-equi join — the
+    // joins that physically become BNLJ — must either BE the gate
+    // (Catalyst inlines the budget filter as the scalar-count cross
+    // join's condition) or have both inputs already gated, so the
+    // vec_a < vec_b pair join can only ever see gated rows
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = graft.operators.Dedup.embedCosineGated(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    def isGate(s: String) = s.contains("md5") && s.contains("conv")
+    val nonEqui = joins.filter(j =>
+      !j.condition.exists(_.toString.contains(" = ")) ||
+        j.condition.isEmpty)
+    assert(nonEqui.nonEmpty, "expected the audit's all-pairs non-equi join\n" +
+      df.queryExecution.optimizedPlan.toString.take(4000))
+    nonEqui.foreach { j =>
+      val selfGated = j.condition.exists(c => isGate(c.toString))
+      val sidesGated = Seq(j.left, j.right).forall(side => isGate(side.toString))
+      assert(selfGated || sidesGated,
+        "ungated all-pairs join:\n" + j.toString.take(3000))
+    }
+  }
+
   test("interactions: exactly one window shuffle implements the upsert") {
     // the is_implicit filter CANNOT push below the latest-wins window
     // (the kept row determines the flag) — but the upsert must cost
