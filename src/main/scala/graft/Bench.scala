@@ -63,7 +63,18 @@ object Bench {
     // so a transiently contended host cannot fake a regression. To keep
     // total wall bounded, extra reps apply only to queries whose first
     // run came in under repCutoffSec (the heavy ML/CF queries run once).
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1).max(1)
+    // DEFAULT 2 — single-shot numbers have shipped ±10× host noise
+    // (r3: q_events_props 5.5 s driver vs 0.46 s re-measured); a
+    // non-numeric env value falls back to the default with a warning.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS") match {
+      case Some(v) => scala.util.Try(v.trim.toInt).toOption match {
+        case Some(n) => n.max(1)
+        case None =>
+          System.err.println(s"[bench] ignoring non-numeric SPARK_GRAFT_BENCH_REPS='$v', using 2")
+          2
+      }
+      case None => 2
+    }
     val repCutoffSec = 10.0
     val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>

@@ -25,6 +25,11 @@ object SparkEntry {
     "q_ratings_etl"      -> ((s, d) => Relational.ratingsEtl(s, d)),
     "q_movie_stats"      -> ((s, d) => Relational.movieStats(s, d)),
     "q_top_movies"       -> ((s, d) => Relational.topMovies(s, d)),
+    // paged variants of the listing endpoints (routes.py limit args
+    // generalized to skip/count pages)
+    "q_top_movies_paged" -> ((s, d) => Relational.topMoviesPaged(s, d)),
+    "q_user_top_ratings_paged" -> ((s, d) => Relational.userTopRatingsPaged(s, d)),
+    "q_user_latest_paged" -> ((s, d) => Relational.userLatestPaged(s, d)),
     "q_user_top_ratings" -> ((s, d) => Relational.userTopRatings(s, d)),
     "q_user_topk_agg"    -> ((s, d) => Relational.userTopKAgg(s, d)),
     "q_user_latest"      -> ((s, d) => Relational.userLatest(s, d)),
@@ -44,13 +49,16 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     // exact-cosine audit over a deterministic hash-gated slice — the
     // all-pairs plan is never registered over the full corpus (the
-    // unsliced baseline lives in specs; scale paths: embed_lsh, knn_ivf)
-    "dedup_embed_cosine"  -> ((s, d) => Dedup.embedCosineGated(s, d)),
+    // unsliced baseline lives in specs; scale paths: embed_lsh, knn_ivf).
+    // threshold 0.40 (not the API default 0.45) so the small-SF oracle
+    // gate covers ~60 value rows instead of a handful
+    "dedup_embed_cosine"  -> ((s, d) => Dedup.embedCosineGated(s, d, threshold = 0.40)),
     // the LSH scale path, exercised in its regime via deterministic
     // planted near-dups (rows-only; recall vs all-pairs is spec-gated)
     "dedup_embed_lsh"     -> ((s, d) => Dedup.embedLshPlanted(s, d)),
-    // pair graph → connected components → survivor manifest (rows-only;
-    // the component identity is spec-gated on planted chains)
+    // pair graph → connected components → survivor manifest, over the
+    // exact ngram-jaccard edges; value-gated by a DuckDB WITH RECURSIVE
+    // transitive-closure oracle (the one operator deciding deletions)
     "dedup_clusters"      -> ((s, d) => Dedup.dedupClusters(s, d)),
     // — similarity search —
     "knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
@@ -90,9 +98,11 @@ object SparkEntry {
     "q_sample_weighted" -> ((s, d) => Sampling.weightedSample(s, d)),
     "q_sample_upsample" -> ((s, d) => Sampling.weightedUpsample(s, d)),
     "q_sample_curriculum" -> ((s, d) => Sampling.curriculumSample(s, d)),
-    // scale path (approx_percentile cutpoints): rows-only — sketch
-    // boundaries are engine-specific; CurriculumSpec gates agreement
-    "q_sample_curriculum_approx" -> ((s, d) => Sampling.curriculumSampleApprox(s, d)),
+    // scale path (approx_percentile cutpoints, FROZEN to a parquet
+    // artifact on first run → layout/rerun independent): rows-only —
+    // sketch boundaries are engine-specific; CurriculumSpec gates
+    // agreement with the exact path and rerun stability
+    "q_sample_curriculum_approx" -> ((s, d) => Sampling.curriculumSampleApproxFrozen(s, d)),
     "q_mix_plan"          -> ((s, d) => Sampling.mixPlan(s, d)),
     "q_epoch_shuffle"     -> ((s, d) => Sampling.epochShuffle(s, d)),
     // — MovieLens fidelity harness (reference's own dataset; rows-only) —
@@ -141,6 +151,33 @@ object SparkEntry {
          |GROUP BY i.item_id, p.p_name, p.p_brand
          |ORDER BY votes DESC, avg_rating DESC, item_id ASC
          |LIMIT 100""".stripMargin,
+
+    "q_top_movies_paged" ->
+      s"""$I SELECT item_id, avg_rating, votes, p_name, p_brand, rn FROM (
+         |  SELECT i.item_id,
+         |    round(avg(i.rating), 4) AS avg_rating,
+         |    count(i.user_id) AS votes,
+         |    p.p_name, p.p_brand,
+         |    row_number() OVER (ORDER BY count(i.user_id) DESC,
+         |      round(avg(i.rating), 4) DESC, i.item_id ASC) AS rn
+         |  FROM interactions i JOIN part p ON i.item_id = p.p_partkey
+         |  WHERE i.rating >= 3.5
+         |  GROUP BY i.item_id, p.p_name, p.p_brand)
+         |WHERE rn > 10 AND rn <= 20""".stripMargin,
+
+    "q_user_top_ratings_paged" ->
+      s"""$I SELECT user_id, item_id, rating, rn FROM (
+         |  SELECT user_id, item_id, rating,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY rating DESC, ts DESC, item_id ASC) AS rn
+         |  FROM interactions) WHERE rn > 5 AND rn <= 10""".stripMargin,
+
+    "q_user_latest_paged" ->
+      """SELECT user_id, event_id, ts_ms, event_type, rn FROM (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn > 5 AND rn <= 10""".stripMargin,
 
     "q_user_top_ratings" ->
       s"""$I SELECT user_id, item_id, rating, rn FROM (
@@ -212,7 +249,7 @@ object SparkEntry {
         |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos
         |FROM s a JOIN s b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.45""".stripMargin,
+        |                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.40""".stripMargin,
 
     "knn_brute" ->
       """WITH c AS (
@@ -495,6 +532,39 @@ object SparkEntry {
         |  CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred,
         |  best.score AS score
         |FROM b""".stripMargin,
+
+    // min-label propagation ≡ connected components ≡ reachability
+    // closure: label(v) = min over v's reachable set. DuckDB expresses
+    // the closure with a recursive CTE over the symmetric exact-Jaccard
+    // edges; docs never reached keep their own id (singleton clusters).
+    "dedup_clusters" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+        |                             for i in range(1, len(w) - 1)])
+        |    END AS grams
+        |  FROM w),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |        / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) >= 0.8),
+        |edge AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM p
+        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, dst FROM edge
+        |  UNION
+        |  SELECT e.src, r.r FROM edge e JOIN reach r ON e.dst = r.id),
+        |labels AS (
+        |  SELECT id AS doc_id, least(id, min(r)) AS label FROM reach GROUP BY id)
+        |SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id,
+        |  d.doc_id = coalesce(l.label, d.doc_id) AS is_keeper
+        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH w AS (

@@ -16,17 +16,73 @@ case class MmFrame(doc_id: Long, frame_idx: Int, ts_ms: Long, brightness: Float)
   *
   * The Spark-side structure is real and tested — binary column, typed
   * metadata struct, `mapPartitions` batch decode (the JVM analog of a
-  * Pandas-UDF `mapInPandas` stage), stable output schema — while the
-  * codec itself is a clearly-marked deterministic STUB (this container
-  * has no image/audio libraries). Swapping `stubDecode` for a real
-  * JNI/FFmpeg/ImageIO call changes no plan shape: decode stays
-  * partition-local, no shuffle, batch-sized by the input splits.
+  * Pandas-UDF `mapInPandas` stage), stable output schema. The IMAGE
+  * path is a REAL codec end-to-end: the payload column carries actual
+  * PNG bytes (deterministically generated via `javax.imageio`, since
+  * the corpus tables have no binary column) and the decode pass reads
+  * true width/height and a true luminance histogram back out of them
+  * with `ImageIO.read`. Audio/video stay behind a clearly-marked
+  * deterministic STUB (no audio/video libraries in this container);
+  * swapping it for a JNI/FFmpeg call changes no plan shape: decode
+  * stays partition-local, no shuffle, batch-sized by the input splits.
   */
 object Multimodal {
 
-  /** STUB codec: stands in for image decode. Deterministic pure
-    * function of the payload bytes so results are reproducible across
-    * runs/engines. A real implementation replaces ONLY this body.
+  /** Deterministic PNG generator: a real `width(seed) × height(seed)`
+    * image whose pixels are a pure function of the seed, encoded with
+    * `javax.imageio`. Dims span 16..512 px on each side so resize
+    * planning exercises both the long-side clamp and the no-upscale
+    * branch against REAL decoded dimensions.
+    */
+  private[graft] def pngWidth(seed: Long): Int = 16 + math.floorMod(seed * 2654435761L, 497L).toInt
+  private[graft] def pngHeight(seed: Long): Int = 16 + math.floorMod((seed * 2654435761L) >> 9, 497L).toInt
+
+  private[graft] def makePng(seed: Long): Array[Byte] = {
+    val w = pngWidth(seed)
+    val h = pngHeight(seed)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // deterministic per-pixel mix — cheap, full-range RGB
+        val m = seed * 6364136223846793005L + (y.toLong * w + x) * 1442695040888963407L
+        img.setRGB(x, y, (m >>> 40).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode: true dimensions + an 8-bin luminance histogram
+    * (L1-normalized) read from the pixel data.
+    */
+  private[graft] def decodeImage(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val hist = new Array[Float](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        hist(lum >> 5) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.max(1f, (w * h).toFloat)
+    (w, h, hist.map(_ / n))
+  }
+
+  /** STUB codec for the non-image mimes: stands in for audio decode.
+    * Deterministic pure function of the payload bytes so results are
+    * reproducible across runs/engines. A real implementation replaces
+    * ONLY this body.
     */
   private[graft] def stubDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val h = payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
@@ -39,24 +95,36 @@ object Multimodal {
     (width, height, hist.map(_ / n))
   }
 
-  /** Build the multimodal table (binary payload column + metadata) and
-    * run the batched decode → feature-extraction pass. The payload here
-    * is the document text's bytes — a stand-in blob with realistic
-    * per-row variance; in production this column comes from the lake.
+  /** The multimodal asset table: binary payload + typed metadata. Even
+    * doc_ids carry REAL PNG bytes (generated partition-locally — in
+    * production this column comes straight from the lake); odd doc_ids
+    * carry the document text's bytes as an opaque audio stand-in.
+    */
+  private[graft] def assets(spark: SparkSession, sfDir: String) = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          if (id % 2 == 0) MmAsset(id, "image/png", makePng(id))
+          else MmAsset(id, "audio/wav", text.getBytes("UTF-8"))
+        }
+      }
+  }
+
+  /** Build the multimodal table and run the batched decode →
+    * feature-extraction pass: `ImageIO` for the PNG rows (real dims,
+    * real luminance histogram), the marked stub for audio.
     */
   def features(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val assets = Tables.documents(spark, sfDir)
-      .select(
-        col("doc_id"),
-        when(col("doc_id") % 2 === 0, lit("image/png")).otherwise(lit("audio/wav")).as("mime"),
-        col("text").cast("binary").as("payload"))
-      .as[MmAsset]
-    assets.mapPartitions { it =>
+    assets(spark, sfDir).mapPartitions { it =>
       // partition-local batch: one decoder instance per partition, the
       // same amortization a Pandas-UDF batch gives in PySpark
       it.map { a =>
-        val (w, hgt, feats) = stubDecode(a.payload)
+        val (w, hgt, feats) =
+          if (a.mime == "image/png") decodeImage(a.payload) else stubDecode(a.payload)
         MmDecoded(a.doc_id, a.mime, w, hgt, a.payload.length, feats)
       }
     }.toDF()

@@ -51,10 +51,12 @@ object Dedup {
     * thresholded on the exact value. The signature estimate rides
     * along as `est_jaccard` for calibration.
     */
-  def minhashLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.5): DataFrame =
-    minhashLshOn(spark, Tables.documents(spark, sfDir), threshold)
+  def minhashLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.5,
+                 bucketCap: Int = 10000): DataFrame =
+    minhashLshOn(spark, Tables.documents(spark, sfDir), threshold, bucketCap)
 
-  private[graft] def minhashLshOn(spark: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def minhashLshOn(spark: SparkSession, docs: DataFrame, threshold: Double,
+                                  bucketCap: Int = 10000): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     // one cached table carries BOTH the shingle-hash set (verify join)
     // and its signature (estimate) — one join per pair side, single
@@ -64,12 +66,17 @@ object Dedup {
         expr("transform(shingles, s -> xxhash64(s))").as("hs"))
       .withColumn("sig", expr("graft_minhash64(hs)"))
       .cache()
-    val bands = sets.select(col("doc_id"), explode(expr(
-      "transform(sequence(0, 15), b -> " +
-      "  named_struct('band', b, 'bh', xxhash64(array_join(slice(sig, b * 4 + 1, 4), ','))))"
-    )).as("e")).select(col("doc_id"), col("e.band"), col("e.bh"))
+    // hot-bucket guard (same dfCap pattern as [[simhashOn]]): d exact
+    // copies of one document share every band hash → d² candidates
+    // from 16 buckets; over the cap the bucket is dropped (exact-copy
+    // identity belongs to [[exact]] dedup, which is O(d))
+    val bands = dropHotBuckets(
+      sets.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 15), b -> " +
+        "  named_struct('band', b, 'key', xxhash64(array_join(slice(sig, b * 4 + 1, 4), ','))))"
+      )).as("e")).select(col("doc_id"), col("e.band"), col("e.key")), bucketCap)
     val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -94,15 +101,25 @@ object Dedup {
   /** Near-dup CLUSTER resolution — the step between pairwise
     * detection and an actual dedup decision. Similarity pairs are not
     * transitive (A~B and B~C does not imply A~C was emitted), but
-    * "keep one copy" must treat them as one group, so the verified
-    * MinHash pairs are resolved into connected components
+    * "keep one copy" must treat them as one group, so the pair graph
+    * is resolved into connected components
     * ([[Graph.connectedComponents]]) and the minimum doc_id of each
     * component becomes its cluster id / survivor. Every corpus doc
     * appears in the output: singletons are their own keeper — the
     * result IS the post-dedup corpus manifest.
+    *
+    * The edge set is the EXACT n-gram Jaccard pair set
+    * ([[ngramJaccard]]) — deterministic and SQL-expressible, so the
+    * entire manifest (cluster ids, keepers) is value-gated against a
+    * DuckDB `WITH RECURSIVE` transitive-closure oracle: the one
+    * operator that decides deletions is hash-checked end-to-end, not
+    * just spec-sampled. Clustering over the MinHash pair set is the
+    * same composition (`minhashLsh` → [[Graph.connectedComponents]]);
+    * DedupSimilaritySpec pins that the two edge sets agree on shared
+    * pairs.
     */
-  def dedupClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.5): DataFrame = {
-    val edges = minhashLsh(spark, sfDir, threshold)
+  def dedupClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
+    val edges = ngramJaccard(spark, sfDir, threshold)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val comps = Graph.connectedComponents(edges)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -118,10 +135,24 @@ object Dedup {
     * per-row with higher-order functions — zero shuffle), plus
     * near-dup pairs found by 4×16-bit band blocking with a Hamming
     * distance cap. Output: one row per near-dup pair.
+    *
+    * Hot-bucket guard (`bucketCap`): d docs sharing one degenerate
+    * band key (all-boilerplate corpora collapse to a handful of
+    * fingerprints) emit d² candidates from that bucket alone, the same
+    * blowup [[ngramJaccard]]'s dfCap prevents on hot shingles.
+    * Buckets over the cap are dropped from candidate GENERATION only —
+    * a pair is lost only if ALL FOUR of its shared bands are
+    * ultra-hot, i.e. the docs are pure boilerplate. Hamming is still
+    * computed exactly on surviving candidates.
     */
-  def simhash(spark: SparkSession, sfDir: String, maxHamming: Int = 6): DataFrame = {
+  def simhash(spark: SparkSession, sfDir: String, maxHamming: Int = 6,
+              bucketCap: Int = 10000): DataFrame =
+    simhashOn(spark, Tables.documents(spark, sfDir), maxHamming, bucketCap)
+
+  private[graft] def simhashOn(spark: SparkSession, docs: DataFrame,
+                               maxHamming: Int = 6, bucketCap: Int = 10000): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val fp = Tables.documents(spark, sfDir)
+    val fp = docs
       .select(col("doc_id"), words(col("text")).as("toks"))
       .withColumn("fp", expr("graft_simhash64(transform(toks, t -> xxhash64(t)))"))
       .select(col("doc_id"), col("fp"))
@@ -129,7 +160,8 @@ object Dedup {
     val bands = fp.select(col("doc_id"), col("fp"), explode(expr(
       "transform(sequence(0, 3), b -> named_struct('band', b, 'key', shiftright(fp, b * 16) & 65535))"
     )).as("e")).select(col("doc_id"), col("fp"), col("e.band"), col("e.key"))
-    bands.as("a").join(bands.as("b"),
+    val pruned = dropHotBuckets(bands, bucketCap)
+    pruned.as("a").join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(
@@ -137,6 +169,20 @@ object Dedup {
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Drop (band, key) buckets with more than `cap` members from a
+    * banded signature table — the dfCap pattern applied to LSH
+    * buckets. The hot list is tiny by construction (only keys hotter
+    * than cap), so the anti-join broadcasts; candidate work per bucket
+    * is thereby bounded by cap² instead of d².
+    */
+  private def dropHotBuckets(bands: DataFrame, cap: Int): DataFrame = {
+    val hot = bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap)
+      .select(col("band"), col("key"))
+    bands.join(broadcast(hot), Seq("band", "key"), "left_anti")
   }
 
   /** Exact n-gram Jaccard similarity join via a shingle inverted
@@ -230,16 +276,21 @@ object Dedup {
     e.unionByName(planted)
   }
 
-  private[graft] def embedLshOn(spark: SparkSession, embeddings: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def embedLshOn(spark: SparkSession, embeddings: DataFrame, threshold: Double,
+                                bucketCap: Int = 10000): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
       .withColumn("sig", expr("graft_hyperplane64(v)"))
       .cache()
-    val bands = e.select(col("vec_id"), explode(expr(
-      "transform(sequence(0, 3), b -> named_struct('band', b, 'key', shiftright(sig, b * 16) & 65535))"
-    )).as("x")).select(col("vec_id"), col("x.band"), col("x.key"))
+    // same hot-bucket guard as [[simhashOn]]: a degenerate hyperplane
+    // bucket (e.g. zero vectors, or a corpus of one template) may hold
+    // d vectors → d² candidates; cap bounds it at cap² per bucket
+    val bands = dropHotBuckets(
+      e.select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 3), b -> named_struct('band', b, 'key', shiftright(sig, b * 16) & 65535))"
+      )).as("x")).select(col("vec_id"), col("x.band"), col("x.key")), bucketCap)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.vec_id") < col("b.vec_id"))

@@ -26,9 +26,18 @@ object Graph {
 
   /** @param edges two long columns (`src`, `dst`); undirected, self
     *              loops ignored.
+    * @param checkpointEvery truncate plan lineage with a
+    *              `localCheckpoint` every this many rounds. `.cache()`
+    *              alone only SHORTCUTS the lineage — an evicted cache
+    *              block under memory pressure silently recomputes the
+    *              whole iteration chain from round 0, which on a
+    *              large-diameter graph is quadratic work. The
+    *              checkpoint makes the cut durable: recomputation can
+    *              never reach past the last checkpoint.
     * @return (id, label) — label is the component's minimum vertex id.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+                          checkpointEvery: Int = 4): DataFrame = {
     val fwd = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     val sym = fwd
@@ -45,10 +54,17 @@ object Graph {
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nl")).as("nbr_label"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .cache()
+      // cache every round (intra-round reuse); every checkpointEvery-th
+      // round ALSO cut the lineage durably — localCheckpoint (executor
+      // block store) rather than a distributed checkpoint dir: the
+      // labels table is |V| rows, and losing an executor just restarts
+      // the job, same blast radius as losing its shuffle files
+      val updated =
+        if (checkpointEvery > 0 && (iter + 1) % checkpointEvery == 0) next.localCheckpoint()
+        else next.cache()
       // the count() both materializes the new labels (cutting the
       // iteration lineage at the cache) and decides convergence
       val changed = updated

@@ -52,6 +52,23 @@ object Relational {
       .limit(topN)
   }
 
+  /** Paged [[topMovies]] — the reference's listing endpoints take a
+    * `limit` request arg (api/v1/routes.py:77 `request.args.get(
+    * 'limit', 100)`); generalized to (skip, count) pages. The page is
+    * carved AFTER a `limit(skip + count)`: Spark plans
+    * TakeOrderedAndProject for orderBy+limit (per-partition top-(skip
+    * +count) + driver merge), so the subsequent global window ranks
+    * only skip+count rows — never a full-table single-partition sort.
+    */
+  def topMoviesPaged(spark: SparkSession, sfDir: String, skip: Int = 10, count: Int = 10,
+                     ratingLimit: Double = 3.5): DataFrame = {
+    val page = Window.orderBy(
+      col("votes").desc, col("avg_rating").desc, col("item_id").asc)
+    topMovies(spark, sfDir, topN = skip + count, ratingLimit = ratingLimit)
+      .withColumn("rn", row_number().over(page))
+      .filter(col("rn") > skip && col("rn") <= skip + count)
+  }
+
   /** controller.py:60 `get_user_top_ratings`, generalized to ALL users
     * at once (per-user top-k via window rank — one shuffle by user_id,
     * no global sort). The reference does ORDER BY rating DESC, ts DESC
@@ -86,6 +103,15 @@ object Relational {
         (col("pos") + 1).as("rn"))
   }
 
+  /** Paged [[userTopRatings]] (api/v1/routes.py:61's `limit` arg as a
+    * (skip, count) page): the window rank is already per-user, so a
+    * page is just a rank band — same single shuffle by user_id, rows
+    * `skip+1 .. skip+count` per user.
+    */
+  def userTopRatingsPaged(spark: SparkSession, sfDir: String, skip: Int = 5, count: Int = 5): DataFrame =
+    userTopRatings(spark, sfDir, k = skip + count)
+      .filter(col("rn") > skip)
+
   /** controller.py:47 `get_user_ratings` (latest first), generalized to
     * all users: latest-k events per user from the event stream.
     * Timestamps surfaced as epoch millis (ns-precision parquet would
@@ -102,6 +128,13 @@ object Relational {
         unix_millis(col("ts")).as("ts_ms"),
         col("event_type"), col("rn"))
   }
+
+  /** Paged [[userLatest]] (api/v1/routes.py:52's `limit` arg as a
+    * (skip, count) page over the latest-first per-user ranking).
+    */
+  def userLatestPaged(spark: SparkSession, sfDir: String, skip: Int = 5, count: Int = 5): DataFrame =
+    userLatest(spark, sfDir, k = skip + count)
+      .filter(col("rn") > skip)
 
   /** controller.py:262 `get_avg_recommendations`: cold-start fallback —
     * globally top items (votes desc, avg desc) LEFT ANTI JOIN the

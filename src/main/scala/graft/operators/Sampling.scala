@@ -162,9 +162,7 @@ object Sampling {
                              accuracy: Int = 10000,
                              cutpoints: Option[DataFrame] = None): DataFrame = {
     val scored = scoredDocs(spark, sfDir)
-    val cuts = cutpoints.getOrElse(
-      scored.groupBy(col("source"))
-        .agg(expr(s"approx_percentile(ttr, array(0.75, 0.5, 0.25), $accuracy)").as("cuts")))
+    val cuts = cutpoints.getOrElse(computeCutpoints(spark, sfDir, accuracy))
     applyCurriculumGates(
       scored.join(broadcast(cuts), Seq("source"))
         .withColumn("q_bucket",
@@ -172,6 +170,41 @@ object Sampling {
             .when(col("ttr") >= col("cuts")(1), 2L)
             .when(col("ttr") >= col("cuts")(2), 3L)
             .otherwise(4L)))
+  }
+
+  /** The per-source quality cutpoints as a standalone (tiny,
+    * |sources|-row) table — split out so it can be FROZEN.
+    */
+  private[graft] def computeCutpoints(spark: SparkSession, sfDir: String,
+                                      accuracy: Int = 10000): DataFrame =
+    scoredDocs(spark, sfDir).groupBy(col("source"))
+      .agg(expr(s"approx_percentile(ttr, array(0.75, 0.5, 0.25), $accuracy)").as("cuts"))
+
+  /** [[curriculumSampleApprox]] with the cutpoints FROZEN to a parquet
+    * artifact — the registered scale path. approx_percentile's sketch
+    * boundaries can shift with partition layout, so the cutpoints are
+    * computed ONCE (first run writes the |sources|-row table under
+    * `artifactDir`, keyed by the corpus dir) and every rerun reads
+    * them back; given fixed cutpoints, bucketing and hash gates are
+    * pure row functions, making the sample layout/rerun independent
+    * end-to-end (CurriculumSpec pins identical output across shuffle
+    * and input-layout changes). Concurrent first runs may both write
+    * the artifact — last writer wins, and both observe valid sketch
+    * cutpoints; at 100 TB the freeze is a one-time pipeline step, not
+    * per-query.
+    */
+  def curriculumSampleApproxFrozen(spark: SparkSession, sfDir: String,
+                                   accuracy: Int = 10000,
+                                   artifactDir: String = "target/graft-artifacts"): DataFrame = {
+    val path = s"$artifactDir/curriculum_cutpoints_" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath))
+      computeCutpoints(spark, sfDir, accuracy)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    curriculumSampleApprox(spark, sfDir, accuracy,
+      cutpoints = Some(spark.read.parquet(path)))
   }
 
   /** Epoch shuffling — the last prep step before the trainer reads:

@@ -146,26 +146,55 @@ object Als {
     rows.toDF("fold", "rmse", "mae", "n_test")
   }
 
-  /** Hyper-parameter sweep on a train/validation split, best-by-RMSE
-    * first (trainer.py:45 find_best_params). Grid kept small so the
-    * verify gate stays fast; the sweep parallelism is per-model — each
-    * fit is itself distributed.
+  /** Joint grid × k-fold CV selection — the reference's exact
+    * protocol (trainer.py:45-60 `find_best_params`: GridSearchCV with
+    * cv=3 runs 3-fold CV PER GRID CELL and picks best-by-MEAN-RMSE,
+    * not a single train/validation sweep). Output: one row per
+    * (cell, fold) with its RMSE/MAE, plus one winner row (fold = -1)
+    * carrying the winning cell's mean metrics — |grid|·folds + 1 rows.
+    *
+    * Scale shape: folds are deterministic hash buckets (no
+    * materialized splits); each of the |grid|·folds fits is itself a
+    * distributed ALS job, so the sweep parallelizes across the
+    * cluster one fit at a time — the same shape MLlib's own
+    * CrossValidator schedules. Grid kept small so the verify gate
+    * stays fast.
     */
   def gridSearch(spark: SparkSession, sfDir: String,
-                 ranks: Seq[Int] = Seq(4, 8), regs: Seq[Double] = Seq(0.05, 0.1)): DataFrame = {
+                 ranks: Seq[Int] = Seq(4, 8), regs: Seq[Double] = Seq(0.05, 0.1),
+                 folds: Int = 3): DataFrame = {
     import spark.implicits._
     val all = trainingSet(spark, sfDir)
-      .withColumn("fold", pmod(hash(col("user"), col("item")), lit(5)))
-    val train = all.filter(col("fold") =!= 0).drop("fold").cache()
-    val valid = all.filter(col("fold") === 0).drop("fold").cache()
+      .withColumn("fold", pmod(hash(col("user"), col("item")), lit(folds)))
+      .cache()
     val evalRmse = new RegressionEvaluator().setMetricName("rmse")
       .setLabelCol("rating").setPredictionCol("prediction")
-    val rows = for (r <- ranks; reg <- regs) yield {
-      val m = fit(train, rank = r, maxIter = 5, regParam = reg)
-      val rmse = evalRmse.evaluate(m.transform(valid))
-      (r, reg, math.rint(rmse * 10000) / 10000)
+    val evalMae = new RegressionEvaluator().setMetricName("mae")
+      .setLabelCol("rating").setPredictionCol("prediction")
+    val cells = for (r <- ranks; reg <- regs) yield (r, reg)
+    val perFold = cells.flatMap { case (r, reg) =>
+      (0 until folds).map { f =>
+        val m = fit(all.filter(col("fold") =!= f).drop("fold"), rank = r, maxIter = 5, regParam = reg)
+        val pred = m.transform(all.filter(col("fold") === f).drop("fold")).cache()
+        val row = (r, reg, f.toLong,
+          math.rint(evalRmse.evaluate(pred) * 10000) / 10000,
+          math.rint(evalMae.evaluate(pred) * 10000) / 10000)
+        pred.unpersist()
+        row
+      }
     }
-    train.unpersist(); valid.unpersist()
-    rows.toDF("rank", "reg_param", "rmse").orderBy(col("rmse").asc, col("rank").asc)
+    all.unpersist()
+    // winner = min mean RMSE across folds (ties → smaller rank, then
+    // smaller reg — deterministic selection), surfaced as fold = -1
+    val means = perFold.groupBy(r => (r._1, r._2)).map { case ((r, reg), rows) =>
+      (r, reg,
+        math.rint(rows.map(_._4).sum / rows.size * 10000) / 10000,
+        math.rint(rows.map(_._5).sum / rows.size * 10000) / 10000)
+    }.toSeq
+    val best = means.minBy(m => (m._3, m._1, m._2))
+    val winner = (best._1, best._2, -1L, best._3, best._4)
+    (perFold :+ winner)
+      .toDF("rank", "reg_param", "fold", "rmse", "mae")
+      .orderBy(col("fold").asc, col("rank").asc, col("reg_param").asc)
   }
 }

@@ -68,8 +68,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(clusters.count() === Tables.documents(spark, sf).count())
     val byDoc = clusters.collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
-    // every detected pair ended up in the same cluster
-    val pairs = Dedup.minhashLsh(spark, sf)
+    // every detected pair ended up in the same cluster (same edge
+    // source + threshold as the registered query)
+    val pairs = Dedup.ngramJaccard(spark, sf, threshold = 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.nonEmpty)
     pairs.foreach { case (a, b) => assert(byDoc(a)._1 === byDoc(b)._1) }
@@ -82,6 +83,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     clusters.unpersist()
   }
 
+  test("connected components survive a chain deeper than the checkpoint interval") {
+    import spark.implicits._
+    // a 30-node path 0-1-2-…-29: diameter 29, so label 0 needs 29
+    // propagation rounds — far past the default checkpointEvery=4, so
+    // the loop crosses many lineage cuts; and past maxIter=25, so the
+    // loud-failure guard is exercised by the default too
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = operators.Graph.connectedComponents(chain, maxIter = 40)
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 30)
+    assert(labels.values.forall(_ === 0L))
+    // lineage is genuinely cut: the result's RDD graph bottoms out at a
+    // checkpoint, not the 29-round join chain
+    assert(out.rdd.toDebugString.contains("LocalCheckpoint"),
+      "expected a LocalCheckpointRDD in the lineage")
+    // and the non-convergence guard still fires when maxIter is too
+    // small for the diameter
+    intercept[IllegalStateException] {
+      operators.Graph.connectedComponents(chain, maxIter = 10)
+    }
+  }
+
   test("stop-shingle DF cap changes the candidate index, not the output") {
     // a tight cap forces real pruning of the inverted index; output
     // must still be identical because every qualifying pair shares at
@@ -92,6 +115,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(uncapped.nonEmpty)
     assert(capped === uncapped)
+  }
+
+  test("hot-bucket guard: cap does not change output on a normal corpus") {
+    // the default cap (10000) never binds at test SF, and even a tight
+    // cap only drops buckets that are genuinely degenerate — on this
+    // corpus no (band, key) bucket exceeds 50, so outputs are identical
+    val base = Dedup.simhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.simhash(spark, sf, bucketCap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base.nonEmpty)
+    assert(capped === base)
+    // same holds for the minhash band buckets
+    val mhBase = Dedup.minhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mhCapped = Dedup.minhashLsh(spark, sf, bucketCap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mhBase.nonEmpty)
+    assert(mhCapped === mhBase)
+  }
+
+  test("hot-bucket guard: a planted degenerate bucket is dropped, the rest survives") {
+    import spark.implicits._
+    // 200 copies of one boilerplate text → one fingerprint → every
+    // band bucket holds 200 docs → 4×C(200,2) candidates without the
+    // guard; plus one genuine near-dup pair of distinct docs
+    val boiler = (0L until 200L).map(i => (i, "all rights reserved template " * 10))
+    val pair = Seq(
+      (1000L, "a genuinely unique document about spark catalyst optimizers and shuffles"),
+      (1001L, "a genuinely unique document about spark catalyst optimizers and shuffle"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text")
+    val capped = Dedup.simhashOn(spark, docs, maxHamming = 6, bucketCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the boilerplate clique never reaches the pair join…
+    assert(capped.forall { case (a, b) => a >= 1000L && b >= 1000L })
+    // …but the real near-dup pair (its buckets hold 2 docs) is intact
+    assert(capped === Set((1000L, 1001L)))
   }
 
   test("simhash near-dup pairs have symmetric, bounded hamming") {

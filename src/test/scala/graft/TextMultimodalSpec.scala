@@ -37,10 +37,32 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(math.abs(x._3.sum - 1.0f) < 1e-5) // L1-normalized histogram
   }
 
-  test("mm_features keeps one row per document with positive fake dims") {
+  test("real PNG roundtrip: ImageIO decode returns the generated dimensions") {
+    Seq(0L, 2L, 40L, 123456L).foreach { seed =>
+      val png = Multimodal.makePng(seed)
+      // a real PNG container, not a fake blob
+      assert(png.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+      val (w, h, hist) = Multimodal.decodeImage(png)
+      assert(w === Multimodal.pngWidth(seed))
+      assert(h === Multimodal.pngHeight(seed))
+      assert(math.abs(hist.sum - 1.0f) < 1e-4) // true luminance histogram, L1-normalized
+    }
+  }
+
+  test("mm_features keeps one row per document; PNG rows carry real decoded dims") {
     val df = Multimodal.features(spark, sf).cache()
     assert(df.count() === Tables.documents(spark, sf).count())
-    assert(df.filter(col("width") < 64 || col("height") < 64).count() === 0)
+    // image rows: dimensions decoded from the actual PNG bytes
+    val png = df.filter(col("mime") === "image/png").collect()
+    assert(png.nonEmpty)
+    png.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("width") === Multimodal.pngWidth(id))
+      assert(r.getAs[Int]("height") === Multimodal.pngHeight(id))
+    }
+    // audio rows: stub dims in the stub's range
+    assert(df.filter(col("mime") === "audio/wav")
+      .filter(col("width") < 64 || col("height") < 64).count() === 0)
     df.unpersist()
   }
 

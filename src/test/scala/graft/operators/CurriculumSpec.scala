@@ -28,4 +28,24 @@ class CurriculumSpec extends AnyFunSuite {
     val jaccard = common.size.toDouble / (exact.keySet union approx.keySet).size
     assert(jaccard >= 0.9, f"keep-set jaccard $jaccard%.4f")
   }
+
+  test("frozen cutpoints make the approx sample layout- and rerun-independent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cuts").toString
+    def run(): Seq[(Long, Long)] =
+      Sampling.curriculumSampleApproxFrozen(spark, sf, artifactDir = dir)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    val conf = spark.conf
+    val before = conf.get("spark.sql.shuffle.partitions")
+    try {
+      conf.set("spark.sql.shuffle.partitions", "4")
+      val a = run() // first run freezes the artifact
+      conf.set("spark.sql.shuffle.partitions", "7")
+      val b = run() // different shuffle layout, same frozen cutpoints
+      assert(a.nonEmpty)
+      assert(a === b, "frozen-cutpoint sample changed across layouts")
+      // the artifact exists and is the tiny per-source table
+      val files = new java.io.File(dir).listFiles()
+      assert(files != null && files.nonEmpty)
+    } finally conf.set("spark.sql.shuffle.partitions", before)
+  }
 }
