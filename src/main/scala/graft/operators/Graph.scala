@@ -86,4 +86,103 @@ object Graph {
       "(component diameter exceeds maxIter)")
     labels
   }
+
+  /** Two-phase star-contraction connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): the
+    * large-diameter scale path. [[connectedComponents]]'s min-label
+    * propagation needs O(diameter) rounds — fine for shallow near-dup
+    * clusters, hopeless on a 10⁶-hop adversarial chain. Alternating
+    * large-star / small-star contractions converge in O(log n) rounds
+    * REGARDLESS of diameter, with the same per-round dataflow shape
+    * (one groupBy-min + one join, fully distributed, nothing on the
+    * driver).
+    *
+    *  - large-star(u): attach every neighbor v > u to
+    *    m = min(Γ(u) ∪ u) — hooks big nodes onto local minima;
+    *  - small-star(u): attach every neighbor v ≤ u (and u) to m —
+    *    flattens the resulting trees.
+    *
+    * Fixpoint: every component is a star centered at its minimum id,
+    * at which point both phases are identity. Labels read directly
+    * off the final edge set. StarContractionSpec proves partition
+    * equality with the min-label path on chains, cliques, and the
+    * corpus pair graph, and that a 64-node chain converges in ≤ 10
+    * rounds (vs 63 for propagation).
+    *
+    * @return (id, label) — label is the component's minimum vertex id;
+    *         same contract as [[connectedComponents]].
+    */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 30): DataFrame =
+    starWithRounds(edges, maxIter)._1
+
+  /** [[connectedComponentsStar]] plus the number of rounds it took —
+    * the O(log n) claim is spec-asserted, not just cited.
+    *
+    * Each round ends in an EAGER `localCheckpoint`, unconditionally —
+    * unlike the propagation loop (one plan branch per round, cut every
+    * few rounds), each star round references the previous pair set ~6
+    * times (two symmetrizations, two hooks, the convergence
+    * anti-joins), so an uncut logical plan grows ~6× PER ROUND and
+    * canonicalization OOMs the driver near round 10 (observed). The
+    * checkpoint rebases every round on a LogicalRDD: constant-size
+    * plans, constant per-round cost.
+    */
+  private[graft] def starWithRounds(edges: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+    val input = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = input.select(col("a").as("id"))
+      .unionAll(input.select(col("b").as("id"))).distinct().cache()
+    var pairs = input
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR: center u over BOTH directions; m = min(Γ(u) ∪ u).
+      // Emit (v, m) for v > u, plus the (u, m) hook itself. m ≤ u < v
+      // keeps every emitted pair canonical (small, large).
+      val sym = pairs.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(pairs.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .unionAll(mins.filter(col("m") =!= col("u"))
+          .select(col("m").as("a"), col("u").as("b")))
+        .distinct()
+      // SMALL-STAR: center each pair at its LARGER endpoint (every
+      // canonical pair (a,b) contributes v=a to center u=b); emit
+      // (v, m) for v ≠ m plus (u, m). m < u always, v < u always.
+      val ssIn = ls.select(col("b").as("u"), col("a").as("v"))
+      val mins2 = ssIn.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ssJ = ssIn.join(mins2, Seq("u"))
+      val next = ssJ.filter(col("v") =!= col("m"))
+        .select(least(col("v"), col("m")).as("a"),
+          greatest(col("v"), col("m")).as("b"))
+        .unionAll(mins2.select(col("m").as("a"), col("u").as("b")))
+        .distinct()
+      val updated = next.localCheckpoint()
+      // converged ⇔ the canonical pair set is a fixpoint of both stars
+      val changed = updated.join(pairs, Seq("a", "b"), "left_anti")
+        .unionAll(pairs.join(updated, Seq("a", "b"), "left_anti"))
+        .limit(1).count()
+      pairs = updated
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge within $maxIter rounds")
+    // fixpoint edges are (component-min, member) stars: member → min,
+    // centers label themselves
+    // input's checkpoint blocks back `nodes`, which the returned plan
+    // still reads — do not unpersist here
+    val labels = pairs.select(col("b").as("id"), col("a").as("label"))
+    val out = nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    (out, iter)
+  }
 }
