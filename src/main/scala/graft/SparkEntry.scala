@@ -60,6 +60,9 @@ object SparkEntry {
     // exact ngram-jaccard edges; value-gated by a DuckDB WITH RECURSIVE
     // transitive-closure oracle (the one operator deciding deletions)
     "dedup_clusters"      -> ((s, d) => Dedup.dedupClusters(s, d)),
+    // the same manifest resolved by O(log n) star contraction — the
+    // large-diameter scale path, gated by the same recursive oracle
+    "dedup_clusters_star" -> ((s, d) => Dedup.dedupClustersStar(s, d)),
     // — similarity search —
     "knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "knn_ivf"   -> ((s, d) => Similarity.ivfSearch(s, d)),
@@ -537,7 +540,12 @@ object SparkEntry {
     // closure: label(v) = min over v's reachable set. DuckDB expresses
     // the closure with a recursive CTE over the symmetric exact-Jaccard
     // edges; docs never reached keep their own id (singleton clusters).
-    "dedup_clusters" ->
+    "dedup_clusters" -> clustersOracle,
+    // star contraction computes the same component minima — same oracle
+    "dedup_clusters_star" -> clustersOracle,
+  ) ++ oracleSqlTail
+
+  private val clustersOracle: String =
       """WITH RECURSIVE w AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
         |  FROM documents),
@@ -564,8 +572,9 @@ object SparkEntry {
         |  SELECT id AS doc_id, least(id, min(r)) AS label FROM reach GROUP BY id)
         |SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster_id,
         |  d.doc_id = coalesce(l.label, d.doc_id) AS is_keeper
-        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id""".stripMargin,
+        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id""".stripMargin
 
+  private val oracleSqlTail: Map[String, String] = Map(
     "dedup_ngram_jaccard" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w

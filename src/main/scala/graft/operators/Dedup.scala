@@ -118,10 +118,25 @@ object Dedup {
     * DedupSimilaritySpec pins that the two edge sets agree on shared
     * pairs.
     */
-  def dedupClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
+  def dedupClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame =
+    clustersFrom(spark, sfDir, threshold, Graph.connectedComponents(_))
+
+  /** [[dedupClusters]] resolved with the O(log n) star-contraction CC
+    * ([[Graph.connectedComponentsStar]]) instead of O(diameter)
+    * min-label propagation. Labels are the component minima under both
+    * algorithms, so the manifests are IDENTICAL — registered as
+    * `dedup_clusters_star` against the same `WITH RECURSIVE` oracle:
+    * the large-graph scale path is value-gated end-to-end, not just
+    * spec-compared.
+    */
+  def dedupClustersStar(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame =
+    clustersFrom(spark, sfDir, threshold, Graph.connectedComponentsStar(_))
+
+  private def clustersFrom(spark: SparkSession, sfDir: String, threshold: Double,
+                           cc: DataFrame => DataFrame): DataFrame = {
     val edges = ngramJaccard(spark, sfDir, threshold)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val comps = Graph.connectedComponents(edges)
+    val comps = cc(edges)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"))

@@ -116,6 +116,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("bucket"), p.take(2000))
   }
 
+  test("paged top movies: page carved from TakeOrderedAndProject, no full-table sort") {
+    // the skip/count page must ride the same top-(skip+count) merge as
+    // the unpaged listing — a global window over the UN-limited
+    // aggregate would be a single-partition sort of every item
+    val p = plan(Relational.topMoviesPaged(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("embed-cosine audit: the BNLJ sits above the budget gate, never the full corpus") {
     // the registered exact-cosine audit is the ONLY all-pairs join in
     // the library; it is allowed to exist solely because its inputs
