@@ -75,6 +75,9 @@ object SparkEntry {
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_repetition"  -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // PII scrub over deterministically planted emails/phones; the full
+    // redacted string is value-gated via md5
+    "text_redact"      -> ((s, d) => TextAnalysis.redactPii(s, d)),
     "q_decontaminate"  -> ((s, d) => Decontamination.flagContaminated(s, d)),
     "q_seq_pack"       -> ((s, d) => SeqPack.pack(s, d)),
     // — multimodal —
@@ -384,6 +387,24 @@ object SparkEntry {
         |          ['the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'])) AS DOUBLE)
         |        / len(list_distinct(string_split(text, ' '))), 4) AS stopword_type_ratio
         |FROM documents""".stripMargin,
+
+    "text_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '555-[0-9]{4}', '[PHONE]', 'g')) AS clean_md5
+        |FROM p""".stripMargin,
 
     "text_tokens" ->
       """SELECT token, count(*) AS freq FROM (

@@ -187,8 +187,8 @@ object Sampling {
     * `artifactDir`, keyed by the corpus dir) and every rerun reads
     * them back; given fixed cutpoints, bucketing and hash gates are
     * pure row functions, making the sample layout/rerun independent
-    * end-to-end (CurriculumSpec pins identical output across shuffle
-    * and input-layout changes). Concurrent first runs may both write
+    * end-to-end (CurriculumSpec pins identical output across
+    * shuffle-partition settings). Concurrent first runs may both write
     * the artifact — last writer wins, and both observe valid sketch
     * cutpoints; at 100 TB the freeze is a one-time pipeline step, not
     * per-query.

@@ -156,6 +156,53 @@ object TextAnalysis {
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 4))
       .orderBy(col("doc_id"))
 
+  // RE2-safe (no lookarounds/backreferences) so the Java (Spark) and
+  // RE2 (DuckDB oracle) dialects match byte-for-byte
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "555-[0-9]{4}"
+
+  /** The corpus with deterministic synthetic PII planted (every 5th
+    * doc an email, every 7th a phone number — pure functions of
+    * doc_id, no RNG, same on every engine/run): the test corpus has no
+    * natural PII, and a redaction operator must be exercised against
+    * strings it actually rewrites. Same planted-corpus pattern as
+    * [[Dedup.embedLshPlanted]].
+    */
+  private[graft] def piiPlantedCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text"))
+
+  /** PII redaction — the scrubbing pass an LLM training pipeline runs
+    * before anything else sees the text: emails and phone-shaped
+    * strings are counted and replaced with typed placeholders. Pure
+    * map-side regexp column work (rides the ingest scan, zero
+    * shuffle, codegen'd — no UDF); the redacted text is surfaced as an
+    * md5 so the oracle value-checks the FULL rewritten string without
+    * shipping it. A real pipeline swaps in more patterns (SSNs, IP
+    * addresses, street addresses) — same operator shape, one regexp
+    * per class.
+    */
+  def redactPii(spark: SparkSession, sfDir: String): DataFrame =
+    redactPiiOn(piiPlantedCorpus(spark, sfDir))
+
+  /** Core on an injectable corpus (docs: doc_id, text) — spec entry. */
+  private[graft] def redactPiiOn(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+      md5(regexp_replace(
+        regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]")).as("clean_md5"))
+
   /** Rolling polynomial (Rabin-Karp-style) document fingerprint over
     * token hashes — order-sensitive, unlike the bag-of-shingles
     * signatures in [[Dedup]]. Arithmetic kept modular (acc < 2^31,

@@ -37,6 +37,28 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(math.abs(x._3.sum - 1.0f) < 1e-5) // L1-normalized histogram
   }
 
+  test("PII redaction scrubs every planted email/phone and only those docs") {
+    val rows = TextAnalysis.redactPii(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_emails") === (if (id % 5 == 0) 1L else 0L))
+      assert(r.getAs[Long]("n_phones") === (if (id % 7 == 0) 1L else 0L))
+    }
+    // the rewritten strings are really scrubbed: no raw PII survives
+    import spark.implicits._
+    val scrubbed = TextAnalysis.redactPiiOn(
+      Seq((1L, "reach user1@example.com or 555-0001 now")).toDF("doc_id", "text"))
+      .collect().head
+    assert(scrubbed.getAs[Long]("n_emails") === 1L)
+    assert(scrubbed.getAs[Long]("n_phones") === 1L)
+    // md5 of the fully-redacted literal, computed independently
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("reach [EMAIL] or [PHONE] now".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(scrubbed.getAs[String]("clean_md5") === expected)
+  }
+
   test("real PNG roundtrip: ImageIO decode returns the generated dimensions") {
     Seq(0L, 2L, 40L, 123456L).foreach { seed =>
       val png = Multimodal.makePng(seed)
