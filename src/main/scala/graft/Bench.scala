@@ -24,7 +24,8 @@ object Bench {
     "q_user_topk_agg", "q_approx_stats",
     "q_corpus_prep", "q_sample_weighted", "q_sample_upsample",
     "q_sample_curriculum", "q_mix_plan", "q_epoch_shuffle",
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_exact", "dedup_exact_inc", "dedup_exact_delta",
+    "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embed_cosine", "dedup_embed_lsh", "dedup_clusters", "dedup_clusters_star",
     "knn_brute", "knn_ivf", "knn_sq8",
     "text_quality", "text_tokens", "text_token_count", "text_repetition",

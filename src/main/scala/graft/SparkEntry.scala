@@ -44,6 +44,10 @@ object SparkEntry {
     "als_cv"    -> ((s, d) => Als.crossValidate(s, d)),
     // — deduplication —
     "dedup_exact"         -> ((s, d) => Dedup.exact(s, d)),
+    // IVM over the hash-group store; oracle = the batch dedup (gates
+    // the incremental identity), tick payload = touched groups only
+    "dedup_exact_inc"     -> ((s, d) => Dedup.exactIncremental(s, d)),
+    "dedup_exact_delta"   -> ((s, d) => Dedup.exactDelta(s, d)),
     "dedup_minhash"       -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -243,6 +247,28 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // the IVM identity: incremental merge must equal the batch dedup
+    // (over the dup-planted corpus — copies land in the delta, their
+    // originals in the base, so groups genuinely merge across the tick)
+    "dedup_exact_inc" ->
+      """WITH p AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 3)
+        |SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+        |  count(*) AS n_copies
+        |FROM p GROUP BY md5(text)""".stripMargin,
+
+    "dedup_exact_delta" ->
+      """WITH p AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 3)
+        |SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+        |  count(*) AS n_copies
+        |FROM p GROUP BY md5(text)
+        |HAVING max(CASE WHEN doc_id >= 400 THEN 1 ELSE 0 END) = 1""".stripMargin,
 
     "dedup_embed_cosine" ->
       """WITH n AS (SELECT count(*) AS gate_n FROM embeddings),

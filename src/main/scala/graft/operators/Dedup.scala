@@ -42,6 +42,64 @@ object Dedup {
         min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — IVM over the content-hash group store,
+    * the corpus analog of [[ItemCF.coocIncremental]]: a 100 TB corpus
+    * is not re-deduped from scratch per ingest batch. The base corpus
+    * (pre-`cutoff`, standing in for yesterday's materialized group
+    * store) and the delta are grouped separately and merged by
+    * union+regroup — the correct regime when the base is derived
+    * in-query (see the cooc scaladoc for the regime split; against a
+    * MATERIALIZED store the merge becomes a broadcast update/insert of
+    * the delta's groups only). The oracle is the BATCH dedup over the
+    * full corpus, so the gate checks the IVM identity itself.
+    *
+    * The synthetic corpus has no exact duplicates, so every 10th
+    * document is planted as a copy with id+10000 — the copies all land
+    * in the delta while their originals sit in the base, so the merge
+    * genuinely combines groups ACROSS the tick boundary (min-id keeper
+    * from the base, count from both sides) rather than passing
+    * disjoint groups through. Deterministic, mirrored in the oracles.
+    */
+  private[graft] def dupPlantedDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+  }
+
+  def exactIncremental(spark: SparkSession, sfDir: String, cutoff: Long = 400L): DataFrame = {
+    val docs = dupPlantedDocs(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    val baseG = docs.filter(col("doc_id") < cutoff)
+      .groupBy(col("text_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+    val deltaG = docs.filter(col("doc_id") >= cutoff)
+      .groupBy(col("text_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+    baseG.unionByName(deltaG)
+      .groupBy(col("text_md5"))
+      .agg(min(col("keep_doc_id")).as("keep_doc_id"),
+        sum(col("n_copies")).as("n_copies"))
+  }
+
+  /** The tick payload for incremental exact dedup: the post-merge
+    * state of ONLY the groups the delta touched — what actually ships
+    * to the store, compute ∝ touched groups (the delta's distinct
+    * hashes broadcast; the corpus never shuffles untouched rows).
+    * Oracle: batch groups HAVING a post-cutoff member — the
+    * changed-rows contract itself is value-gated, as with
+    * [[ItemCF.coocDelta]].
+    */
+  def exactDelta(spark: SparkSession, sfDir: String, cutoff: Long = 400L): DataFrame = {
+    val docs = dupPlantedDocs(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    val touched = docs.filter(col("doc_id") >= cutoff)
+      .select(col("text_md5")).distinct()
+    docs.join(broadcast(touched), Seq("text_md5"))
+      .groupBy(col("text_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+  }
+
   /** MinHash (64 permutations via seeded xxhash64) + LSH banding
     * (16 bands × 4 rows) + exact verification: signatures map-side,
     * candidate pairs only within equal (band, band-hash) buckets, then

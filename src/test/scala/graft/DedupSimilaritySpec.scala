@@ -83,6 +83,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     clusters.unpersist()
   }
 
+  test("incremental exact dedup merges groups across the tick boundary") {
+    val inc = Dedup.exactIncremental(spark, sf).cache()
+    // the planted copies produce real 2-member groups whose keeper is
+    // the BASE-side original and whose count spans both sides
+    val merged = inc.filter(col("n_copies") === 2).collect()
+    assert(merged.length === 50)
+    merged.foreach { r =>
+      val keep = r.getAs[Long]("keep_doc_id")
+      assert(keep % 10 === 3 && keep < 10000L) // original, never the copy
+    }
+    // tick payload ⊂ merged state, and exactly the touched groups
+    val delta = Dedup.exactDelta(spark, sf)
+    assert(delta.join(inc, Seq("text_md5", "keep_doc_id", "n_copies"), "left_anti").count() === 0)
+    assert(delta.count() < inc.count()) // never a full-store re-emit
+    inc.unpersist()
+  }
+
   test("connected components survive a chain deeper than the checkpoint interval") {
     import spark.implicits._
     // a 30-node path 0-1-2-…-29: diameter 29, so label 0 needs 29
