@@ -178,6 +178,9 @@ object Multimodal {
     val assets = Tables.documents(spark, sfDir)
       .select(col("doc_id"), lit("video/mp4").as("mime"),
         col("text").cast("binary").as("payload"))
+      // same decode-cost split sizing as [[assets]]: a real demux is
+      // CPU-bound and the corpus manifest fits one parquet row group
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[MmAsset]
     assets.mapPartitions { it =>
       it.flatMap { a =>

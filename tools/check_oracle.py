@@ -37,18 +37,21 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
-        try:
-            want = canon(con.execute(sql).df())
-        except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
-            n_fail += 1
-            continue
+        # read the spark dump FIRST: on a targeted Verify run most dumps
+        # are absent, and the oracle SQL (all-pairs jaccard, recursive
+        # closures) is far more expensive than a parquet read
         try:
             got = canon(pd.concat([pd.read_parquet(f) for f in
                        sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))],
                        ignore_index=True))
         except Exception as e:
             print(f"FAIL {name}: spark result read error: {e}")
+            n_fail += 1
+            continue
+        try:
+            want = canon(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
         if list(got.columns) != list(want.columns):
