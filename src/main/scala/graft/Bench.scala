@@ -29,7 +29,8 @@ object Bench {
     "dedup_embed_cosine", "dedup_embed_lsh", "dedup_clusters", "dedup_clusters_star",
     "knn_brute", "knn_ivf", "knn_sq8",
     "text_quality", "text_tokens", "text_token_count", "text_repetition",
-    "text_langid", "text_fingerprint", "text_redact", "q_decontaminate", "q_seq_pack",
+    "text_langid", "text_fingerprint", "text_redact",
+    "q_decontaminate", "q_decontaminate_bloom", "q_seq_pack",
     "mm_features", "mm_resize", "mm_frames", "als_top_n")
 
   def main(args: Array[String]): Unit = {

@@ -83,6 +83,9 @@ object SparkEntry {
     // redacted string is value-gated via md5
     "text_redact"      -> ((s, d) => TextAnalysis.redactPii(s, d)),
     "q_decontaminate"  -> ((s, d) => Decontamination.flagContaminated(s, d)),
+    // bloom-prefiltered scale path; identical output (FPs removed by
+    // the exact verify join) → gated by the same oracle
+    "q_decontaminate_bloom" -> ((s, d) => Decontamination.flagContaminatedBloom(s, d)),
     "q_seq_pack"       -> ((s, d) => SeqPack.pack(s, d)),
     // — multimodal —
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
@@ -447,15 +450,9 @@ object SparkEntry {
         |  round(1.0 - count(DISTINCT gram) / count(*), 4) AS dup_gram_frac
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q_decontaminate" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
-        |      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-3)) AS i
-        |            FROM w WHERE len(w) >= 4)),
-        |eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
-        |SELECT t.doc_id, CAST(count(DISTINCT t.gram) AS BIGINT) AS n_hits
-        |FROM (SELECT * FROM g WHERE doc_id % 20 <> 0) t JOIN eval_g e USING (gram)
-        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q_decontaminate" -> decontaminateOracle,
+    // the bloom prefilter changes the plan, not the result
+    "q_decontaminate_bloom" -> decontaminateOracle,
 
     "q_seq_pack" ->
       """WITH t AS (SELECT doc_id, doc_id % 16 AS bucket,
@@ -591,6 +588,16 @@ object SparkEntry {
     // star contraction computes the same component minima — same oracle
     "dedup_clusters_star" -> clustersOracle,
   ) ++ oracleSqlTail
+
+  private val decontaminateOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+      |      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-3)) AS i
+      |            FROM w WHERE len(w) >= 4)),
+      |eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+      |SELECT t.doc_id, CAST(count(DISTINCT t.gram) AS BIGINT) AS n_hits
+      |FROM (SELECT * FROM g WHERE doc_id % 20 <> 0) t JOIN eval_g e USING (gram)
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
   private val clustersOracle: String =
       """WITH RECURSIVE w AS (

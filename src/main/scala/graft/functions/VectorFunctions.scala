@@ -430,4 +430,24 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sq8_dot", exprs => Sq8Dot(exprs(0), exprs(1)), "built-in")
   }
+
+  /** Spark ships production Bloom expressions (the machinery behind
+    * runtime row-group filtering: `BloomFilterAggregate` builds the
+    * filter, `BloomFilterMightContain` probes it) but does not expose
+    * them in the public function registry — surface them under graft
+    * names for the decontamination scale path. Same codegen'd
+    * implementations the optimizer itself injects.
+    */
+  def registerBloom(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1)),
+      "built-in")
+  }
 }

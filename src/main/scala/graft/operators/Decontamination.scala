@@ -53,4 +53,41 @@ object Decontamination {
       .agg(countDistinct(col("gram")).as("n_hits"))
       .orderBy(col("doc_id"))
   }
+
+  /** The bloom-prefiltered scale path of [[flagContaminated]]: when
+    * the eval suite outgrows an exact-gram broadcast (a full holdout
+    * battery is GBs of distinct grams; a Bloom filter of the same set
+    * is MBs at 1% FPR), ship the FILTER, not the grams. The corpus
+    * side drops non-candidate grams map-side with `might_contain`
+    * (Spark's own Catalyst bloom expressions, the machinery behind
+    * runtime row-group filtering, surfaced as `graft_bloom_agg` /
+    * `graft_might_contain`); only the surviving ~1% join against the
+    * exact gram set, which removes the false positives. Output is
+    * therefore IDENTICAL to the exact operator — registered as
+    * `q_decontaminate_bloom` against the SAME oracle, so the scale
+    * path is value-gated, not approximated.
+    */
+  def flagContaminatedBloom(spark: SparkSession, sfDir: String, n: Int = 4,
+                            evalMod: Int = 20, numBits: Long = 8388608L): DataFrame = {
+    graft.functions.VectorFunctions.registerBloom(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val grams = docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(TextAnalysis.wordGrams(n)).as("gram"))
+    val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
+      .select(col("gram")).distinct()
+    // the one-row bloom as a temp view: BloomFilterMightContain
+    // requires its filter side to be a literal or scalar subquery
+    evalGrams.createOrReplaceTempView("graft_decon_eval_grams")
+    spark.sql(
+      s"SELECT graft_bloom_agg(xxhash64(gram), 1000000L, ${numBits}L) AS bf " +
+       "FROM graft_decon_eval_grams").createOrReplaceTempView("graft_decon_bloom")
+    grams.filter(col("doc_id") % evalMod =!= 0)
+      .filter(expr("graft_might_contain((SELECT bf FROM graft_decon_bloom), xxhash64(gram))"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -37,6 +37,18 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(r === Map(1L -> 1L, 3L -> 2L))
   }
 
+  test("bloom-prefiltered decontamination equals the exact operator") {
+    // the bloom pass only PREFILTERS (false positives removed by the
+    // exact verify join), so outputs must be identical — on the real
+    // corpus, not a toy
+    val exact = Decontamination.flagContaminated(spark, graft.TestSpark.sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val bloom = Decontamination.flagContaminatedBloom(spark, graft.TestSpark.sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(bloom === exact)
+  }
+
   test("sequence packing: offsets, boundary split, per-bucket independence") {
     import spark.implicits._
     def words(k: Int): String = Seq.fill(k)("w").mkString(" ")
