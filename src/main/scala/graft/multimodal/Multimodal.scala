@@ -38,10 +38,13 @@ object Multimodal {
     * `javax.imageio`. Dims span 16..256 px on each side so resize
     * planning exercises both the long-side clamp (>224) and the
     * no-upscale branch against REAL decoded dimensions, while keeping
-    * the synthetic-payload cost out of the operator's measured time
-    * (in production the bytes come from the lake — generating them is
-    * corpus synthesis, not decode work). Pixels move through batched
-    * int[] set/getRGB — per-pixel BufferedImage calls are ~10× slower.
+    * the synthetic-payload cost small relative to decode. NOTE the
+    * generation runs inside the registered query (there is no binary
+    * column in the testdata to read), so mm_features' bench time
+    * includes encode+decode — in production the bytes come from the
+    * lake and only the decode half remains. Pixels move through
+    * batched int[] set/getRGB — per-pixel BufferedImage calls are
+    * ~10× slower.
     */
   private[graft] def pngWidth(seed: Long): Int = 16 + math.floorMod(seed * 2654435761L, 241L).toInt
   private[graft] def pngHeight(seed: Long): Int = 16 + math.floorMod((seed * 2654435761L) >> 9, 241L).toInt
@@ -69,6 +72,10 @@ object Multimodal {
     */
   private[graft] def decodeImage(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    // ImageIO signals an undecodable payload with null, not an
+    // exception; one corrupt lake blob must flag the row (0×0 dims,
+    // empty histogram), not NPE the task and kill the whole query
+    if (img == null) return (0, 0, new Array[Float](8))
     val (w, h) = (img.getWidth, img.getHeight)
     val px = img.getRGB(0, 0, w, h, null, 0, w)
     val hist = new Array[Float](8)

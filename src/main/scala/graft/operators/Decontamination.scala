@@ -67,6 +67,8 @@ object Decontamination {
     * `q_decontaminate_bloom` against the SAME oracle, so the scale
     * path is value-gated, not approximated.
     */
+  private val bloomViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def flagContaminatedBloom(spark: SparkSession, sfDir: String, n: Int = 4,
                             evalMod: Int = 20, numBits: Long = 8388608L): DataFrame = {
     graft.functions.VectorFunctions.registerBloom(spark)
@@ -75,16 +77,26 @@ object Decontamination {
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(TextAnalysis.wordGrams(n)).as("gram"))
+    // cached: the eval-gram derivation (scan + explode + distinct)
+    // feeds BOTH the bloom build and the exact verify join — without
+    // the cache the scale path pays the eval side twice
     val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
       .select(col("gram")).distinct()
+      .cache()
     // the one-row bloom as a temp view: BloomFilterMightContain
-    // requires its filter side to be a literal or scalar subquery
-    evalGrams.createOrReplaceTempView("graft_decon_eval_grams")
+    // requires its filter side to be a literal or scalar subquery.
+    // Per-call unique names — a shared fixed name would let concurrent
+    // invocations in one session build the filter over each other's
+    // eval grams
+    val seq = bloomViewSeq.incrementAndGet()
+    val gramsView = s"graft_decon_eval_grams_$seq"
+    val bloomView = s"graft_decon_bloom_$seq"
+    evalGrams.createOrReplaceTempView(gramsView)
     spark.sql(
       s"SELECT graft_bloom_agg(xxhash64(gram), 1000000L, ${numBits}L) AS bf " +
-       "FROM graft_decon_eval_grams").createOrReplaceTempView("graft_decon_bloom")
+       s"FROM $gramsView").createOrReplaceTempView(bloomView)
     grams.filter(col("doc_id") % evalMod =!= 0)
-      .filter(expr("graft_might_contain((SELECT bf FROM graft_decon_bloom), xxhash64(gram))"))
+      .filter(expr(s"graft_might_contain((SELECT bf FROM $bloomView), xxhash64(gram))"))
       .join(broadcast(evalGrams), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_hits"))

@@ -196,7 +196,12 @@ object Sampling {
   def curriculumSampleApproxFrozen(spark: SparkSession, sfDir: String,
                                    accuracy: Int = 10000,
                                    artifactDir: String = "target/graft-artifacts"): DataFrame = {
-    val path = s"$artifactDir/curriculum_cutpoints_" +
+    // keyed by (corpus dir, accuracy): a different sketch accuracy must
+    // not reuse another's cutpoints. Freezing is intentionally sticky
+    // across corpus REGENERATION at the same path — that is the
+    // reproducibility contract (the frozen boundaries ARE the sample
+    // definition); delete the artifact to re-freeze against new data.
+    val path = s"$artifactDir/curriculum_cutpoints_a${accuracy}_" +
       sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

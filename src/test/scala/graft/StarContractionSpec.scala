@@ -11,7 +11,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class StarContractionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
-  import scala.jdk.CollectionConverters._
 
   private def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
     df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -69,6 +69,9 @@ class TextMultimodalSpec extends AnyFunSuite {
       assert(h === Multimodal.pngHeight(seed))
       assert(math.abs(hist.sum - 1.0f) < 1e-4) // true luminance histogram, L1-normalized
     }
+    // a corrupt payload flags the row (0×0), never NPEs the task
+    val (bw, bh, bhist) = Multimodal.decodeImage("not a png".getBytes("UTF-8"))
+    assert(bw === 0 && bh === 0 && bhist.forall(_ === 0f))
   }
 
   test("mm_features keeps one row per document; PNG rows carry real decoded dims") {

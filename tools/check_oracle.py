@@ -36,10 +36,17 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    n_skip = 0
     for name, sql in sorted(oracle.items()):
         # read the spark dump FIRST: on a targeted Verify run most dumps
         # are absent, and the oracle SQL (all-pairs jaccard, recursive
-        # closures) is far more expensive than a parquet read
+        # closures) is far more expensive than a parquet read. An absent
+        # dump dir is a SKIP (targeted run), not a failure; a present
+        # but unreadable dump is a real FAIL.
+        import os
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            n_skip += 1
+            continue
         try:
             got = canon(pd.concat([pd.read_parquet(f) for f in
                        sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))],
@@ -72,7 +79,8 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    skipped = f", {n_skip} skipped (no dump)" if n_skip else ""
+    print(f"== {n_pass} pass, {n_fail} fail{skipped} ==")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
