@@ -258,20 +258,21 @@ object SparkEntry {
       """WITH p AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 3)
+        |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 3)
         |SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies
         |FROM p GROUP BY md5(text)""".stripMargin,
 
     "dedup_exact_delta" ->
-      """WITH p AS (
+      """WITH nn AS (SELECT CAST(floor(0.8 * count(*)) AS BIGINT) AS cut FROM documents),
+        |p AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 3)
+        |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 3)
         |SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies
-        |FROM p GROUP BY md5(text)
-        |HAVING max(CASE WHEN doc_id >= 400 THEN 1 ELSE 0 END) = 1""".stripMargin,
+        |FROM p, nn GROUP BY md5(text)
+        |HAVING max(CASE WHEN doc_id >= nn.cut THEN 1 ELSE 0 END) = 1""".stripMargin,
 
     "dedup_embed_cosine" ->
       """WITH n AS (SELECT count(*) AS gate_n FROM embeddings),

@@ -54,26 +54,42 @@ object Dedup {
     * full corpus, so the gate checks the IVM identity itself.
     *
     * The synthetic corpus has no exact duplicates, so every 10th
-    * document is planted as a copy with id+10000 — the copies all land
-    * in the delta while their originals sit in the base, so the merge
-    * genuinely combines groups ACROSS the tick boundary (min-id keeper
-    * from the base, count from both sides) rather than passing
-    * disjoint groups through. Deterministic, mirrored in the oracles.
+    * document is planted as a copy with id+10⁷ (beyond any corpus id)
+    * — the copies all land in the delta while their originals sit in
+    * the base, so the merge genuinely combines groups ACROSS the tick
+    * boundary (min-id keeper from the base, count from both sides)
+    * rather than passing disjoint groups through. Deterministic,
+    * mirrored in the oracles.
+    *
+    * The tick boundary is FRACTIONAL — the newest `1 - baseFrac` of
+    * corpus ids, with the cut computed in-plan from the corpus count
+    * (broadcast scalar, no driver collect) — so the delta stays a
+    * representative ~20% slice at every scale factor instead of a
+    * fixed id absorbing the whole corpus as the data grows.
     */
   private[graft] def dupPlantedDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     docs.unionByName(
       docs.filter(col("doc_id") % 10 === 3)
-        .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
   }
 
-  def exactIncremental(spark: SparkSession, sfDir: String, cutoff: Long = 400L): DataFrame = {
-    val docs = dupPlantedDocs(spark, sfDir)
+  /** Planted corpus + the in-plan cut column (docs, cut). */
+  private def dupDocsWithCut(spark: SparkSession, sfDir: String,
+                             baseFrac: Double): DataFrame = {
+    val cut = Tables.documents(spark, sfDir)
+      .agg(floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
+    dupPlantedDocs(spark, sfDir)
       .select(col("doc_id"), md5(col("text")).as("text_md5"))
-    val baseG = docs.filter(col("doc_id") < cutoff)
+      .crossJoin(broadcast(cut))
+  }
+
+  def exactIncremental(spark: SparkSession, sfDir: String, baseFrac: Double = 0.8): DataFrame = {
+    val docs = dupDocsWithCut(spark, sfDir, baseFrac)
+    val baseG = docs.filter(col("doc_id") < col("cut"))
       .groupBy(col("text_md5"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
-    val deltaG = docs.filter(col("doc_id") >= cutoff)
+    val deltaG = docs.filter(col("doc_id") >= col("cut"))
       .groupBy(col("text_md5"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
     baseG.unionByName(deltaG)
@@ -90,12 +106,12 @@ object Dedup {
     * changed-rows contract itself is value-gated, as with
     * [[ItemCF.coocDelta]].
     */
-  def exactDelta(spark: SparkSession, sfDir: String, cutoff: Long = 400L): DataFrame = {
-    val docs = dupPlantedDocs(spark, sfDir)
-      .select(col("doc_id"), md5(col("text")).as("text_md5"))
-    val touched = docs.filter(col("doc_id") >= cutoff)
+  def exactDelta(spark: SparkSession, sfDir: String, baseFrac: Double = 0.8): DataFrame = {
+    val docs = dupDocsWithCut(spark, sfDir, baseFrac)
+    val touched = docs.filter(col("doc_id") >= col("cut"))
       .select(col("text_md5")).distinct()
-    docs.join(broadcast(touched), Seq("text_md5"))
+    docs.select(col("doc_id"), col("text_md5"))
+      .join(broadcast(touched), Seq("text_md5"))
       .groupBy(col("text_md5"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
   }

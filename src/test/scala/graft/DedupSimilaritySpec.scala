@@ -91,7 +91,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(merged.length === 50)
     merged.foreach { r =>
       val keep = r.getAs[Long]("keep_doc_id")
-      assert(keep % 10 === 3 && keep < 10000L) // original, never the copy
+      assert(keep % 10 === 3 && keep < 10000000L) // original, never the copy
     }
     // tick payload ⊂ merged state, and exactly the touched groups
     val delta = Dedup.exactDelta(spark, sf)
