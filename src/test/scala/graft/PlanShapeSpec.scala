@@ -124,6 +124,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("bloom decontamination: the might_contain prefilter survives optimization") {
+    // the entire point of the bloom path is that corpus grams drop
+    // map-side BEFORE the verify join; if an edit (or an optimizer
+    // change) drops the probe, the query silently degrades to the
+    // exact plan and the scale story is gone — same regression mode
+    // the embed-cosine gate pin guards against
+    val p = plan(graft.operators.Decontamination.flagContaminatedBloom(spark, sf))
+    assert(p.contains("might_contain"), p.take(3000))
+  }
+
   test("embed-cosine audit: the BNLJ sits above the budget gate, never the full corpus") {
     // the registered exact-cosine audit is the ONLY all-pairs join in
     // the library; it is allowed to exist solely because its inputs
