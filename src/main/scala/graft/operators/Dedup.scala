@@ -101,17 +101,22 @@ object Dedup {
   /** The tick payload for incremental exact dedup: the post-merge
     * state of ONLY the groups the delta touched — what actually ships
     * to the store, compute ∝ touched groups (the delta's distinct
-    * hashes broadcast; the corpus never shuffles untouched rows).
-    * Oracle: batch groups HAVING a post-cutoff member — the
-    * changed-rows contract itself is value-gated, as with
-    * [[ItemCF.coocDelta]].
+    * hashes broadcast WHEN the tick is batch-sized — the hint is
+    * gated on a measured row count via [[Hints.broadcastIfSmall]], so
+    * an outsized tick degrades to a shuffle join instead of blowing
+    * the broadcast limit; the corpus never shuffles untouched rows in
+    * the broadcast regime). Oracle: batch groups HAVING a post-cutoff
+    * member — the changed-rows contract itself is value-gated, as
+    * with [[ItemCF.coocDelta]].
     */
-  def exactDelta(spark: SparkSession, sfDir: String, baseFrac: Double = 0.8): DataFrame = {
+  def exactDelta(spark: SparkSession, sfDir: String, baseFrac: Double = 0.8,
+                 broadcastMaxRows: Long = Hints.DeltaBroadcastMaxRows): DataFrame = {
     val docs = dupDocsWithCut(spark, sfDir, baseFrac)
     val touched = docs.filter(col("doc_id") >= col("cut"))
       .select(col("text_md5")).distinct()
+      .cache()
     docs.select(col("doc_id"), col("text_md5"))
-      .join(broadcast(touched), Seq("text_md5"))
+      .join(Hints.broadcastIfSmall(touched, broadcastMaxRows), Seq("text_md5"))
       .groupBy(col("text_md5"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
   }

@@ -101,21 +101,31 @@ object ItemCF {
   /** [[deltaPairCounts]] plus the frames it cached, so streaming
     * callers can unpersist this tick's intermediates without a
     * session-wide clearCache.
+    *
+    * The delta-side hints are size-gated ([[Hints.broadcastIfSmall]]):
+    * one measured count of the cached distinct delta decides ALL the
+    * small-side hints here (every hinted frame is a subset of it), so
+    * a tick that outgrows the broadcast regime degrades to shuffle
+    * joins instead of failing at the broadcast limit.
     */
-  private def deltaPairCountsTracked(oldFacts: DataFrame,
-                                     delta: DataFrame): (DataFrame, Seq[DataFrame]) = {
+  private def deltaPairCountsTracked(oldFacts: DataFrame, delta: DataFrame,
+      broadcastMaxRows: Long = Hints.DeltaBroadcastMaxRows): (DataFrame, Seq[DataFrame]) = {
     val old = oldFacts.select(col("user_id"), col("item_id"))
     // new facts only: a (user, item) already present adds no pair.
-    // Phrased as semi-then-anti with the SMALL side broadcast both
-    // times (a plain left_anti would build on the fact side).
-    // d0 feeds two broadcasts (the semi and the anti) — cache it or
-    // an uncached delta plan is derived once per broadcast
+    // Phrased as semi-then-anti with the SMALL side hinted both times
+    // (a plain left_anti would build on the fact side).
+    // d0 feeds two hinted joins (the semi and the anti) — cache it or
+    // an uncached delta plan is derived once per join
     val d0 = delta.select(col("user_id"), col("item_id")).distinct().cache()
-    val collisions = old.join(broadcast(d0), Seq("user_id", "item_id"), "left_semi")
-    val d = d0.join(broadcast(collisions), Seq("user_id", "item_id"), "left_anti")
+    // collisions ⊆ d0 (old is (user,item)-distinct post-upsert) and
+    // the touched-user set ⊆ d — one gate decision covers every hint
+    val small = d0.count() <= broadcastMaxRows
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val collisions = old.join(hinted(d0), Seq("user_id", "item_id"), "left_semi")
+    val d = d0.join(hinted(collisions), Seq("user_id", "item_id"), "left_anti")
       .cache()
     // existing profiles of only the users the delta touches
-    val touched = old.join(broadcast(d.select(col("user_id")).distinct()),
+    val touched = old.join(hinted(d.select(col("user_id")).distinct()),
       Seq("user_id"), "left_semi")
     val dA = d.select(col("user_id"), col("item_id").as("item_a"))
     val newNew = dA.join(d.select(col("user_id"), col("item_id").as("item_b")), Seq("user_id"))
@@ -139,7 +149,10 @@ object ItemCF {
     * re-emit can never beat the batch recompute (IvmTimingSpec pins
     * that this delta tick does). Cost: map-side passes over the fact
     * table and ONE over the matrix (inner join against the broadcast
-    * delta pairs); zero shuffles of either.
+    * delta pairs); zero shuffles of either. The broadcast hints are
+    * size-gated ([[Hints.broadcastIfSmall]] semantics): an outsized
+    * tick shuffles instead of failing at the broadcast limit —
+    * DeltaBroadcastSpec pins both regimes.
     */
   def coocDelta(oldFacts: DataFrame, oldCooc: DataFrame, delta: DataFrame): DataFrame =
     coocDeltaTracked(oldFacts, oldCooc, delta)._1
@@ -149,15 +162,21 @@ object ItemCF {
     * session-wide clearCache.
     */
   private[graft] def coocDeltaTracked(oldFacts: DataFrame, oldCooc: DataFrame,
-                                      delta: DataFrame): (DataFrame, Seq[DataFrame]) = {
-    val (pairCounts, pairCaches) = deltaPairCountsTracked(oldFacts, delta)
+      delta: DataFrame,
+      broadcastMaxRows: Long = Hints.DeltaBroadcastMaxRows): (DataFrame, Seq[DataFrame]) = {
+    val (pairCounts, pairCaches) = deltaPairCountsTracked(oldFacts, delta, broadcastMaxRows)
     val deltaPairs = pairCounts.cache()
+    // size-gate the delta-side hints off ONE measured count (bumped ⊆
+    // deltaPairs, so the same decision covers both): a tick beyond the
+    // broadcast regime degrades to shuffle joins instead of failing
+    val small = deltaPairs.count() <= broadcastMaxRows
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val oldPk = oldCooc
       .select(packPair(col("item_a"), col("item_b")).as("pk"), col("n_users"))
-    val bumped = oldPk.join(broadcast(deltaPairs), Seq("pk"))
+    val bumped = oldPk.join(hinted(deltaPairs), Seq("pk"))
       .select(col("pk"), (col("n_users") + col("dn")).as("n_users"))
       .cache()
-    val brandNew = deltaPairs.join(broadcast(bumped.select(col("pk"))), Seq("pk"), "left_anti")
+    val brandNew = deltaPairs.join(hinted(bumped.select(col("pk"))), Seq("pk"), "left_anti")
       .select(col("pk"), col("dn").as("n_users"))
     val changes = bumped.unionByName(brandNew)
       .select(unpackA(col("pk")).as("item_a"), unpackB(col("pk")).as("item_b"),
