@@ -47,11 +47,13 @@ object Decontamination {
       .select(col("doc_id"), explode(TextAnalysis.wordGrams(n)).as("gram"))
     val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
       .select(col("gram")).distinct()
+    // no output ordering: the driver's compare (and any sane consumer
+    // of a flag table) is order-insensitive, and a global sort here is
+    // a full-range exchange the contract doesn't require
     grams.filter(col("doc_id") % evalMod =!= 0)
       .join(broadcast(evalGrams), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_hits"))
-      .orderBy(col("doc_id"))
   }
 
   /** The bloom-prefiltered scale path of [[flagContaminated]]: when
@@ -95,11 +97,21 @@ object Decontamination {
     spark.sql(
       s"SELECT graft_bloom_agg(xxhash64(gram), 1000000L, ${numBits}L) AS bf " +
        s"FROM $gramsView").createOrReplaceTempView(bloomView)
-    grams.filter(col("doc_id") % evalMod =!= 0)
+    val out = grams.filter(col("doc_id") % evalMod =!= 0)
       .filter(expr(s"graft_might_contain((SELECT bf FROM $bloomView), xxhash64(gram))"))
       .join(broadcast(evalGrams), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_hits"))
-      .orderBy(col("doc_id"))
+    // Datasets analyze eagerly, so `out` holds the RESOLVED view
+    // subtrees — the names can be dropped immediately; without this
+    // every invocation leaked two catalog entries for the session's
+    // lifetime. The evalGrams cache follows the repo-wide operator
+    // convention: intermediates the plan consumes more than once stay
+    // cached for the CALLER to drop (clearCache, as Bench/Verify do) —
+    // unpersisting before `out` materializes would pay the eval-side
+    // scan twice.
+    spark.catalog.dropTempView(gramsView)
+    spark.catalog.dropTempView(bloomView)
+    out
   }
 }

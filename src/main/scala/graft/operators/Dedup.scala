@@ -270,12 +270,25 @@ object Dedup {
     * buckets. The hot list is tiny by construction (only keys hotter
     * than cap), so the anti-join broadcasts; candidate work per bucket
     * is thereby bounded by cap² instead of d².
+    *
+    * No silent caps: a dropped bucket is a recall decision (a genuine
+    * near-dup cluster larger than cap loses pairs, not just exact
+    * copies/boilerplate), so the count of dropped buckets is computed
+    * eagerly — the hot list is cached, and the anti-join's broadcast
+    * reuses it, so the surfacing costs one small aggregate — and
+    * logged whenever the cap binds.
     */
   private def dropHotBuckets(bands: DataFrame, cap: Int): DataFrame = {
     val hot = bands.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > cap)
       .select(col("band"), col("key"))
+      .cache()
+    val nHot = hot.count()
+    if (nHot > 0) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"dropHotBuckets: $nHot LSH bucket(s) over cap=$cap dropped from " +
+      "candidate generation (clusters larger than the cap lose pairs; " +
+      "raise bucketCap or rely on exact dedup for copy identity)")
     bands.join(broadcast(hot), Seq("band", "key"), "left_anti")
   }
 

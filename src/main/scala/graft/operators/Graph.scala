@@ -24,6 +24,22 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Release the blocks behind a SUPERSEDED iteration frame: the plan
+    * cache (if cached) plus any `localCheckpoint` RDD blocks — which
+    * neither `Dataset.unpersist` nor `catalog.clearCache` reclaims, so
+    * without this every round's |V|/|E|-sized blocks linger in executor
+    * storage until GC finds the RDD. Only safe once the successor
+    * round is materialized (the eager checkpoint/count above each call
+    * guarantees nothing still reads these blocks).
+    */
+  private def release(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
   /** @param edges two long columns (`src`, `dst`); undirected, self
     *              loops ignored.
     * @param checkpointEvery truncate plan lineage with a
@@ -49,6 +65,12 @@ object Graph {
       .cache()
     var converged = false
     var iter = 0
+    // the newest LIVE checkpoint: cached rounds between checkpoints
+    // recompute from it if evicted, so its blocks may only be released
+    // once the NEXT checkpoint is materialized (localCheckpoint blocks
+    // are unrecoverable — releasing one that a cached round's
+    // recompute path still needs would fail the job, not slow it)
+    var lastCp: DataFrame = null
     while (!converged && iter < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
@@ -62,9 +84,8 @@ object Graph {
       // block store) rather than a distributed checkpoint dir: the
       // labels table is |V| rows, and losing an executor just restarts
       // the job, same blast radius as losing its shuffle files
-      val updated =
-        if (checkpointEvery > 0 && (iter + 1) % checkpointEvery == 0) next.localCheckpoint()
-        else next.cache()
+      val isCp = checkpointEvery > 0 && (iter + 1) % checkpointEvery == 0
+      val updated = if (isCp) next.localCheckpoint() else next.cache()
       // the count() both materializes the new labels (cutting the
       // iteration lineage at the cache) and decides convergence
       val changed = updated
@@ -72,6 +93,12 @@ object Graph {
         .filter(col("label") =!= col("old"))
         .limit(1).count()
       labels.unpersist()
+      if (isCp) {
+        // this round's lineage is cut: every round the previous
+        // checkpoint backed is dead, its blocks can finally go
+        if (lastCp != null) release(lastCp)
+        lastCp = updated
+      }
       labels = updated
       converged = changed == 0
       iter += 1
@@ -170,6 +197,10 @@ object Graph {
       val changed = updated.join(pairs, Seq("a", "b"), "left_anti")
         .unionAll(pairs.join(updated, Seq("a", "b"), "left_anti"))
         .limit(1).count()
+      // superseded round's checkpoint blocks are dead now that
+      // `updated` is materialized — but never release `input`: its
+      // blocks still back the `nodes` cache the returned plan reads
+      if (!(pairs eq input)) release(pairs)
       pairs = updated
       converged = changed == 0
       iter += 1

@@ -192,6 +192,12 @@ object Sampling {
     * the artifact — last writer wins, and both observe valid sketch
     * cutpoints; at 100 TB the freeze is a one-time pipeline step, not
     * per-query.
+    *
+    * `artifactDir` must be a SHARED filesystem path in production (a
+    * lake/DFS prefix all drivers and executors resolve identically):
+    * the freeze contract is "every session reads the same boundaries",
+    * which a driver-local default cannot provide across machines. The
+    * local default exists for tests and single-node runs only.
     */
   def curriculumSampleApproxFrozen(spark: SparkSession, sfDir: String,
                                    accuracy: Int = 10000,
@@ -201,8 +207,13 @@ object Sampling {
     // across corpus REGENERATION at the same path — that is the
     // reproducibility contract (the frozen boundaries ARE the sample
     // definition); delete the artifact to re-freeze against new data.
+    // The readable slug alone can collide (/data/sf1 and /data_sf1 both
+    // slug to data_sf1 — another corpus's frozen cutpoints silently
+    // reused), so an md5 prefix of the RAW dir string disambiguates.
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val path = s"$artifactDir/curriculum_cutpoints_a${accuracy}_" +
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + s"_$digest"
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath))

@@ -1,12 +1,21 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB oracle compare.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [only]
+
+  only: optional comma-separated query names for a TARGETED run (pass
+        the same list you passed to graft.Verify) — names outside it
+        are skipped without penalty.
 
 Registers the sfDir parquet tables in DuckDB, runs each oracle SQL from
 <verifyOutDir>/oracle_sql.json, and compares against the Spark result
 parquet in <verifyOutDir>/<name>/ — columns sorted by name, rows sorted
 by all columns, exact value equality (what a value-hash would see).
+
+On a FULL run (no `only` list) a missing dump directory is a FAIL, not
+a skip: Verify swallows per-query exceptions, so a crashing registered
+query leaves no dump — silently skipping it would pass the gate on a
+query that never ran.
 """
 import sys, json, glob
 import duckdb
@@ -29,7 +38,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = p.split("/")[-1].replace(".parquet", "")
@@ -38,14 +47,20 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     n_skip = 0
     for name, sql in sorted(oracle.items()):
-        # read the spark dump FIRST: on a targeted Verify run most dumps
-        # are absent, and the oracle SQL (all-pairs jaccard, recursive
-        # closures) is far more expensive than a parquet read. An absent
-        # dump dir is a SKIP (targeted run), not a failure; a present
-        # but unreadable dump is a real FAIL.
+        # names outside an explicit targeted list are skipped before
+        # touching disk (the oracle SQL — all-pairs jaccard, recursive
+        # closures — is far more expensive than a parquet read)
+        if only is not None and name not in only:
+            n_skip += 1
+            continue
+        # a missing dump for a name we WERE asked to check means the
+        # query crashed inside Verify (which swallows exceptions) or
+        # was never dumped — that is a gate failure, not a skip
         import os
         if not os.path.isdir(f"{out_dir}/{name}"):
-            n_skip += 1
+            print(f"FAIL {name}: no dump at {out_dir}/{name} "
+                  "(query crashed in Verify, or name not dumped?)")
+            n_fail += 1
             continue
         try:
             got = canon(pd.concat([pd.read_parquet(f) for f in
@@ -79,9 +94,12 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
-    skipped = f", {n_skip} skipped (no dump)" if n_skip else ""
+    skipped = f", {n_skip} skipped (outside --only)" if n_skip else ""
     print(f"== {n_pass} pass, {n_fail} fail{skipped} ==")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = None
+    if len(sys.argv) > 3:
+        only = {n.strip() for n in sys.argv[3].split(",") if n.strip()}
+    sys.exit(main(sys.argv[1], sys.argv[2], only))
