@@ -21,10 +21,14 @@ case class MmFrame(doc_id: Long, frame_idx: Int, ts_ms: Long, brightness: Float)
   * PNG bytes (deterministically generated via `javax.imageio`, since
   * the corpus tables have no binary column) and the decode pass reads
   * true width/height and a true luminance histogram back out of them
-  * with `ImageIO.read`. Audio/video stay behind a clearly-marked
-  * deterministic STUB (no audio/video libraries in this container);
-  * swapping it for a JNI/FFmpeg call changes no plan shape: decode
-  * stays partition-local, no shuffle, batch-sized by the input splits.
+  * with `ImageIO.read`. The AUDIO path is likewise real: actual WAV
+  * containers (16-bit mono PCM, written with the JDK's
+  * `javax.sound.sampled` — zero external dependencies) decoded back
+  * to true sample rate, duration, and an amplitude histogram. Only
+  * VIDEO stays behind a clearly-marked deterministic stub (no demux
+  * library in this container); swapping it for a JNI/FFmpeg call
+  * changes no plan shape: decode stays partition-local, no shuffle,
+  * batch-sized by the input splits.
   */
 object Multimodal {
 
@@ -90,26 +94,82 @@ object Multimodal {
     (w, h, hist.map(_ / n))
   }
 
-  /** STUB codec for the non-image mimes: stands in for audio decode.
-    * Deterministic pure function of the payload bytes so results are
-    * reproducible across runs/engines. A real implementation replaces
-    * ONLY this body.
+  /** Deterministic WAV generator: a real RIFF/WAVE container (16-bit
+    * signed mono PCM, little-endian) holding a pure sine whose rate,
+    * length, and frequency are functions of the seed, written with the
+    * JDK's `javax.sound.sampled` — the audio twin of [[makePng]].
+    * Durations are exact multiples of 100 ms by construction
+    * (nSamples = rate/10 · k), so the decoded duration is integral and
+    * spec-checkable without float tolerance.
     */
-  private[graft] def stubDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-    val h = payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
-    val width = 64 + math.floorMod(h, 1921L).toInt        // fake 64..1984 px
-    val height = 64 + math.floorMod(h >> 11, 1081L).toInt // fake 64..1144 px
-    // fake feature vector: 8-bin byte histogram, L1-normalized
+  private[graft] def wavSampleRate(seed: Long): Int =
+    8000 + 4000 * math.floorMod(seed, 3L).toInt // 8/12/16 kHz
+  private[graft] def wavDurationMs(seed: Long): Int =
+    100 * (1 + math.floorMod(seed >> 3, 5L).toInt) // 100..500 ms
+
+  private[graft] def makeWav(seed: Long): Array[Byte] = {
+    val rate = wavSampleRate(seed)
+    val nSamples = rate / 10 * (wavDurationMs(seed) / 100)
+    val freq = 200.0 + math.floorMod(seed * 2654435761L, 1800L)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = (math.sin(2 * math.Pi * freq * i / rate) * 12000).toInt.toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode via `javax.sound.sampled`: parses the WAV
+    * container and returns (sample rate Hz, duration ms, 8-bin
+    * amplitude-magnitude histogram over the decoded 16-bit samples,
+    * L1-normalized — 4096-wide bins, top bin clamped). Mirrors
+    * [[decodeImage]]'s corrupt-payload contract: an unparseable blob
+    * flags the row (0 Hz, 0 ms, zero histogram) instead of killing
+    * the task.
+    */
+  private[graft] def decodeWav(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException => null
+      }
+    if (ais == null) return (0, 0, new Array[Float](8))
+    val fmt = ais.getFormat
+    val rate = math.round(fmt.getSampleRate)
+    val nFrames = ais.getFrameLength
+    val durationMs = (nFrames * 1000L / math.max(1, rate)).toInt
+    val bytes = ais.readAllBytes()
     val hist = new Array[Float](8)
-    payload.foreach(b => hist(math.floorMod(b, 8)) += 1f)
-    val n = math.max(1f, payload.length.toFloat)
-    (width, height, hist.map(_ / n))
+    var i = 0
+    var n = 0
+    // our corpus WAVs are 16-bit signed mono LE; other layouts keep the
+    // container metadata (rate/duration) and skip the sample histogram
+    if (fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian) {
+      while (i + 1 < bytes.length) {
+        val s = (((bytes(i + 1) & 0xff) << 8) | (bytes(i) & 0xff)).toShort.toInt
+        hist(math.min(7, math.abs(s) >> 12)) += 1f
+        n += 1
+        i += 2
+      }
+    }
+    (rate, durationMs, hist.map(_ / math.max(1f, n.toFloat)))
   }
 
   /** The multimodal asset table: binary payload + typed metadata. Even
-    * doc_ids carry REAL PNG bytes (generated partition-locally — in
-    * production this column comes straight from the lake); odd doc_ids
-    * carry the document text's bytes as an opaque audio stand-in.
+    * doc_ids carry REAL PNG bytes, odd doc_ids REAL WAV bytes (both
+    * generated partition-locally — in production this column comes
+    * straight from the lake).
     */
   private[graft] def assets(spark: SparkSession, sfDir: String) = {
     import spark.implicits._
@@ -124,16 +184,18 @@ object Multimodal {
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions { it =>
-        it.map { case (id, text) =>
+        it.map { case (id, _) =>
           if (id % 2 == 0) MmAsset(id, "image/png", makePng(id))
-          else MmAsset(id, "audio/wav", text.getBytes("UTF-8"))
+          else MmAsset(id, "audio/wav", makeWav(id))
         }
       }
   }
 
   /** Build the multimodal table and run the batched decode →
     * feature-extraction pass: `ImageIO` for the PNG rows (real dims,
-    * real luminance histogram), the marked stub for audio.
+    * real luminance histogram), `javax.sound.sampled` for the WAV rows
+    * (real sample rate → `width`, duration ms → `height`, amplitude
+    * histogram → `features`).
     */
   def features(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -142,7 +204,7 @@ object Multimodal {
       // same amortization a Pandas-UDF batch gives in PySpark
       it.map { a =>
         val (w, hgt, feats) =
-          if (a.mime == "image/png") decodeImage(a.payload) else stubDecode(a.payload)
+          if (a.mime == "image/png") decodeImage(a.payload) else decodeWav(a.payload)
         MmDecoded(a.doc_id, a.mime, w, hgt, a.payload.length, feats)
       }
     }.toDF()

@@ -30,11 +30,22 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
-  test("stub decode is a pure function of payload bytes") {
-    val x = Multimodal.stubDecode("hello world".getBytes("UTF-8"))
-    val y = Multimodal.stubDecode("hello world".getBytes("UTF-8"))
-    assert(x._1 === y._1 && x._2 === y._2 && x._3.sameElements(y._3))
-    assert(math.abs(x._3.sum - 1.0f) < 1e-5) // L1-normalized histogram
+  test("real WAV roundtrip: javax.sound decode returns the generated rate and duration") {
+    Seq(1L, 3L, 41L, 123457L).foreach { seed =>
+      val wav = Multimodal.makeWav(seed)
+      // a real RIFF/WAVE container, not a fake blob
+      assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+      assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+      val (rate, durMs, hist) = Multimodal.decodeWav(wav)
+      assert(rate === Multimodal.wavSampleRate(seed))
+      assert(durMs === Multimodal.wavDurationMs(seed))
+      assert(math.abs(hist.sum - 1.0f) < 1e-4) // true amplitude histogram
+      // a ±12000 sine never reaches the top bins (|s| >> 12 ≤ 2)
+      assert(hist.drop(3).forall(_ === 0f))
+    }
+    // a corrupt payload flags the row (0 Hz / 0 ms), never kills the task
+    val (br, bd, bh) = Multimodal.decodeWav("not a wav".getBytes("UTF-8"))
+    assert(br === 0 && bd === 0 && bh.forall(_ === 0f))
   }
 
   test("PII redaction scrubs every planted email/phone and only those docs") {
@@ -85,9 +96,14 @@ class TextMultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Int]("width") === Multimodal.pngWidth(id))
       assert(r.getAs[Int]("height") === Multimodal.pngHeight(id))
     }
-    // audio rows: stub dims in the stub's range
-    assert(df.filter(col("mime") === "audio/wav")
-      .filter(col("width") < 64 || col("height") < 64).count() === 0)
+    // audio rows: rate/duration decoded from the actual WAV container
+    val wav = df.filter(col("mime") === "audio/wav").collect()
+    assert(wav.nonEmpty)
+    wav.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("width") === Multimodal.wavSampleRate(id))
+      assert(r.getAs[Int]("height") === Multimodal.wavDurationMs(id))
+    }
     df.unpersist()
   }
 
