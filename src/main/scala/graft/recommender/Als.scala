@@ -149,9 +149,13 @@ object Als {
   /** Joint grid × k-fold CV selection — the reference's exact
     * protocol (trainer.py:45-60 `find_best_params`: GridSearchCV with
     * cv=3 runs 3-fold CV PER GRID CELL and picks best-by-MEAN-RMSE,
-    * not a single train/validation sweep). Output: one row per
-    * (cell, fold) with its RMSE/MAE, plus one winner row (fold = -1)
-    * carrying the winning cell's mean metrics — |grid|·folds + 1 rows.
+    * not a single train/validation sweep). The grid covers all three
+    * reference dimensions with an ALS analog — `n_factors` ↔ rank,
+    * `reg_all` ↔ regParam, `n_epochs` ↔ maxIter (`lr_all` has no
+    * analog: ALS solves normal equations, no learning rate). Output:
+    * one row per (cell, fold) with its RMSE/MAE, plus one winner row
+    * (fold = -1) carrying the winning cell's mean metrics —
+    * |grid|·folds + 1 rows.
     *
     * Scale shape: folds are deterministic hash buckets (no
     * materialized splits); each of the |grid|·folds fits is itself a
@@ -162,7 +166,7 @@ object Als {
     */
   def gridSearch(spark: SparkSession, sfDir: String,
                  ranks: Seq[Int] = Seq(4, 8), regs: Seq[Double] = Seq(0.05, 0.1),
-                 folds: Int = 3): DataFrame = {
+                 iters: Seq[Int] = Seq(5, 10), folds: Int = 3): DataFrame = {
     import spark.implicits._
     val all = trainingSet(spark, sfDir)
       .withColumn("fold", pmod(hash(col("user"), col("item")), lit(folds)))
@@ -171,12 +175,12 @@ object Als {
       .setLabelCol("rating").setPredictionCol("prediction")
     val evalMae = new RegressionEvaluator().setMetricName("mae")
       .setLabelCol("rating").setPredictionCol("prediction")
-    val cells = for (r <- ranks; reg <- regs) yield (r, reg)
-    val perFold = cells.flatMap { case (r, reg) =>
+    val cells = for (r <- ranks; reg <- regs; it <- iters) yield (r, reg, it)
+    val perFold = cells.flatMap { case (r, reg, it) =>
       (0 until folds).map { f =>
-        val m = fit(all.filter(col("fold") =!= f).drop("fold"), rank = r, maxIter = 5, regParam = reg)
+        val m = fit(all.filter(col("fold") =!= f).drop("fold"), rank = r, maxIter = it, regParam = reg)
         val pred = m.transform(all.filter(col("fold") === f).drop("fold")).cache()
-        val row = (r, reg, f.toLong,
+        val row = (r, reg, it, f.toLong,
           math.rint(evalRmse.evaluate(pred) * 10000) / 10000,
           math.rint(evalMae.evaluate(pred) * 10000) / 10000)
         pred.unpersist()
@@ -185,16 +189,17 @@ object Als {
     }
     all.unpersist()
     // winner = min mean RMSE across folds (ties → smaller rank, then
-    // smaller reg — deterministic selection), surfaced as fold = -1
-    val means = perFold.groupBy(r => (r._1, r._2)).map { case ((r, reg), rows) =>
-      (r, reg,
-        math.rint(rows.map(_._4).sum / rows.size * 10000) / 10000,
-        math.rint(rows.map(_._5).sum / rows.size * 10000) / 10000)
+    // smaller reg, then fewer iters — deterministic selection),
+    // surfaced as fold = -1
+    val means = perFold.groupBy(r => (r._1, r._2, r._3)).map { case ((r, reg, it), rows) =>
+      (r, reg, it,
+        math.rint(rows.map(_._5).sum / rows.size * 10000) / 10000,
+        math.rint(rows.map(_._6).sum / rows.size * 10000) / 10000)
     }.toSeq
-    val best = means.minBy(m => (m._3, m._1, m._2))
-    val winner = (best._1, best._2, -1L, best._3, best._4)
+    val best = means.minBy(m => (m._4, m._1, m._2, m._3))
+    val winner = (best._1, best._2, best._3, -1L, best._4, best._5)
     (perFold :+ winner)
-      .toDF("rank", "reg_param", "fold", "rmse", "mae")
-      .orderBy(col("fold").asc, col("rank").asc, col("reg_param").asc)
+      .toDF("rank", "reg_param", "max_iter", "fold", "rmse", "mae")
+      .orderBy(col("fold").asc, col("rank").asc, col("reg_param").asc, col("max_iter").asc)
   }
 }
