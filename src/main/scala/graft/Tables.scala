@@ -61,10 +61,21 @@ object Tables {
     * by orderkey, making the join shuffle-free; the upsert window is
     * one shuffle on the (user, item) key.
     */
-  def interactions(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate")
-    val l = lineitem(spark, sfDir)
-      .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+  def interactions(spark: SparkSession, sfDir: String): DataFrame =
+    interactionsFrom(
+      orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate"),
+      lineitem(spark, sfDir)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag"))
+
+  /** [[interactions]] over injectable base tables — the seam that lets
+    * the SAME registered build run against a bucketed layout: feed it
+    * `spark.table(...)` reads of orders/lineitem bucketed on their
+    * orderkeys ([[graft.sources.Sinks.writeBucketed]]) and the join
+    * plans with zero exchanges (PlanShapeSpec pins it) — the 100 TB
+    * layout claim from SURVEY §4, proven on the real operator rather
+    * than a toy join.
+    */
+  def interactionsFrom(o: DataFrame, l: DataFrame): DataFrame = {
     val raw = l.join(o, l("l_orderkey") === o("o_orderkey"))
       .select(
         o("o_custkey").as("user_id"),

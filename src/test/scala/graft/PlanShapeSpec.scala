@@ -163,6 +163,49 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed layout: the interactions join is shuffle-free, only the upsert exchanges") {
+    // SURVEY §4's 100 TB layout claim, proven on the registered build:
+    // orders and lineitem bucketed on their orderkeys join with ZERO
+    // exchanges — the only shuffle left in the whole interactions
+    // pipeline is the (user_id, item_id) upsert window
+    import graft.sources.Sinks
+    Seq("b_orders_ok", "b_lineitem_ok").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
+    Sinks.writeBucketed(
+      Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_orderdate"),
+      "b_orders_ok", "o_orderkey")
+    Sinks.writeBucketed(
+      Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag"),
+      "b_lineitem_ok", "l_orderkey")
+    // force a non-broadcast join: at test scale the planner would
+    // broadcast (also shuffle-free, but then bucketing proves nothing)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Tables.interactionsFrom(
+        spark.table("b_orders_ok"), spark.table("b_lineitem_ok"))
+      val p = plan(df)
+      val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exchanges.size === 1,
+        s"expected only the upsert-window exchange, got ${exchanges.size}:\n" + p.take(4000))
+      assert(exchanges.head.contains("user_id") && exchanges.head.contains("item_id"),
+        "the surviving exchange is not the upsert window:\n" + exchanges.head)
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(o_orderkey"),
+        "join shuffled on orderkey despite the bucketed layout\n" + p.take(4000))
+      // and the bucketed build produces the same interactions
+      assert(df.count() === Tables.interactions(spark, sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE b_orders_ok"); spark.sql("DROP TABLE b_lineitem_ok")
+  }
+
   test("interactions: exactly one window shuffle implements the upsert") {
     // the is_implicit filter CANNOT push below the latest-wins window
     // (the kept row determines the flag) — but the upsert must cost
