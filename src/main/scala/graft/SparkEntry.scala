@@ -135,6 +135,10 @@ object SparkEntry {
     "q_events_props" -> ((s, d) => Analytics.eventsProps(s, d)),
     "q_asof_join"    -> ((s, d) => Analytics.asofEnrich(s, d)),
     "q_approx_stats" -> ((s, d) => Analytics.approxStats(s, d)),
+    // salted hot-key join; oracle = the PLAIN join+aggregate, so the
+    // gate passes only if salting redistributes work without changing
+    // a single value
+    "q_skew_join"    -> ((s, d) => graft.operators.Skew.saltedJoinDemo(s, d)),
   )
 
   private val I = Tables.interactionsSql
@@ -450,6 +454,21 @@ object SparkEntry {
         |  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
         |  round(1.0 - count(DISTINCT gram) / count(*), 4) AS dup_gram_frac
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_skew_join" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_orderkey % 100 < 80 THEN 0
+        |              ELSE l_orderkey % 100 END AS hot_key,
+        |    l_quantity
+        |  FROM lineitem),
+        |dim AS (
+        |  SELECT range AS hot_key,
+        |    'seg' || CAST(range % 4 AS VARCHAR) AS segment
+        |  FROM range(100))
+        |SELECT d.segment, count(*) AS n_rows,
+        |  round(sum(f.l_quantity), 2) AS sum_qty
+        |FROM fact f JOIN dim d USING (hot_key)
+        |GROUP BY d.segment""".stripMargin,
 
     "q_decontaminate" -> decontaminateOracle,
     // the bloom prefilter changes the plan, not the result

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for shuffle joins.
@@ -43,5 +43,32 @@ object Skew {
     val replicated = other
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** [[saltedJoin]] registered end-to-end (query `q_skew_join`) so the
+    * mitigation is VALUE-gated like every other operator, not just
+    * spec-sampled: lineitem is mapped onto a deliberately skewed key
+    * (80% of rows collapse onto hot_key 0 — the one-customer-dominates
+    * shape that straggles or OOMs an unsalted shuffle join), joined to
+    * a derived 100-row dimension through the salted (key, salt) pair —
+    * each hot key split across `salts` tasks — then aggregated per
+    * dimension attribute. The SQL oracle is the PLAIN join + aggregate:
+    * the gate passes only if salting changed the distribution of work
+    * and nothing else.
+    */
+  def saltedJoinDemo(spark: SparkSession, sfDir: String, salts: Int = 16): DataFrame = {
+    val fact = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .withColumn("hot_key",
+        when(col("l_orderkey") % 100 < 80, lit(0L))
+          .otherwise(col("l_orderkey") % 100))
+    val dim = spark.range(0, 100).select(
+      col("id").as("hot_key"),
+      concat(lit("seg"), (col("id") % 4).cast("string")).as("segment"))
+    saltedJoin(fact, dim, "hot_key", salts, Seq("l_orderkey", "l_partkey"))
+      .groupBy(col("segment"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
   }
 }

@@ -206,6 +206,21 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.sql("DROP TABLE b_orders_ok"); spark.sql("DROP TABLE b_lineitem_ok")
   }
 
+  test("skew join: the salt reaches the shuffle key") {
+    // the whole mitigation is that the exchange partitions on
+    // (hot_key, __salt) — if an edit drops the salt from the join key
+    // the query stays value-correct while the hot key re-collapses
+    // onto one task
+    val p = plan(graft.operators.Skew.saltedJoinDemo(spark, sf))
+    assert(p.contains("__salt"), p.take(3000))
+    val saltedExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("__salt"))
+    val saltedBroadcastKey = p.contains("BroadcastHashJoin") &&
+      p.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("__salt"))
+    assert(saltedExchange || saltedBroadcastKey,
+      "salt never reached a join/shuffle key\n" + p.take(3000))
+  }
+
   test("interactions: exactly one window shuffle implements the upsert") {
     // the is_implicit filter CANNOT push below the latest-wins window
     // (the kept row determines the flag) — but the upsert must cost
