@@ -121,6 +121,41 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Merge one ingest batch of documents into a MATERIALIZED
+    * exact-dedup group store — the store-regime twin of [[exactDelta]]
+    * (whose base is derived in-query for oracle self-containment).
+    * Returns the post-merge state of ONLY the touched groups — the
+    * tick payload the store applies; compute ∝ batch, the store never
+    * shuffles: groups present on both sides merge (min keeper — taken
+    * with `least` so the operator is arrival-order-agnostic; counts
+    * add), brand-new groups pass through. Delta-side hints are
+    * size-gated as everywhere ([[Hints.broadcastIfSmall]]).
+    *
+    * Batch rows are deduped by (doc_id, text) first: at-least-once
+    * delivery WITHIN a tick must not double-count a copy. ACROSS
+    * ticks idempotence belongs to the caller's replay guard (the
+    * applied-batch marker in
+    * [[graft.streaming.DocStream.startDedupMaintain]]).
+    */
+  private[graft] def exactDeltaApplyTracked(store: DataFrame, batch: DataFrame,
+      broadcastMaxRows: Long = Hints.DeltaBroadcastMaxRows): (DataFrame, Seq[DataFrame]) = {
+    val deltaG = batch.select(col("doc_id"), col("text")).distinct()
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .cache()
+    val small = deltaG.count() <= broadcastMaxRows
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val bumped = store
+      .join(hinted(deltaG.select(col("text_md5"), col("keep_doc_id").as("d_keep"),
+        col("n_copies").as("d_n"))), Seq("text_md5"))
+      .select(col("text_md5"),
+        least(col("keep_doc_id"), col("d_keep")).as("keep_doc_id"),
+        (col("n_copies") + col("d_n")).as("n_copies"))
+      .cache()
+    val brandNew = deltaG.join(hinted(bumped.select(col("text_md5"))), Seq("text_md5"), "left_anti")
+    (bumped.unionByName(brandNew), Seq(deltaG, bumped))
+  }
+
   /** MinHash (64 permutations via seeded xxhash64) + LSH banding
     * (16 bands × 4 rows) + exact verification: signatures map-side,
     * candidate pairs only within equal (band, band-hash) buckets, then

@@ -29,4 +29,55 @@ object DocStream {
       .withColumn("text_md5", md5(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_md5")
+
+  /** Streaming materialized view of the exact-dedup GROUP STORE — the
+    * corpus twin of [[EventStream.startCoocMaintain]], and the
+    * deployment regime the [[graft.operators.Dedup.exactDelta]]
+    * scaladoc promises: each micro-batch of ingested documents flows
+    * through [[graft.operators.Dedup.exactDeltaApplyTracked]] (touched
+    * groups only — compute ∝ batch, the landed corpus never re-dedups)
+    * and is applied to the store snapshot with the same staged-swap
+    * recovery + applied-batch replay guard as the cooc view: marker
+    * travels inside the staged dir so marker and store swap in
+    * atomically, and a replayed batch (at-least-once foreachBatch)
+    * skips the apply instead of double-counting copies.
+    *
+    * The store IS the dedup decision surface: `keep_doc_id` per
+    * content group, `n_copies` for audit — the reference recomputes
+    * its dedup from scratch per ingest (prepare_dataset.py); this is
+    * that tick made incremental.
+    *
+    * @param docs          streaming (doc_id, text) ingest rows
+    * @param storeDir      parquet snapshot of (text_md5, keep_doc_id,
+    *                      n_copies) — seed it with the batch
+    *                      [[graft.operators.Dedup.exact]] output
+    * @param checkpointDir durable streaming checkpoint (REQUIRED for
+    *                      the replay guard: batch ids must be
+    *                      monotonic across restarts)
+    */
+  def startDedupMaintain(docs: DataFrame, storeDir: String,
+                         checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        EventStream.recoverSnapshot(storeDir)
+        val b = batch.toDF().select(col("doc_id"), col("text")).cache()
+        if (b.count() > 0 && EventStream.appliedBatchId(storeDir) < batchId) {
+          val store = spark.read.parquet(storeDir)
+          val (changes, cached) =
+            graft.operators.Dedup.exactDeltaApplyTracked(store, b)
+          // store-apply: changed groups replace, untouched carry over
+          store.join(changes.select(col("text_md5")), Seq("text_md5"), "left_anti")
+            .unionByName(changes)
+            .write.mode("overwrite").parquet(storeDir + "_staged")
+          EventStream.writeBatchMarker(storeDir + "_staged", batchId)
+          EventStream.swapSnapshot(storeDir)
+          cached.foreach(_.unpersist())
+        }
+        b.unpersist()
+        ()
+      }
+      .start()
 }

@@ -183,14 +183,14 @@ object EventStream {
 
   private val BatchMarker = "_graft_applied_batch"
 
-  private def appliedBatchId(dir: String): Long = {
+  private[streaming] def appliedBatchId(dir: String): Long = {
     val p = java.nio.file.FileSystems.getDefault.getPath(dir, BatchMarker)
     if (java.nio.file.Files.exists(p))
       new String(java.nio.file.Files.readAllBytes(p)).trim.toLong
     else -1L
   }
 
-  private def writeBatchMarker(dir: String, batchId: Long): Unit =
+  private[streaming] def writeBatchMarker(dir: String, batchId: Long): Unit =
     java.nio.file.Files.write(
       java.nio.file.FileSystems.getDefault.getPath(dir, BatchMarker),
       batchId.toString.getBytes)
@@ -262,12 +262,12 @@ object EventStream {
     * [[recoverSnapshot]] because the staged dir is already complete
     * (guarded by its _SUCCESS marker).
     */
-  private def swapSnapshot(snapshot: String): Unit = promoteStaged(snapshot)
+  private[streaming] def swapSnapshot(snapshot: String): Unit = promoteStaged(snapshot)
 
   /** Same protocol for any staged directory; tolerates a missing live
     * dir (first-ever write of e.g. the recs export).
     */
-  private def promoteStaged(path: String): Unit = {
+  private[streaming] def promoteStaged(path: String): Unit = {
     val fs = java.nio.file.FileSystems.getDefault
     val live = fs.getPath(path)
     val staged = fs.getPath(path + "_staged")
@@ -285,7 +285,7 @@ object EventStream {
     * copy (staged incomplete). Called before every merge, so a
     * restarted query always reads a complete base snapshot.
     */
-  private def recoverSnapshot(snapshot: String): Unit = {
+  private[streaming] def recoverSnapshot(snapshot: String): Unit = {
     val fs = java.nio.file.FileSystems.getDefault
     val live = fs.getPath(snapshot)
     val staged = fs.getPath(snapshot + "_staged")

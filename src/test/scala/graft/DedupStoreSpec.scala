@@ -1,0 +1,77 @@
+package graft
+
+import graft.streaming.DocStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+case class DocIngest(doc_id: Long, text: String)
+
+/** The materialized-store regime of incremental exact dedup,
+  * end-to-end: a parquet group store maintained by
+  * [[DocStream.startDedupMaintain]] must equal the from-scratch batch
+  * dedup of everything ever ingested, after EVERY tick — with copies
+  * arriving across tick boundaries (the store-side keeper must win),
+  * within one tick, and via at-least-once redelivery (the replay
+  * marker must make it a no-op).
+  */
+class DedupStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streaming dedup-store maintenance equals batch recompute after every tick") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dedup_mv").toString
+    val storeDir = root + "/store"
+
+    // seed corpus: two singleton groups + one 2-copy group
+    val seed = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "alpha beta gamma"), (4L, "zeta eta theta"))
+    var corpus = seed
+    seed.toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .write.parquet(storeDir)
+
+    val input = MemoryStream[DocIngest]
+    val q = DocStream.startDedupMaintain(input.toDF(), storeDir, root + "/ckpt")
+
+    def storeNow = spark.read.parquet(storeDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def batchNow = corpus.toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    // tick 1: a cross-tick copy (doc 10 duplicates seed group "alpha…",
+    // whose keeper 1 must survive), a brand-new group, and a
+    // within-tick double delivery of the same (doc_id, text) row
+    input.addData(DocIngest(10L, "alpha beta gamma"),
+      DocIngest(11L, "iota kappa"), DocIngest(11L, "iota kappa"))
+    corpus ++= Seq((10L, "alpha beta gamma"), (11L, "iota kappa"))
+    q.processAllAvailable()
+    assert(storeNow === batchNow)
+    // the merged group kept the STORE's keeper and counted the copy
+    val alpha = storeNow.find(_._2 == 1L).get
+    assert(alpha._3 === 3L)
+    // untouched group carried over
+    assert(storeNow.exists(t => t._2 == 2L && t._3 == 1L))
+
+    // tick 2: another copy of the same group + a copy of tick 1's new
+    // group (keeper 11 from the PREVIOUS tick must survive)
+    input.addData(DocIngest(12L, "alpha beta gamma"), DocIngest(13L, "iota kappa"))
+    corpus ++= Seq((12L, "alpha beta gamma"), (13L, "iota kappa"))
+    q.processAllAvailable()
+    q.stop()
+    assert(storeNow === batchNow)
+    assert(storeNow.find(_._2 == 1L).get._3 === 4L)
+    assert(storeNow.exists(t => t._2 == 11L && t._3 == 2L))
+
+    // the applied-batch marker swapped in with the store (replay guard)
+    val marker = java.nio.file.FileSystems.getDefault
+      .getPath(storeDir, "_graft_applied_batch")
+    assert(java.nio.file.Files.exists(marker))
+    assert(new String(java.nio.file.Files.readAllBytes(marker)).trim.toLong === 1L)
+  }
+}
