@@ -64,8 +64,9 @@ object Bench {
       .getOrElse(headline)
     // SPARK_GRAFT_BENCH_REPS=n: repeat each query and report the MIN,
     // so a transiently contended host cannot fake a regression. To keep
-    // total wall bounded, extra reps apply only to queries whose first
-    // run came in under repCutoffSec (the heavy ML/CF queries run once).
+    // total wall bounded, full reps apply only to queries whose first
+    // run came in under repCutoffSec; heavier queries get at most one
+    // extra rep from a shared heavyBudgetSec pool.
     // DEFAULT 2 — single-shot numbers have shipped ±10× host noise
     // (r3: q_events_props 5.5 s driver vs 0.46 s re-measured); a
     // non-numeric env value falls back to the default with a warning.
@@ -79,6 +80,15 @@ object Bench {
       case None => 2
     }
     val repCutoffSec = 10.0
+    // Heavy queries (first run > repCutoffSec) used to be single-shot,
+    // which put the full brunt of host contention on exactly the
+    // numbers that matter most (r4: als_top_n reported 2× its idle-box
+    // time). They now get ONE extra rep each, drawn from a shared
+    // wall-clock budget so the total stays bounded: the budget covers
+    // the 2-3 genuinely heavy queries and then stops re-running.
+    var heavyBudgetSec = sys.env.get("SPARK_GRAFT_BENCH_HEAVY_BUDGET")
+      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
+      .getOrElse(90.0)
     val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         def once(): Double = {
@@ -98,7 +108,10 @@ object Bench {
         val best =
           if (reps > 1 && first <= repCutoffSec)
             (first +: Seq.fill(reps - 1)(once())).min
-          else first
+          else if (reps > 1 && first <= heavyBudgetSec) {
+            heavyBudgetSec -= first
+            math.min(first, once())
+          } else first
         name -> best
       }
     }
