@@ -48,6 +48,9 @@ object SparkEntry {
     // the incremental identity), tick payload = touched groups only
     "dedup_exact_inc"     -> ((s, d) => Dedup.exactIncremental(s, d)),
     "dedup_exact_delta"   -> ((s, d) => Dedup.exactDelta(s, d)),
+    // the same IVM identity exercised through a REAL parquet store:
+    // base groups materialized, one tick applied, store read back
+    "dedup_exact_store"   -> ((s, d) => Dedup.exactIncrementalStore(s, d)),
     "dedup_minhash"       -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -259,6 +262,17 @@ object SparkEntry {
     // (over the dup-planted corpus — copies land in the delta, their
     // originals in the base, so groups genuinely merge across the tick)
     "dedup_exact_inc" ->
+      """WITH p AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 3)
+        |SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+        |  count(*) AS n_copies
+        |FROM p GROUP BY md5(text)""".stripMargin,
+
+    // the store regime reproduces the identical merged groups — same
+    // IVM-identity oracle as dedup_exact_inc
+    "dedup_exact_store" ->
       """WITH p AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL

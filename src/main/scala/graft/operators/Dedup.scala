@@ -121,6 +121,39 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** [[exactDeltaApplyTracked]] exercised end-to-end through a REAL
+    * materialized store (registered as `dedup_exact_store`): the base
+    * 80% of the dup-planted corpus is deduped and WRITTEN to a parquet
+    * store, the newest 20% is applied as one tick, and the result is
+    * the post-apply store read back from disk. Oracle = the batch
+    * dedup over the full planted corpus — the same IVM identity
+    * `dedup_exact_inc` gates, but through the store regime the
+    * deployment actually runs: parquet round-trip, store-apply merge,
+    * tick compute ∝ delta. (The streaming twin with staged-swap +
+    * replay guard is [[graft.streaming.DocStream.startDedupMaintain]],
+    * DedupStoreSpec-gated.)
+    */
+  def exactIncrementalStore(spark: SparkSession, sfDir: String,
+                            baseFrac: Double = 0.8): DataFrame = {
+    val cut = Tables.documents(spark, sfDir)
+      .agg(floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
+    val raw = dupPlantedDocs(spark, sfDir).crossJoin(broadcast(cut))
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_store").toString + "/store"
+    raw.filter(col("doc_id") < col("cut"))
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .write.parquet(storeDir)
+    val store = spark.read.parquet(storeDir)
+    val delta = raw.filter(col("doc_id") >= col("cut"))
+      .select(col("doc_id"), col("text"))
+    val (changes, _) = exactDeltaApplyTracked(store, delta)
+    store.join(changes.select(col("text_md5")), Seq("text_md5"), "left_anti")
+      .unionByName(changes)
+      .write.parquet(storeDir + "_applied")
+    spark.read.parquet(storeDir + "_applied")
+  }
+
   /** Merge one ingest batch of documents into a MATERIALIZED
     * exact-dedup group store — the store-regime twin of [[exactDelta]]
     * (whose base is derived in-query for oracle self-containment).
