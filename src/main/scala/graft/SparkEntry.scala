@@ -52,6 +52,10 @@ object SparkEntry {
     // base groups materialized, one tick applied, store read back
     "dedup_exact_store"   -> ((s, d) => Dedup.exactIncrementalStore(s, d)),
     "dedup_minhash"       -> ((s, d) => Dedup.minhashLsh(s, d)),
+    // the ingest-tick regime: delta signatures band-joined against the
+    // corpus band index, base×base never regenerated (rows-only; the
+    // base∪tick ≡ batch identity is spec-gated)
+    "dedup_minhash_inc"   -> ((s, d) => Dedup.minhashLshIncremental(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     // exact-cosine audit over a deterministic hash-gated slice — the

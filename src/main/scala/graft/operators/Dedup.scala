@@ -205,28 +205,44 @@ object Dedup {
   private[graft] def minhashLshOn(spark: SparkSession, docs: DataFrame, threshold: Double,
                                   bucketCap: Int = 10000): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    // one cached table carries BOTH the shingle-hash set (verify join)
-    // and its signature (estimate) — one join per pair side, single
-    // cache residency
-    val sets = shingledOn(spark, docs)
-      .select(col("doc_id"),
-        expr("transform(shingles, s -> xxhash64(s))").as("hs"))
-      .withColumn("sig", expr("graft_minhash64(hs)"))
-      .cache()
+    val sets = minhashSets(spark, docs).cache()
     // hot-bucket guard (same dfCap pattern as [[simhashOn]]): d exact
     // copies of one document share every band hash → d² candidates
     // from 16 buckets; over the cap the bucket is dropped (exact-copy
     // identity belongs to [[exact]] dedup, which is O(d))
-    val bands = dropHotBuckets(
-      sets.select(col("doc_id"), explode(expr(
-        "transform(sequence(0, 15), b -> " +
-        "  named_struct('band', b, 'key', xxhash64(array_join(slice(sig, b * 4 + 1, 4), ','))))"
-      )).as("e")).select(col("doc_id"), col("e.band"), col("e.key")), bucketCap)
+    val bands = dropHotBuckets(minhashBands(sets), bucketCap)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    verifyMinhashPairs(cand, sets, threshold)
+  }
+
+  /** One cached table carries BOTH the shingle-hash set (verify join)
+    * and its signature (estimate) — one join per pair side, single
+    * cache residency. In the incremental regime this is the schema of
+    * the materialized signature store.
+    */
+  private def minhashSets(spark: SparkSession, docs: DataFrame): DataFrame =
+    shingledOn(spark, docs)
+      .select(col("doc_id"),
+        expr("transform(shingles, s -> xxhash64(s))").as("hs"))
+      .withColumn("sig", expr("graft_minhash64(hs)"))
+
+  /** 16 bands × 4 rows banding of the signatures — the band index. */
+  private def minhashBands(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, 15), b -> " +
+      "  named_struct('band', b, 'key', xxhash64(array_join(slice(sig, b * 4 + 1, 4), ','))))"
+    )).as("e")).select(col("doc_id"), col("e.band"), col("e.key"))
+
+  /** Exact-Jaccard verification of LSH-proposed pairs against the true
+    * shingle-hash sets (array_intersect per pair, candidates only —
+    * never all-pairs); signature estimate rides along as est_jaccard.
+    */
+  private def verifyMinhashPairs(cand: DataFrame, sets: DataFrame,
+                                 threshold: Double): DataFrame = {
     val verified = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("sig").as("sig_b")), Seq("doc_b"))
@@ -243,6 +259,45 @@ object Dedup {
         when(col("uni") > 0, round(col("inter") / col("uni"), 4)).otherwise(lit(0.0)))
     verified.filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
+  }
+
+  /** Incremental MinHash+LSH — the ingest-tick regime of
+    * [[minhashLsh]]: at 100 TB near-dup detection does not re-run LSH
+    * over the landed corpus per ingest batch; the tick computes
+    * signatures for the DELTA docs only and band-joins them against
+    * the corpus band index (here built in-query over the dup-planted
+    * corpus for self-containment, the same regime split as
+    * [[exactIncremental]]; in deployment `sets`/`bands` are the
+    * materialized signature store and band index, and the delta rows
+    * are appended to both after the tick). Base×base pairs are never
+    * regenerated — candidate work is delta-bands × colliding buckets.
+    *
+    * Output: verified near-dup pairs touching ≥1 delta doc — the tick
+    * payload appended to the pair set. The planted copies guarantee
+    * cross-tick pairs at every SF (each copy pairs its base original
+    * at jaccard 1.0). DedupSimilaritySpec pins the identity
+    * base-pairs ∪ tick ≡ batch over the planted corpus, and that the
+    * tick emits no base-only pair.
+    */
+  def minhashLshIncremental(spark: SparkSession, sfDir: String, threshold: Double = 0.5,
+                            baseFrac: Double = 0.8, bucketCap: Int = 10000): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val cut = Tables.documents(spark, sfDir)
+      .agg(floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
+    val sets = minhashSets(spark, dupPlantedDocs(spark, sfDir)).cache()
+    val bands = dropHotBuckets(minhashBands(sets), bucketCap).cache()
+    val deltaBands = bands.crossJoin(broadcast(cut))
+      .filter(col("doc_id") >= col("cut")).drop("cut")
+    // delta side drives: every candidate has a delta doc on the a-side;
+    // delta×delta pairs arrive from both directions → the canonical
+    // (min, max) projection + distinct collapses them
+    val cand = deltaBands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    verifyMinhashPairs(cand, sets, threshold)
   }
 
   /** Near-dup CLUSTER resolution — the step between pairwise

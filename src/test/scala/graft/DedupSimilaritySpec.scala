@@ -100,6 +100,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     inc.unpersist()
   }
 
+  test("incremental minhash tick plus base pairs equals the batch pair set") {
+    import spark.implicits._
+    val nDocs = Tables.documents(spark, sf).count()
+    val cut = math.floor(nDocs * 0.8).toLong
+    val planted = Dedup.dupPlantedDocs(spark, sf).cache()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val full = pairs(Dedup.minhashLshOn(spark, planted, threshold = 0.5))
+    val base = pairs(Dedup.minhashLshOn(spark,
+      planted.filter(col("doc_id") < cut), threshold = 0.5))
+    val tick = pairs(Dedup.minhashLshIncremental(spark, sf))
+    // the tick emits ONLY pairs touching the delta…
+    assert(tick.nonEmpty)
+    assert(tick.forall { case (a, b) => a >= cut || b >= cut })
+    assert(tick.intersect(base).isEmpty)
+    // …and together with the base pairs reproduces the batch run
+    assert(base.union(tick) === full)
+    // planted copies guarantee cross-tick pairs at any SF
+    assert(tick.exists { case (_, b) => b >= 10000000L })
+    planted.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("connected components survive a chain deeper than the checkpoint interval") {
     import spark.implicits._
     // a 30-node path 0-1-2-…-29: diameter 29, so label 0 needs 29
