@@ -57,6 +57,7 @@ object SparkEntry {
     // base∪tick ≡ batch identity is spec-gated)
     "dedup_minhash_inc"   -> ((s, d) => Dedup.minhashLshIncremental(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_simhash_inc"   -> ((s, d) => Dedup.simhashIncremental(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     // exact-cosine audit over a deterministic hash-gated slice — the
     // all-pairs plan is never registered over the full corpus (the
@@ -67,6 +68,8 @@ object SparkEntry {
     // the LSH scale path, exercised in its regime via deterministic
     // planted near-dups (rows-only; recall vs all-pairs is spec-gated)
     "dedup_embed_lsh"     -> ((s, d) => Dedup.embedLshPlanted(s, d)),
+    // its ingest-tick regime: delta signatures vs the corpus band index
+    "dedup_embed_lsh_inc" -> ((s, d) => Dedup.embedLshIncremental(s, d)),
     // pair graph → connected components → survivor manifest, over the
     // exact ngram-jaccard edges; value-gated by a DuckDB WITH RECURSIVE
     // transitive-closure oracle (the one operator deciding deletions)

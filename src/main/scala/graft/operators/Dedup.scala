@@ -369,20 +369,55 @@ object Dedup {
   private[graft] def simhashOn(spark: SparkSession, docs: DataFrame,
                                maxHamming: Int = 6, bucketCap: Int = 10000): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val fp = docs
-      .select(col("doc_id"), words(col("text")).as("toks"))
-      .withColumn("fp", expr("graft_simhash64(transform(toks, t -> xxhash64(t)))"))
-      .select(col("doc_id"), col("fp"))
-      .cache()
-    val bands = fp.select(col("doc_id"), col("fp"), explode(expr(
-      "transform(sequence(0, 3), b -> named_struct('band', b, 'key', shiftright(fp, b * 16) & 65535))"
-    )).as("e")).select(col("doc_id"), col("fp"), col("e.band"), col("e.key"))
-    val pruned = dropHotBuckets(bands, bucketCap)
+    val fp = simhashFingerprints(docs).cache()
+    val pruned = dropHotBuckets(simhashBands(fp), bucketCap)
     pruned.as("a").join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  private def simhashFingerprints(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), words(col("text")).as("toks"))
+      .withColumn("fp", expr("graft_simhash64(transform(toks, t -> xxhash64(t)))"))
+      .select(col("doc_id"), col("fp"))
+
+  /** 4×16-bit band blocking of the fingerprints; fp rides along so the
+    * pair join computes Hamming without a second lookup.
+    */
+  private def simhashBands(fp: DataFrame): DataFrame =
+    fp.select(col("doc_id"), col("fp"), explode(expr(
+      "transform(sequence(0, 3), b -> named_struct('band', b, 'key', shiftright(fp, b * 16) & 65535))"
+    )).as("e")).select(col("doc_id"), col("fp"), col("e.band"), col("e.key"))
+
+  /** The ingest-tick regime of [[simhash]] — same split as
+    * [[minhashLshIncremental]]: DELTA fingerprints band-joined against
+    * the corpus band index (in-query stand-in for the materialized
+    * fingerprint store), base×base pairs never regenerated. The
+    * planted copies (fingerprint-identical → Hamming 0) guarantee
+    * cross-tick pairs at every SF. DedupSimilaritySpec pins
+    * base-pairs ∪ tick ≡ batch over the planted corpus.
+    */
+  def simhashIncremental(spark: SparkSession, sfDir: String, maxHamming: Int = 6,
+                         baseFrac: Double = 0.8, bucketCap: Int = 10000): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val cut = Tables.documents(spark, sfDir)
+      .agg(floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
+    val fp = simhashFingerprints(dupPlantedDocs(spark, sfDir)).cache()
+    val pruned = dropHotBuckets(simhashBands(fp), bucketCap).cache()
+    val deltaBands = pruned.crossJoin(broadcast(cut))
+      .filter(col("doc_id") >= col("cut")).drop("cut")
+    deltaBands.as("a").join(pruned.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
@@ -509,29 +544,73 @@ object Dedup {
   private[graft] def embedLshOn(spark: SparkSession, embeddings: DataFrame, threshold: Double,
                                 bucketCap: Int = 10000): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val e = embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
-      .withColumn("sig", expr("graft_hyperplane64(v)"))
-      .cache()
-    // same hot-bucket guard as [[simhashOn]]: a degenerate hyperplane
-    // bucket (e.g. zero vectors, or a corpus of one template) may hold
-    // d vectors → d² candidates; cap bounds it at cap² per bucket
-    val bands = dropHotBuckets(
-      e.select(col("vec_id"), explode(expr(
-        "transform(sequence(0, 3), b -> named_struct('band', b, 'key', shiftright(sig, b * 16) & 65535))"
-      )).as("x")).select(col("vec_id"), col("x.band"), col("x.key")), bucketCap)
+    val e = hyperSets(embeddings).cache()
+    val bands = dropHotBuckets(hyperBands(e), bucketCap)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
+    verifyCosPairs(cand, e, threshold)
+  }
+
+  /** (vec_id, v, norm, sig): the vector plus everything the verify and
+    * banding steps need — the schema of the materialized signature
+    * store in the incremental regime.
+    */
+  private def hyperSets(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .withColumn("sig", expr("graft_hyperplane64(v)"))
+
+  /** 4×16-bit band blocking of the hyperplane signatures. Hot-bucket
+    * guard applied by callers (same dfCap pattern as [[simhashOn]]: a
+    * degenerate bucket — zero vectors, one-template corpora — holds d
+    * vectors → d² candidates; the cap bounds it at cap²).
+    */
+  private def hyperBands(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(expr(
+      "transform(sequence(0, 3), b -> named_struct('band', b, 'key', shiftright(sig, b * 16) & 65535))"
+    )).as("x")).select(col("vec_id"), col("x.band"), col("x.key"))
+
+  /** Exact-cosine verification of LSH-proposed pairs (candidates only,
+    * never all-pairs).
+    */
+  private def verifyCosPairs(cand: DataFrame, e: DataFrame, threshold: Double): DataFrame =
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na")), Seq("vec_a"))
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb")), Seq("vec_b"))
       .withColumn("cos", round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
+
+  /** The ingest-tick regime of [[embedLsh]] — same split as
+    * [[minhashLshIncremental]], over the planted embedding corpus
+    * ([[plantedCorpus]], so the tick has guaranteed true near-dups at
+    * every SF: the planted copies' ids sit above any corpus id and
+    * land in the delta, pairing their base originals at cos ≈ 0.999):
+    * DELTA vectors' signatures band-joined against the corpus band
+    * index, base×base pairs never regenerated. DedupSimilaritySpec
+    * pins base-pairs ∪ tick ≡ batch over the same planted corpus.
+    */
+  def embedLshIncremental(spark: SparkSession, sfDir: String, threshold: Double = 0.9,
+                          baseFrac: Double = 0.8, nPlant: Int = 50,
+                          bucketCap: Int = 10000): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val cut = Tables.embeddings(spark, sfDir)
+      .agg(floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
+    val e = hyperSets(plantedCorpus(spark, sfDir, nPlant)).cache()
+    val bands = dropHotBuckets(hyperBands(e), bucketCap).cache()
+    val deltaBands = bands.crossJoin(broadcast(cut))
+      .filter(col("vec_id") >= col("cut")).drop("cut")
+    val cand = deltaBands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
+      .distinct()
+    verifyCosPairs(cand, e, threshold)
   }
 
   /** Embedding-cosine near-dup pairs. Norms are precomputed per row

@@ -123,6 +123,47 @@ class DedupSimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("incremental simhash tick plus base pairs equals the batch pair set") {
+    import spark.implicits._
+    val nDocs = Tables.documents(spark, sf).count()
+    val cut = math.floor(nDocs * 0.8).toLong
+    val planted = Dedup.dupPlantedDocs(spark, sf).cache()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val full = pairs(Dedup.simhashOn(spark, planted))
+    val base = pairs(Dedup.simhashOn(spark, planted.filter(col("doc_id") < cut)))
+    val tick = pairs(Dedup.simhashIncremental(spark, sf))
+    assert(tick.nonEmpty)
+    assert(tick.forall { case (a, b) => a >= cut || b >= cut })
+    assert(tick.intersect(base).isEmpty)
+    assert(base.union(tick) === full)
+    // fingerprint-identical planted copies pair their originals at hamming 0
+    assert(tick.exists { case (_, b) => b >= 10000000L })
+    planted.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("incremental embed-LSH tick plus base pairs equals the batch pair set") {
+    import org.apache.spark.sql.functions.col
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val cut = math.floor(nVecs * 0.8).toLong
+    val corpus = Dedup.plantedCorpus(spark, sf, nPlant = 50).cache()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val full = pairs(Dedup.embedLshOn(spark, corpus, threshold = 0.9))
+    val base = pairs(Dedup.embedLshOn(spark,
+      corpus.filter(col("vec_id") < cut), threshold = 0.9))
+    val tick = pairs(Dedup.embedLshIncremental(spark, sf))
+    assert(tick.nonEmpty)
+    assert(tick.forall { case (a, b) => a >= cut || b >= cut })
+    assert(tick.intersect(base).isEmpty)
+    assert(base.union(tick) === full)
+    // planted near-identical copies (ids ≥ 10⁶) pair their originals
+    assert(tick.exists { case (_, b) => b >= 1000000L })
+    corpus.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("connected components survive a chain deeper than the checkpoint interval") {
     import spark.implicits._
     // a 30-node path 0-1-2-…-29: diameter 29, so label 0 needs 29
