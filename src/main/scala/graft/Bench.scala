@@ -27,7 +27,7 @@ object Bench {
     "q_sample_curriculum", "q_mix_plan", "q_epoch_shuffle",
     "dedup_exact", "dedup_exact_inc", "dedup_exact_delta", "dedup_exact_store",
     "dedup_minhash", "dedup_minhash_inc", "dedup_simhash", "dedup_simhash_inc",
-    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard", "dedup_ngram_inc",
     "dedup_embed_cosine", "dedup_embed_lsh", "dedup_embed_lsh_inc",
     "dedup_clusters", "dedup_clusters_star",
     "knn_brute", "knn_ivf", "knn_sq8",

@@ -59,6 +59,9 @@ object SparkEntry {
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_simhash_inc"   -> ((s, d) => Dedup.simhashIncremental(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    // the exact tick is deterministic → the one HASH-GATED near-dup
+    // tick (oracle recomputes the delta-touching pair set from scratch)
+    "dedup_ngram_inc"     -> ((s, d) => Dedup.ngramJaccardIncremental(s, d)),
     // exact-cosine audit over a deterministic hash-gated slice — the
     // all-pairs plan is never registered over the full corpus (the
     // unsliced baseline lives in specs; scale paths: embed_lsh, knn_ivf).
@@ -670,6 +673,34 @@ object SparkEntry {
         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id""".stripMargin
 
   private val oracleSqlTail: Map[String, String] = Map(
+    // the incremental tick over the dup-planted corpus: same exact
+    // jaccard, restricted to pairs with a post-cut member (the filter
+    // is pushed into the join so DuckDB never forms base×base pairs)
+    "dedup_ngram_inc" ->
+      """WITH nn AS (SELECT CAST(floor(0.8 * count(*)) AS BIGINT) AS cut FROM documents),
+        |p AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 3),
+        |w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+        |  FROM p),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+        |                             for i in range(1, len(w) - 1)])
+        |    END AS grams
+        |  FROM w),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.grams, b.grams)) AS i,
+        |    len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS u
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id, nn
+        |  WHERE a.doc_id >= nn.cut OR b.doc_id >= nn.cut)
+        |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / u, 4) AS jaccard
+        |FROM pr WHERE round(CAST(i AS DOUBLE) / u, 4) >= 0.8""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w

@@ -499,6 +499,48 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** The ingest-tick regime of [[ngramJaccard]] — and, because the
+    * exact Jaccard is deterministic, the one near-dup tick that is
+    * SQL-ORACLE HASH-GATED rather than spec-gated (registered as
+    * `dedup_ngram_inc`): DELTA docs' shingles probe the corpus
+    * inverted index (in-query stand-in for the materialized index,
+    * same regime split as [[exactIncremental]]); base×base pairs are
+    * never regenerated, candidate work ∝ delta postings. Output:
+    * exact-verified pairs touching ≥1 delta doc — the tick payload.
+    * The planted copies guarantee jaccard-1.0 cross-tick pairs at
+    * every SF; the oracle computes the same delta-touching pair set
+    * from scratch in DuckDB.
+    */
+  def ngramJaccardIncremental(spark: SparkSession, sfDir: String, threshold: Double = 0.8,
+                              baseFrac: Double = 0.8, dfCap: Int = 10000): DataFrame = {
+    val cut = Tables.documents(spark, sfDir)
+      .agg(floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
+    val sets = shingledOn(spark, dupPlantedDocs(spark, sfDir))
+      .select(col("doc_id"),
+        expr("transform(shingles, s -> xxhash64(s))").as("hs"))
+      .cache()
+    val sh = sets.select(col("doc_id"), explode(col("hs")).as("shingle"))
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select(col("shingle"))
+    val idx = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val deltaIdx = idx.crossJoin(broadcast(cut))
+      .filter(col("doc_id") >= col("cut")).drop("cut")
+    val cand = deltaIdx.as("a").join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard", round(
+        col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** LSH-bucketed embedding near-dup: 64-bit random-hyperplane
     * signatures (map-side, codegen), 4×16-bit band blocking, exact
     * cosine verification only WITHIN buckets — the scale path that
