@@ -221,6 +221,26 @@ class PlanShapeSpec extends AnyFunSuite {
       "salt never reached a join/shuffle key\n" + p.take(3000))
   }
 
+  test("incremental ticks: the delta gate survives into every tick plan") {
+    // each ingest tick is O(delta × colliding postings) ONLY because
+    // one join side filters to doc/vec ids past the in-plan cut; an
+    // edit that drops the gate stays value-correct on the identity
+    // specs' small corpora while silently re-registering an
+    // O(corpus²) candidate join — the same regression mode the
+    // embed-cosine budget-gate pin guards against
+    import graft.operators.Dedup
+    Seq[(String, org.apache.spark.sql.DataFrame)](
+      "minhash" -> Dedup.minhashLshIncremental(spark, sf),
+      "simhash" -> Dedup.simhashIncremental(spark, sf),
+      "embed_lsh" -> Dedup.embedLshIncremental(spark, sf),
+      "ngram" -> Dedup.ngramJaccardIncremental(spark, sf)
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(p.contains(">= cut#"), s"$name tick lost its delta gate\n" + p.take(3000))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("interactions: exactly one window shuffle implements the upsert") {
     // the is_implicit filter CANNOT push below the latest-wins window
     // (the kept row determines the flag) — but the upsert must cost
