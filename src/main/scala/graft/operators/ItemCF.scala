@@ -108,7 +108,7 @@ object ItemCF {
     * a tick that outgrows the broadcast regime degrades to shuffle
     * joins instead of failing at the broadcast limit.
     */
-  private def deltaPairCountsTracked(oldFacts: DataFrame, delta: DataFrame,
+  private[graft] def deltaPairCountsTracked(oldFacts: DataFrame, delta: DataFrame,
       broadcastMaxRows: Long = Hints.DeltaBroadcastMaxRows): (DataFrame, Seq[DataFrame]) = {
     val old = oldFacts.select(col("user_id"), col("item_id"))
     // new facts only: a (user, item) already present adds no pair.
@@ -142,8 +142,10 @@ object ItemCF {
 
   /** The deployment tick: CHANGED matrix rows only — (item_a, item_b,
     * n_users) for pairs whose count the delta moved, new pairs
-    * included. The store applies them (MERGE into a pk-bucketed /
-    * pk-sorted table rewrites only touched files); shipping the full
+    * included. The store applies them as a MERGE into a pk-bucketed
+    * table that rewrites only the touched bucket files —
+    * [[graft.streaming.BucketStore.applyTick]], driven by
+    * [[graft.streaming.EventStream.startCoocMaintain]]; shipping the full
     * merged matrix instead would make every tick O(matrix), and the
     * matrix is ~C(deg,2)/deg× LARGER than the fact table — a full
     * re-emit can never beat the batch recompute (IvmTimingSpec pins
@@ -166,6 +168,22 @@ object ItemCF {
       broadcastMaxRows: Long = Hints.DeltaBroadcastMaxRows): (DataFrame, Seq[DataFrame]) = {
     val (pairCounts, pairCaches) = deltaPairCountsTracked(oldFacts, delta, broadcastMaxRows)
     val deltaPairs = pairCounts.cache()
+    val (changes, mergeCaches) = coocChangesFromPairs(oldCooc, deltaPairs, broadcastMaxRows)
+    (changes, pairCaches ++ Seq(deltaPairs) ++ mergeCaches)
+  }
+
+  /** Merge phase of [[coocDelta]]: post-merge matrix rows for EXACTLY
+    * the delta pairs' keys (bumped ⊆ delta pairs via the inner join,
+    * brand-new ⊆ delta pairs via the anti-join — so the changed-key
+    * set ≡ the delta-pair key set). That identity is what lets a
+    * bucketed store ([[graft.streaming.BucketStore]]) learn its
+    * touched buckets from `deltaPairs` alone and pass a
+    * PARTITION-PRUNED `oldCooc` here: the matrix rows outside the
+    * delta pairs' buckets can neither bump nor suppress a change.
+    * `deltaPairs` must be cached (the broadcast gate counts it).
+    */
+  private[graft] def coocChangesFromPairs(oldCooc: DataFrame, deltaPairs: DataFrame,
+      broadcastMaxRows: Long = Hints.DeltaBroadcastMaxRows): (DataFrame, Seq[DataFrame]) = {
     // size-gate the delta-side hints off ONE measured count (bumped ⊆
     // deltaPairs, so the same decision covers both): a tick beyond the
     // broadcast regime degrades to shuffle joins instead of failing
@@ -181,8 +199,16 @@ object ItemCF {
     val changes = bumped.unionByName(brandNew)
       .select(unpackA(col("pk")).as("item_a"), unpackB(col("pk")).as("item_b"),
         col("n_users"))
-    (changes, pairCaches ++ Seq(deltaPairs, bumped))
+    (changes, Seq(bumped))
   }
+
+  /** Bucket of a pair row in the bucketed matrix store: a pure
+    * function of the PACKED pair key (its high word, item_a), so the
+    * tick derives touched buckets from delta pairs before any matrix
+    * read. Must match the bucket used to seed the store.
+    */
+  private[graft] def pairBucket(pk: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    pmod(shiftrightunsigned(pk, 32), lit(n)).cast("int")
 
   /** Incremental maintenance of the co-occurrence matrix — merge a
     * delta batch of interactions into existing pair counts. The

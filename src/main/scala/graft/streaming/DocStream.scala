@@ -36,11 +36,16 @@ object DocStream {
     * scaladoc promises: each micro-batch of ingested documents flows
     * through [[graft.operators.Dedup.exactDeltaApplyTracked]] (touched
     * groups only — compute ∝ batch, the landed corpus never re-dedups)
-    * and is applied to the store snapshot with the same staged-swap
-    * recovery + applied-batch replay guard as the cooc view: marker
-    * travels inside the staged dir so marker and store swap in
-    * atomically, and a replayed batch (at-least-once foreachBatch)
-    * skips the apply instead of double-counting copies.
+    * and is MERGED into a bucket-partitioned store ([[BucketStore]],
+    * md5-prefix bucket). The tick is O(delta) in I/O as well as
+    * compute: the touched buckets are a pure function of the batch's
+    * content hashes, so the merge reads only those bucket partitions
+    * and the apply rewrites only those bucket directories — untouched
+    * buckets stay byte-identical (DedupStoreSpec pins it). Replay
+    * guard: the applied-batch marker promotes into the store only
+    * after every touched bucket landed, so an at-least-once
+    * redelivery (marker >= batchId) skips the apply instead of
+    * double-counting copies.
     *
     * The store IS the dedup decision surface: `keep_doc_id` per
     * content group, `n_copies` for audit — the reference recomputes
@@ -48,32 +53,38 @@ object DocStream {
     * that tick made incremental.
     *
     * @param docs          streaming (doc_id, text) ingest rows
-    * @param storeDir      parquet snapshot of (text_md5, keep_doc_id,
-    *                      n_copies) — seed it with the batch
-    *                      [[graft.operators.Dedup.exact]] output
+    * @param storeDir      bucketed store of (text_md5, keep_doc_id,
+    *                      n_copies) — seed the batch
+    *                      [[graft.operators.Dedup.exact]] output with
+    *                      [[BucketStore.seed]] bucketed by
+    *                      `BucketStore.md5Bucket(text_md5, nBuckets)`
     * @param checkpointDir durable streaming checkpoint (REQUIRED for
     *                      the replay guard: batch ids must be
     *                      monotonic across restarts)
+    * @param nBuckets      the store's bucket count — part of its
+    *                      on-disk contract, must match the seed
     */
-  def startDedupMaintain(docs: DataFrame, storeDir: String,
-                         checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+  def startDedupMaintain(docs: DataFrame, storeDir: String, checkpointDir: String,
+                         nBuckets: Int = BucketStore.DefaultBuckets): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        EventStream.recoverSnapshot(storeDir)
+        BucketStore.recover(storeDir)
         val b = batch.toDF().select(col("doc_id"), col("text")).cache()
-        if (b.count() > 0 && EventStream.appliedBatchId(storeDir) < batchId) {
-          val store = spark.read.parquet(storeDir)
+        if (b.count() > 0 && BucketStore.appliedBatchId(storeDir) < batchId) {
+          // touched buckets straight from the batch's content hashes —
+          // no store read needed to learn them
+          val touched = BucketStore.touchedBuckets(b.select(
+            BucketStore.md5Bucket(md5(col("text")), nBuckets).as(BucketStore.BucketCol)))
+          val store = BucketStore.readBuckets(spark, storeDir, touched)
           val (changes, cached) =
             graft.operators.Dedup.exactDeltaApplyTracked(store, b)
-          // store-apply: changed groups replace, untouched carry over
-          store.join(changes.select(col("text_md5")), Seq("text_md5"), "left_anti")
-            .unionByName(changes)
-            .write.mode("overwrite").parquet(storeDir + "_staged")
-          EventStream.writeBatchMarker(storeDir + "_staged", batchId)
-          EventStream.swapSnapshot(storeDir)
+          BucketStore.applyTick(spark, storeDir,
+            changes.withColumn(BucketStore.BucketCol,
+              BucketStore.md5Bucket(col("text_md5"), nBuckets)),
+            Seq("text_md5"), batchId)
           cached.foreach(_.unpersist())
         }
         b.unpersist()

@@ -104,40 +104,48 @@ object EventStream {
 
   /** Streaming materialized view of the co-occurrence matrix: each
     * micro-batch of new interactions flows through
-    * [[graft.operators.ItemCF.coocDelta]] (changed matrix rows only —
-    * work ∝ batch, zero shuffles of matrix or facts) and is applied
-    * to the matrix snapshot with the store-apply semantics the
-    * IvmTimingSpec proves correct (changed pairs replace, untouched
-    * carry over). This is the reference's 15-minute full recompute
-    * (web/service.py APScheduler) turned into a continuously
-    * maintained view whose per-tick cost no longer grows with
-    * history.
+    * [[graft.operators.ItemCF.coocDelta]]'s two phases (changed
+    * matrix rows only — work ∝ batch, zero shuffles of matrix or
+    * facts) and is MERGED into a bucket-partitioned matrix store
+    * ([[BucketStore]]). This is the reference's 15-minute full
+    * recompute (web/service.py APScheduler) turned into a
+    * continuously maintained view whose per-tick cost no longer grows
+    * with history.
     *
-    * Snapshot protocol is the same staged-swap as [[startCdcApply]].
-    * The matrix rewrite here is O(matrix) in the parquet copy — on a
-    * lake both writes become transactional MERGE/INSERT (Delta/
-    * Iceberg) and only the delta moves; the COMPUTE is already
-    * delta-sized, which is the part a lake cannot fix for you.
+    * The tick is O(delta) end-to-end, reads included: the changed-key
+    * set ≡ the delta-pair key set
+    * ([[graft.operators.ItemCF.coocChangesFromPairs]]), so the
+    * touched buckets are known BEFORE any matrix read — the merge
+    * reads only those bucket partitions and the apply rewrites only
+    * those bucket directories; untouched buckets stay byte-identical
+    * (CdcStreamSpec pins it). Replay guard: the applied-batch marker
+    * promotes into the store only after every touched bucket landed,
+    * so an at-least-once redelivery (marker >= batchId) skips the
+    * apply; the facts append re-runs and no-ops via its anti-join.
     *
     * @param interactions  streaming (user_id, item_id) new-interaction rows
     * @param factsDir      parquet snapshot of interactions seen so far
-    * @param matrixDir     parquet snapshot of UNFILTERED pair counts
-    *                      (minUsers = 1, coocIncrement's contract)
+    * @param matrixDir     bucketed store of UNFILTERED pair counts
+    *                      (minUsers = 1, coocIncrement's contract) —
+    *                      seed with [[BucketStore.seed]] bucketed by
+    *                      `pmod(item_a, nBuckets)`
     * @param checkpointDir durable streaming checkpoint. REQUIRED for
     *                      the replay guard to be sound: without one,
     *                      batch ids restart at 0 on every launch while
     *                      the applied-batch marker persists, and the
     *                      guard would skip real matrix updates forever
+    * @param nBuckets      the store's bucket count — part of its
+    *                      on-disk contract, must match the seed
     */
   def startCoocMaintain(interactions: DataFrame, factsDir: String,
-                        matrixDir: String,
-                        checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                        matrixDir: String, checkpointDir: String,
+                        nBuckets: Int = BucketStore.DefaultBuckets): org.apache.spark.sql.streaming.StreamingQuery =
     interactions.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        recoverSnapshot(factsDir); recoverSnapshot(matrixDir)
+        recoverSnapshot(factsDir); BucketStore.recover(matrixDir)
         // distinct: the matrix path dedups internally (coocDelta), so
         // the facts append must too — a doubly-delivered row inside
         // one trigger would otherwise corrupt the facts snapshot
@@ -145,28 +153,26 @@ object EventStream {
           .distinct().cache()
         if (b.count() > 0) {
           val old = spark.read.parquet(factsDir)
-          // foreachBatch is at-least-once: a replayed batch must not
-          // bump the matrix twice. The applied-batch marker travels
-          // INSIDE the staged dir, so marker and matrix swap in
-          // atomically; on replay (marker >= batchId) the matrix
-          // apply is skipped and only the facts append re-runs —
-          // itself a no-op via the anti-join if it had completed.
-          // Sound because the durable checkpoint makes batch ids
-          // monotonic and replays carry identical data.
-          if (appliedBatchId(matrixDir) < batchId) {
-            val matrix = spark.read.parquet(matrixDir)
-            val (changes, cached) =
-              graft.operators.ItemCF.coocDeltaTracked(old, matrix, b)
-            matrix
-              .join(changes.select(col("item_a"), col("item_b")),
-                Seq("item_a", "item_b"), "left_anti")
-              .unionByName(changes)
-              .write.mode("overwrite").parquet(matrixDir + "_staged")
-            writeBatchMarker(matrixDir + "_staged", batchId)
-            swapSnapshot(matrixDir)
+          if (BucketStore.appliedBatchId(matrixDir) < batchId) {
+            // phase 1 — delta pair counts: needs facts + batch only
+            val (pairCounts, pairCaches) =
+              graft.operators.ItemCF.deltaPairCountsTracked(old, b)
+            val deltaPairs = pairCounts.cache()
+            // phase 2 — merge against ONLY the touched buckets: the
+            // changed keys are exactly the delta-pair keys, so the
+            // pruned read cannot miss a bump
+            val touched = BucketStore.touchedBuckets(deltaPairs.select(
+              graft.operators.ItemCF.pairBucket(col("pk"), nBuckets).as(BucketStore.BucketCol)))
+            val matrix = BucketStore.readBuckets(spark, matrixDir, touched)
+            val (changes, mergeCaches) =
+              graft.operators.ItemCF.coocChangesFromPairs(matrix, deltaPairs)
+            BucketStore.applyTick(spark, matrixDir,
+              changes.withColumn(BucketStore.BucketCol,
+                BucketStore.longBucket(col("item_a"), nBuckets)),
+              Seq("item_a", "item_b"), batchId)
             // unpersist ONLY this tick's intermediates — a session-wide
             // clearCache would thrash concurrent queries' caches
-            cached.foreach(_.unpersist())
+            (pairCaches ++ Seq(deltaPairs) ++ mergeCaches).foreach(_.unpersist())
           }
           // facts gain only the batch's genuinely-new (user, item)
           // rows (coocDelta ignored the rest); materialize before
@@ -248,7 +254,7 @@ object EventStream {
       .start()
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private[streaming] def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse

@@ -86,8 +86,9 @@ class CdcStreamSpec extends AnyFunSuite {
     // seed: 3 users with overlapping profiles
     val seed = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (2L, 12L), (3L, 12L))
     seed.toDF("user_id", "item_id").write.parquet(factsDir)
-    graft.operators.ItemCF.coocCountsOn(spark.read.parquet(factsDir))
-      .write.parquet(matrixDir)
+    graft.streaming.BucketStore.seed(
+      graft.operators.ItemCF.coocCountsOn(spark.read.parquet(factsDir)),
+      pmod(col("item_a"), lit(64)).cast("int"), matrixDir)
 
     val input = MemoryStream[(Long, Long)]
     val q = EventStream.startCoocMaintain(
@@ -95,6 +96,7 @@ class CdcStreamSpec extends AnyFunSuite {
       root + "/ckpt")
 
     def matrixNow = spark.read.parquet(matrixDir)
+      .select("item_a", "item_b", "n_users")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     def batchNow = graft.operators.ItemCF.coocCountsOn(spark.read.parquet(factsDir))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -106,12 +108,22 @@ class CdcStreamSpec extends AnyFunSuite {
     q.processAllAvailable()
     assert(matrixNow === batchNow)
     assert(matrixNow.contains((10L, 11L, 2L))) // untouched pair carried over
-    // tick 2: brand-new user growing an existing pair's count
+    // tick 2 touches only bucket 10 (its one delta pair is (10, 11));
+    // bucket 11's files must come through BYTE-IDENTICAL — the tick
+    // rewrites touched bucket dirs only, never the whole store
+    val before = TestFiles.bucketFileHashes(matrixDir)
     input.addData((4L, 10L), (4L, 11L))
     q.processAllAvailable()
     q.stop()
     assert(matrixNow === batchNow)
     assert(matrixNow.contains((10L, 11L, 3L))) // bumped by user 4
+    val after = TestFiles.bucketFileHashes(matrixDir)
+    val untouched11 = before.filter(_._1.startsWith("bucket=11/"))
+    assert(untouched11.nonEmpty)
+    untouched11.foreach { case (path, h) => assert(after.get(path).contains(h)) }
+    // and bucket 10 (the touched one) did change
+    assert(before.filter(_._1.startsWith("bucket=10/")) !==
+      after.filter(_._1.startsWith("bucket=10/")))
     // facts snapshot deduplicated both repeats (seed 6 + 3 new)
     assert(spark.read.parquet(factsDir).count() === 9)
     // the applied-batch marker swapped in with the matrix (replay

@@ -29,15 +29,17 @@ class DedupStoreSpec extends AnyFunSuite {
       (1L, "alpha beta gamma"), (2L, "delta epsilon"),
       (3L, "alpha beta gamma"), (4L, "zeta eta theta"))
     var corpus = seed
-    seed.toDF("doc_id", "text")
-      .groupBy(md5(col("text")).as("text_md5"))
-      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
-      .write.parquet(storeDir)
+    graft.streaming.BucketStore.seed(
+      seed.toDF("doc_id", "text")
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies")),
+      graft.streaming.BucketStore.md5Bucket(col("text_md5"), 64), storeDir)
 
     val input = MemoryStream[DocIngest]
     val q = DocStream.startDedupMaintain(input.toDF(), storeDir, root + "/ckpt")
 
     def storeNow = spark.read.parquet(storeDir)
+      .select("text_md5", "keep_doc_id", "n_copies")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     def batchNow = corpus.toDF("doc_id", "text")
       .groupBy(md5(col("text")).as("text_md5"))
@@ -59,7 +61,15 @@ class DedupStoreSpec extends AnyFunSuite {
     assert(storeNow.exists(t => t._2 == 2L && t._3 == 1L))
 
     // tick 2: another copy of the same group + a copy of tick 1's new
-    // group (keeper 11 from the PREVIOUS tick must survive)
+    // group (keeper 11 from the PREVIOUS tick must survive). Only the
+    // buckets of those two content hashes may be rewritten — every
+    // other bucket's files must come through BYTE-IDENTICAL
+    val before = TestFiles.bucketFileHashes(storeDir)
+    val touched2 = Seq("alpha beta gamma", "iota kappa").map { t =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      s"bucket=${java.lang.Long.parseLong(d.take(4), 16) % 64}/"
+    }.toSet
     input.addData(DocIngest(12L, "alpha beta gamma"), DocIngest(13L, "iota kappa"))
     corpus ++= Seq((12L, "alpha beta gamma"), (13L, "iota kappa"))
     q.processAllAvailable()
@@ -67,6 +77,10 @@ class DedupStoreSpec extends AnyFunSuite {
     assert(storeNow === batchNow)
     assert(storeNow.find(_._2 == 1L).get._3 === 4L)
     assert(storeNow.exists(t => t._2 == 11L && t._3 == 2L))
+    val after = TestFiles.bucketFileHashes(storeDir)
+    val untouched = before.filter { case (p, _) => !touched2.exists(p.startsWith) }
+    assert(untouched.nonEmpty) // the seed's other groups live elsewhere
+    untouched.foreach { case (path, h) => assert(after.get(path).contains(h)) }
 
     // the applied-batch marker swapped in with the store (replay guard)
     val marker = java.nio.file.FileSystems.getDefault
