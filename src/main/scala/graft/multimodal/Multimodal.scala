@@ -147,9 +147,17 @@ object Multimodal {
     if (ais == null) return (0, 0, new Array[Float](8))
     val fmt = ais.getFormat
     val rate = math.round(fmt.getSampleRate)
-    val nFrames = ais.getFrameLength
-    val durationMs = (nFrames * 1000L / math.max(1, rate)).toInt
+    // a parseable container may leave rate/frame length UNSPECIFIED
+    // (AudioSystem.NOT_SPECIFIED = -1): no rate means no duration —
+    // take the corrupt-payload flag path, never a negative duration
+    if (rate <= 0) return (0, 0, new Array[Float](8))
     val bytes = ais.readAllBytes()
+    val rawFrames = ais.getFrameLength
+    val nFrames =
+      if (rawFrames >= 0) rawFrames
+      else if (fmt.getFrameSize > 0) bytes.length.toLong / fmt.getFrameSize
+      else 0L
+    val durationMs = (nFrames * 1000L / rate).toInt
     val hist = new Array[Float](8)
     var i = 0
     var n = 0

@@ -110,7 +110,7 @@ object Dedup {
     * with [[ItemCF.coocDelta]].
     */
   def exactDelta(spark: SparkSession, sfDir: String, baseFrac: Double = 0.8,
-                 broadcastMaxRows: Long = Hints.DeltaBroadcastMaxRows): DataFrame = {
+                 broadcastMaxRows: Long = Hints.DeltaBroadcastMaxRowsMd5): DataFrame = {
     val docs = dupDocsWithCut(spark, sfDir, baseFrac)
     val touched = docs.filter(col("doc_id") >= col("cut"))
       .select(col("text_md5")).distinct()
@@ -134,23 +134,38 @@ object Dedup {
     * DedupStoreSpec-gated.)
     */
   def exactIncrementalStore(spark: SparkSession, sfDir: String,
-                            baseFrac: Double = 0.8): DataFrame = {
+                            baseFrac: Double = 0.8,
+                            artifactDir: String = "target/graft-artifacts"): DataFrame = {
     val cut = Tables.documents(spark, sfDir)
       .agg(floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
     val raw = dupPlantedDocs(spark, sfDir).crossJoin(broadcast(cut))
-    val storeDir = java.nio.file.Files
-      .createTempDirectory("graft_dedup_store").toString + "/store"
+    // the store lives under a configurable artifacts root — in
+    // production a SHARED filesystem prefix every driver and executor
+    // resolves identically (the same contract as
+    // [[Sampling.curriculumSampleApproxFrozen]]'s cutpoints; a
+    // driver-local temp dir would break the executor read-back on a
+    // real cluster). Fixed path + overwrite bounds retention at one
+    // copy per (corpus, run) instead of leaking a dir per invocation.
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val storeDir = s"$artifactDir/dedup_store_$digest"
     raw.filter(col("doc_id") < col("cut"))
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
-      .write.parquet(storeDir)
+      .write.mode("overwrite").parquet(storeDir)
     val store = spark.read.parquet(storeDir)
     val delta = raw.filter(col("doc_id") >= col("cut"))
       .select(col("doc_id"), col("text"))
     val (changes, _) = exactDeltaApplyTracked(store, delta)
     store.join(changes.select(col("text_md5")), Seq("text_md5"), "left_anti")
       .unionByName(changes)
-      .write.parquet(storeDir + "_applied")
+      .write.mode("overwrite").parquet(storeDir + "_applied")
+    // the applied write consumed the seed store — drop it now; the
+    // applied dir IS the lazily returned result and stays until the
+    // next run overwrites it
+    val seedPath = new org.apache.hadoop.fs.Path(storeDir)
+    seedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(seedPath, true)
     spark.read.parquet(storeDir + "_applied")
   }
 
@@ -171,7 +186,7 @@ object Dedup {
     * [[graft.streaming.DocStream.startDedupMaintain]]).
     */
   private[graft] def exactDeltaApplyTracked(store: DataFrame, batch: DataFrame,
-      broadcastMaxRows: Long = Hints.DeltaBroadcastMaxRows): (DataFrame, Seq[DataFrame]) = {
+      broadcastMaxRows: Long = Hints.DeltaBroadcastMaxRowsMd5): (DataFrame, Seq[DataFrame]) = {
     val deltaG = batch.select(col("doc_id"), col("text")).distinct()
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
@@ -285,9 +300,16 @@ object Dedup {
     val cut = Tables.documents(spark, sfDir)
       .agg(floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
     val sets = minhashSets(spark, dupPlantedDocs(spark, sfDir)).cache()
-    val bands = dropHotBuckets(minhashBands(sets), bucketCap).cache()
-    val deltaBands = bands.crossJoin(broadcast(cut))
-      .filter(col("doc_id") >= col("cut")).drop("cut")
+    val bandsC = minhashBands(sets).crossJoin(broadcast(cut))
+    // hot buckets frozen from the BASE index — deployment semantics
+    // (hotness is decided when the store is built, a tick cannot
+    // retroactively un-generate base×base candidates; see
+    // [[hotBucketList]]) and the regime where the spec's base run and
+    // this tick agree on dropped buckets
+    val hot = hotBucketList(bandsC.filter(col("doc_id") < col("cut")), bucketCap)
+    val pruned = bandsC.join(broadcast(hot), Seq("band", "key"), "left_anti").cache()
+    val bands = pruned.drop("cut")
+    val deltaBands = pruned.filter(col("doc_id") >= col("cut")).drop("cut")
     // delta side drives: every candidate has a delta doc on the a-side;
     // delta×delta pairs arrive from both directions → the canonical
     // (min, max) projection + distinct collapses them
@@ -409,9 +431,12 @@ object Dedup {
     val cut = Tables.documents(spark, sfDir)
       .agg(floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
     val fp = simhashFingerprints(dupPlantedDocs(spark, sfDir)).cache()
-    val pruned = dropHotBuckets(simhashBands(fp), bucketCap).cache()
-    val deltaBands = pruned.crossJoin(broadcast(cut))
-      .filter(col("doc_id") >= col("cut")).drop("cut")
+    val bandsC = simhashBands(fp).crossJoin(broadcast(cut))
+    // hot buckets frozen from the BASE index (see [[hotBucketList]])
+    val hot = hotBucketList(bandsC.filter(col("doc_id") < col("cut")), bucketCap)
+    val prunedC = bandsC.join(broadcast(hot), Seq("band", "key"), "left_anti").cache()
+    val pruned = prunedC.drop("cut")
+    val deltaBands = prunedC.filter(col("doc_id") >= col("cut")).drop("cut")
     deltaBands.as("a").join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") =!= col("b.doc_id"))
@@ -436,7 +461,29 @@ object Dedup {
     * reuses it, so the surfacing costs one small aggregate — and
     * logged whenever the cap binds.
     */
-  private def dropHotBuckets(bands: DataFrame, cap: Int): DataFrame = {
+  private def dropHotBuckets(bands: DataFrame, cap: Int): DataFrame =
+    bands.join(broadcast(hotBucketList(bands, cap)), Seq("band", "key"), "left_anti")
+
+  /** The (band, key) buckets of `bands` with more than `cap` members —
+    * cached and eagerly counted so a binding cap is LOGGED, never
+    * silent (a dropped bucket is a recall decision: a genuine near-dup
+    * cluster larger than cap loses pairs, not just exact copies).
+    * The list is tiny by construction, so its anti-join broadcasts.
+    *
+    * The incremental ticks compute this over the BASE slice of the
+    * band index and apply it to both join sides — the deployment
+    * semantics, where hotness is a property of the materialized index
+    * decided when the store is built, not recomputed per tick (a
+    * delta cannot retroactively un-generate base×base candidates).
+    * This also keeps the spec's base run and the tick agreeing on
+    * dropped buckets; the pinned base∪tick ≡ batch identity then
+    * additionally assumes the cap BINDS equally in the from-scratch
+    * batch — i.e. no bucket crosses the cap only once the delta
+    * arrives. The test corpora sit far under the cap; at scale a
+    * crossing bucket surfaces in this log and is reconciled by the
+    * next index rebuild.
+    */
+  private def hotBucketList(bands: DataFrame, cap: Int): DataFrame = {
     val hot = bands.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > cap)
@@ -447,7 +494,7 @@ object Dedup {
       s"dropHotBuckets: $nHot LSH bucket(s) over cap=$cap dropped from " +
       "candidate generation (clusters larger than the cap lose pairs; " +
       "raise bucketCap or rely on exact dedup for copy identity)")
-    bands.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    hot
   }
 
   /** Exact n-gram Jaccard similarity join via a shingle inverted
@@ -643,9 +690,12 @@ object Dedup {
     val cut = Tables.embeddings(spark, sfDir)
       .agg(floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
     val e = hyperSets(plantedCorpus(spark, sfDir, nPlant)).cache()
-    val bands = dropHotBuckets(hyperBands(e), bucketCap).cache()
-    val deltaBands = bands.crossJoin(broadcast(cut))
-      .filter(col("vec_id") >= col("cut")).drop("cut")
+    val bandsC = hyperBands(e).crossJoin(broadcast(cut))
+    // hot buckets frozen from the BASE index (see [[hotBucketList]])
+    val hot = hotBucketList(bandsC.filter(col("vec_id") < col("cut")), bucketCap)
+    val prunedC = bandsC.join(broadcast(hot), Seq("band", "key"), "left_anti").cache()
+    val bands = prunedC.drop("cut")
+    val deltaBands = prunedC.filter(col("vec_id") >= col("cut")).drop("cut")
     val cand = deltaBands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.vec_id") =!= col("b.vec_id"))

@@ -212,15 +212,27 @@ object Sampling {
     // reused), so an md5 prefix of the RAW dir string disambiguates.
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val path = s"$artifactDir/curriculum_cutpoints_a${accuracy}_" +
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + s"_$digest"
+    val slug = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"$artifactDir/curriculum_cutpoints_a${accuracy}_${slug}_$digest"
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hPath))
-      computeCutpoints(spark, sfDir, accuracy)
-        .coalesce(1).write.mode("overwrite").parquet(path)
+    // migration: artifacts frozen before the digest suffix existed live
+    // at the digest-less path — honor them rather than silently
+    // re-freezing boundaries against current data (the exact drift the
+    // freeze contract forbids). A legacy artifact is only trusted when
+    // no digest-suffixed one exists; delete it to re-freeze.
+    val legacy = new org.apache.hadoop.fs.Path(
+      s"$artifactDir/curriculum_cutpoints_a${accuracy}_$slug")
+    val readPath =
+      if (!fs.exists(hPath) && fs.exists(legacy)) legacy.toString
+      else {
+        if (!fs.exists(hPath))
+          computeCutpoints(spark, sfDir, accuracy)
+            .coalesce(1).write.mode("overwrite").parquet(path)
+        path
+      }
     curriculumSampleApprox(spark, sfDir, accuracy,
-      cutpoints = Some(spark.read.parquet(path)))
+      cutpoints = Some(spark.read.parquet(readPath)))
   }
 
   /** Epoch shuffling — the last prep step before the trainer reads:

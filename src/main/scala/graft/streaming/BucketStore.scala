@@ -102,11 +102,13 @@ private[graft] object BucketStore {
     val old = spark.read.parquet(dir)
       .where(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
     // carry-over: touched-bucket rows the tick did not change. The
-    // changed-key side is delta-sized — size-gated broadcast, same
-    // convention as every delta hint (Hints.broadcastIfSmall).
+    // changed-key side is delta-sized — size-gated broadcast at the
+    // conservative (string-key) row cap, same convention as every
+    // delta hint (Hints.broadcastIfSmall).
     val merged = old
       .join(graft.operators.Hints.broadcastIfSmall(
-          ch.select(keyCols.map(col): _*)),
+          ch.select(keyCols.map(col): _*),
+          graft.operators.Hints.DeltaBroadcastMaxRowsMd5),
         keyCols, "left_anti")
       .unionByName(ch)
     merged.repartition(col(BucketCol))
