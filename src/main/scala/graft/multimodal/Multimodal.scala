@@ -24,11 +24,13 @@ case class MmFrame(doc_id: Long, frame_idx: Int, ts_ms: Long, brightness: Float)
   * with `ImageIO.read`. The AUDIO path is likewise real: actual WAV
   * containers (16-bit mono PCM, written with the JDK's
   * `javax.sound.sampled` — zero external dependencies) decoded back
-  * to true sample rate, duration, and an amplitude histogram. Only
-  * VIDEO stays behind a clearly-marked deterministic stub (no demux
-  * library in this container); swapping it for a JNI/FFmpeg call
-  * changes no plan shape: decode stays partition-local, no shuffle,
-  * batch-sized by the input splits.
+  * to true sample rate, duration, and an amplitude histogram. VIDEO
+  * is real as well: MJPEG-in-AVI containers (RIFF, the same family
+  * as WAV) written frame-by-frame with ImageIO JPEG encoding and
+  * demuxed back with a chunk-walking RIFF parser ([[makeAvi]] /
+  * [[demuxAvi]]) — only every sampled frame is decoded. Swapping any
+  * codec for a JNI/FFmpeg call changes no plan shape: decode stays
+  * partition-local, no shuffle, batch-sized by the input splits.
   */
 object Multimodal {
 
@@ -239,37 +241,176 @@ object Multimodal {
         col("out_width"), col("out_height"), col("scale"), col("est_bytes"))
   }
 
-  /** Frame sampling: each video asset fans out to every-`stride`-th
-    * frame with a per-frame feature. The plumbing concern this
-    * exercises is ROW AMPLIFICATION — one asset becomes dozens of
-    * frame rows, all emitted partition-locally (flatMap inside
+  // ---- video: REAL MJPEG-in-AVI container + RIFF demux ------------
+  //
+  // AVI is RIFF — the same container family as WAV — so the video
+  // path gets the same treatment as audio: a deterministic writer
+  // (JPEG frames via `javax.imageio`, ~AVI-1.0 structure: hdrl with
+  // avih/strh/strf, movi with one '00dc' chunk per frame) and a small
+  // chunk-walking demuxer. Zero external dependencies; a production
+  // FFmpeg/JNI demux replaces only [[demuxAvi]] + the per-frame
+  // decode, never the plan shape.
+
+  /** Deterministic per-video geometry/content: dims 16..64 px, 8..32
+    * frames, each frame a UNIFORM gray whose level is a pure function
+    * of (seed, frame) — uniform frames survive the lossy JPEG
+    * round-trip to within ±3/255, so the demuxed brightness is
+    * spec-comparable against the generated level.
+    */
+  private[graft] def aviWidth(seed: Long): Int = 16 + math.floorMod(seed * 2654435761L, 49L).toInt
+  private[graft] def aviHeight(seed: Long): Int = 16 + math.floorMod((seed * 2654435761L) >> 7, 49L).toInt
+  private[graft] def aviFrameCount(seed: Long): Int = 8 + math.floorMod(seed >> 2, 25L).toInt
+  private[graft] def aviFrameLevel(seed: Long, i: Int): Int = {
+    val m = seed * 6364136223846793005L + i.toLong * 1442695040888963407L
+    ((m >>> 16) & 0xff).toInt
+  }
+
+  private def jpegGray(w: Int, h: Int, level: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    java.util.Arrays.fill(px, (level << 16) | (level << 8) | level)
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Little-endian RIFF chunk builders. */
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length + 10)
+    out.write(id.getBytes("US-ASCII")); writeLe32(out, body.length); out.write(body)
+    if ((body.length & 1) == 1) out.write(0) // chunks are word-aligned
+    out.toByteArray
+  }
+  private def riffList(listType: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("US-ASCII") ++ body)
+  private def writeLe32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff); o.write((v >> 16) & 0xff); o.write((v >>> 24) & 0xff)
+  }
+  private def le32(out: java.io.ByteArrayOutputStream)(vs: Int*): Unit = vs.foreach(writeLe32(out, _))
+  private def le16(out: java.io.ByteArrayOutputStream)(vs: Int*): Unit =
+    vs.foreach { v => out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+
+  /** Deterministic MJPEG-in-AVI writer — the video twin of [[makeWav]]:
+    * RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh 'vids'/'MJPG',
+    * strf BITMAPINFOHEADER}} → LIST(movi){'00dc' JPEG per frame}.
+    */
+  private[graft] def makeAvi(seed: Long, fps: Int = 24): Array[Byte] = {
+    val w = aviWidth(seed); val h = aviHeight(seed); val n = aviFrameCount(seed)
+    val jpegs = (0 until n).map(i => jpegGray(w, h, aviFrameLevel(seed, i)))
+    val maxFrame = jpegs.map(_.length).max
+
+    val avih = new java.io.ByteArrayOutputStream(56)
+    le32(avih)(1000000 / fps, 0, 0, 0, n, 0, 1, maxFrame, w, h, 0, 0, 0, 0)
+
+    val strh = new java.io.ByteArrayOutputStream(56)
+    strh.write("vids".getBytes("US-ASCII")); strh.write("MJPG".getBytes("US-ASCII"))
+    le32(strh)(0); le16(strh)(0, 0); le32(strh)(0, 1, fps, 0, n, maxFrame, -1, 0)
+    le16(strh)(0, 0, w, h)
+
+    val strf = new java.io.ByteArrayOutputStream(40)
+    le32(strf)(40, w, h); le16(strf)(1, 24)
+    strf.write("MJPG".getBytes("US-ASCII")); le32(strf)(w * h * 3, 0, 0, 0, 0)
+
+    val hdrl = riffList("hdrl",
+      riffChunk("avih", avih.toByteArray) ++
+      riffList("strl", riffChunk("strh", strh.toByteArray) ++
+        riffChunk("strf", strf.toByteArray)))
+    val movi = riffList("movi", jpegs.map(riffChunk("00dc", _)).reduce(_ ++ _))
+
+    val body = hdrl ++ movi
+    val out = new java.io.ByteArrayOutputStream(body.length + 12)
+    out.write("RIFF".getBytes("US-ASCII")); writeLe32(out, body.length + 4)
+    out.write("AVI ".getBytes("US-ASCII")); out.write(body)
+    out.toByteArray
+  }
+
+  private def readLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def fourcc(b: Array[Byte], off: Int): String = new String(b, off, 4, "US-ASCII")
+
+  /** RIFF/AVI demux: walk the chunk tree, collect the video frame
+    * chunks ('00dc'/'00db') from the movi list IN ORDER. The walk is
+    * O(frames) header hops — frame DECODE happens only for the frames
+    * a caller actually samples, which is what makes stride sampling
+    * cheap on real containers. A malformed container (bad magic,
+    * truncated or oversized chunk) yields an empty result — the
+    * caller's corrupt-flag path — rather than a partial frame list or
+    * a thrown task.
+    */
+  private[graft] def demuxAvi(payload: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    try {
+      require(payload.length >= 12 && fourcc(payload, 0) == "RIFF" &&
+        fourcc(payload, 8) == "AVI ")
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = fourcc(payload, off)
+          val size = readLe32(payload, off + 4)
+          require(size >= 0 && off + 8 + size <= end, "truncated chunk")
+          if (id == "LIST") {
+            val listType = fourcc(payload, off + 8)
+            if (listType == "movi" || listType == "hdrl" || listType == "strl")
+              walk(off + 12, off + 8 + size)
+          } else if ((id == "00dc" || id == "00db") && size > 0) {
+            frames += java.util.Arrays.copyOfRange(payload, off + 8, off + 8 + size)
+          }
+          off += 8 + size + (size & 1)
+        }
+      }
+      walk(12, math.min(payload.length, 8 + readLe32(payload, 4)))
+      frames.toIndexedSeq
+    } catch { case _: Exception => IndexedSeq.empty }
+  }
+
+  /** Mean luminance of one decoded frame in [0, 1]; -1 for an
+    * undecodable frame payload.
+    */
+  private def frameBrightness(jpeg: Array[Byte]): Float = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    if (img == null) return -1f
+    val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+    var sum = 0L
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+      i += 1
+    }
+    sum.toFloat / (255f * math.max(1, px.length))
+  }
+
+  /** Frame sampling over REAL video containers: each doc carries a
+    * deterministic MJPEG-in-AVI payload ([[makeAvi]] — generated
+    * in-query, as with the PNG/WAV paths), the demuxer walks the RIFF
+    * tree for the frame chunks, and every `stride`-th frame is
+    * actually DECODED (ImageIO) for its brightness — demux cost is
+    * O(frames) header hops, decode cost O(sampled). The plumbing
+    * concern this exercises is ROW AMPLIFICATION — one asset becomes
+    * many frame rows, all emitted partition-locally (flatMap inside
     * mapPartitions, no shuffle), which is exactly why frame extraction
-    * must size input splits by expected output, not input, rows. Frame
-    * count and per-frame values come from the stub codec
-    * (deterministic functions of payload + frame index — a real
-    * FFmpeg demux replaces only those two lambdas).
+    * must size input splits by expected output, not input, rows. A
+    * corrupt container flags its row (frame_idx = -1, brightness = -1)
+    * instead of vanishing or killing the task.
     */
   def frameSample(spark: SparkSession, sfDir: String, stride: Int = 10,
                   fps: Int = 24): DataFrame = {
     import spark.implicits._
-    val assets = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), lit("video/mp4").as("mime"),
-        col("text").cast("binary").as("payload"))
-      // same decode-cost split sizing as [[assets]]: a real demux is
-      // CPU-bound and the corpus manifest fits one parquet row group
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"))
+      // same decode-cost split sizing as [[assets]]: the demux+decode
+      // is CPU-bound and the corpus manifest fits one parquet row group
       .repartition(spark.sparkContext.defaultParallelism)
-      .as[MmAsset]
-    assets.mapPartitions { it =>
-      it.flatMap { a =>
-        // stub "container header parse": deterministic frame count
-        val h = a.payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
-        val nFrames = 24 + math.floorMod(h, 240L).toInt
-        (0 until nFrames by stride).iterator.map { i =>
-          // stub per-frame decode: brightness as a pure fn of (payload hash, i)
-          val fh = math.floorMod(h * 6364136223846793005L + i * 1442695040888963407L, 1000L)
-          MmFrame(a.doc_id, i, i * 1000L / fps, fh / 1000f)
+      .as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val frames = demuxAvi(makeAvi(id))
+          if (frames.isEmpty) Iterator.single(MmFrame(id, -1, 0L, -1f))
+          else (0 until frames.length by stride).iterator.map { i =>
+            MmFrame(id, i, i * 1000L / fps, frameBrightness(frames(i)))
+          }
         }
-      }
-    }.toDF()
+      }.toDF()
   }
 }

@@ -124,20 +124,55 @@ class TextMultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("frame sampling amplifies rows by the stub frame count / stride") {
+  test("AVI round-trip: demuxed frame count, dims, and brightness match generated") {
+    for (seed <- Seq(1L, 7L, 42L, 1001L)) {
+      val frames = Multimodal.demuxAvi(Multimodal.makeAvi(seed))
+      assert(frames.length === Multimodal.aviFrameCount(seed))
+      frames.zipWithIndex.foreach { case (jpeg, i) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+        assert(img.getWidth === Multimodal.aviWidth(seed))
+        assert(img.getHeight === Multimodal.aviHeight(seed))
+        // uniform-gray frames survive lossy JPEG to within a few levels
+        val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+        val mean = px.map(p => (p >> 16) & 0xff).sum.toDouble / px.length
+        assert(math.abs(mean - Multimodal.aviFrameLevel(seed, i)) <= 3.0,
+          s"seed=$seed frame=$i mean=$mean level=${Multimodal.aviFrameLevel(seed, i)}")
+      }
+    }
+  }
+
+  test("AVI demux rejects corrupt containers instead of returning partial frames") {
+    val good = Multimodal.makeAvi(5L)
+    assert(Multimodal.demuxAvi(good).nonEmpty)
+    // bad magic
+    val badMagic = good.clone(); badMagic(9) = 'X'.toByte
+    assert(Multimodal.demuxAvi(badMagic).isEmpty)
+    // truncated mid-movi
+    assert(Multimodal.demuxAvi(good.take(good.length / 2)).isEmpty)
+    // garbage
+    assert(Multimodal.demuxAvi(Array.fill[Byte](64)(0x5a)).isEmpty)
+  }
+
+  test("frame sampling demuxes real AVI payloads at the stride") {
     val frames = Multimodal.frameSample(spark, sf, stride = 10).cache()
+    // no corrupt flags on the generated corpus
+    assert(frames.filter(col("frame_idx") < 0).count() === 0)
+    // 8..32 container frames → 1..4 sampled rows per doc at stride 10
     val perDoc = frames.groupBy(col("doc_id")).count()
-    // stub emits 24..263 frames → 3..27 sampled rows per doc at stride 10
-    assert(perDoc.filter(col("count") < 3 || col("count") > 27).count() === 0)
+    assert(perDoc.filter(col("count") < 1 || col("count") > 4).count() === 0)
     // deterministic: a second run produces the identical frame set
     val a = frames.collect().map(r => (r.getLong(0), r.getInt(1), r.getFloat(3))).toSet
     val b = Multimodal.frameSample(spark, sf, stride = 10)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getFloat(3))).toSet
     assert(a === b)
-    // frame indices respect the stride and timestamps the fps
+    // indices respect the stride, timestamps the fps, and each decoded
+    // brightness sits within JPEG tolerance of the GENERATED level
     frames.collect().foreach { r =>
       assert(r.getInt(1) % 10 === 0)
       assert(r.getLong(2) === r.getInt(1) * 1000L / 24)
+      val want = Multimodal.aviFrameLevel(r.getLong(0), r.getInt(1)) / 255f
+      assert(math.abs(r.getFloat(3) - want) <= 3.5f / 255f,
+        s"doc=${r.getLong(0)} frame=${r.getInt(1)}")
     }
     frames.unpersist()
   }
