@@ -56,6 +56,11 @@ object SparkEntry {
     // corpus band index, base×base never regenerated (rows-only; the
     // base∪tick ≡ batch identity is spec-gated)
     "dedup_minhash_inc"   -> ((s, d) => Dedup.minhashLshIncremental(s, d)),
+    // the same tick through a REAL materialized signature/band store:
+    // base index written to parquet, delta probed against the read-back
+    // store, delta rows appended after the tick (rows-only; the
+    // base∪tick ≡ batch identity through the store is spec-gated)
+    "dedup_minhash_store" -> ((s, d) => Dedup.minhashLshIncrementalStore(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_simhash_inc"   -> ((s, d) => Dedup.simhashIncremental(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),

@@ -322,6 +322,65 @@ object Dedup {
     verifyMinhashPairs(cand, sets, threshold)
   }
 
+  /** [[minhashLshIncremental]] exercised through a REAL materialized
+    * signature store (registered as `dedup_minhash_store`) — the
+    * MinHash twin of [[exactIncrementalStore]]: the base slice's
+    * signatures AND band index are WRITTEN to parquet stores, the tick
+    * reads them back, probes the delta's bands against the stored
+    * index (hot list frozen from the STORED base index — the
+    * deployment semantics [[hotBucketList]] documents), verifies
+    * candidates with the exact Jaccard over stored + delta shingle
+    * sets, and finally APPENDS the delta's rows to both stores so the
+    * index is ready for the next tick. Base×base pairs are never
+    * regenerated; store reads are the only base-side cost.
+    *
+    * Store paths live under the same shared-FS artifacts contract as
+    * [[exactIncrementalStore]]; the seed write is `overwrite`, so a
+    * re-run rebuilds rather than double-appends — retention stays one
+    * store pair per corpus. The tick result is materialized BEFORE
+    * the append (the verify plan reads the store lazily; appending
+    * first would double-count delta rows). DedupSimilaritySpec pins
+    * base-pairs ∪ tick ≡ batch through the store round-trip and that
+    * the post-tick store holds the full corpus.
+    */
+  def minhashLshIncrementalStore(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5, baseFrac: Double = 0.8, bucketCap: Int = 10000,
+      artifactDir: String = "target/graft-artifacts"): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val sigDir = s"$artifactDir/minhash_sig_store_$digest"
+    val bandDir = s"$artifactDir/minhash_band_store_$digest"
+    val cut = Tables.documents(spark, sfDir)
+      .agg(floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
+    val all = minhashSets(spark, dupPlantedDocs(spark, sfDir))
+      .crossJoin(broadcast(cut)).cache()
+    all.filter(col("doc_id") < col("cut")).drop("cut")
+      .write.mode("overwrite").parquet(sigDir)
+    minhashBands(all.filter(col("doc_id") < col("cut")).drop("cut"))
+      .write.mode("overwrite").parquet(bandDir)
+    val storeSets = spark.read.parquet(sigDir)
+    val storeBands = spark.read.parquet(bandDir)
+    val deltaSets = all.filter(col("doc_id") >= col("cut")).drop("cut").cache()
+    val deltaBands = minhashBands(deltaSets)
+    val hot = hotBucketList(storeBands, bucketCap)
+    val dPruned = deltaBands.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    val probe = storeBands.unionByName(deltaBands)
+      .join(broadcast(hot), Seq("band", "key"), "left_anti")
+    val cand = dPruned.as("a").join(probe.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val out = verifyMinhashPairs(cand,
+      storeSets.unionByName(deltaSets), threshold).cache()
+    out.count()
+    deltaSets.write.mode("append").parquet(sigDir)
+    deltaBands.write.mode("append").parquet(bandDir)
+    out
+  }
+
   /** Near-dup CLUSTER resolution — the step between pairwise
     * detection and an actual dedup decision. Similarity pairs are not
     * transitive (A~B and B~C does not imply A~C was emitted), but

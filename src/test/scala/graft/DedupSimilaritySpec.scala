@@ -123,6 +123,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("minhash tick through the materialized signature store matches the batch pair set") {
+    import spark.implicits._
+    val nDocs = Tables.documents(spark, sf).count()
+    val cut = math.floor(nDocs * 0.8).toLong
+    val planted = Dedup.dupPlantedDocs(spark, sf).cache()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val full = pairs(Dedup.minhashLshOn(spark, planted, threshold = 0.5))
+    val base = pairs(Dedup.minhashLshOn(spark,
+      planted.filter(col("doc_id") < cut), threshold = 0.5))
+    val root = java.nio.file.Files.createTempDirectory("minhash_store").toString
+    val tick = pairs(Dedup.minhashLshIncrementalStore(spark, sf, artifactDir = root))
+    // same contract as the in-query tick — but the base side came off
+    // a real parquet store round-trip
+    assert(tick.nonEmpty)
+    assert(tick.forall { case (a, b) => a >= cut || b >= cut })
+    assert(tick.intersect(base).isEmpty)
+    assert(base.union(tick) === full)
+    // the post-tick store holds the FULL corpus: delta rows appended,
+    // ready to serve the next tick as its base
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sf.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val stored = spark.read.parquet(s"$root/minhash_sig_store_$digest")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stored === planted.select("doc_id").collect().map(_.getLong(0)).toSet)
+    planted.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("incremental simhash tick plus base pairs equals the batch pair set") {
     import spark.implicits._
     val nDocs = Tables.documents(spark, sf).count()
