@@ -42,6 +42,10 @@ object SparkEntry {
     "als_eval"  -> ((s, d) => Als.evaluate(s, d)),
     "als_grid"  -> ((s, d) => Als.gridSearch(s, d)),
     "als_cv"    -> ((s, d) => Als.crossValidate(s, d)),
+    // implicit-feedback regime: watched-but-unrated rows as
+    // Hu-Koren-Volinsky confidence weights (rows-only; ranking-sanity
+    // spec-gated)
+    "als_implicit" -> ((s, d) => Als.implicitTopN(s, d)),
     // — deduplication —
     "dedup_exact"         -> ((s, d) => Dedup.exact(s, d)),
     // IVM over the hash-group store; oracle = the batch dedup (gates

@@ -47,11 +47,11 @@ object Als {
         col("rating").cast("float").as("rating"))
 
   def fit(train: DataFrame, rank: Int = 8, maxIter: Int = 10, regParam: Double = 0.1,
-          implicitPrefs: Boolean = false, seed: Long = 42L): ALSModel =
+          implicitPrefs: Boolean = false, alpha: Double = 1.0, seed: Long = 42L): ALSModel =
     new ALS()
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
       .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
-      .setImplicitPrefs(implicitPrefs)
+      .setImplicitPrefs(implicitPrefs).setAlpha(alpha)
       .setSeed(seed)
       .setColdStartStrategy("drop")
       // default block count: at this data size more blocks only add
@@ -78,6 +78,17 @@ object Als {
   def topN(spark: SparkSession, sfDir: String, n: Int = 20, bufferCap: Int = 1000): DataFrame = {
     val train = trainingSet(spark, sfDir).cache()
     val model = fit(train)
+    val out = topNUnseen(train, model, n, bufferCap)
+    train.unpersist()
+    out
+  }
+
+  /** Shared top-N-over-unseen tail of [[topN]] / [[implicitTopN]]:
+    * measured over-fetch, distributed anti-join of seen pairs,
+    * re-rank, keep n. `train` must be cached (the buffer agg and the
+    * seen anti-join both read it).
+    */
+  private def topNUnseen(train: DataFrame, model: ALSModel, n: Int, bufferCap: Int): DataFrame = {
     val maxSeen = train.groupBy(col("user")).count()
       .agg(max(col("count"))).head().getLong(0).toInt
     val buffer = math.min(maxSeen, bufferCap)
@@ -88,15 +99,46 @@ object Als {
     val unseen = recs.join(seen, Seq("user", "item"), "left_anti")
     val w = Window.partitionBy(col("user"))
       .orderBy(col("score").desc, col("item").asc)
-    val out = unseen
+    unseen
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= n)
       .select(
         col("user").as("user_id"), col("item").as("item_id"),
         round(col("score").cast("double"), 4).as("score"), col("rn"))
+  }
+
+  /** Implicit-feedback ALS — the reference's watched-but-unrated flow
+    * (controller.py:150: viewing events become implicit rows in the
+    * SAME ratings store, flagged `is_implicit`) trained the way that
+    * signal should be: MLlib's built-in Hu–Koren–Volinsky implicit
+    * formulation (`implicitPrefs=true`), where every observed
+    * interaction is a binary preference and the rating column becomes
+    * a CONFIDENCE weight (c = 1 + α·r). Explicit rows carry their
+    * star rating as confidence strength; implicit rows a weak
+    * constant 1.0 — a view says "observed", a 5-star rating says
+    * "observed and loved". Output: per-user top-N over unseen items,
+    * same anti-testset semantics as [[topN]] (rows-only; AlsGridSpec
+    * pins shape, determinism, and that held-out positives outscore
+    * random negatives — the ranking-sanity check the implicit model
+    * must pass to be a model at all).
+    */
+  def implicitTopN(spark: SparkSession, sfDir: String, n: Int = 20,
+                   alpha: Double = 10.0, bufferCap: Int = 1000): DataFrame = {
+    val train = implicitTrainingSet(spark, sfDir).cache()
+    val model = fit(train, implicitPrefs = true, alpha = alpha)
+    val out = topNUnseen(train, model, n, bufferCap)
     train.unpersist()
     out
   }
+
+  /** Confidence-weighted training set for the implicit model. */
+  private[graft] def implicitTrainingSet(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.interactions(spark, sfDir)
+      .select(
+        col("user_id").cast("int").as("user"),
+        col("item_id").cast("int").as("item"),
+        when(col("is_implicit"), lit(1.0))
+          .otherwise(col("rating")).cast("float").as("rating"))
 
   /** RMSE + MAE on a deterministic 80/20 split — the reference's
     * evaluation measures (trainer.py:57 GridSearchCV measures=['rmse','mae']).

@@ -44,4 +44,44 @@ class AlsGridSpec extends AnyFunSuite {
     assert(byIter(2).map(t => (t._1, t._2)) === byIter(5).map(t => (t._1, t._2)))
     assert(byIter(2) !== byIter(5))
   }
+
+  test("implicit ALS: shaped top-N, and held-out positives outscore random negatives") {
+    import org.apache.spark.sql.functions._
+    val recs = Als.implicitTopN(spark, sf, n = 10).cache()
+    // shape: ≤ n ranked rows per user, ranks contiguous from 1,
+    // scores non-increasing along the rank
+    val perUser = recs.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), max(col("rn")).as("max_rn"),
+        min(col("rn")).as("min_rn"))
+    assert(perUser.filter(col("n") > 10 || col("max_rn") =!= col("n") ||
+      col("min_rn") =!= 1).count() === 0)
+    val misordered = recs.as("a").join(recs.as("b"),
+      col("a.user_id") === col("b.user_id") &&
+      col("a.rn") < col("b.rn") && col("a.score") < col("b.score"))
+    assert(misordered.count() === 0)
+    recs.unpersist()
+
+    // ranking sanity: train on 4/5 of the confidence-weighted
+    // interactions, then the model must score held-out OBSERVED pairs
+    // above random unobserved (user, item) pairs on average — the
+    // property that makes an implicit model a model
+    val all = Als.implicitTrainingSet(spark, sf)
+      .withColumn("fold", pmod(hash(col("user"), col("item")), lit(5)))
+      .cache()
+    val model = Als.fit(all.filter(col("fold") =!= 0).drop("fold"),
+      implicitPrefs = true, alpha = 10.0)
+    val heldOut = all.filter(col("fold") === 0).drop("fold", "rating")
+    // negatives: held-out users paired with hash-shifted items, minus
+    // anything actually observed — deterministic, same row count scale
+    val negatives = heldOut
+      .withColumn("item", (pmod(hash(col("user"), col("item")), lit(2000)) + 1).cast("int"))
+      .join(all.select(col("user"), col("item")), Seq("user", "item"), "left_anti")
+    def meanScore(df: org.apache.spark.sql.DataFrame): Double =
+      model.transform(df).agg(avg(col("prediction"))).head().getDouble(0)
+    val posMean = meanScore(heldOut)
+    val negMean = meanScore(negatives)
+    assert(posMean > negMean,
+      s"held-out positives ($posMean) must outscore random negatives ($negMean)")
+    all.unpersist()
+  }
 }
