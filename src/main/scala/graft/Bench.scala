@@ -26,7 +26,8 @@ object Bench {
     "q_corpus_prep", "q_sample_weighted", "q_sample_upsample",
     "q_sample_curriculum", "q_mix_plan", "q_epoch_shuffle",
     "dedup_exact", "dedup_exact_inc", "dedup_exact_delta", "dedup_exact_store",
-    "dedup_minhash", "dedup_minhash_inc", "dedup_simhash", "dedup_simhash_inc",
+    "dedup_minhash", "dedup_minhash_inc", "dedup_minhash_store",
+    "dedup_simhash", "dedup_simhash_inc",
     "dedup_ngram_jaccard", "dedup_ngram_inc",
     "dedup_embed_cosine", "dedup_embed_lsh", "dedup_embed_lsh_inc",
     "dedup_clusters", "dedup_clusters_star",
@@ -34,7 +35,7 @@ object Bench {
     "text_quality", "text_tokens", "text_token_count", "text_repetition",
     "text_langid", "text_fingerprint", "text_redact",
     "q_decontaminate", "q_decontaminate_bloom", "q_seq_pack",
-    "mm_features", "mm_resize", "mm_frames", "als_top_n")
+    "mm_features", "mm_resize", "mm_frames", "als_top_n", "als_implicit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,6 +59,20 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+
+    // Per-query shuffle-bytes-written, accumulated from task metrics:
+    // wall time carries host noise, shuffle bytes do not — the bytes
+    // column lets a reader separate "the plan got heavier" from "the
+    // host was contended" mechanically. The listener bus is async;
+    // snapshots drain for a beat after each action, which bounds the
+    // skew to far below plan-change magnitude.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(taskEnd: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = taskEnd.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
 
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run (local iteration)
     val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -86,8 +101,11 @@ object Bench {
     // which put the full brunt of host contention on exactly the
     // numbers that matter most (r4: als_top_n reported 2× its idle-box
     // time). They now get ONE extra rep each, drawn from a shared
-    // wall-clock budget so the total stays bounded: the budget covers
-    // the 2-3 genuinely heavy queries and then stops re-running.
+    // wall-clock budget so the total stays bounded. Admission requires
+    // first <= remaining/2 (the rerun costs about another `first`) and
+    // the budget is charged with the MEASURED extra-rep time — one
+    // near-budget query can no longer consume the pool up front and
+    // then overshoot it with an uncharged rerun.
     var heavyBudgetSec = sys.env.get("SPARK_GRAFT_BENCH_HEAVY_BUDGET")
       .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
       .getOrElse(90.0)
@@ -106,21 +124,27 @@ object Bench {
           spark.catalog.clearCache()
           dt
         }
+        val bytes0 = shuffleBytes.get()
         val first = once()
+        Thread.sleep(30) // let the async listener bus drain this query
+        val qShuffleBytes = shuffleBytes.get() - bytes0
         val best =
           if (reps > 1 && first <= repCutoffSec)
             (first +: Seq.fill(reps - 1)(once())).min
-          else if (reps > 1 && first <= heavyBudgetSec) {
-            heavyBudgetSec -= first
-            math.min(first, once())
+          else if (reps > 1 && first <= heavyBudgetSec / 2) {
+            val extra = once()
+            heavyBudgetSec -= extra
+            math.min(first, extra)
           } else first
-        name -> best
+        (name, best, qShuffleBytes)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sb = results.map { case (k, _, b) => "\"" + k + "\":" + b }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"sf":"$sfDir"}"""
     println(line)
     // stdout goes through sbt's [info] prefixing, which defeats
     // line-oriented JSON parsing — always also write the bare line to a
