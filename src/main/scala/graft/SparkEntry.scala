@@ -118,6 +118,10 @@ object SparkEntry {
     // incremental-view-maintenance path; oracle = the BATCH pair count,
     // so the gate checks the IVM identity itself
     "q_item_cooc_inc" -> ((s, d) => ItemCF.coocIncremental(s, d)),
+    // the same IVM identity through a REAL bucket-partitioned parquet
+    // store: base matrix seeded, one tick applied via BucketStore
+    // (touched buckets only read AND written), store read back
+    "q_item_cooc_store" -> ((s, d) => ItemCF.coocIncrementalStore(s, d)),
     // the tick payload (changed rows only); oracle = pair-count diff
     "q_item_cooc_delta" -> ((s, d) => ItemCF.coocDeltaDemo(s, d)),
     "q_item_sim"     -> ((s, d) => ItemCF.itemSimilarity(s, d)),
@@ -592,6 +596,15 @@ object SparkEntry {
          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
 
     "q_item_cooc_inc" ->
+      s"""$I SELECT a.item_id AS item_a, b.item_id AS item_b,
+         |  count(*) AS n_users
+         |FROM interactions a JOIN interactions b
+         |  ON a.user_id = b.user_id AND a.item_id < b.item_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    // the bucketed-store regime reproduces the identical merged
+    // matrix — same IVM-identity oracle as q_item_cooc_inc
+    "q_item_cooc_store" ->
       s"""$I SELECT a.item_id AS item_a, b.item_id AS item_b,
          |  count(*) AS n_users
          |FROM interactions a JOIN interactions b

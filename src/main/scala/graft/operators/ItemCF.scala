@@ -293,6 +293,60 @@ object ItemCF {
     coocDelta(old, coocCountsOn(old), delta)
   }
 
+  /** [[coocDelta]] exercised through a REAL bucket-partitioned matrix
+    * store (registered as `q_item_cooc_store`) — the cooc twin of
+    * [[Dedup.exactIncrementalStore]], and the HASH-GATED proof of the
+    * [[graft.streaming.BucketStore]] regime the streaming maintainer
+    * runs: the pre-cutoff matrix is seeded into a bucketed parquet
+    * store, the post-cutoff interactions apply as ONE tick (delta pair
+    * counts → touched buckets known before any matrix read → pruned
+    * merge → only touched bucket dirs rewritten), and the result is
+    * the post-apply store read back from disk, thresholded. Oracle =
+    * the batch pair count over the full facts — the same IVM identity
+    * `q_item_cooc_inc` gates, but through the bucketed store
+    * round-trip the deployment actually runs.
+    *
+    * Store path follows the shared-FS artifacts contract
+    * ([[Sampling.curriculumSampleApproxFrozen]]); the seed clears any
+    * previous run's store + staged dirs, so reruns rebuild rather
+    * than replay-skip against a stale marker.
+    */
+  def coocIncrementalStore(spark: SparkSession, sfDir: String,
+      cutoff: String = "2001-06-01", minUsers: Int = 3, nBuckets: Int = 64,
+      artifactDir: String = "target/graft-artifacts"): DataFrame = {
+    import graft.streaming.BucketStore
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val storeDir = s"$artifactDir/cooc_store_$digest"
+    Seq(storeDir, storeDir + "_staged").foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    val base = Tables.interactions(spark, sfDir)
+      .select(col("user_id"), col("item_id"), col("ts"))
+      .cache()
+    val old = base.filter(col("ts") < lit(cutoff).cast("date"))
+      .select(col("user_id"), col("item_id")).cache()
+    val delta = base.filter(col("ts") >= lit(cutoff).cast("date"))
+      .select(col("user_id"), col("item_id"))
+    BucketStore.seed(coocCountsOn(old),
+      BucketStore.longBucket(col("item_a"), nBuckets), storeDir)
+    val (pairCounts, pairCaches) = deltaPairCountsTracked(old, delta)
+    val deltaPairs = pairCounts.cache()
+    val touched = BucketStore.touchedBuckets(deltaPairs.select(
+      pairBucket(col("pk"), nBuckets).as(BucketStore.BucketCol)))
+    val matrix = BucketStore.readBuckets(spark, storeDir, touched)
+    val (changes, mergeCaches) = coocChangesFromPairs(matrix, deltaPairs)
+    BucketStore.applyTick(spark, storeDir,
+      changes.withColumn(BucketStore.BucketCol,
+        BucketStore.longBucket(col("item_a"), nBuckets)),
+      Seq("item_a", "item_b"), batchId = 0L)
+    (pairCaches ++ Seq(base, old, deltaPairs) ++ mergeCaches).foreach(_.unpersist())
+    BucketStore.readAll(spark, storeDir)
+      .filter(col("n_users") >= minUsers)
+      .select(col("item_a"), col("item_b"), col("n_users"))
+  }
+
   /** Item-item cosine similarity over user-rating vectors:
     * sim(i,j) = Σ_u r_ui·r_uj / (‖r_i‖·‖r_j‖), pairs formed through
     * shared users only, norms precomputed per item (broadcastable).
