@@ -221,6 +221,23 @@ class PlanShapeSpec extends AnyFunSuite {
       "salt never reached a join/shuffle key\n" + p.take(3000))
   }
 
+  test("bucketed store: the pruned read carries a bucket partition filter") {
+    // the whole O(delta)-I/O claim rests on the touched-bucket read
+    // PRUNING at the partition level — an edit that drops the filter
+    // stays value-correct while re-reading the full store every tick
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bucket_prune").toString + "/store"
+    graft.streaming.BucketStore.seed(
+      Seq((1L, 1L), (2L, 2L), (66L, 3L)).toDF("k", "v"),
+      graft.streaming.BucketStore.longBucket(org.apache.spark.sql.functions.col("k"), 64), dir)
+    val pruned = graft.streaming.BucketStore.readBuckets(spark, dir, Seq(2))
+    val p = plan(pruned)
+    val scan = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("bucket"), "no bucket partition filter in the scan\n" + p.take(3000))
+    // keys 2 and 66 share bucket 2 (pmod 64); key 1 lives elsewhere
+    assert(pruned.collect().map(_.getLong(0)).toSet === Set(2L, 66L))
+  }
+
   test("incremental ticks: the delta gate survives into every tick plan") {
     // each ingest tick is O(delta × colliding postings) ONLY because
     // one join side filters to doc/vec ids past the in-plan cut; an
