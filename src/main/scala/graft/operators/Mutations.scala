@@ -51,6 +51,37 @@ object Mutations {
       .select(cols.map(col): _*)
   }
 
+  /** Delta form of [[applyBatch]] for a bucketed snapshot store
+    * ([[graft.streaming.BucketStore]]): resolves the batch against
+    * ONLY the touched keys' current rows — work ∝ batch, never the
+    * snapshot.
+    *
+    * @param baseTouched current snapshot rows of the batch's keys
+    *                    (pruned store read, semi-joined to the batch)
+    * @param updates     batch: (user_id, item_id, rating, is_implicit,
+    *                    ts, op) with op ∈ {"upsert", "delete"}
+    * @return (post-merge rows for keys that SURVIVE,
+    *          keys whose winner is a delete — the tombstone set)
+    */
+  def applyBatchDelta(baseTouched: DataFrame, updates: DataFrame): (DataFrame, DataFrame) = {
+    val cols = Seq("user_id", "item_id", "rating", "is_implicit", "ts")
+    val unioned = baseTouched
+      .select(cols.map(col): _*)
+      .withColumn("op", lit("upsert"))
+      .unionByName(updates
+        .withColumn("rating", normalizeRating(col("rating")))
+        .select((cols :+ "op").map(col): _*))
+    // same resolution as applyBatch: latest ts wins, same-ts conflicts
+    // resolve to the upsert
+    val w = Window.partitionBy(col("user_id"), col("item_id"))
+      .orderBy(col("ts").desc, col("op").desc)
+    val resolved = unioned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    (resolved.filter(col("op") =!= "delete").select(cols.map(col): _*),
+     resolved.filter(col("op") === "delete").select(col("user_id"), col("item_id")))
+  }
+
   /** User-dimension CDC merge — the reference's add_user/delete_user
     * REST surface (controller.py:23-45, routes.py:31-48) as a batch
     * merge, same latest-wins + tombstone shape as [[applyBatch]].

@@ -87,36 +87,62 @@ private[graft] object BucketStore {
     bucketsOnly.distinct().collect().map(_.getInt(0)).toSeq
 
   /** Apply one tick: `changes` is the post-merge state of every
-    * touched key (bucket column included). Reads the touched buckets'
-    * current rows, carries over rows the tick did not change, and
-    * promotes ONLY those bucket directories. Skips (and is a no-op)
-    * when `batchId` was already applied — the caller should still
-    * guard on [[appliedBatchId]] to skip its merge compute too.
+    * touched key (bucket column included); `removed` optionally names
+    * keys whose post-merge state is GONE (CDC tombstones — bucket
+    * column included). Reads the touched buckets' current rows,
+    * carries over rows the tick neither changed nor removed, and
+    * promotes ONLY those bucket directories. A touched-buckets
+    * manifest travels with the staged dir so promotion also clears a
+    * bucket the tick emptied entirely (all rows deleted → no staged
+    * dir for it, but its live dir must still go). Skips (and is a
+    * no-op) when `batchId` was already applied — the caller should
+    * still guard on [[appliedBatchId]] to skip its merge compute too.
     */
   def applyTick(spark: SparkSession, dir: String, changes: DataFrame,
-                keyCols: Seq[String], batchId: Long): Unit = {
+                keyCols: Seq[String], batchId: Long,
+                removed: Option[DataFrame] = None): Unit = {
     val staged = dir + "_staged"
     if (appliedBatchId(dir) >= batchId) return
     val ch = changes.cache()
-    val touched = touchedBuckets(ch.select(col(BucketCol)))
+    val rm = removed.map(_.cache())
+    val touched = touchedBuckets(
+      rm.map(r => ch.select(col(BucketCol)).unionByName(r.select(col(BucketCol))))
+        .getOrElse(ch.select(col(BucketCol))))
     val old = spark.read.parquet(dir)
       .where(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
-    // carry-over: touched-bucket rows the tick did not change. The
-    // changed-key side is delta-sized — size-gated broadcast at the
-    // conservative (string-key) row cap, same convention as every
-    // delta hint (Hints.broadcastIfSmall).
+    // carry-over: touched-bucket rows the tick neither changed nor
+    // removed. The changed-key side is delta-sized — size-gated
+    // broadcast at the conservative (string-key) row cap, same
+    // convention as every delta hint (Hints.broadcastIfSmall).
+    val dropKeys = rm.map(r => ch.select(keyCols.map(col): _*)
+        .unionByName(r.select(keyCols.map(col): _*)))
+      .getOrElse(ch.select(keyCols.map(col): _*))
     val merged = old
-      .join(graft.operators.Hints.broadcastIfSmall(
-          ch.select(keyCols.map(col): _*),
+      .join(graft.operators.Hints.broadcastIfSmall(dropKeys,
           graft.operators.Hints.DeltaBroadcastMaxRowsMd5),
         keyCols, "left_anti")
       .unionByName(ch)
     merged.repartition(col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(staged)
+    // manifest = touched buckets the write produced NO dir for (every
+    // row deleted): promotion must clear their live dirs. Listed
+    // separately from the staged dirs because a resumed promotion
+    // cannot tell an already-moved bucket from an emptied one.
+    writeManifest(staged, touched.filterNot(presentBuckets(staged).contains))
     writeMarker(staged, batchId)
     promote(dir)
-    ch.unpersist()
+    ch.unpersist(); rm.foreach(_.unpersist())
     ()
+  }
+
+  private def presentBuckets(dir: String): Set[Int] = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.FileSystems.getDefault.getPath(dir)
+    java.nio.file.Files.list(p).iterator().asScala
+      .filter(x => java.nio.file.Files.isDirectory(x) &&
+        x.getFileName.toString.startsWith(BucketCol + "="))
+      .map(_.getFileName.toString.stripPrefix(BucketCol + "=").toInt)
+      .toSet
   }
 
   /** Batch id recorded in the store (-1 before the first tick). The
@@ -134,11 +160,20 @@ private[graft] object BucketStore {
       java.nio.file.FileSystems.getDefault.getPath(dir, Marker),
       batchId.toString.getBytes)
 
+  private val EmptiedManifest = "_graft_emptied_buckets"
+
+  private def writeManifest(dir: String, emptied: Seq[Int]): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.FileSystems.getDefault.getPath(dir, EmptiedManifest),
+      emptied.mkString("\n").getBytes)
+
   /** Promote a complete staged tick: move each staged bucket dir over
-    * its live twin (delete + atomic rename), then move the marker in,
-    * then drop the staged dir. Idempotent — a crash at any point
-    * resumes here via [[recover]] with the already-promoted buckets
-    * simply absent from the staged dir.
+    * its live twin (delete + atomic rename), clear the live dirs the
+    * manifest marks as EMPTIED by the tick (all rows deleted — no
+    * staged dir exists for them), then move the marker in, then drop
+    * the staged dir. Idempotent — a crash at any point resumes here
+    * via [[recover]]: already-promoted buckets are simply absent from
+    * the staged dir, and re-clearing an emptied bucket is a no-op.
     */
   private def promote(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
@@ -155,6 +190,12 @@ private[graft] object BucketStore {
       EventStream.deleteRecursively(live)
       java.nio.file.Files.move(bd, live)
     }
+    val manifest = staged.resolve(EmptiedManifest)
+    if (java.nio.file.Files.exists(manifest))
+      new String(java.nio.file.Files.readAllBytes(manifest)).split("\n")
+        .filter(_.nonEmpty).foreach { b =>
+          EventStream.deleteRecursively(fs.getPath(dir, s"$BucketCol=$b"))
+        }
     val sm = staged.resolve(Marker)
     if (java.nio.file.Files.exists(sm))
       java.nio.file.Files.move(sm, fs.getPath(dir, Marker),

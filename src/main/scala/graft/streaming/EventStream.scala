@@ -73,31 +73,52 @@ object EventStream {
   }
 
   /** Continuous CDC apply: a stream of rating mutations merged into a
-    * parquet ratings snapshot per micro-batch via foreachBatch +
-    * [[graft.operators.Mutations.applyBatch]] — the streaming version
-    * of the reference's REST write path (its PostgreSQL upserts become
-    * snapshot rewrites here; on a real lake the same merge is one
-    * `MERGE INTO` against Delta/Iceberg, with identical batch logic).
+    * BUCKET-PARTITIONED ratings snapshot ([[BucketStore]], bucketed by
+    * `pmod(user_id, nBuckets)`) per micro-batch — the streaming
+    * version of the reference's REST write path, with the same
+    * O(delta)-I/O contract as the materialized-view maintainers: the
+    * batch's keys name their buckets up front, the resolution reads
+    * only those buckets' current rows
+    * ([[graft.operators.Mutations.applyBatchDelta]], work ∝ batch),
+    * and the apply rewrites only those bucket dirs — tombstones
+    * included (a delete that empties a bucket clears its directory via
+    * the staged manifest). On a lake this whole body is one
+    * `MERGE INTO` against Delta/Iceberg; the bucket layout is the
+    * plain-parquet equivalent.
     *
-    * @param updates   streaming DataFrame with applyBatch's update schema
-    * @param snapshot  directory holding the current ratings snapshot
+    * @param updates       streaming DataFrame with applyBatch's update schema
+    * @param snapshot      bucketed ratings snapshot — seed with
+    *                      [[BucketStore.seed]] on `pmod(user_id, nBuckets)`
+    * @param checkpointDir durable streaming checkpoint (REQUIRED: the
+    *                      applied-batch replay guard needs monotonic
+    *                      batch ids across restarts)
+    * @param nBuckets      the store's bucket count, must match the seed
     */
-  def startCdcApply(updates: DataFrame, snapshot: String): org.apache.spark.sql.streaming.StreamingQuery =
+  def startCdcApply(updates: DataFrame, snapshot: String, checkpointDir: String,
+                    nBuckets: Int = BucketStore.DefaultBuckets): org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        recoverSnapshot(snapshot)
-        val base = spark.read.parquet(snapshot)
-        val merged = graft.operators.Mutations.applyBatch(base, batch.toDF())
-        // stage the next snapshot in a sibling dir, then swap in via
-        // directory renames: the live dir is never a partially-written
-        // parquet directory, and every crash window leaves a complete
-        // copy under one of (snapshot, _staged, _old) for
-        // recoverSnapshot to promote. Production path on a lake is a
-        // Delta/Iceberg MERGE, which owns this atomicity natively.
-        merged.write.mode("overwrite").parquet(snapshot + "_staged")
-        swapSnapshot(snapshot)
+        BucketStore.recover(snapshot)
+        val b = batch.toDF().cache()
+        if (b.count() > 0 && BucketStore.appliedBatchId(snapshot) < batchId) {
+          val keys = b.select(col("user_id"), col("item_id")).distinct().cache()
+          val touched = BucketStore.touchedBuckets(keys.select(
+            BucketStore.longBucket(col("user_id"), nBuckets).as(BucketStore.BucketCol)))
+          val baseTouched = BucketStore.readBuckets(spark, snapshot, touched)
+            .join(graft.operators.Hints.broadcastIfSmall(keys),
+              Seq("user_id", "item_id"), "left_semi")
+          val (changes, removed) =
+            graft.operators.Mutations.applyBatchDelta(baseTouched, b)
+          def bucketed(df: DataFrame) = df.withColumn(BucketStore.BucketCol,
+            BucketStore.longBucket(col("user_id"), nBuckets))
+          BucketStore.applyTick(spark, snapshot, bucketed(changes),
+            Seq("user_id", "item_id"), batchId, removed = Some(bucketed(removed)))
+          keys.unpersist()
+        }
+        b.unpersist()
         ()
       }
       .start()

@@ -16,22 +16,28 @@ class CdcStreamSpec extends AnyFunSuite {
   test("streamed mutations merge into the snapshot across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("cdc_snap").toString + "/ratings"
-    Seq(
-      (1L, 10L, 4.0, false, ts("2024-01-01 00:00:00")),
-      (2L, 10L, 5.0, false, ts("2024-01-01 00:00:00")))
-      .toDF("user_id", "item_id", "rating", "is_implicit", "ts")
-      .write.parquet(dir)
+    val root = java.nio.file.Files.createTempDirectory("cdc_snap").toString
+    val dir = root + "/ratings"
+    graft.streaming.BucketStore.seed(
+      Seq(
+        (1L, 10L, 4.0, false, ts("2024-01-01 00:00:00")),
+        (2L, 10L, 5.0, false, ts("2024-01-01 00:00:00")))
+        .toDF("user_id", "item_id", "rating", "is_implicit", "ts"),
+      pmod(col("user_id"), lit(64)).cast("int"), dir)
 
     val input = MemoryStream[RatingUpdate]
-    val q = EventStream.startCdcApply(input.toDF(), dir)
+    val q = EventStream.startCdcApply(input.toDF(), dir, root + "/ckpt")
 
-    // batch 1: re-rate and add
+    // batch 1: re-rate user 1 and add user 3 — touches buckets 1 and 3
     input.addData(
       RatingUpdate(1L, 10L, 2.2, false, ts("2024-01-02 00:00:00"), "upsert"),
       RatingUpdate(3L, 11L, 4.5, false, ts("2024-01-02 00:00:00"), "upsert"))
     q.processAllAvailable()
-    // batch 2: delete one
+    // user 2's bucket was untouched by batch 1 — byte-identical files
+    val afterB1 = TestFiles.bucketFileHashes(dir)
+    assert(afterB1.keys.exists(_.startsWith("bucket=2/")))
+    // batch 2: delete user 2's only row — the tombstone EMPTIES bucket
+    // 2, whose live dir must be cleared via the staged manifest
     input.addData(RatingUpdate(2L, 10L, 0.0, false, ts("2024-01-03 00:00:00"), "delete"))
     q.processAllAvailable()
     q.stop()
@@ -42,6 +48,12 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(snap((3L, 11L)) === 4.5)
     assert(!snap.contains((2L, 10L))) // deleted in batch 2
     assert(snap.size === 2)
+    val afterB2 = TestFiles.bucketFileHashes(dir)
+    assert(!afterB2.keys.exists(_.startsWith("bucket=2/"))) // dir cleared
+    // batch 2 touched ONLY bucket 2: buckets 1 and 3 byte-identical
+    val untouched = afterB1.filter { case (p, _) => !p.startsWith("bucket=2/") }
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (p, h) => assert(afterB2.get(p).contains(h)) }
   }
 
   test("retrain loop refreshes the per-user recs once enough mutations land") {
