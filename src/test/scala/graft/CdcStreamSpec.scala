@@ -126,6 +126,11 @@ class CdcStreamSpec extends AnyFunSuite {
     val before = TestFiles.bucketFileHashes(matrixDir)
     input.addData((4L, 10L), (4L, 11L))
     q.processAllAvailable()
+    // tick 3: ENTIRELY duplicate facts — zero delta pairs, zero
+    // touched buckets; the apply must no-op cleanly (marker bumps,
+    // store untouched)
+    input.addData((4L, 10L))
+    q.processAllAvailable()
     q.stop()
     assert(matrixNow === batchNow)
     assert(matrixNow.contains((10L, 11L, 3L))) // bumped by user 4
@@ -143,6 +148,6 @@ class CdcStreamSpec extends AnyFunSuite {
     val marker = java.nio.file.FileSystems.getDefault
       .getPath(matrixDir, "_graft_applied_batch")
     assert(java.nio.file.Files.exists(marker))
-    assert(new String(java.nio.file.Files.readAllBytes(marker)).trim.toLong === 1L)
+    assert(new String(java.nio.file.Files.readAllBytes(marker)).trim.toLong === 2L)
   }
 }
