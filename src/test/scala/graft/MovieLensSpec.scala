@@ -57,12 +57,14 @@ class MovieLensSpec extends AnyFunSuite {
     assert(latest.getAs[Float]("rating") === 4.0f)
   }
 
-  test("ALS on MovieLens approaches the reference's SVD accuracy") {
+  test("ALS on MovieLens matches the reference's SVD accuracy") {
     val row = MovieLens.alsEval(spark).head()
     val rmse = row.getAs[Double]("rmse")
     val mae = row.getAs[Double]("mae")
-    assert(rmse < 1.0, s"rmse=$rmse should be in the reference's ballpark (~0.87)")
-    assert(mae < 0.8, s"mae=$mae")
+    // trainer.py reports ~0.87 RMSE with scikit-surprise SVD; the swept
+    // ALS defaults land 0.8723 on the hash split — hold the parity bar
+    assert(rmse < 0.89, s"rmse=$rmse should match the reference (~0.87)")
+    assert(mae < 0.72, s"mae=$mae")
   }
 
   test("genre enrichment analytics re-derive prepare_dataset.py's columns") {
