@@ -164,7 +164,9 @@ object MovieLens {
     val train = ratings(spark)
       .select(col("user_id").as("user"), col("movie_id").as("item"), col("rating"))
       .cache()
-    val model = graft.recommender.Als.fit(train)
+    // same swept cell as [[alsEval]] — the recs ship from the
+    // reference-parity model, not the small-rank default
+    val model = graft.recommender.Als.fit(train, rank = 48, maxIter = 15, regParam = 0.14)
     val recs = model.recommendForAllUsers(n + 60)
       .filter(col("user") <= sampleUsers)
       .select(col("user"), explode(col("recommendations")).as("rec"))
