@@ -91,7 +91,7 @@ private[graft] object BucketStore {
     * keys whose post-merge state is GONE (CDC tombstones — bucket
     * column included). Reads the touched buckets' current rows,
     * carries over rows the tick neither changed nor removed, and
-    * promotes ONLY those bucket directories. A touched-buckets
+    * promotes ONLY those bucket directories. An emptied-buckets
     * manifest travels with the staged dir so promotion also clears a
     * bucket the tick emptied entirely (all rows deleted → no staged
     * dir for it, but its live dir must still go). Skips (and is a
