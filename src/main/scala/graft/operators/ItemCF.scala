@@ -340,17 +340,17 @@ object ItemCF {
     val delta = base.filter(col("ts") >= lit(cutoff).cast("date"))
       .select(col("user_id"), col("item_id"))
     BucketStore.seed(coocCountsOn(old),
-      BucketStore.longBucket(col("item_a"), nBuckets), storeDir)
+      BucketStore.longBucket(col("item_a"), nBuckets), storeDir, nBuckets)
     val (pairCounts, pairCaches) = deltaPairCountsTracked(old, delta)
     val deltaPairs = pairCounts.cache()
     val touched = BucketStore.touchedBuckets(deltaPairs.select(
       pairBucket(col("pk"), nBuckets).as(BucketStore.BucketCol)))
-    val matrix = BucketStore.readBuckets(spark, storeDir, touched)
+    val matrix = BucketStore.readBuckets(spark, storeDir, touched, nBuckets)
     val (changes, mergeCaches) = coocChangesFromPairs(matrix, deltaPairs)
     BucketStore.applyTick(spark, storeDir,
       changes.withColumn(BucketStore.BucketCol,
         BucketStore.longBucket(col("item_a"), nBuckets)),
-      Seq("item_a", "item_b"), batchId = 0L)
+      Seq("item_a", "item_b"), batchId = 0L, n = nBuckets)
     (pairCaches ++ Seq(base, old, deltaPairs) ++ mergeCaches).foreach(_.unpersist())
     BucketStore.readAll(spark, storeDir)
       .filter(col("n_users") >= minUsers)

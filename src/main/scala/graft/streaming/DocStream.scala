@@ -78,13 +78,13 @@ object DocStream {
           // no store read needed to learn them
           val touched = BucketStore.touchedBuckets(b.select(
             BucketStore.md5Bucket(md5(col("text")), nBuckets).as(BucketStore.BucketCol)))
-          val store = BucketStore.readBuckets(spark, storeDir, touched)
+          val store = BucketStore.readBuckets(spark, storeDir, touched, nBuckets)
           val (changes, cached) =
             graft.operators.Dedup.exactDeltaApplyTracked(store, b)
           BucketStore.applyTick(spark, storeDir,
             changes.withColumn(BucketStore.BucketCol,
               BucketStore.md5Bucket(col("text_md5"), nBuckets)),
-            Seq("text_md5"), batchId)
+            Seq("text_md5"), batchId, n = nBuckets)
           cached.foreach(_.unpersist())
         }
         b.unpersist()

@@ -107,7 +107,7 @@ object EventStream {
           val keys = b.select(col("user_id"), col("item_id")).distinct().cache()
           val touched = BucketStore.touchedBuckets(keys.select(
             BucketStore.longBucket(col("user_id"), nBuckets).as(BucketStore.BucketCol)))
-          val baseTouched = BucketStore.readBuckets(spark, snapshot, touched)
+          val baseTouched = BucketStore.readBuckets(spark, snapshot, touched, nBuckets)
             .join(graft.operators.Hints.broadcastIfSmall(keys),
               Seq("user_id", "item_id"), "left_semi")
           val (changes, removed) =
@@ -115,7 +115,8 @@ object EventStream {
           def bucketed(df: DataFrame) = df.withColumn(BucketStore.BucketCol,
             BucketStore.longBucket(col("user_id"), nBuckets))
           BucketStore.applyTick(spark, snapshot, bucketed(changes),
-            Seq("user_id", "item_id"), batchId, removed = Some(bucketed(removed)))
+            Seq("user_id", "item_id"), batchId, n = nBuckets,
+            removed = Some(bucketed(removed)))
           keys.unpersist()
         }
         b.unpersist()
@@ -184,13 +185,13 @@ object EventStream {
             // pruned read cannot miss a bump
             val touched = BucketStore.touchedBuckets(deltaPairs.select(
               graft.operators.ItemCF.pairBucket(col("pk"), nBuckets).as(BucketStore.BucketCol)))
-            val matrix = BucketStore.readBuckets(spark, matrixDir, touched)
+            val matrix = BucketStore.readBuckets(spark, matrixDir, touched, nBuckets)
             val (changes, mergeCaches) =
               graft.operators.ItemCF.coocChangesFromPairs(matrix, deltaPairs)
             BucketStore.applyTick(spark, matrixDir,
               changes.withColumn(BucketStore.BucketCol,
                 BucketStore.longBucket(col("item_a"), nBuckets)),
-              Seq("item_a", "item_b"), batchId)
+              Seq("item_a", "item_b"), batchId, n = nBuckets)
             // unpersist ONLY this tick's intermediates — a session-wide
             // clearCache would thrash concurrent queries' caches
             (pairCaches ++ Seq(deltaPairs) ++ mergeCaches).foreach(_.unpersist())

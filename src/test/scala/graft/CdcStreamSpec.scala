@@ -23,7 +23,7 @@ class CdcStreamSpec extends AnyFunSuite {
         (1L, 10L, 4.0, false, ts("2024-01-01 00:00:00")),
         (2L, 10L, 5.0, false, ts("2024-01-01 00:00:00")))
         .toDF("user_id", "item_id", "rating", "is_implicit", "ts"),
-      pmod(col("user_id"), lit(64)).cast("int"), dir)
+      pmod(col("user_id"), lit(64)).cast("int"), dir, n = 64)
 
     val input = MemoryStream[RatingUpdate]
     val q = EventStream.startCdcApply(input.toDF(), dir, root + "/ckpt")
@@ -100,7 +100,7 @@ class CdcStreamSpec extends AnyFunSuite {
     seed.toDF("user_id", "item_id").write.parquet(factsDir)
     graft.streaming.BucketStore.seed(
       graft.operators.ItemCF.coocCountsOn(spark.read.parquet(factsDir)),
-      pmod(col("item_a"), lit(64)).cast("int"), matrixDir)
+      pmod(col("item_a"), lit(64)).cast("int"), matrixDir, n = 64)
 
     val input = MemoryStream[(Long, Long)]
     val q = EventStream.startCoocMaintain(

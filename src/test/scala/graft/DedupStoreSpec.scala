@@ -33,7 +33,8 @@ class DedupStoreSpec extends AnyFunSuite {
       seed.toDF("doc_id", "text")
         .groupBy(md5(col("text")).as("text_md5"))
         .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies")),
-      graft.streaming.BucketStore.md5Bucket(col("text_md5"), 64), storeDir)
+      graft.streaming.BucketStore.md5Bucket(col("text_md5"), 64), storeDir, n = 64,
+      kind = graft.streaming.BucketStore.KindMd5)
 
     val input = MemoryStream[DocIngest]
     val q = DocStream.startDedupMaintain(input.toDF(), storeDir, root + "/ckpt")

@@ -229,8 +229,8 @@ class PlanShapeSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("bucket_prune").toString + "/store"
     graft.streaming.BucketStore.seed(
       Seq((1L, 1L), (2L, 2L), (66L, 3L)).toDF("k", "v"),
-      graft.streaming.BucketStore.longBucket(org.apache.spark.sql.functions.col("k"), 64), dir)
-    val pruned = graft.streaming.BucketStore.readBuckets(spark, dir, Seq(2))
+      graft.streaming.BucketStore.longBucket(org.apache.spark.sql.functions.col("k"), 64), dir, n = 64)
+    val pruned = graft.streaming.BucketStore.readBuckets(spark, dir, Seq(2), n = 64)
     val p = plan(pruned)
     val scan = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(scan.contains("bucket"), "no bucket partition filter in the scan\n" + p.take(3000))
