@@ -103,26 +103,39 @@ object EventStream {
         val spark = batch.sparkSession
         BucketStore.recover(snapshot)
         val b = batch.toDF().cache()
-        if (b.count() > 0 && BucketStore.appliedBatchId(snapshot) < batchId) {
-          val keys = b.select(col("user_id"), col("item_id")).distinct().cache()
-          val touched = BucketStore.touchedBuckets(keys.select(
-            BucketStore.longBucket(col("user_id"), nBuckets).as(BucketStore.BucketCol)))
-          val baseTouched = BucketStore.readBuckets(spark, snapshot, touched, nBuckets)
-            .join(graft.operators.Hints.broadcastIfSmall(keys),
-              Seq("user_id", "item_id"), "left_semi")
-          val (changes, removed) =
-            graft.operators.Mutations.applyBatchDelta(baseTouched, b)
-          def bucketed(df: DataFrame) = df.withColumn(BucketStore.BucketCol,
-            BucketStore.longBucket(col("user_id"), nBuckets))
-          BucketStore.applyTick(spark, snapshot, bucketed(changes),
-            Seq("user_id", "item_id"), batchId, n = nBuckets,
-            removed = Some(bucketed(removed)))
-          keys.unpersist()
-        }
+        if (b.count() > 0 && BucketStore.appliedBatchId(snapshot) < batchId)
+          cdcMergeTick(spark, snapshot, b, batchId, nBuckets)
         b.unpersist()
         ()
       }
       .start()
+
+  /** One CDC merge tick against a bucketed ratings snapshot — the
+    * shared body of [[startCdcApply]] and [[startRetrainLoop]]: the
+    * batch's keys name the touched buckets up front, the resolution
+    * reads only those buckets' current rows
+    * ([[graft.operators.Mutations.applyBatchDelta]], work ∝ batch),
+    * and the apply promotes only those bucket dirs, tombstones
+    * included.
+    */
+  private def cdcMergeTick(spark: SparkSession, snapshot: String, b: DataFrame,
+                           batchId: Long, nBuckets: Int): Unit = {
+    val keys = b.select(col("user_id"), col("item_id")).distinct().cache()
+    val touched = BucketStore.touchedBuckets(keys.select(
+      BucketStore.longBucket(col("user_id"), nBuckets).as(BucketStore.BucketCol)))
+    val baseTouched = BucketStore.readBuckets(spark, snapshot, touched, nBuckets)
+      .join(graft.operators.Hints.broadcastIfSmall(keys),
+        Seq("user_id", "item_id"), "left_semi")
+    val (changes, removed) =
+      graft.operators.Mutations.applyBatchDelta(baseTouched, b)
+    def bucketed(df: DataFrame) = df.withColumn(BucketStore.BucketCol,
+      BucketStore.longBucket(col("user_id"), nBuckets))
+    BucketStore.applyTick(spark, snapshot, bucketed(changes),
+      Seq("user_id", "item_id"), batchId, n = nBuckets,
+      removed = Some(bucketed(removed)))
+    keys.unpersist()
+    ()
+  }
 
   /** Streaming materialized view of the co-occurrence matrix: each
     * micro-batch of new interactions flows through
@@ -209,49 +222,45 @@ object EventStream {
       }
       .start()
 
-  private val BatchMarker = "_graft_applied_batch"
-
-  private[streaming] def appliedBatchId(dir: String): Long = {
-    val p = java.nio.file.FileSystems.getDefault.getPath(dir, BatchMarker)
-    if (java.nio.file.Files.exists(p))
-      new String(java.nio.file.Files.readAllBytes(p)).trim.toLong
-    else -1L
-  }
-
-  private[streaming] def writeBatchMarker(dir: String, batchId: Long): Unit =
-    java.nio.file.Files.write(
-      java.nio.file.FileSystems.getDefault.getPath(dir, BatchMarker),
-      batchId.toString.getBytes)
-
   /** Continuous retrain loop — the reference's periodic recompute
     * (web/service.py APScheduler: recompute_recommendations every
-    * 15/30 min) turned data-driven: mutations stream into the ratings
-    * snapshot exactly like [[startCdcApply]], and once `retrainEvery`
-    * mutations have accumulated since the last train, ALS refits on
-    * the merged snapshot and rewrites the per-user top-N recs (the
+    * 15/30 min) turned data-driven: mutations stream into the
+    * BUCKET-PARTITIONED ratings snapshot through the literal
+    * [[startCdcApply]] merge body ([[cdcMergeTick]] — touched-bucket
+    * read, work ∝ batch, only touched bucket dirs rewritten), and
+    * once `retrainEvery` mutations have accumulated since the last
+    * train, ALS refits on the merged snapshot
+    * ([[BucketStore.readAll]] — the refit is legitimately global; only
+    * the MERGE is O(delta)) and rewrites the per-user top-N recs (the
     * reference's redis `u<id>` export refresh).
     *
-    * The pending counter is process-local (a restart retrains on the
-    * first qualifying batch — safe, just eager); production tracking
-    * belongs in the streaming checkpoint / a metadata table.
+    * The snapshot must be seeded with [[BucketStore.seed]] on
+    * `pmod(user_id, nBuckets)`, same as [[startCdcApply]]. Pass a
+    * durable `checkpointDir` in production — the replay guard needs
+    * monotonic batch ids across restarts. The pending counter is
+    * process-local (a restart retrains on the first qualifying
+    * batch — safe, just eager); production tracking belongs in the
+    * streaming checkpoint / a metadata table.
     */
   def startRetrainLoop(updates: DataFrame, snapshot: String, recsDir: String,
                        retrainEvery: Long = 100, topN: Int = 10,
-                       rank: Int = 4, maxIter: Int = 5): org.apache.spark.sql.streaming.StreamingQuery = {
+                       rank: Int = 4, maxIter: Int = 5,
+                       nBuckets: Int = BucketStore.DefaultBuckets,
+                       checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val pending = new java.util.concurrent.atomic.AtomicLong(0L)
-    updates.writeStream
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+    val writer = updates.writeStream.outputMode(OutputMode.Append())
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        recoverSnapshot(snapshot)
+        BucketStore.recover(snapshot)
         val b = batch.toDF().cache()
         val n = b.count()
-        val merged = graft.operators.Mutations.applyBatch(spark.read.parquet(snapshot), b)
-        merged.write.mode("overwrite").parquet(snapshot + "_staged")
-        swapSnapshot(snapshot)
+        if (n > 0 && BucketStore.appliedBatchId(snapshot) < batchId)
+          cdcMergeTick(spark, snapshot, b, batchId, nBuckets)
         b.unpersist()
         if (n > 0 && pending.addAndGet(n) >= retrainEvery) {
-          val train = spark.read.parquet(snapshot).select(
+          val train = BucketStore.readAll(spark, snapshot).select(
             col("user_id").cast("int").as("user"),
             col("item_id").cast("int").as("item"),
             col("rating").cast("float").as("rating"))
@@ -284,16 +293,12 @@ object EventStream {
     }
   }
 
-  /** Promote staged → live: rename live aside, rename staged in, drop
-    * the old copy. Directory renames are atomic on POSIX/HDFS; the only
-    * non-atomic window (between the two renames) is covered by
-    * [[recoverSnapshot]] because the staged dir is already complete
-    * (guarded by its _SUCCESS marker).
-    */
-  private[streaming] def swapSnapshot(snapshot: String): Unit = promoteStaged(snapshot)
-
-  /** Same protocol for any staged directory; tolerates a missing live
-    * dir (first-ever write of e.g. the recs export).
+  /** Promote any staged directory → live: rename live aside, rename
+    * staged in, drop the old copy. Directory renames are atomic on
+    * POSIX/HDFS; the only non-atomic window (between the two renames)
+    * is covered by [[recoverSnapshot]] because the staged dir is
+    * already complete (guarded by its _SUCCESS marker). Tolerates a
+    * missing live dir (first-ever write of e.g. the recs export).
     */
   private[streaming] def promoteStaged(path: String): Unit = {
     val fs = java.nio.file.FileSystems.getDefault

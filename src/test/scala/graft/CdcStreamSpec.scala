@@ -62,10 +62,13 @@ class CdcStreamSpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("retrain").toString
     val dir = root + "/ratings"
     val recsDir = root + "/recs"
-    // seed: 8 users × 6 items so tiny-rank ALS has signal
+    // seed: 8 users × 6 items so tiny-rank ALS has signal — bucketed
+    // snapshot, same layout the CDC apply maintains
     val seed = for (u <- 1L to 8L; i <- 1L to 6L if (u + i) % 3 != 0)
       yield (u, i, 0.5 + ((u * i) % 9) * 0.5, false, ts("2024-01-01 00:00:00"))
-    seed.toDF("user_id", "item_id", "rating", "is_implicit", "ts").write.parquet(dir)
+    graft.streaming.BucketStore.seed(
+      seed.toDF("user_id", "item_id", "rating", "is_implicit", "ts"),
+      pmod(col("user_id"), lit(64)).cast("int"), dir, n = 64)
 
     val input = MemoryStream[RatingUpdate]
     val q = graft.streaming.EventStream.startRetrainLoop(
@@ -74,10 +77,21 @@ class CdcStreamSpec extends AnyFunSuite {
     input.addData(RatingUpdate(1L, 6L, 5.0, false, ts("2024-01-02 00:00:00"), "upsert"))
     q.processAllAvailable()
     assert(!new java.io.File(recsDir).exists())
+    val afterB1 = TestFiles.bucketFileHashes(dir)
     // batch 2: second mutation crosses retrainEvery=2 → ALS refit + recs written
     input.addData(RatingUpdate(2L, 5L, 4.5, false, ts("2024-01-03 00:00:00"), "upsert"))
     q.processAllAvailable()
     q.stop()
+
+    // the retrain tick's merge is the CDC bucketed merge, NOT a
+    // full-snapshot rewrite: batch 2 touched only user 2's bucket —
+    // every other bucket's files must come through byte-identical
+    val afterB2 = TestFiles.bucketFileHashes(dir)
+    val untouched = afterB1.filter { case (p, _) => !p.startsWith("bucket=2/") }
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (p, h) => assert(afterB2.get(p).contains(h)) }
+    assert(afterB1.filter(_._1.startsWith("bucket=2/")) !==
+      afterB2.filter(_._1.startsWith("bucket=2/")))
 
     val recs = spark.read.parquet(recsDir)
     assert(recs.count() > 0)
