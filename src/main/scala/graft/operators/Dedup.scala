@@ -381,6 +381,102 @@ object Dedup {
     out
   }
 
+  /** Seed the CONTINUOUSLY MAINTAINED near-dup stores
+    * ([[graft.streaming.DocStream.startNearDupMaintain]]): the base
+    * corpus's signature table bucketed by `pmod(doc_id, n)` and its
+    * band index bucketed by `pmod(key, n)` — the band-hash bucket is
+    * what lets a tick name the store buckets its delta can collide
+    * with BEFORE any store read.
+    */
+  private[graft] def seedMinhashStores(spark: SparkSession, docs: DataFrame,
+      sigDir: String, bandDir: String, nBuckets: Int): Unit = {
+    import graft.streaming.BucketStore
+    graft.functions.VectorFunctions.register(spark)
+    val sets = minhashSets(spark, docs).cache()
+    BucketStore.seed(sets,
+      BucketStore.longBucket(col("doc_id"), nBuckets), sigDir, nBuckets)
+    BucketStore.seed(minhashBands(sets),
+      BucketStore.longBucket(col("key"), nBuckets), bandDir, nBuckets)
+    sets.unpersist()
+    ()
+  }
+
+  /** One continuous-maintenance MinHash tick against BucketStore'd
+    * signature + band stores — [[minhashLshIncrementalStore]]'s
+    * semantics with staged promotion and a replay guard instead of
+    * bare appends, so a crash can never leave the two stores
+    * inconsistent as a pair:
+    *
+    *  1. delta signatures + bands computed map-side (batch only);
+    *  2. the delta's band hashes name the band-store buckets it can
+    *     collide with — the probe reads ONLY those buckets;
+    *  3. hot buckets frozen from the STORED index slice (deployment
+    *     semantics, [[hotBucketList]]), candidates = pruned delta
+    *     bands × colliding store∪delta bands;
+    *  4. exact-Jaccard verification reads ONLY the sig-store buckets
+    *     the candidate doc ids live in; `dropDuplicates(doc_id)`
+    *     makes a replayed half-applied tick (sig store already
+    *     updated, band store not) verify identically;
+    *  5. the tick's pairs land at `pairsDir/batch=<id>` with
+    *     overwrite BEFORE either store mutates — replays rewrite the
+    *     same content, so the pair log is idempotent;
+    *  6. each store takes the delta through
+    *     [[graft.streaming.BucketStore.applyTick]] under the SAME
+    *     batch id — staged promotion, marker-lands-last, and a crash
+    *     between the two applies heals on replay (the applied store
+    *     skips, the other catches up).
+    *
+    * Ingest is append-only (a revised document must arrive as a new
+    * doc_id): the band store is keyed by (doc_id, band), and a
+    * re-keyed text would strand its old band rows in other buckets —
+    * the same key-purity contract every BucketStore rides on.
+    * Base×base pairs are never regenerated; per-tick I/O is bounded
+    * by min(delta band keys, n) band buckets + the candidates' sig
+    * buckets, never the store size.
+    */
+  private[graft] def minhashStoreTick(spark: SparkSession, sigDir: String,
+      bandDir: String, pairsDir: String, batchDocs: DataFrame, batchId: Long,
+      nBuckets: Int, threshold: Double, bucketCap: Int): Unit = {
+    import graft.streaming.BucketStore
+    graft.functions.VectorFunctions.register(spark)
+    val deltaSets = minhashSets(spark, batchDocs).cache()
+    val deltaBands = minhashBands(deltaSets).cache()
+    val probeBuckets = BucketStore.touchedBuckets(deltaBands.select(
+      BucketStore.longBucket(col("key"), nBuckets).as(BucketStore.BucketCol)))
+    val storeBands = BucketStore.readBuckets(spark, bandDir, probeBuckets, nBuckets)
+    val hot = hotBucketList(storeBands, bucketCap)
+    val dPruned = deltaBands.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    val probe = storeBands.unionByName(deltaBands)
+      .join(broadcast(hot), Seq("band", "key"), "left_anti")
+    val cand = dPruned.as("a").join(probe.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct().cache()
+    val candBuckets = BucketStore.touchedBuckets(
+      cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .select(BucketStore.longBucket(col("doc_id"), nBuckets).as(BucketStore.BucketCol)))
+    val storeSets = BucketStore.readBuckets(spark, sigDir, candBuckets, nBuckets)
+    val out = verifyMinhashPairs(cand,
+      storeSets.unionByName(deltaSets).dropDuplicates("doc_id"), threshold).cache()
+    // materialize, then publish the pair log BEFORE the stores mutate:
+    // the verify plan reads the store dirs lazily, and a crash after
+    // the stores advanced must not lose the batch's pairs
+    out.count()
+    out.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+    BucketStore.applyTick(spark, sigDir,
+      deltaSets.withColumn(BucketStore.BucketCol,
+        BucketStore.longBucket(col("doc_id"), nBuckets)),
+      Seq("doc_id"), batchId, n = nBuckets)
+    BucketStore.applyTick(spark, bandDir,
+      deltaBands.withColumn(BucketStore.BucketCol,
+        BucketStore.longBucket(col("key"), nBuckets)),
+      Seq("doc_id", "band"), batchId, n = nBuckets)
+    Seq(deltaSets, deltaBands, cand, out).foreach(_.unpersist())
+    ()
+  }
+
   /** Near-dup CLUSTER resolution — the step between pairwise
     * detection and an actual dedup decision. Similarity pairs are not
     * transitive (A~B and B~C does not imply A~C was emitted), but

@@ -1,0 +1,99 @@
+package graft
+
+import graft.streaming.DocStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The continuous near-dup maintainer
+  * ([[graft.streaming.DocStream.startNearDupMaintain]]): after EVERY
+  * tick, seed pairs ∪ the per-batch pair log ≡ the batch MinHash+LSH
+  * recompute over the corpus-so-far; cross-tick planted copies are
+  * found (a tick doc pairing a SEED doc, and a tick doc pairing a
+  * PREVIOUS tick's doc); and the bucketed stores advance with
+  * touched-bucket I/O only — untouched bucket files byte-identical.
+  */
+class NearDupStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streaming near-dup maintenance equals batch recompute after every tick") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("neardup_mv").toString
+    val sigDir = root + "/sig"
+    val bandDir = root + "/bands"
+    val pairsDir = root + "/pairs"
+
+    // seed corpus: one near-dup pair inside the base (docs 1 ≈ 2),
+    // the rest distinct. Texts are ≥ 3 words (sub-3-word docs have
+    // empty shingle sets and belong to exact dedup, not similarity).
+    val d1 = "the quick brown fox jumps over the lazy dog by the river tonight"
+    val seed = Seq(
+      1L -> d1,
+      2L -> d1.replace("tonight", "today"),
+      3L -> "completely unrelated text about cooking pasta with garlic and olive oil",
+      4L -> "another distinct document covering mountain hiking trails in early spring",
+      5L -> "financial report third quarter revenue grew beyond expectations this year",
+      6L -> "gardening tips for growing tomatoes indoors during the cold winter months")
+    var corpus = seed
+    graft.operators.Dedup.seedMinhashStores(spark,
+      seed.toDF("doc_id", "text"), sigDir, bandDir, nBuckets = 64)
+    val basePairs = graft.operators.Dedup
+      .minhashLshOn(spark, seed.toDF("doc_id", "text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(basePairs.exists(p => p._1 == 1L && p._2 == 2L)) // planted base pair found
+
+    val input = MemoryStream[DocIngest]
+    val q = DocStream.startNearDupMaintain(
+      input.toDF(), sigDir, bandDir, pairsDir, root + "/ckpt")
+
+    def maintained = basePairs ++ spark.read.parquet(pairsDir)
+      .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    def batchNow = graft.operators.Dedup
+      .minhashLshOn(spark, corpus.toDF("doc_id", "text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+
+    // tick 1: doc 10 near-copies SEED doc 1 (cross seed/tick pair), doc
+    // 11 is unique — plus a within-batch double delivery of doc 10
+    val d10 = d1.replace("tonight", "tomorrow")
+    input.addData(DocIngest(10L, d10), DocIngest(10L, d10),
+      DocIngest(11L, "deep sea creatures glow in the dark abyss far below the surface"))
+    corpus = corpus ++ Seq(10L -> d10,
+      11L -> "deep sea creatures glow in the dark abyss far below the surface")
+    q.processAllAvailable()
+    val afterT1 = maintained
+    assert(afterT1 === batchNow)
+    assert(afterT1.exists(p => p._1 == 1L && p._2 == 10L)) // tick doc pairs a seed doc
+
+    // tick 2: doc 12 near-copies TICK 1's doc 10 (the pair crosses two
+    // ticks — neither side is a seed doc), doc 13 is unique
+    val sigBefore = TestFiles.bucketFileHashes(sigDir)
+    val bandBefore = TestFiles.bucketFileHashes(bandDir)
+    val d12 = d10.replace("quick", "sly")
+    input.addData(DocIngest(12L, d12),
+      DocIngest(13L, "ancient library manuscripts preserved under glass in the museum hall"))
+    corpus = corpus ++ Seq(12L -> d12,
+      13L -> "ancient library manuscripts preserved under glass in the museum hall")
+    q.processAllAvailable()
+    q.stop()
+    val afterT2 = maintained
+    assert(afterT2 === batchNow)
+    assert(afterT2.exists(p => p._1 == 10L && p._2 == 12L)) // cross-tick pair found
+
+    // touched-bucket I/O: tick 2's sig-store changes live in buckets
+    // pmod(12,64)=12 and pmod(13,64)=13 — every other sig bucket's
+    // files must come through byte-identical, and the band store must
+    // not have been fully rewritten (its touched buckets are the
+    // delta's ≤ 2×16 band hashes)
+    val sigAfter = TestFiles.bucketFileHashes(sigDir)
+    val sigUntouched = sigBefore.filter { case (p, _) =>
+      !p.startsWith("bucket=12/") && !p.startsWith("bucket=13/") }
+    assert(sigUntouched.nonEmpty)
+    sigUntouched.foreach { case (p, h) => assert(sigAfter.get(p).contains(h)) }
+    assert(sigAfter.keys.exists(_.startsWith("bucket=12/")))
+    val bandAfter = TestFiles.bucketFileHashes(bandDir)
+    val bandUnchanged = bandBefore.filter { case (p, h) => bandAfter.get(p).contains(h) }
+    assert(bandUnchanged.nonEmpty, "band store was fully rewritten by the tick")
+  }
+}
