@@ -35,16 +35,76 @@ import org.apache.spark.sql.functions._
   */
 object Als {
 
-  /** ALS requires 32-bit ids; testdata keys fit. At larger key spaces
-    * the standard move is a dense re-indexing pass (zipWithIndex on the
-    * distinct keys) before training.
+  /** Training input after the id seam: `train` carries int32
+    * (user, item, rating); the maps are present iff the raw keys were
+    * re-indexed and are needed to translate scored output back.
     */
-  private def trainingSet(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] case class AlsInput(train: DataFrame,
+      userMap: Option[DataFrame], itemMap: Option[DataFrame])
+
+  /** ALS requires 32-bit ids. Keys already in int range pass through
+    * with a bare cast (testdata, MovieLens); keys outside it — the
+    * 100 TB norm, where user/item ids are 64-bit snowflakes or hashes —
+    * get a DENSE RE-INDEX: each distinct key maps to its RANK in the
+    * sorted key order (distributed sort + `zipWithIndex`, no
+    * single-partition window), the training set joins through the
+    * maps, and scored output joins back to the original ids. Rank is
+    * well-defined regardless of how the sort's range partitioner
+    * places boundaries, so the mapping is deterministic AND invariant
+    * under order-preserving key translation — AlsReindexSpec pins that
+    * a corpus with ids shifted by 2^33 trains to byte-identical recs.
+    * The re-indexed train is canonicalized (hash-repartition on user,
+    * sort within partitions) so ALS sees identical block contents in
+    * identical order either way. ALS's remaining hard limit is the
+    * DISTINCT entity count per side (rank must fit int32) — a bound on
+    * population, not key magnitude.
+    */
+  private[graft] def keyedTrainingSet(raw: DataFrame, force: Boolean = false): AlsInput = {
+    val direct = AlsInput(raw.select(
+      col("user_id").cast("int").as("user"),
+      col("item_id").cast("int").as("item"),
+      col("rating").cast("float").as("rating")), None, None)
+    if (!force) {
+      val b = raw.agg(
+        min(col("user_id")), max(col("user_id")),
+        min(col("item_id")), max(col("item_id"))).head()
+      val fits = b.isNullAt(0) ||
+        (b.getLong(0) >= Int.MinValue && b.getLong(1) <= Int.MaxValue &&
+         b.getLong(2) >= Int.MinValue && b.getLong(3) <= Int.MaxValue)
+      if (fits) return direct
+    }
+    val users = denseIndex(raw.select(col("user_id")), "user_id", "user")
+    val items = denseIndex(raw.select(col("item_id")), "item_id", "item")
+    val train = raw
+      .join(users, Seq("user_id")).join(items, Seq("item_id"))
+      .select(col("user"), col("item"), col("rating").cast("float").as("rating"))
+      .repartition(col("user"))
+      .sortWithinPartitions(col("user"), col("item"), col("rating"))
+    AlsInput(train, Some(users), Some(items))
+  }
+
+  /** Dense ids for one key side: distinct keys → rank in sorted order.
+    * `zipWithIndex` offsets each sorted partition by the sizes before
+    * it — one extra count job, zero data through the driver.
+    */
+  private def denseIndex(keys: DataFrame, keyCol: String, idxCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = keys.sparkSession
+    val rows = keys.select(col(keyCol).cast("long")).distinct().sort(keyCol)
+      .rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row(r.getLong(0), i.toInt)
+      }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField(keyCol, LongType, nullable = false),
+      StructField(idxCol, IntegerType, nullable = false))))
+  }
+
+  private def rawSet(spark: SparkSession, sfDir: String): DataFrame =
     Tables.interactions(spark, sfDir)
-      .select(
-        col("user_id").cast("int").as("user"),
-        col("item_id").cast("int").as("item"),
-        col("rating").cast("float").as("rating"))
+      .select(col("user_id"), col("item_id"), col("rating").cast("float").as("rating"))
+
+  private def trainingSet(spark: SparkSession, sfDir: String): DataFrame =
+    keyedTrainingSet(rawSet(spark, sfDir)).train
 
   def fit(train: DataFrame, rank: Int = 8, maxIter: Int = 10, regParam: Double = 0.1,
           implicitPrefs: Boolean = false, alpha: Double = 1.0, seed: Long = 42L): ALSModel =
@@ -75,20 +135,32 @@ object Als {
     * 100 TB, profile truncation — the ItemCF degree-cap policy —
     * applies before this ever binds).
     */
-  def topN(spark: SparkSession, sfDir: String, n: Int = 20, bufferCap: Int = 1000): DataFrame = {
-    val train = trainingSet(spark, sfDir).cache()
+  def topN(spark: SparkSession, sfDir: String, n: Int = 20, bufferCap: Int = 1000): DataFrame =
+    topNOn(rawSet(spark, sfDir), n, bufferCap)
+
+  /** [[topN]] over an explicit (user_id, item_id, rating) frame —
+    * the id seam applies here: out-of-int32 keys re-index densely and
+    * the output joins back to the original ids (`force` exercises the
+    * re-index path on in-range keys; AlsReindexSpec).
+    */
+  private[graft] def topNOn(raw: DataFrame, n: Int, bufferCap: Int,
+                            force: Boolean = false): DataFrame = {
+    val keyed = keyedTrainingSet(raw, force)
+    val train = keyed.train.cache()
     val model = fit(train)
-    val out = topNUnseen(train, model, n, bufferCap)
+    val out = topNUnseen(train, model, n, bufferCap, keyed)
     train.unpersist()
     out
   }
 
   /** Shared top-N-over-unseen tail of [[topN]] / [[implicitTopN]]:
     * measured over-fetch, distributed anti-join of seen pairs,
-    * re-rank, keep n. `train` must be cached (the buffer agg and the
-    * seen anti-join both read it).
+    * re-rank, keep n, then translate ids back through the re-index
+    * maps when present. `train` must be cached (the buffer agg and
+    * the seen anti-join both read it).
     */
-  private def topNUnseen(train: DataFrame, model: ALSModel, n: Int, bufferCap: Int): DataFrame = {
+  private def topNUnseen(train: DataFrame, model: ALSModel, n: Int, bufferCap: Int,
+                         keyed: AlsInput): DataFrame = {
     val maxSeen = train.groupBy(col("user")).count()
       .agg(max(col("count"))).head().getLong(0).toInt
     val buffer = math.min(maxSeen, bufferCap)
@@ -99,12 +171,21 @@ object Als {
     val unseen = recs.join(seen, Seq("user", "item"), "left_anti")
     val w = Window.partitionBy(col("user"))
       .orderBy(col("score").desc, col("item").asc)
-    unseen
+    val ranked = unseen
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= n)
-      .select(
-        col("user").as("user_id"), col("item").as("item_id"),
-        round(col("score").cast("double"), 4).as("score"), col("rn"))
+    val mapped = (keyed.userMap, keyed.itemMap) match {
+      case (Some(u), Some(i)) =>
+        // standard dim joins on the dense int keys; Catalyst/AQE
+        // broadcasts the maps when they fit
+        ranked.join(u, Seq("user")).join(i, Seq("item"))
+      case _ =>
+        ranked.withColumn("user_id", col("user").cast("long"))
+          .withColumn("item_id", col("item").cast("long"))
+    }
+    mapped.select(
+      col("user_id"), col("item_id"),
+      round(col("score").cast("double"), 4).as("score"), col("rn"))
   }
 
   /** Implicit-feedback ALS — the reference's watched-but-unrated flow
@@ -124,21 +205,29 @@ object Als {
     */
   def implicitTopN(spark: SparkSession, sfDir: String, n: Int = 20,
                    alpha: Double = 10.0, bufferCap: Int = 1000): DataFrame = {
-    val train = implicitTrainingSet(spark, sfDir).cache()
+    val keyed = keyedTrainingSet(implicitRawSet(spark, sfDir))
+    val train = keyed.train.cache()
     val model = fit(train, implicitPrefs = true, alpha = alpha)
-    val out = topNUnseen(train, model, n, bufferCap)
+    val out = topNUnseen(train, model, n, bufferCap, keyed)
     train.unpersist()
     out
   }
 
-  /** Confidence-weighted training set for the implicit model. */
-  private[graft] def implicitTrainingSet(spark: SparkSession, sfDir: String): DataFrame =
+  /** Confidence-weighted raw rows for the implicit model — same id
+    * seam as the explicit path ([[keyedTrainingSet]]).
+    */
+  private def implicitRawSet(spark: SparkSession, sfDir: String): DataFrame =
     Tables.interactions(spark, sfDir)
       .select(
-        col("user_id").cast("int").as("user"),
-        col("item_id").cast("int").as("item"),
+        col("user_id"), col("item_id"),
         when(col("is_implicit"), lit(1.0))
           .otherwise(col("rating")).cast("float").as("rating"))
+
+  /** Int-cast implicit training set (kept for spec use; the query
+    * path routes through [[implicitRawSet]] + the id seam).
+    */
+  private[graft] def implicitTrainingSet(spark: SparkSession, sfDir: String): DataFrame =
+    keyedTrainingSet(implicitRawSet(spark, sfDir)).train
 
   /** RMSE + MAE on a deterministic 80/20 split — the reference's
     * evaluation measures (trainer.py:57 GridSearchCV measures=['rmse','mae']).
