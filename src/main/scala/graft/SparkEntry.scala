@@ -67,6 +67,9 @@ object SparkEntry {
     "dedup_minhash_store" -> ((s, d) => Dedup.minhashLshIncrementalStore(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_simhash_inc"   -> ((s, d) => Dedup.simhashIncremental(s, d)),
+    // the simhash tick through a REAL parquet fingerprint/band store
+    // (rows-only; base∪tick ≡ batch through the store is spec-gated)
+    "dedup_simhash_store" -> ((s, d) => Dedup.simhashIncrementalStore(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     // the exact tick is deterministic → the one HASH-GATED near-dup
     // tick (oracle recomputes the delta-touching pair set from scratch)
@@ -82,6 +85,8 @@ object SparkEntry {
     "dedup_embed_lsh"     -> ((s, d) => Dedup.embedLshPlanted(s, d)),
     // its ingest-tick regime: delta signatures vs the corpus band index
     "dedup_embed_lsh_inc" -> ((s, d) => Dedup.embedLshIncremental(s, d)),
+    // the embed-LSH tick through a REAL parquet signature/band store
+    "dedup_embed_lsh_store" -> ((s, d) => Dedup.embedLshIncrementalStore(s, d)),
     // pair graph → connected components → survivor manifest, over the
     // exact ngram-jaccard edges; value-gated by a DuckDB WITH RECURSIVE
     // transitive-closure oracle (the one operator deciding deletions)

@@ -603,6 +603,61 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** [[simhashIncremental]] exercised through a REAL materialized
+    * fingerprint store (registered as `dedup_simhash_store`) — the
+    * SimHash twin of [[minhashLshIncrementalStore]]: the base slice's
+    * fingerprints AND band index are WRITTEN to parquet stores, the
+    * tick reads them back, probes the delta's bands against the
+    * stored index (hot list frozen from the STORED base index), and
+    * finally APPENDS the delta's rows to both stores so the index is
+    * ready for the next tick. The band rows carry the fingerprint, so
+    * Hamming verification needs no second store lookup. Base×base
+    * pairs are never regenerated; store reads are the only base-side
+    * cost. Same shared-FS artifacts contract and materialize-before-
+    * append ordering as the MinHash store; the CONTINUOUS crash-safe
+    * regime for this family is
+    * [[graft.streaming.DocStream.startNearDupMaintain]]'s BucketStore
+    * protocol.
+    */
+  def simhashIncrementalStore(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 6, baseFrac: Double = 0.8, bucketCap: Int = 10000,
+      artifactDir: String = "target/graft-artifacts"): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val fpDir = s"$artifactDir/simhash_fp_store_$digest"
+    val bandDir = s"$artifactDir/simhash_band_store_$digest"
+    val cut = Tables.documents(spark, sfDir)
+      .agg(floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
+    val all = simhashFingerprints(dupPlantedDocs(spark, sfDir))
+      .crossJoin(broadcast(cut)).cache()
+    all.filter(col("doc_id") < col("cut")).drop("cut")
+      .write.mode("overwrite").parquet(fpDir)
+    simhashBands(all.filter(col("doc_id") < col("cut")).drop("cut"))
+      .write.mode("overwrite").parquet(bandDir)
+    val storeBands = spark.read.parquet(bandDir)
+    val deltaFp = all.filter(col("doc_id") >= col("cut")).drop("cut").cache()
+    val deltaBands = simhashBands(deltaFp)
+    val hot = hotBucketList(storeBands, bucketCap)
+    val dPruned = deltaBands.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    val probe = storeBands.unionByName(deltaBands)
+      .join(broadcast(hot), Seq("band", "key"), "left_anti")
+    val out = dPruned.as("a").join(probe.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .cache()
+    out.count()
+    deltaFp.write.mode("append").parquet(fpDir)
+    deltaBands.write.mode("append").parquet(bandDir)
+    out
+  }
+
   /** Drop (band, key) buckets with more than `cap` members from a
     * banded signature table — the dfCap pattern applied to LSH
     * buckets. The hot list is tiny by construction (only keys hotter
@@ -858,6 +913,61 @@ object Dedup {
         greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
       .distinct()
     verifyCosPairs(cand, e, threshold)
+  }
+
+  /** [[embedLshIncremental]] exercised through a REAL materialized
+    * signature store (registered as `dedup_embed_lsh_store`) — the
+    * embedding twin of [[minhashLshIncrementalStore]]: the base
+    * slice's (vector, norm, hyperplane signature) rows AND band index
+    * are WRITTEN to parquet stores, the tick reads them back, probes
+    * the delta's bands against the stored index (hot list frozen from
+    * the STORED base index), verifies candidates with the exact
+    * cosine over stored + delta vectors, and finally APPENDS the
+    * delta's rows to both stores. Base×base pairs are never
+    * regenerated; same shared-FS artifacts contract and
+    * materialize-before-append ordering as the MinHash store; the
+    * crash-safe continuous regime is the
+    * [[graft.streaming.DocStream.startNearDupMaintain]] BucketStore
+    * protocol (band-hash buckets work identically for hyperplane
+    * signatures).
+    */
+  def embedLshIncrementalStore(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.9, baseFrac: Double = 0.8, nPlant: Int = 50,
+      bucketCap: Int = 10000,
+      artifactDir: String = "target/graft-artifacts"): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val sigDir = s"$artifactDir/embedlsh_sig_store_$digest"
+    val bandDir = s"$artifactDir/embedlsh_band_store_$digest"
+    val cut = Tables.embeddings(spark, sfDir)
+      .agg(floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
+    val all = hyperSets(plantedCorpus(spark, sfDir, nPlant))
+      .crossJoin(broadcast(cut)).cache()
+    all.filter(col("vec_id") < col("cut")).drop("cut")
+      .write.mode("overwrite").parquet(sigDir)
+    hyperBands(all.filter(col("vec_id") < col("cut")).drop("cut"))
+      .write.mode("overwrite").parquet(bandDir)
+    val storeSets = spark.read.parquet(sigDir)
+    val storeBands = spark.read.parquet(bandDir)
+    val deltaSets = all.filter(col("vec_id") >= col("cut")).drop("cut").cache()
+    val deltaBands = hyperBands(deltaSets)
+    val hot = hotBucketList(storeBands, bucketCap)
+    val dPruned = deltaBands.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    val probe = storeBands.unionByName(deltaBands)
+      .join(broadcast(hot), Seq("band", "key"), "left_anti")
+    val cand = dPruned.as("a").join(probe.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
+      .distinct()
+    val out = verifyCosPairs(cand,
+      storeSets.unionByName(deltaSets), threshold).cache()
+    out.count()
+    deltaSets.write.mode("append").parquet(sigDir)
+    deltaBands.write.mode("append").parquet(bandDir)
+    out
   }
 
   /** Embedding-cosine near-dup pairs. Norms are precomputed per row

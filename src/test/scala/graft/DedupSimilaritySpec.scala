@@ -152,6 +152,56 @@ class DedupSimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("simhash tick through the materialized fingerprint store matches the batch pair set") {
+    import spark.implicits._
+    val nDocs = Tables.documents(spark, sf).count()
+    val cut = math.floor(nDocs * 0.8).toLong
+    val planted = Dedup.dupPlantedDocs(spark, sf).cache()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val full = pairs(Dedup.simhashOn(spark, planted))
+    val base = pairs(Dedup.simhashOn(spark, planted.filter(col("doc_id") < cut)))
+    val root = java.nio.file.Files.createTempDirectory("simhash_store").toString
+    val tick = pairs(Dedup.simhashIncrementalStore(spark, sf, artifactDir = root))
+    assert(tick.nonEmpty)
+    assert(tick.forall { case (a, b) => a >= cut || b >= cut })
+    assert(tick.intersect(base).isEmpty)
+    assert(base.union(tick) === full)
+    // the post-tick store holds the FULL corpus, ready for the next tick
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sf.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val stored = spark.read.parquet(s"$root/simhash_fp_store_$digest")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stored === planted.select("doc_id").collect().map(_.getLong(0)).toSet)
+    planted.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("embed-LSH tick through the materialized signature store matches the batch pair set") {
+    import org.apache.spark.sql.functions.col
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val cut = math.floor(nVecs * 0.8).toLong
+    val corpus = Dedup.plantedCorpus(spark, sf, nPlant = 50).cache()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val full = pairs(Dedup.embedLshOn(spark, corpus, threshold = 0.9))
+    val base = pairs(Dedup.embedLshOn(spark,
+      corpus.filter(col("vec_id") < cut), threshold = 0.9))
+    val root = java.nio.file.Files.createTempDirectory("embedlsh_store").toString
+    val tick = pairs(Dedup.embedLshIncrementalStore(spark, sf, artifactDir = root))
+    assert(tick.nonEmpty)
+    assert(tick.forall { case (a, b) => a >= cut || b >= cut })
+    assert(tick.intersect(base).isEmpty)
+    assert(base.union(tick) === full)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sf.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val stored = spark.read.parquet(s"$root/embedlsh_sig_store_$digest")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(stored === corpus.select("vec_id").collect().map(_.getLong(0)).toSet)
+    corpus.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("incremental simhash tick plus base pairs equals the batch pair set") {
     import spark.implicits._
     val nDocs = Tables.documents(spark, sf).count()
