@@ -458,7 +458,7 @@ object ItemCF {
     * capped working set: score(u, j) = Σ sim(i, j) · r_ui. Shared by
     * [[recommend]] and the serving blend in [[Serving]].
     */
-  private[operators] def cfScores(capped: DataFrame, minCommon: Int): DataFrame = {
+  private[graft] def cfScores(capped: DataFrame, minCommon: Int): DataFrame = {
     // cache: the union below consumes sims twice — uncached, the whole
     // shared-user dots chain would recompute per branch
     val sims = itemSimilarityOn(capped, minCommon, minSim = 0.0).cache()

