@@ -132,12 +132,23 @@ object MovieLens {
     * plateau (rank 48, 15 iters, reg 0.14 → RMSE 0.8723 on the hash
     * split — reference parity; the surface is flat ±0.002 for rank
     * 48-96, reg 0.12-0.16, so the exact cell is not load-bearing).
+    *
+    * `splitSeed` re-keys the 80/20 fold hash: the sweep that picked the
+    * defaults ran on the seed-0 split, so the parity claim is validated
+    * on a DIFFERENT seed (MovieLensSpec's held-out-split case) — model
+    * selection and the parity bar never share a test set. Seed 0 keeps
+    * the exact historical `hash(user, item)` split so the pinned
+    * 0.8723 stays reproducible.
     */
-  def alsEval(spark: SparkSession, rank: Int = 48, maxIter: Int = 15, regParam: Double = 0.14): DataFrame = {
+  def alsEval(spark: SparkSession, rank: Int = 48, maxIter: Int = 15, regParam: Double = 0.14,
+              splitSeed: Int = 0): DataFrame = {
     import spark.implicits._
+    val foldExpr =
+      if (splitSeed == 0) pmod(hash(col("user"), col("item")), lit(5))
+      else pmod(hash(col("user"), col("item"), lit(splitSeed)), lit(5))
     val all = ratings(spark)
       .select(col("user_id").as("user"), col("movie_id").as("item"), col("rating"))
-      .withColumn("fold", pmod(hash(col("user"), col("item")), lit(5)))
+      .withColumn("fold", foldExpr)
     val train = all.filter(col("fold") =!= 0).drop("fold").cache()
     val test = all.filter(col("fold") === 0).drop("fold")
     val model = graft.recommender.Als.fit(train, rank, maxIter, regParam)

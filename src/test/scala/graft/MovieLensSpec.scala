@@ -67,6 +67,16 @@ class MovieLensSpec extends AnyFunSuite {
     assert(mae < 0.72, s"mae=$mae")
   }
 
+  test("swept ALS cell holds parity on a held-out second split") {
+    // the rank-48/iter-15/reg-0.14 defaults were SWEPT on the seed-0
+    // split above, so that assertion is in-sample for model selection;
+    // a different fold seed is data the sweep never saw — the parity
+    // bar must hold there too or the cell is overfit to one split
+    val row = MovieLens.alsEval(spark, splitSeed = 7).head()
+    val rmse = row.getAs[Double]("rmse")
+    assert(rmse < 0.89, s"held-out-split rmse=$rmse should match the reference (~0.87)")
+  }
+
   test("genre enrichment analytics re-derive prepare_dataset.py's columns") {
     val rows = MovieLens.genreStats(spark).collect()
     val byGenre = rows.map(r => r.getAs[String]("genre") -> r).toMap
