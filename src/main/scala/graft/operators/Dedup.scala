@@ -381,42 +381,93 @@ object Dedup {
     out
   }
 
+  /** One near-dup detector, as the three pieces the banded-LSH store
+    * machinery needs and nothing else: `rows` maps an ingest batch to
+    * the keyed row-store rows (signatures / fingerprints / vectors),
+    * `bands` blocks those rows into the (id, band, key) index, and
+    * `verify` re-checks candidate pairs against the true rows with the
+    * detector's exact measure (Jaccard / Hamming / cosine), threshold
+    * already bound. Everything else — touched-bucket derivation, hot
+    * lists, staged promotion, replay — is detector-independent, so the
+    * continuous maintainer ([[graft.streaming.DocStream
+    * .startNearDupMaintain]]) is written once and plugged three times.
+    */
+  private[graft] final case class NearDupDetector(
+      name: String,
+      idCol: String,
+      inputCols: Seq[String],
+      rows: DataFrame => DataFrame,
+      bands: DataFrame => DataFrame,
+      verify: (DataFrame, DataFrame) => DataFrame) {
+    val aCol: String = idCol.stripSuffix("_id") + "_a"
+    val bCol: String = idCol.stripSuffix("_id") + "_b"
+  }
+
+  private[graft] def minhashDetector(spark: SparkSession, threshold: Double): NearDupDetector =
+    NearDupDetector("minhash", "doc_id", Seq("doc_id", "text"),
+      docs => minhashSets(spark, docs),
+      minhashBands(_),
+      (cand, sets) => verifyMinhashPairs(cand, sets, threshold))
+
+  private[graft] def simhashDetector(maxHamming: Int): NearDupDetector =
+    NearDupDetector("simhash", "doc_id", Seq("doc_id", "text"),
+      simhashFingerprints(_),
+      simhashBands(_),
+      (cand, fp) => cand
+        .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), Seq("doc_a"))
+        .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), Seq("doc_b"))
+        .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming")))
+
+  private[graft] def embedLshDetector(threshold: Double): NearDupDetector =
+    NearDupDetector("embed_lsh", "vec_id", Seq("vec_id", "embedding"),
+      hyperSets(_),
+      hyperBands(_),
+      (cand, e) => verifyCosPairs(cand, e, threshold))
+
   /** Seed the CONTINUOUSLY MAINTAINED near-dup stores
     * ([[graft.streaming.DocStream.startNearDupMaintain]]): the base
-    * corpus's signature table bucketed by `pmod(doc_id, n)` and its
-    * band index bucketed by `pmod(key, n)` — the band-hash bucket is
-    * what lets a tick name the store buckets its delta can collide
-    * with BEFORE any store read.
+    * corpus's row store bucketed by `pmod(id, n)` and its band index
+    * bucketed by `pmod(key, n)` — the band-hash bucket is what lets a
+    * tick name the store buckets its delta can collide with BEFORE any
+    * store read. Detector-independent: works for MinHash signatures,
+    * SimHash fingerprints, and hyperplane-signed vectors alike.
     */
-  private[graft] def seedMinhashStores(spark: SparkSession, docs: DataFrame,
-      sigDir: String, bandDir: String, nBuckets: Int): Unit = {
+  private[graft] def seedNearDupStores(spark: SparkSession, input: DataFrame,
+      det: NearDupDetector, rowsDir: String, bandDir: String, nBuckets: Int): Unit = {
     import graft.streaming.BucketStore
     graft.functions.VectorFunctions.register(spark)
-    val sets = minhashSets(spark, docs).cache()
-    BucketStore.seed(sets,
-      BucketStore.longBucket(col("doc_id"), nBuckets), sigDir, nBuckets)
-    BucketStore.seed(minhashBands(sets),
+    val rows = det.rows(input).cache()
+    BucketStore.seed(rows,
+      BucketStore.longBucket(col(det.idCol), nBuckets), rowsDir, nBuckets)
+    BucketStore.seed(det.bands(rows),
       BucketStore.longBucket(col("key"), nBuckets), bandDir, nBuckets)
-    sets.unpersist()
+    rows.unpersist()
     ()
   }
 
-  /** One continuous-maintenance MinHash tick against BucketStore'd
-    * signature + band stores — [[minhashLshIncrementalStore]]'s
-    * semantics with staged promotion and a replay guard instead of
-    * bare appends, so a crash can never leave the two stores
-    * inconsistent as a pair:
+  private[graft] def seedMinhashStores(spark: SparkSession, docs: DataFrame,
+      sigDir: String, bandDir: String, nBuckets: Int): Unit =
+    seedNearDupStores(spark, docs, minhashDetector(spark, 0.5), sigDir, bandDir, nBuckets)
+
+  /** One continuous-maintenance near-dup tick against BucketStore'd
+    * row + band stores — the one-shot store queries' semantics with
+    * staged promotion and a replay guard instead of bare appends, so a
+    * crash can never leave the two stores inconsistent as a pair.
+    * Detector-generic ([[NearDupDetector]]): the same machinery runs
+    * MinHash, SimHash, and embedding-LSH maintenance —
     *
-    *  1. delta signatures + bands computed map-side (batch only);
+    *  1. delta rows + bands computed map-side (batch only);
     *  2. the delta's band hashes name the band-store buckets it can
     *     collide with — the probe reads ONLY those buckets;
     *  3. hot buckets frozen from the STORED index slice (deployment
     *     semantics, [[hotBucketList]]), candidates = pruned delta
     *     bands × colliding store∪delta bands;
-    *  4. exact-Jaccard verification reads ONLY the sig-store buckets
-    *     the candidate doc ids live in; `dropDuplicates(doc_id)`
-    *     makes a replayed half-applied tick (sig store already
-    *     updated, band store not) verify identically;
+    *  4. exact verification (Jaccard / Hamming / cosine) reads ONLY
+    *     the row-store buckets the candidate ids live in;
+    *     `dropDuplicates(id)` makes a replayed half-applied tick (row
+    *     store already updated, band store not) verify identically;
     *  5. the tick's pairs land at `pairsDir/batch=<id>` with
     *     overwrite BEFORE either store mutates — replays rewrite the
     *     same content, so the pair log is idempotent;
@@ -427,20 +478,21 @@ object Dedup {
     *     skips, the other catches up).
     *
     * Ingest is append-only (a revised document must arrive as a new
-    * doc_id): the band store is keyed by (doc_id, band), and a
-    * re-keyed text would strand its old band rows in other buckets —
-    * the same key-purity contract every BucketStore rides on.
-    * Base×base pairs are never regenerated; per-tick I/O is bounded
-    * by min(delta band keys, n) band buckets + the candidates' sig
+    * id): the band store is keyed by (id, band), and a re-keyed text
+    * would strand its old band rows in other buckets — the same
+    * key-purity contract every BucketStore rides on. Base×base pairs
+    * are never regenerated; per-tick I/O is bounded by
+    * min(delta band keys, n) band buckets + the candidates' row
     * buckets, never the store size.
     */
-  private[graft] def minhashStoreTick(spark: SparkSession, sigDir: String,
-      bandDir: String, pairsDir: String, batchDocs: DataFrame, batchId: Long,
-      nBuckets: Int, threshold: Double, bucketCap: Int): Unit = {
+  private[graft] def nearDupStoreTick(spark: SparkSession, det: NearDupDetector,
+      rowsDir: String, bandDir: String, pairsDir: String, batchRows: DataFrame,
+      batchId: Long, nBuckets: Int, bucketCap: Int): Unit = {
     import graft.streaming.BucketStore
     graft.functions.VectorFunctions.register(spark)
-    val deltaSets = minhashSets(spark, batchDocs).cache()
-    val deltaBands = minhashBands(deltaSets).cache()
+    val id = det.idCol
+    val deltaRows = det.rows(batchRows).cache()
+    val deltaBands = det.bands(deltaRows).cache()
     val probeBuckets = BucketStore.touchedBuckets(deltaBands.select(
       BucketStore.longBucket(col("key"), nBuckets).as(BucketStore.BucketCol)))
     val storeBands = BucketStore.readBuckets(spark, bandDir, probeBuckets, nBuckets)
@@ -450,30 +502,30 @@ object Dedup {
       .join(broadcast(hot), Seq("band", "key"), "left_anti")
     val cand = dPruned.as("a").join(probe.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+        col(s"a.$id") =!= col(s"b.$id"))
+      .select(least(col(s"a.$id"), col(s"b.$id")).as(det.aCol),
+        greatest(col(s"a.$id"), col(s"b.$id")).as(det.bCol))
       .distinct().cache()
     val candBuckets = BucketStore.touchedBuckets(
-      cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-        .select(BucketStore.longBucket(col("doc_id"), nBuckets).as(BucketStore.BucketCol)))
-    val storeSets = BucketStore.readBuckets(spark, sigDir, candBuckets, nBuckets)
-    val out = verifyMinhashPairs(cand,
-      storeSets.unionByName(deltaSets).dropDuplicates("doc_id"), threshold).cache()
+      cand.select(explode(array(col(det.aCol), col(det.bCol))).as(id))
+        .select(BucketStore.longBucket(col(id), nBuckets).as(BucketStore.BucketCol)))
+    val storeRows = BucketStore.readBuckets(spark, rowsDir, candBuckets, nBuckets)
+    val out = det.verify(cand,
+      storeRows.unionByName(deltaRows).dropDuplicates(id)).cache()
     // materialize, then publish the pair log BEFORE the stores mutate:
     // the verify plan reads the store dirs lazily, and a crash after
     // the stores advanced must not lose the batch's pairs
     out.count()
     out.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-    BucketStore.applyTick(spark, sigDir,
-      deltaSets.withColumn(BucketStore.BucketCol,
-        BucketStore.longBucket(col("doc_id"), nBuckets)),
-      Seq("doc_id"), batchId, n = nBuckets)
+    BucketStore.applyTick(spark, rowsDir,
+      deltaRows.withColumn(BucketStore.BucketCol,
+        BucketStore.longBucket(col(id), nBuckets)),
+      Seq(id), batchId, n = nBuckets)
     BucketStore.applyTick(spark, bandDir,
       deltaBands.withColumn(BucketStore.BucketCol,
         BucketStore.longBucket(col("key"), nBuckets)),
-      Seq("doc_id", "band"), batchId, n = nBuckets)
-    Seq(deltaSets, deltaBands, cand, out).foreach(_.unpersist())
+      Seq(id, "band"), batchId, n = nBuckets)
+    Seq(deltaRows, deltaBands, cand, out).foreach(_.unpersist())
     ()
   }
 

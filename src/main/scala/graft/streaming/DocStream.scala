@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
 /** Typed document row for streaming corpus ingestion. */
 case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
@@ -29,6 +30,97 @@ object DocStream {
       .withColumn("text_md5", md5(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_md5")
+
+  /** Continuous NEAR-dup maintenance over MinHash signature + band
+    * BucketStores — the top rung of the near-dup ladder (batch
+    * [[graft.operators.Dedup.minhashLsh]] → in-query tick
+    * `dedup_minhash_inc` → one-shot store `dedup_minhash_store` →
+    * this). Each micro-batch runs one detector tick
+    * ([[graft.operators.Dedup.nearDupStoreTick]]): the delta's band
+    * hashes name the band-store buckets it can collide with before
+    * any store read, candidates form only within those buckets, exact
+    * verification reads only the candidates' row-store buckets, and
+    * both stores advance through [[BucketStore.applyTick]]'s staged
+    * promotion under the batch id — untouched buckets stay
+    * byte-identical, and a crash between the two store applies heals
+    * on replay instead of leaving the pair inconsistent (the flaw the
+    * one-shot store query's bare appends accept, documented there).
+    *
+    * The verified pairs land at `pairsDir/batch=<id>` (overwritten on
+    * replay — the pair log is idempotent); `spark.read.parquet(pairsDir)`
+    * is the cumulative near-dup pair set, which downstream cluster
+    * resolution ([[graft.operators.Dedup.dedupClusters]]) consumes.
+    * Ingest is append-only: a revised document must arrive as a new
+    * doc_id (the stores' key-purity contract).
+    *
+    * @param docs          streaming (doc_id, text) ingest rows
+    * @param sigDir        bucketed signature store — seed with
+    *                      [[graft.operators.Dedup.seedMinhashStores]]
+    * @param bandDir       bucketed band index — same seed call
+    * @param pairsDir      near-dup pair log, one subdir per batch
+    * @param checkpointDir durable streaming checkpoint (REQUIRED: the
+    *                      replay guard needs monotonic batch ids)
+    * @param nBuckets      both stores' bucket count, must match the seed
+    */
+  def startNearDupMaintain(docs: DataFrame, sigDir: String, bandDir: String,
+                           pairsDir: String, checkpointDir: String,
+                           nBuckets: Int = BucketStore.DefaultBuckets,
+                           threshold: Double = 0.5,
+                           bucketCap: Int = 10000): StreamingQuery =
+    startBandedMaintain(docs, s => graft.operators.Dedup.minhashDetector(s, threshold),
+      sigDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap)
+
+  /** [[startNearDupMaintain]] with the SimHash detector: fingerprint +
+    * band BucketStores, Hamming-verified pairs. Seed with
+    * [[graft.operators.Dedup.seedNearDupStores]] over
+    * `simhashDetector`. Same tick machinery, same crash/replay story.
+    */
+  def startSimhashMaintain(docs: DataFrame, fpDir: String, bandDir: String,
+                           pairsDir: String, checkpointDir: String,
+                           nBuckets: Int = BucketStore.DefaultBuckets,
+                           maxHamming: Int = 6,
+                           bucketCap: Int = 10000): StreamingQuery =
+    startBandedMaintain(docs, _ => graft.operators.Dedup.simhashDetector(maxHamming),
+      fpDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap)
+
+  /** [[startNearDupMaintain]] with the embedding-LSH detector over a
+    * stream of (vec_id, embedding) rows: (vector, norm, hyperplane
+    * signature) + band BucketStores, exact-cosine-verified pairs.
+    * Seed with [[graft.operators.Dedup.seedNearDupStores]] over
+    * `embedLshDetector`. Same tick machinery, same crash/replay story.
+    */
+  def startEmbedNearDupMaintain(vecs: DataFrame, vecDir: String, bandDir: String,
+                                pairsDir: String, checkpointDir: String,
+                                nBuckets: Int = BucketStore.DefaultBuckets,
+                                threshold: Double = 0.9,
+                                bucketCap: Int = 10000): StreamingQuery =
+    startBandedMaintain(vecs, _ => graft.operators.Dedup.embedLshDetector(threshold),
+      vecDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap)
+
+  /** The shared maintainer loop behind all three detectors. The band
+    * store's marker is the LAST thing a tick moves, so "band store
+    * caught up" ⇒ the whole tick (pairs included) landed; anything
+    * earlier re-runs idempotently.
+    */
+  private def startBandedMaintain(input: DataFrame,
+      det: org.apache.spark.sql.SparkSession => graft.operators.Dedup.NearDupDetector,
+      rowsDir: String, bandDir: String, pairsDir: String, checkpointDir: String,
+      nBuckets: Int, bucketCap: Int): StreamingQuery =
+    input.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val d = det(spark)
+        BucketStore.recover(rowsDir); BucketStore.recover(bandDir)
+        val b = batch.toDF().select(d.inputCols.map(col): _*).distinct().cache()
+        if (b.count() > 0 && BucketStore.appliedBatchId(bandDir) < batchId)
+          graft.operators.Dedup.nearDupStoreTick(spark, d, rowsDir, bandDir,
+            pairsDir, b, batchId, nBuckets, bucketCap)
+        b.unpersist()
+        ()
+      }
+      .start()
 
   /** Streaming materialized view of the exact-dedup GROUP STORE — the
     * corpus twin of [[EventStream.startCoocMaintain]], and the
@@ -64,64 +156,10 @@ object DocStream {
     * @param nBuckets      the store's bucket count — part of its
     *                      on-disk contract, must match the seed
     */
-  /** Continuous NEAR-dup maintenance — the top rung of the near-dup
-    * ladder (batch [[graft.operators.Dedup.minhashLsh]] → in-query
-    * tick `dedup_minhash_inc` → one-shot store `dedup_minhash_store` →
-    * this): each micro-batch of ingested documents runs one MinHash
-    * tick ([[graft.operators.Dedup.minhashStoreTick]]) against
-    * BucketStore'd signature + band stores. The delta's band hashes
-    * name the band-store buckets it can collide with before any store
-    * read, candidates form only within those buckets, exact-Jaccard
-    * verification reads only the candidates' sig-store buckets, and
-    * both stores advance through [[BucketStore.applyTick]]'s staged
-    * promotion under the batch id — untouched buckets stay
-    * byte-identical, and a crash between the two store applies heals
-    * on replay instead of leaving the pair inconsistent (the flaw the
-    * one-shot store query's bare appends accept, documented there).
-    *
-    * The verified pairs land at `pairsDir/batch=<id>` (overwritten on
-    * replay — the pair log is idempotent); `spark.read.parquet(pairsDir)`
-    * is the cumulative near-dup pair set, which downstream cluster
-    * resolution ([[graft.operators.Dedup.dedupClusters]]) consumes.
-    * Ingest is append-only: a revised document must arrive as a new
-    * doc_id (the stores' key-purity contract).
-    *
-    * @param docs          streaming (doc_id, text) ingest rows
-    * @param sigDir        bucketed signature store — seed with
-    *                      [[graft.operators.Dedup.seedMinhashStores]]
-    * @param bandDir       bucketed band index — same seed call
-    * @param pairsDir      near-dup pair log, one subdir per batch
-    * @param checkpointDir durable streaming checkpoint (REQUIRED: the
-    *                      replay guard needs monotonic batch ids)
-    * @param nBuckets      both stores' bucket count, must match the seed
-    */
-  def startNearDupMaintain(docs: DataFrame, sigDir: String, bandDir: String,
-                           pairsDir: String, checkpointDir: String,
-                           nBuckets: Int = BucketStore.DefaultBuckets,
-                           threshold: Double = 0.5,
-                           bucketCap: Int = 10000): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        BucketStore.recover(sigDir); BucketStore.recover(bandDir)
-        val b = batch.toDF().select(col("doc_id"), col("text")).distinct().cache()
-        // the band store's marker is the LAST thing a tick moves, so
-        // "band store caught up" ⇒ the whole tick (pairs included)
-        // landed; anything earlier re-runs idempotently
-        if (b.count() > 0 && BucketStore.appliedBatchId(bandDir) < batchId)
-          graft.operators.Dedup.minhashStoreTick(spark, sigDir, bandDir,
-            pairsDir, b, batchId, nBuckets, threshold, bucketCap)
-        b.unpersist()
-        ()
-      }
-      .start()
-
   def startDedupMaintain(docs: DataFrame, storeDir: String, checkpointDir: String,
-                         nBuckets: Int = BucketStore.DefaultBuckets): org.apache.spark.sql.streaming.StreamingQuery =
+                         nBuckets: Int = BucketStore.DefaultBuckets): StreamingQuery =
     docs.writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession

@@ -96,4 +96,99 @@ class NearDupStoreSpec extends AnyFunSuite {
     val bandUnchanged = bandBefore.filter { case (p, h) => bandAfter.get(p).contains(h) }
     assert(bandUnchanged.nonEmpty, "band store was fully rewritten by the tick")
   }
+
+  test("simhash maintainer: stores ∪ ticks ≡ batch, cross-tick copies found") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("simhash_mv").toString
+    val fpDir = root + "/fp"; val bandDir = root + "/bands"; val pairsDir = root + "/pairs"
+
+    val d1 = "the quick brown fox jumps over the lazy dog by the river tonight"
+    val seed = Seq(
+      1L -> d1,
+      2L -> d1, // exact copy: fingerprint-identical, Hamming 0
+      3L -> "completely unrelated text about cooking pasta with garlic and olive oil",
+      4L -> "another distinct document covering mountain hiking trails in early spring")
+    var corpus = seed
+    graft.operators.Dedup.seedNearDupStores(spark, seed.toDF("doc_id", "text"),
+      graft.operators.Dedup.simhashDetector(6), fpDir, bandDir, nBuckets = 64)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "hamming")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue())).toSet
+    val basePairs = pairsOf(graft.operators.Dedup
+      .simhashOn(spark, seed.toDF("doc_id", "text")))
+    assert(basePairs.exists(p => p._1 == 1L && p._2 == 2L))
+
+    val input = MemoryStream[DocIngest]
+    val q = DocStream.startSimhashMaintain(
+      input.toDF(), fpDir, bandDir, pairsDir, root + "/ckpt")
+    def maintained = basePairs ++ pairsOf(spark.read.parquet(pairsDir))
+    def batchNow = pairsOf(graft.operators.Dedup
+      .simhashOn(spark, corpus.toDF("doc_id", "text")))
+
+    // tick 1: doc 10 exact-copies SEED doc 1; doc 11 unique
+    input.addData(DocIngest(10L, d1),
+      DocIngest(11L, "deep sea creatures glow in the dark abyss far below the surface"))
+    corpus = corpus ++ Seq(10L -> d1,
+      11L -> "deep sea creatures glow in the dark abyss far below the surface")
+    q.processAllAvailable()
+    assert(maintained === batchNow)
+    assert(maintained.exists(p => p._1 == 1L && p._2 == 10L))
+
+    // tick 2: doc 12 exact-copies TICK 1's doc 10 — pair crosses ticks
+    input.addData(DocIngest(12L, d1))
+    corpus = corpus ++ Seq(12L -> d1)
+    q.processAllAvailable()
+    q.stop()
+    assert(maintained === batchNow)
+    assert(maintained.exists(p => p._1 == 10L && p._2 == 12L))
+  }
+
+  test("embed-LSH maintainer: stores ∪ ticks ≡ batch over planted vector copies") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("embedlsh_mv").toString
+    val vecDir = root + "/vec"; val bandDir = root + "/bands"; val pairsDir = root + "/pairs"
+
+    // deterministic 8-dim corpus: distinct one-hot-ish unit vectors;
+    // near-dups are ±0.001 perturbations (cos ≈ 0.99999 ≥ 0.9)
+    def oneHot(i: Int): Seq[Double] = Seq.tabulate(8)(j => if (j == i % 8) 1.0 else 0.0)
+    def nearCopy(v: Seq[Double]): Seq[Double] = v.updated(7, v(7) + 0.001)
+    val seed: Seq[(Long, Seq[Double])] = Seq(
+      1L -> oneHot(0), 2L -> nearCopy(oneHot(0)), // planted base pair
+      3L -> oneHot(1), 4L -> oneHot(2), 5L -> oneHot(3))
+    var corpus = seed
+    graft.operators.Dedup.seedNearDupStores(spark, seed.toDF("vec_id", "embedding"),
+      graft.operators.Dedup.embedLshDetector(0.9), vecDir, bandDir, nBuckets = 64)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b", "cos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val basePairs = pairsOf(graft.operators.Dedup
+      .embedLshOn(spark, seed.toDF("vec_id", "embedding"), 0.9))
+    assert(basePairs.exists(p => p._1 == 1L && p._2 == 2L))
+
+    val input = MemoryStream[VecIngest]
+    val q = DocStream.startEmbedNearDupMaintain(
+      input.toDF(), vecDir, bandDir, pairsDir, root + "/ckpt")
+    def maintained = basePairs ++ pairsOf(spark.read.parquet(pairsDir))
+    def batchNow = pairsOf(graft.operators.Dedup
+      .embedLshOn(spark, corpus.toDF("vec_id", "embedding"), 0.9))
+
+    // tick 1: vec 10 near-copies SEED vec 3; vec 11 unique
+    input.addData(VecIngest(10L, nearCopy(oneHot(1))), VecIngest(11L, oneHot(4)))
+    corpus = corpus ++ Seq(10L -> nearCopy(oneHot(1)), 11L -> oneHot(4))
+    q.processAllAvailable()
+    assert(maintained === batchNow)
+    assert(maintained.exists(p => p._1 == 3L && p._2 == 10L))
+
+    // tick 2: vec 12 near-copies TICK 1's vec 10 — pair crosses ticks
+    input.addData(VecIngest(12L, nearCopy(nearCopy(oneHot(1)))))
+    corpus = corpus ++ Seq(12L -> nearCopy(nearCopy(oneHot(1))))
+    q.processAllAvailable()
+    q.stop()
+    assert(maintained === batchNow)
+    assert(maintained.exists(p => p._1 == 10L && p._2 == 12L))
+  }
 }
+
+case class VecIngest(vec_id: Long, embedding: Seq[Double])
