@@ -388,7 +388,7 @@ object Dedup {
     * `verify` re-checks candidate pairs against the true rows with the
     * detector's exact measure (Jaccard / Hamming / cosine), threshold
     * already bound. Everything else — touched-bucket derivation, hot
-    * lists, staged promotion, replay — is detector-independent, so the
+    * lists, generation publish, replay — is detector-independent, so the
     * continuous maintainer ([[graft.streaming.DocStream
     * .startNearDupMaintain]]) is written once and plugged three times.
     */
@@ -453,8 +453,9 @@ object Dedup {
 
   /** One continuous-maintenance near-dup tick against BucketStore'd
     * row + band stores — the one-shot store queries' semantics with
-    * staged promotion and a replay guard instead of bare appends, so a
-    * crash can never leave the two stores inconsistent as a pair.
+    * atomic generation publishing and a replay guard instead of bare
+    * appends, so a crash can never leave the two stores inconsistent
+    * as a pair.
     * Detector-generic ([[NearDupDetector]]): the same machinery runs
     * MinHash, SimHash, and embedding-LSH maintenance —
     *
@@ -473,9 +474,9 @@ object Dedup {
     *     same content, so the pair log is idempotent;
     *  6. each store takes the delta through
     *     [[graft.streaming.BucketStore.applyTick]] under the SAME
-    *     batch id — staged promotion, marker-lands-last, and a crash
-    *     between the two applies heals on replay (the applied store
-    *     skips, the other catches up).
+    *     batch id — generation write, manifest, then the marker as
+    *     the atomic publish; a crash between the two applies heals on
+    *     replay (the applied store skips, the other catches up).
     *
     * Ingest is append-only (a revised document must arrive as a new
     * id): the band store is keyed by (id, band), and a re-keyed text

@@ -308,8 +308,8 @@ object ItemCF {
     *
     * Store path follows the shared-FS artifacts contract
     * ([[Sampling.curriculumSampleApproxFrozen]]); the seed clears any
-    * previous run's store + staged dirs, so reruns rebuild rather
-    * than replay-skip against a stale marker.
+    * previous run's store dir, so reruns rebuild rather than
+    * replay-skip against a stale marker.
     *
     * Cost note: the measured time is seed + tick — the in-query seed
     * materializes the full unfiltered matrix (two shuffles: the pair
@@ -328,9 +328,10 @@ object ItemCF {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val storeDir = s"$artifactDir/cooc_store_$digest"
-    Seq(storeDir, storeDir + "_staged").foreach { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
+    locally {
+      val hp = new org.apache.hadoop.fs.Path(storeDir)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+      ()
     }
     val base = Tables.interactions(spark, sfDir)
       .select(col("user_id"), col("item_id"), col("ts"))

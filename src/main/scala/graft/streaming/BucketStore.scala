@@ -9,17 +9,23 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * views — the layout that makes a maintenance tick O(delta) in I/O,
   * not just in compute.
   *
-  * The store directory is Hive-partitioned on a stable `bucket`
-  * column derived from the primary key (`pmod(pk, n)` for long keys,
-  * an md5-prefix mod for hash keys). Because the bucket is a pure
-  * function of the key, a tick knows — from its changed rows alone —
-  * exactly which partition directories it touches, and:
+  * Data lives in per-tick GENERATION directories,
+  * `gen-<batchId>/bucket=<i>/part-*.parquet`, and the live state is a
+  * MANIFEST mapping each bucket to the generation that last wrote it.
+  * The current manifest is named by the applied-batch marker, so a
+  * reader resolves (marker → manifest → exact file paths) one
+  * consistent snapshot. Because the bucket is a pure function of the
+  * key (`pmod(pk, n)` for long keys, an md5-prefix mod for hash
+  * keys), a tick knows — from its changed rows alone — exactly which
+  * buckets it touches, and:
   *
-  *  - the merge READ prunes to those buckets (partition pruning on
-  *    `bucket IN (...)`), and
-  *  - the WRITE stages and promotes ONLY those bucket directories;
-  *    untouched buckets are never opened, their files stay
-  *    byte-identical across the tick.
+  *  - the merge READ resolves only those buckets' paths from the
+  *    manifest (untouched buckets are never opened),
+  *  - the WRITE produces one new generation holding ONLY the touched
+  *    buckets' merged rows; untouched buckets keep their existing
+  *    files, byte-identical, in whatever generation last wrote them,
+  *  - a bucket the tick EMPTIES simply drops out of the new manifest —
+  *    tombstones need no directory deletion at publish time.
   *
   * This is the plain-parquet equivalent of a Delta/Iceberg MERGE into
   * a bucketed table: at 100 TB a 15-minute tick cadence must not
@@ -30,44 +36,38 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * The bucket count is part of the on-disk contract: [[seed]] records
   * it (plus the key kind) in a `_graft_store_meta` file and every
   * pruned read / tick apply asserts the caller's count against it —
-  * a mismatched count would silently prune to the wrong directories
+  * a mismatched count would silently prune to the wrong buckets
   * (a changed key's old row surviving in its old bucket while the new
-  * row lands in another), so it fails fast instead. A store without
-  * the meta file (seeded by an older build) is accepted unchecked.
+  * row lands in another), so it fails fast instead.
   *
   * '''Filesystem contract.''' All store I/O — parquet data AND the
-  * marker/manifest/promotion metadata — goes through the Hadoop
-  * `FileSystem` resolved from the store path, so the store runs
-  * wherever Spark can write: local disk, a POSIX-mounted shared FS,
-  * HDFS, or an object store via its Hadoop connector (s3a://, gs://,
-  * abfs://). Caveat for object stores: `rename` there is copy+delete,
-  * not atomic — the roll-forward protocol tolerates a crash
-  * mid-rename (resume deletes the partial destination and re-renames,
-  * [[recover]]), but promotion of a bucket is O(bucket bytes) instead
-  * of O(1), and readers can observe a bucket mid-copy. On HDFS /
-  * POSIX renames are atomic and promotion is metadata-only.
+  * marker/manifest metadata — goes through the Hadoop `FileSystem`
+  * resolved from the store path, so the store runs wherever Spark can
+  * write: local disk, a POSIX-mounted shared FS, HDFS, or an object
+  * store via its Hadoop connector (s3a://, gs://, abfs://). The
+  * publish path uses NO renames at all — a tick writes its generation
+  * dir, writes its manifest, then overwrites the one small marker
+  * file — so object stores get the same atomicity story as HDFS: the
+  * marker PUT is the single publish point.
   *
-  * '''Concurrency contract: single writer, no overlapping readers.'''
-  * One maintainer owns a store (the streaming foreachBatch serializes
-  * ticks); promotion deletes each live bucket dir before renaming the
-  * staged one in, so an independent reader scanning the store DURING
-  * a tick can observe a torn view — a bucket momentarily absent, or a
-  * mix of pre/post-tick buckets. Readers must run between ticks (the
-  * maintainers' own merge reads do — they run inside the tick, before
-  * promotion). A serving surface that needs reader isolation should
-  * copy the store aside (e.g. [[EventStream.promoteStaged]]'s
-  * staged/live swap) or publish store GENERATIONS readers resolve
-  * atomically.
+  * '''Concurrency: single writer, snapshot-isolated readers.''' One
+  * maintainer owns a store (the streaming foreachBatch serializes
+  * ticks). Readers resolve the marker once and from then on touch only
+  * immutable generation files, so a concurrent tick can never show
+  * them a torn view. Generations stay on disk until they are
+  * unreferenced by BOTH the current and the previous manifest
+  * ([[RetainManifests]]), so a reader's snapshot remains fully
+  * readable while at most one tick publishes under it; a reader that
+  * lags further can hit deleted files — a clean read error, never
+  * silently mixed data.
   *
-  * Crash safety is roll-forward: the staged dir is complete (parquet
-  * `_SUCCESS` + batch marker) before promotion starts, each bucket
-  * promotion is a delete + rename, and [[recover]] resumes an
-  * interrupted promotion from whatever bucket it stopped at — the
-  * marker moves into the live store last, so a replayed batch
-  * ([[appliedBatchId]] guard) is skipped only once the whole
-  * promotion landed. An incomplete staged dir (no `_SUCCESS`, or
-  * marker not newer than the store's) is discarded: the live store
-  * was never touched.
+  * Crash safety is roll-BACK + replay: the marker moves only after the
+  * generation dir and manifest are complete, so a crash anywhere
+  * earlier leaves the live snapshot untouched and orphans invisible to
+  * readers. [[recover]] deletes generations and manifests newer than
+  * the marker; the at-least-once source then redelivers the batch
+  * ([[appliedBatchId]] guard admits it — the marker never moved) and
+  * the tick recomputes into the same generation name idempotently.
   */
 private[graft] object BucketStore {
 
@@ -79,9 +79,18 @@ private[graft] object BucketStore {
     */
   val DefaultBuckets = 64
 
+  /** Manifests (and the generations they reference) retained beyond
+    * the current one — the reader-isolation window: a snapshot stays
+    * fully readable while at most `RetainManifests - 1` ticks publish
+    * after it was resolved.
+    */
+  val RetainManifests = 2
+
   private val Marker = "_graft_applied_batch"
-  private val EmptiedManifest = "_graft_emptied_buckets"
   private val MetaFile = "_graft_store_meta"
+  private val ManifestPrefix = "_graft_manifest_"
+  private val GenPrefix = "gen-"
+  private val SeedGen = GenPrefix + "base"
 
   /** Key kind recorded in the store meta (forensics; the count is the
     * asserted part of the contract).
@@ -99,37 +108,42 @@ private[graft] object BucketStore {
     pmod(conv(substring(digest, 1, 4), 16, 10).cast("long"), lit(n)).cast("int")
 
   /** Seed (or fully rebuild) a store: `df` + derived bucket column,
-    * written Hive-partitioned on it, plus the meta file recording the
-    * bucket count `n` (and key `kind`) the bucket expression used.
-    * The SAME bucket expression must be used by every later tick —
-    * the count half of that contract is asserted on every pruned read
-    * and apply.
+    * written Hive-partitioned into the base generation, plus the meta
+    * file recording the bucket count `n` (and key `kind`) the bucket
+    * expression used, plus the seed manifest under marker id -1. The
+    * SAME bucket expression must be used by every later tick — the
+    * count half of that contract is asserted on every pruned read and
+    * apply.
     */
   def seed(df: DataFrame, bucket: Column, dir: String, n: Int,
            kind: String = KindLong): Unit = {
+    val (fs, p) = fsFor(dir)
+    fs.delete(p, true)
     df.withColumn(BucketCol, bucket)
       .repartition(col(BucketCol))
-      .write.partitionBy(BucketCol).mode("overwrite").parquet(dir)
-    val (fs, p) = fsFor(dir)
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$dir/$SeedGen")
     writeSmall(fs, new HPath(p, MetaFile), s"n=$n\nkind=$kind\n")
+    writeManifest(fs, p, -1L,
+      presentBuckets(s"$dir/$SeedGen").toSeq.sorted.map(_ -> SeedGen))
   }
 
-  /** Full store read, bucket column dropped (storage concern only). */
+  /** Full store read at the CURRENT snapshot, bucket column dropped
+    * (storage concern only). The snapshot is resolved once, here;
+    * the returned frame touches only immutable generation files.
+    */
   def readAll(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir).drop(BucketCol)
+    resolve(spark, dir, None).drop(BucketCol)
 
-  /** Pruned read of only the named buckets — partition pruning keeps
-    * the scan to those directories; untouched buckets are never
+  /** Pruned read of only the named buckets — the manifest resolves
+    * them to exact generation paths; untouched buckets are never
     * opened. `n` is the caller's bucket count, asserted against the
     * store meta: bucket ids computed with a different count would
-    * prune to the wrong directories.
+    * prune to the wrong buckets.
     */
   def readBuckets(spark: SparkSession, dir: String, buckets: Seq[Int],
                   n: Int): DataFrame = {
     requireBucketCount(dir, n)
-    spark.read.parquet(dir)
-      .where(col(BucketCol).isin(buckets.map(Integer.valueOf): _*))
-      .drop(BucketCol)
+    resolve(spark, dir, Some(buckets)).drop(BucketCol)
   }
 
   /** Distinct bucket ids of a single-column `bucket` frame. The
@@ -143,29 +157,39 @@ private[graft] object BucketStore {
     * touched key (bucket column included); `removed` optionally names
     * keys whose post-merge state is GONE (CDC tombstones — bucket
     * column included). Reads the touched buckets' current rows,
-    * carries over rows the tick neither changed nor removed, and
-    * promotes ONLY those bucket directories. An emptied-buckets
-    * manifest travels with the staged dir so promotion also clears a
-    * bucket the tick emptied entirely (all rows deleted → no staged
-    * dir for it, but its live dir must still go). Skips (and is a
-    * no-op) when `batchId` was already applied — the caller should
-    * still guard on [[appliedBatchId]] to skip its merge compute too.
-    * `n` is the caller's bucket count, asserted against the store
-    * meta before anything is read or staged.
+    * carries over rows the tick neither changed nor removed, writes
+    * the merged touched buckets as generation `gen-<batchId>`, and
+    * publishes manifest + marker. A bucket the tick emptied simply
+    * has no rows in the new generation and drops out of the manifest.
+    * Skips (and is a no-op) when `batchId` was already applied — the
+    * caller should still guard on [[appliedBatchId]] to skip its
+    * merge compute too. `n` is the caller's bucket count, asserted
+    * against the store meta before anything is read or written.
     */
   def applyTick(spark: SparkSession, dir: String, changes: DataFrame,
                 keyCols: Seq[String], batchId: Long, n: Int,
                 removed: Option[DataFrame] = None): Unit = {
-    val staged = dir + "_staged"
-    if (appliedBatchId(dir) >= batchId) return
+    val prevId = appliedBatchId(dir)
+    if (prevId >= batchId) return
     requireBucketCount(dir, n)
+    val (fs, p) = fsFor(dir)
+    val prevManifest = readManifest(fs, p, prevId)
     val ch = changes.cache()
     val rm = removed.map(_.cache())
     val touched = touchedBuckets(
       rm.map(r => ch.select(col(BucketCol)).unionByName(r.select(col(BucketCol))))
         .getOrElse(ch.select(col(BucketCol))))
-    val old = spark.read.parquet(dir)
-      .where(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
+    if (touched.isEmpty) {
+      // an all-duplicate tick changes nothing but must still advance
+      // the marker, or the replay guard would re-run it forever
+      writeManifest(fs, p, batchId, prevManifest.toSeq.sortBy(_._1))
+      writeMarker(dir, batchId)
+      gc(fs, p, dir, Seq(batchId, prevId))
+      ch.unpersist(); rm.foreach(_.unpersist())
+      return
+    }
+    val old = selectOrEmpty(spark, dir, prevManifest,
+      prevManifest.filter { case (b, _) => touched.contains(b) })
     // carry-over: touched-bucket rows the tick neither changed nor
     // removed. The changed-key side is delta-sized — size-gated
     // broadcast at the conservative (string-key) row cap, same
@@ -178,18 +202,107 @@ private[graft] object BucketStore {
           graft.operators.Hints.DeltaBroadcastMaxRowsMd5),
         keyCols, "left_anti")
       .unionByName(ch)
+    val gen = GenPrefix + batchId
     merged.repartition(col(BucketCol))
-      .write.partitionBy(BucketCol).mode("overwrite").parquet(staged)
-    // manifest = touched buckets the write produced NO dir for (every
-    // row deleted): promotion must clear their live dirs. Listed
-    // separately from the staged dirs because a resumed promotion
-    // cannot tell an already-moved bucket from an emptied one.
-    writeManifest(staged, touched.filterNot(presentBuckets(staged).contains))
-    writeMarker(staged, batchId)
-    promote(dir)
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$dir/$gen")
+    // new manifest: touched buckets move to this generation iff the
+    // write produced rows for them (emptied buckets drop out);
+    // untouched buckets keep their previous generation
+    val newManifest = (prevManifest -- touched) ++
+      presentBuckets(s"$dir/$gen").map(_ -> gen)
+    writeManifest(fs, p, batchId, newManifest.toSeq.sortBy(_._1))
+    // the publish point: one small-file overwrite, no renames —
+    // everything above is invisible to readers until this lands
+    writeMarker(dir, batchId)
+    gc(fs, p, dir, Seq(batchId, prevId))
     ch.unpersist(); rm.foreach(_.unpersist())
     ()
   }
+
+  /** Roll an interrupted tick BACK: generations and manifests newer
+    * than the marker are leftovers of a crash before publish — the
+    * live snapshot never included them; delete them and let the
+    * source's replay recompute the batch (the [[appliedBatchId]]
+    * guard admits it, and the generation write is idempotent). Call
+    * before every tick and at startup.
+    */
+  def recover(dir: String): Unit = {
+    val (fs, p) = fsFor(dir)
+    if (!fs.exists(p)) return
+    val applied = appliedBatchId(dir)
+    fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith(GenPrefix) && name != SeedGen &&
+          genId(name).exists(_ > applied))
+        fs.delete(st.getPath, true)
+      else if (!st.isDirectory && name.startsWith(ManifestPrefix) &&
+          scala.util.Try(name.stripPrefix(ManifestPrefix).toLong).toOption
+            .exists(_ > applied))
+        fs.delete(st.getPath, false)
+    }
+  }
+
+  /** Batch id recorded in the store (-1 before the first tick) — the
+    * name of the current manifest. The underscore-prefixed marker
+    * file is invisible to Spark's readers.
+    */
+  def appliedBatchId(dir: String): Long = {
+    val (fs, p) = fsFor(dir)
+    readSmall(fs, new HPath(p, Marker)).map(_.trim.toLong).getOrElse(-1L)
+  }
+
+  // ---------------------------------------------------------------
+  // snapshot resolution
+
+  /** The current snapshot's bucket → generation map (marker read
+    * once; the map references only immutable files).
+    */
+  private def currentManifest(dir: String): Map[Int, String] = {
+    val (fs, p) = fsFor(dir)
+    readManifest(fs, p, appliedBatchId(dir))
+  }
+
+  /** Read the selected (or all) buckets of the current snapshot,
+    * bucket column preserved.
+    */
+  private def resolve(spark: SparkSession, dir: String,
+                      buckets: Option[Seq[Int]]): DataFrame = {
+    val m = currentManifest(dir)
+    selectOrEmpty(spark, dir, m,
+      buckets.map(bs => m.filter { case (b, _) => bs.contains(b) }).getOrElse(m))
+  }
+
+  /** [[selectPaths]] that degrades to a SCHEMA-CORRECT empty frame
+    * when the selection is empty (a pruned read of buckets the store
+    * has never held — routine for a tick introducing brand-new
+    * buckets): schema off any live bucket, or off the seed
+    * generation's parquet footer when the manifest itself is empty. A
+    * store that never held a row cannot serve a schema (unchanged
+    * from the Hive-discovery layout, which had the same edge).
+    */
+  private def selectOrEmpty(spark: SparkSession, dir: String,
+                            m: Map[Int, String], sel: Map[Int, String]): DataFrame =
+    if (sel.nonEmpty) selectPaths(spark, dir, sel)
+    else if (m.nonEmpty) selectPaths(spark, dir, m.take(1)).limit(0)
+    else spark.read.parquet(s"$dir/$SeedGen").limit(0)
+
+  /** One DataFrame over exact bucket paths, grouped per generation so
+    * Spark's partition discovery (basePath = the generation dir)
+    * restores the bucket column. Plan width is bounded by the number
+    * of DISTINCT generations among the selected buckets — at most
+    * min(selected, retained-tick count), and a re-seed collapses it
+    * to one.
+    */
+  private def selectPaths(spark: SparkSession, dir: String,
+                          sel: Map[Int, String]): DataFrame =
+    sel.groupBy(_._2).map { case (gen, bs) =>
+      spark.read
+        .option("basePath", s"$dir/$gen")
+        .parquet(bs.keys.toSeq.sorted.map(b => s"$dir/$gen/$BucketCol=$b"): _*)
+    }.reduce(_ unionByName _)
+
+  // ---------------------------------------------------------------
+  // metadata I/O (all through the Hadoop FileSystem of the store path)
 
   /** Hadoop FileSystem + path for a store dir — resolved from the
     * path's scheme against the session's Hadoop conf, so file:/,
@@ -204,6 +317,9 @@ private[graft] object BucketStore {
     val p = new HPath(dir)
     (p.getFileSystem(conf), p)
   }
+
+  private def genId(name: String): Option[Long] =
+    scala.util.Try(name.stripPrefix(GenPrefix).toLong).toOption
 
   private def readSmall(fs: FileSystem, p: HPath): Option[String] =
     if (fs.exists(p)) {
@@ -234,20 +350,14 @@ private[graft] object BucketStore {
           "wrong directories and silently duplicate keys"))
   }
 
-  private def presentBuckets(dir: String): Set[Int] = {
-    val (fs, p) = fsFor(dir)
-    fs.listStatus(p)
+  /** Bucket ids present as partition dirs inside one generation. */
+  private def presentBuckets(genDir: String): Set[Int] = {
+    val (fs, p) = fsFor(genDir)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(BucketCol + "="))
       .map(_.getPath.getName.stripPrefix(BucketCol + "=").toInt)
       .toSet
-  }
-
-  /** Batch id recorded in the store (-1 before the first tick). The
-    * underscore-prefixed marker file is invisible to Spark's readers.
-    */
-  def appliedBatchId(dir: String): Long = {
-    val (fs, p) = fsFor(dir)
-    readSmall(fs, new HPath(p, Marker)).map(_.trim.toLong).getOrElse(-1L)
   }
 
   private def writeMarker(dir: String, batchId: Long): Unit = {
@@ -255,68 +365,38 @@ private[graft] object BucketStore {
     writeSmall(fs, new HPath(p, Marker), batchId.toString)
   }
 
-  private def writeManifest(dir: String, emptied: Seq[Int]): Unit = {
-    val (fs, p) = fsFor(dir)
-    writeSmall(fs, new HPath(p, EmptiedManifest), emptied.mkString("\n"))
-  }
+  private def readManifest(fs: FileSystem, p: HPath, id: Long): Map[Int, String] =
+    readSmall(fs, new HPath(p, ManifestPrefix + id))
+      .map(_.split("\n").filter(_.nonEmpty).map { line =>
+        val Array(b, g) = line.split("\t", 2)
+        b.toInt -> g
+      }.toMap)
+      .getOrElse(Map.empty)
 
-  /** Promote a complete staged tick: move each staged bucket dir over
-    * its live twin (delete + rename), clear the live dirs the
-    * manifest marks as EMPTIED by the tick (all rows deleted — no
-    * staged dir exists for them), then move the marker in, then drop
-    * the staged dir. Idempotent — a crash at any point resumes here
-    * via [[recover]]: already-promoted buckets are simply absent from
-    * the staged dir, re-clearing an emptied bucket is a no-op, and on
-    * an object store a crash mid-(copy+delete)-rename is healed by
-    * the resume's delete-then-rename of the same bucket.
+  private def writeManifest(fs: FileSystem, p: HPath, id: Long,
+                            entries: Seq[(Int, String)]): Unit =
+    writeSmall(fs, new HPath(p, ManifestPrefix + id),
+      entries.map { case (b, g) => s"$b\t$g" }.mkString("\n"))
+
+  /** Drop generations and manifests outside the retention window:
+    * keep the manifests in `keepIds` (current + previous) and every
+    * generation either of them references — plus the current tick's
+    * own generation (it may be empty and thus unreferenced). Runs
+    * after publish; a crash mid-gc just leaves garbage the next
+    * tick's gc sweeps.
     */
-  private def promote(dir: String): Unit = {
-    val (fs, live) = fsFor(dir)
-    val staged = new HPath(dir + "_staged")
-    require(fs.exists(new HPath(staged, "_SUCCESS")),
-      s"staged store $staged incomplete (no _SUCCESS)")
-    fs.listStatus(staged)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(BucketCol + "="))
-      .foreach { st =>
-        val liveBd = new HPath(live, st.getPath.getName)
-        fs.delete(liveBd, true)
-        require(fs.rename(st.getPath, liveBd),
-          s"failed to promote staged bucket ${st.getPath} -> $liveBd")
-      }
-    readSmall(fs, new HPath(staged, EmptiedManifest))
-      .foreach(_.split("\n").filter(_.nonEmpty).foreach { b =>
-        fs.delete(new HPath(live, s"$BucketCol=$b"), true)
-      })
-    val sm = new HPath(staged, Marker)
-    if (fs.exists(sm)) {
-      val lm = new HPath(live, Marker)
-      // two-step replace (Hadoop rename does not overwrite): a crash
-      // between delete and rename leaves no live marker, so recover
-      // re-runs this promotion — bucket moves no-op, marker lands
-      fs.delete(lm, false)
-      require(fs.rename(sm, lm), s"failed to move marker $sm -> $lm")
+  private def gc(fs: FileSystem, p: HPath, dir: String, keepIds: Seq[Long]): Unit = {
+    val referenced = keepIds.flatMap(id => readManifest(fs, p, id).values).toSet +
+      (GenPrefix + keepIds.head)
+    val keepManifests = keepIds.map(ManifestPrefix + _).toSet
+    fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith(GenPrefix) && !referenced.contains(name))
+        fs.delete(st.getPath, true)
+      else if (!st.isDirectory && name.startsWith(ManifestPrefix) &&
+          !keepManifests.contains(name))
+        fs.delete(st.getPath, false)
     }
-    fs.delete(staged, true)
     ()
-  }
-
-  /** Roll an interrupted tick forward (staged dir complete and newer
-    * than the store → finish its promotion) or discard it (staged dir
-    * incomplete → the live store was never touched). Call before
-    * every tick and at startup.
-    */
-  def recover(dir: String): Unit = {
-    val (fs, _) = fsFor(dir)
-    val staged = new HPath(dir + "_staged")
-    if (fs.exists(staged)) {
-      val stagedId = readSmall(fs, new HPath(staged, Marker))
-        .map(_.trim.toLong).getOrElse(-1L)
-      if (fs.exists(new HPath(staged, "_SUCCESS")) &&
-          stagedId > appliedBatchId(dir))
-        promote(dir)
-      else
-        fs.delete(staged, true)
-      ()
-    }
   }
 }

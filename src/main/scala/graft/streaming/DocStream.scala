@@ -40,8 +40,8 @@ object DocStream {
     * hashes name the band-store buckets it can collide with before
     * any store read, candidates form only within those buckets, exact
     * verification reads only the candidates' row-store buckets, and
-    * both stores advance through [[BucketStore.applyTick]]'s staged
-    * promotion under the batch id — untouched buckets stay
+    * both stores advance through [[BucketStore.applyTick]]'s atomic
+    * generation publish under the batch id — untouched buckets stay
     * byte-identical, and a crash between the two store applies heals
     * on replay instead of leaving the pair inconsistent (the flaw the
     * one-shot store query's bare appends accept, documented there).

@@ -80,9 +80,9 @@ object EventStream {
     * batch's keys name their buckets up front, the resolution reads
     * only those buckets' current rows
     * ([[graft.operators.Mutations.applyBatchDelta]], work ∝ batch),
-    * and the apply rewrites only those bucket dirs — tombstones
-    * included (a delete that empties a bucket clears its directory via
-    * the staged manifest). On a lake this whole body is one
+    * and the apply publishes only those buckets into a new store
+    * generation — tombstones included (a delete that empties a bucket
+    * drops it from the manifest). On a lake this whole body is one
     * `MERGE INTO` against Delta/Iceberg; the bucket layout is the
     * plain-parquet equivalent.
     *
@@ -115,8 +115,8 @@ object EventStream {
     * batch's keys name the touched buckets up front, the resolution
     * reads only those buckets' current rows
     * ([[graft.operators.Mutations.applyBatchDelta]], work ∝ batch),
-    * and the apply promotes only those bucket dirs, tombstones
-    * included.
+    * and the apply publishes only those buckets into a new store
+    * generation, tombstones included.
     */
   private def cdcMergeTick(spark: SparkSession, snapshot: String, b: DataFrame,
                            batchId: Long, nBuckets: Int): Unit = {
@@ -151,12 +151,13 @@ object EventStream {
     * set ≡ the delta-pair key set
     * ([[graft.operators.ItemCF.coocChangesFromPairs]]), so the
     * touched buckets are known BEFORE any matrix read — the merge
-    * reads only those bucket partitions and the apply rewrites only
-    * those bucket directories; untouched buckets stay byte-identical
-    * (CdcStreamSpec pins it). Replay guard: the applied-batch marker
-    * promotes into the store only after every touched bucket landed,
-    * so an at-least-once redelivery (marker >= batchId) skips the
-    * apply; the facts append re-runs and no-ops via its anti-join.
+    * reads only those bucket partitions and the apply publishes only
+    * those buckets into a new generation; untouched buckets stay
+    * byte-identical (CdcStreamSpec pins it). Replay guard: the
+    * applied-batch marker lands only after the tick's generation and
+    * manifest are complete, so an at-least-once redelivery
+    * (marker >= batchId) skips the apply; the facts append re-runs
+    * and no-ops via its anti-join.
     *
     * @param interactions  streaming (user_id, item_id) new-interaction rows
     * @param factsDir      parquet snapshot of interactions seen so far

@@ -4,20 +4,23 @@ import graft.streaming.BucketStore
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Crash-window behavior of the bucketed store promotion: a COMPLETE
-  * staged tick (parquet `_SUCCESS` + newer batch marker) rolls
-  * FORWARD on recovery — whatever buckets were already promoted,
-  * recovery finishes the rest and lands the marker; an INCOMPLETE
-  * staged dir is discarded and the live store is untouched.
+/** Crash-window behavior of the generation-manifest store protocol:
+  * the marker write is the single publish point, so anything a
+  * crashed tick left behind (generation dir, manifest) is invisible
+  * to readers and rolled BACK by recovery; the at-least-once replay
+  * then recomputes the batch idempotently. Readers resolve
+  * marker → manifest → immutable generation files, so a snapshot
+  * taken before a tick still reads the pre-tick rows after the tick
+  * publishes (retention window: one tick).
   */
 class BucketStoreSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private def storeRows(dir: String): Set[(Long, Long)] =
-    spark.read.parquet(dir).select("k", "v")
+    BucketStore.readAll(spark, dir).select("k", "v")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("recover rolls a complete staged tick forward, discards an incomplete one") {
+  test("recover rolls an unpublished tick back; replayed batch recomputes idempotently") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("bucket_store").toString
     val dir = root + "/store"
@@ -25,44 +28,98 @@ class BucketStoreSpec extends AnyFunSuite {
     BucketStore.seed(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
       BucketStore.longBucket(col("k"), 64), dir, n = 64)
     assert(BucketStore.appliedBatchId(dir) === -1L)
+    assert(storeRows(dir) === Set((1L, 10L), (2L, 20L)))
 
-    // a tick staged but never promoted (crash after the staged write):
-    // bucket 1's merged content + marker + _SUCCESS, live untouched
-    Seq((1L, 11L)).toDF("k", "v")
+    // a tick that died AFTER writing its generation and manifest but
+    // BEFORE the marker: readers never saw it, recovery deletes it
+    Seq((1L, 99L)).toDF("k", "v")
       .withColumn("bucket", BucketStore.longBucket(col("k"), 64))
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").parquet(dir + "_staged")
+      .write.partitionBy("bucket").parquet(dir + "/gen-7")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir + "_staged", "_graft_applied_batch"), "7".getBytes)
+      java.nio.file.Paths.get(dir, "_graft_manifest_7"),
+      "1\tgen-7\n2\tgen-base".getBytes)
+    assert(storeRows(dir) === Set((1L, 10L), (2L, 20L))) // unpublished = invisible
     BucketStore.recover(dir)
-    assert(storeRows(dir) === Set((1L, 11L), (2L, 20L))) // bucket 1 promoted
-    assert(BucketStore.appliedBatchId(dir) === 7L)       // marker landed last
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + "_staged")))
+    assert(BucketStore.appliedBatchId(dir) === -1L)
+    assert(storeRows(dir) === Set((1L, 10L), (2L, 20L)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "gen-7")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_graft_manifest_7")))
 
-    // an incomplete stage (no marker — the tick died mid-write, or the
-    // marker equals the store's): recovery discards it, store intact
-    Seq((2L, 99L)).toDF("k", "v")
-      .withColumn("bucket", BucketStore.longBucket(col("k"), 64))
-      .write.partitionBy("bucket").parquet(dir + "_staged")
-    BucketStore.recover(dir)
+    // the replayed batch then recomputes the same tick for real
+    BucketStore.applyTick(spark, dir,
+      Seq((1L, 11L)).toDF("k", "v")
+        .withColumn("bucket", BucketStore.longBucket(col("k"), 64)),
+      Seq("k"), batchId = 7L, n = 64)
     assert(storeRows(dir) === Set((1L, 11L), (2L, 20L)))
     assert(BucketStore.appliedBatchId(dir) === 7L)
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + "_staged")))
 
-    // applyTick itself honors the replay guard: batchId <= marker no-ops
+    // replay guard: batchId <= marker no-ops
     BucketStore.applyTick(spark, dir,
       Seq((2L, 99L)).toDF("k", "v")
         .withColumn("bucket", BucketStore.longBucket(col("k"), 64)),
       Seq("k"), batchId = 7L, n = 64)
     assert(storeRows(dir) === Set((1L, 11L), (2L, 20L)))
+
     // and a genuinely new tick merges: changed key replaces, new key
-    // lands, untouched bucket carried over
+    // lands, untouched bucket carried over from its old generation
     BucketStore.applyTick(spark, dir,
       Seq((2L, 21L), (66L, 60L)).toDF("k", "v")
         .withColumn("bucket", BucketStore.longBucket(col("k"), 64)),
       Seq("k"), batchId = 8L, n = 64)
     assert(storeRows(dir) === Set((1L, 11L), (2L, 21L), (66L, 60L)))
     assert(BucketStore.appliedBatchId(dir) === 8L)
+  }
+
+  test("a reader's snapshot survives a concurrent tick; retention bounds the window") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bucket_store_mvcc").toString + "/store"
+    BucketStore.seed(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      BucketStore.longBucket(col("k"), 64), dir, n = 64)
+    // resolve a snapshot BEFORE the tick (manifest + file listing are
+    // resolved eagerly at construction)
+    val snapshot = BucketStore.readAll(spark, dir).select("k", "v")
+    BucketStore.applyTick(spark, dir,
+      Seq((1L, 11L)).toDF("k", "v")
+        .withColumn("bucket", BucketStore.longBucket(col("k"), 64)),
+      Seq("k"), batchId = 0L, n = 64)
+    // live readers see the new value; the pre-tick snapshot still
+    // reads the OLD value — its generation files are retained
+    assert(storeRows(dir) === Set((1L, 11L), (2L, 20L)))
+    assert(snapshot.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 10L), (2L, 20L)))
+    // two more ticks on the same bucket push gen-0 out of the
+    // retention window (current + previous manifest) — gc reclaims it
+    BucketStore.applyTick(spark, dir,
+      Seq((1L, 12L)).toDF("k", "v")
+        .withColumn("bucket", BucketStore.longBucket(col("k"), 64)),
+      Seq("k"), batchId = 1L, n = 64)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "gen-0")),
+      "generation referenced by the previous manifest must be retained")
+    BucketStore.applyTick(spark, dir,
+      Seq((1L, 13L)).toDF("k", "v")
+        .withColumn("bucket", BucketStore.longBucket(col("k"), 64)),
+      Seq("k"), batchId = 2L, n = 64)
+    assert(storeRows(dir) === Set((1L, 13L), (2L, 20L)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "gen-0")),
+      "generation outside the retention window was not reclaimed")
+  }
+
+  test("tombstones: an emptied bucket drops out of the manifest at publish") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bucket_store_tomb").toString + "/store"
+    BucketStore.seed(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      BucketStore.longBucket(col("k"), 64), dir, n = 64)
+    // delete key 2 — bucket 2's post-merge state is empty
+    BucketStore.applyTick(spark, dir,
+      spark.emptyDataset[(Long, Long)].toDF("k", "v")
+        .withColumn("bucket", BucketStore.longBucket(col("k"), 64)),
+      Seq("k"), batchId = 0L, n = 64,
+      removed = Some(Seq((2L, 0L)).toDF("k", "v")
+        .select(col("k"), BucketStore.longBucket(col("k"), 64).as("bucket"))))
+    assert(storeRows(dir) === Set((1L, 10L)))
+    assert(BucketStore.appliedBatchId(dir) === 0L)
+    // readBuckets of the emptied bucket: schema-correct empty
+    assert(BucketStore.readBuckets(spark, dir, Seq(2), n = 64).count() === 0L)
   }
 
   test("a tick with a mismatched bucket count fails loudly instead of corrupting the store") {

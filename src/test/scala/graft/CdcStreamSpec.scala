@@ -34,24 +34,27 @@ class CdcStreamSpec extends AnyFunSuite {
       RatingUpdate(3L, 11L, 4.5, false, ts("2024-01-02 00:00:00"), "upsert"))
     q.processAllAvailable()
     // user 2's bucket was untouched by batch 1 — byte-identical files
-    val afterB1 = TestFiles.bucketFileHashes(dir)
-    assert(afterB1.keys.exists(_.startsWith("bucket=2/")))
+    val afterB1 = TestFiles.bucketFileHashes(spark, dir)
+    assert(afterB1.keys.exists(TestFiles.inBucket(_, 2)))
     // batch 2: delete user 2's only row — the tombstone EMPTIES bucket
-    // 2, whose live dir must be cleared via the staged manifest
+    // 2, which must drop out of the published manifest
     input.addData(RatingUpdate(2L, 10L, 0.0, false, ts("2024-01-03 00:00:00"), "delete"))
     q.processAllAvailable()
     q.stop()
 
-    val snap = spark.read.parquet(dir)
+    val snap = graft.streaming.BucketStore.readAll(spark, dir)
       .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("item_id")) -> r.getAs[Double]("rating")).toMap
     assert(snap((1L, 10L)) === 2.0)   // 2.2 normalized to half-star
     assert(snap((3L, 11L)) === 4.5)
     assert(!snap.contains((2L, 10L))) // deleted in batch 2
     assert(snap.size === 2)
-    val afterB2 = TestFiles.bucketFileHashes(dir)
-    assert(!afterB2.keys.exists(_.startsWith("bucket=2/"))) // dir cleared
+    // the emptied bucket is gone from the SNAPSHOT (its old generation
+    // file may persist inside the retention window — readers of the
+    // previous manifest still need it)
+    assert(graft.streaming.BucketStore.readBuckets(spark, dir, Seq(2), 64).count() === 0L)
     // batch 2 touched ONLY bucket 2: buckets 1 and 3 byte-identical
-    val untouched = afterB1.filter { case (p, _) => !p.startsWith("bucket=2/") }
+    val afterB2 = TestFiles.bucketFileHashes(spark, dir)
+    val untouched = afterB1.filter { case (p, _) => !TestFiles.inBucket(p, 2) }
     assert(untouched.nonEmpty)
     untouched.foreach { case (p, h) => assert(afterB2.get(p).contains(h)) }
   }
@@ -77,7 +80,7 @@ class CdcStreamSpec extends AnyFunSuite {
     input.addData(RatingUpdate(1L, 6L, 5.0, false, ts("2024-01-02 00:00:00"), "upsert"))
     q.processAllAvailable()
     assert(!new java.io.File(recsDir).exists())
-    val afterB1 = TestFiles.bucketFileHashes(dir)
+    val afterB1 = TestFiles.bucketFileHashes(spark, dir)
     // batch 2: second mutation crosses retrainEvery=2 → ALS refit + recs written
     input.addData(RatingUpdate(2L, 5L, 4.5, false, ts("2024-01-03 00:00:00"), "upsert"))
     q.processAllAvailable()
@@ -86,12 +89,12 @@ class CdcStreamSpec extends AnyFunSuite {
     // the retrain tick's merge is the CDC bucketed merge, NOT a
     // full-snapshot rewrite: batch 2 touched only user 2's bucket —
     // every other bucket's files must come through byte-identical
-    val afterB2 = TestFiles.bucketFileHashes(dir)
-    val untouched = afterB1.filter { case (p, _) => !p.startsWith("bucket=2/") }
+    val afterB2 = TestFiles.bucketFileHashes(spark, dir)
+    val untouched = afterB1.filter { case (p, _) => !TestFiles.inBucket(p, 2) }
     assert(untouched.nonEmpty)
     untouched.foreach { case (p, h) => assert(afterB2.get(p).contains(h)) }
-    assert(afterB1.filter(_._1.startsWith("bucket=2/")) !==
-      afterB2.filter(_._1.startsWith("bucket=2/")))
+    assert(afterB1.filter(t => TestFiles.inBucket(t._1, 2)) !==
+      afterB2.filter(t => TestFiles.inBucket(t._1, 2)))
 
     val recs = spark.read.parquet(recsDir)
     assert(recs.count() > 0)
@@ -99,7 +102,7 @@ class CdcStreamSpec extends AnyFunSuite {
     // every user in the snapshot got its top-N refresh
     assert(recs.select("user_id").distinct().count() === 8)
     // and the snapshot itself carries both mutations
-    val snap = spark.read.parquet(dir)
+    val snap = graft.streaming.BucketStore.readAll(spark, dir)
     assert(snap.filter(col("user_id") === 2L && col("item_id") === 5L).count() === 1)
   }
 
@@ -121,7 +124,7 @@ class CdcStreamSpec extends AnyFunSuite {
       input.toDF().toDF("user_id", "item_id"), factsDir, matrixDir,
       root + "/ckpt")
 
-    def matrixNow = spark.read.parquet(matrixDir)
+    def matrixNow = graft.streaming.BucketStore.readAll(spark, matrixDir)
       .select("item_a", "item_b", "n_users")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     def batchNow = graft.operators.ItemCF.coocCountsOn(spark.read.parquet(factsDir))
@@ -137,7 +140,7 @@ class CdcStreamSpec extends AnyFunSuite {
     // tick 2 touches only bucket 10 (its one delta pair is (10, 11));
     // bucket 11's files must come through BYTE-IDENTICAL — the tick
     // rewrites touched bucket dirs only, never the whole store
-    val before = TestFiles.bucketFileHashes(matrixDir)
+    val before = TestFiles.bucketFileHashes(spark, matrixDir)
     input.addData((4L, 10L), (4L, 11L))
     q.processAllAvailable()
     // tick 3: ENTIRELY duplicate facts — zero delta pairs, zero
@@ -148,13 +151,13 @@ class CdcStreamSpec extends AnyFunSuite {
     q.stop()
     assert(matrixNow === batchNow)
     assert(matrixNow.contains((10L, 11L, 3L))) // bumped by user 4
-    val after = TestFiles.bucketFileHashes(matrixDir)
-    val untouched11 = before.filter(_._1.startsWith("bucket=11/"))
+    val after = TestFiles.bucketFileHashes(spark, matrixDir)
+    val untouched11 = before.filter(t => TestFiles.inBucket(t._1, 11))
     assert(untouched11.nonEmpty)
     untouched11.foreach { case (path, h) => assert(after.get(path).contains(h)) }
     // and bucket 10 (the touched one) did change
-    assert(before.filter(_._1.startsWith("bucket=10/")) !==
-      after.filter(_._1.startsWith("bucket=10/")))
+    assert(before.filter(t => TestFiles.inBucket(t._1, 10)) !==
+      after.filter(t => TestFiles.inBucket(t._1, 10)))
     // facts snapshot deduplicated both repeats (seed 6 + 3 new)
     assert(spark.read.parquet(factsDir).count() === 9)
     // the applied-batch marker swapped in with the matrix (replay

@@ -39,7 +39,7 @@ class DedupStoreSpec extends AnyFunSuite {
     val input = MemoryStream[DocIngest]
     val q = DocStream.startDedupMaintain(input.toDF(), storeDir, root + "/ckpt")
 
-    def storeNow = spark.read.parquet(storeDir)
+    def storeNow = graft.streaming.BucketStore.readAll(spark, storeDir)
       .select("text_md5", "keep_doc_id", "n_copies")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     def batchNow = corpus.toDF("doc_id", "text")
@@ -65,11 +65,11 @@ class DedupStoreSpec extends AnyFunSuite {
     // group (keeper 11 from the PREVIOUS tick must survive). Only the
     // buckets of those two content hashes may be rewritten — every
     // other bucket's files must come through BYTE-IDENTICAL
-    val before = TestFiles.bucketFileHashes(storeDir)
+    val before = TestFiles.bucketFileHashes(spark, storeDir)
     val touched2 = Seq("alpha beta gamma", "iota kappa").map { t =>
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      s"bucket=${java.lang.Long.parseLong(d.take(4), 16) % 64}/"
+      (java.lang.Long.parseLong(d.take(4), 16) % 64).toInt
     }.toSet
     input.addData(DocIngest(12L, "alpha beta gamma"), DocIngest(13L, "iota kappa"))
     corpus ++= Seq((12L, "alpha beta gamma"), (13L, "iota kappa"))
@@ -78,8 +78,8 @@ class DedupStoreSpec extends AnyFunSuite {
     assert(storeNow === batchNow)
     assert(storeNow.find(_._2 == 1L).get._3 === 4L)
     assert(storeNow.exists(t => t._2 == 11L && t._3 == 2L))
-    val after = TestFiles.bucketFileHashes(storeDir)
-    val untouched = before.filter { case (p, _) => !touched2.exists(p.startsWith) }
+    val after = TestFiles.bucketFileHashes(spark, storeDir)
+    val untouched = before.filter { case (p, _) => !touched2.exists(TestFiles.inBucket(p, _)) }
     assert(untouched.nonEmpty) // the seed's other groups live elsewhere
     untouched.foreach { case (path, h) => assert(after.get(path).contains(h)) }
 

@@ -68,8 +68,8 @@ class NearDupStoreSpec extends AnyFunSuite {
 
     // tick 2: doc 12 near-copies TICK 1's doc 10 (the pair crosses two
     // ticks — neither side is a seed doc), doc 13 is unique
-    val sigBefore = TestFiles.bucketFileHashes(sigDir)
-    val bandBefore = TestFiles.bucketFileHashes(bandDir)
+    val sigBefore = TestFiles.bucketFileHashes(spark, sigDir)
+    val bandBefore = TestFiles.bucketFileHashes(spark, bandDir)
     val d12 = d10.replace("quick", "sly")
     input.addData(DocIngest(12L, d12),
       DocIngest(13L, "ancient library manuscripts preserved under glass in the museum hall"))
@@ -86,13 +86,13 @@ class NearDupStoreSpec extends AnyFunSuite {
     // files must come through byte-identical, and the band store must
     // not have been fully rewritten (its touched buckets are the
     // delta's ≤ 2×16 band hashes)
-    val sigAfter = TestFiles.bucketFileHashes(sigDir)
+    val sigAfter = TestFiles.bucketFileHashes(spark, sigDir)
     val sigUntouched = sigBefore.filter { case (p, _) =>
-      !p.startsWith("bucket=12/") && !p.startsWith("bucket=13/") }
+      !TestFiles.inBucket(p, 12) && !TestFiles.inBucket(p, 13) }
     assert(sigUntouched.nonEmpty)
     sigUntouched.foreach { case (p, h) => assert(sigAfter.get(p).contains(h)) }
-    assert(sigAfter.keys.exists(_.startsWith("bucket=12/")))
-    val bandAfter = TestFiles.bucketFileHashes(bandDir)
+    assert(sigAfter.keys.exists(TestFiles.inBucket(_, 12)))
+    val bandAfter = TestFiles.bucketFileHashes(spark, bandDir)
     val bandUnchanged = bandBefore.filter { case (p, h) => bandAfter.get(p).contains(h) }
     assert(bandUnchanged.nonEmpty, "band store was fully rewritten by the tick")
   }
