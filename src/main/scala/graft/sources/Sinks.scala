@@ -48,33 +48,28 @@ object Sinks {
     * for recovery — same protocol as the CDC snapshot writer.
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20): Unit = {
-    val dir = new java.io.File(path)
-    val onDisk = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    // size from the directory's actual (compressed) bytes, via the
+    // path's own Hadoop FileSystem — works on local disk, HDFS, and
+    // object-store connectors alike
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(live)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(onDisk.toDouble / targetBytes).toInt)
-    val staged = path + "_staged"
+    val staged = new org.apache.hadoop.fs.Path(path + "_staged")
     spark.read.parquet(path)
       .repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(staged)
-    // Files.move THROWS on failure (File.renameTo only returns false,
-    // and ignoring it could delete the sole surviving copy); a crash
-    // between the two moves leaves _old or _staged intact for manual
-    // recovery, never zero copies
-    val fs = java.nio.file.FileSystems.getDefault
-    val live = fs.getPath(path)
-    val old = fs.getPath(path + "_old")
-    deleteRecursively(old)
-    java.nio.file.Files.move(live, old)
-    java.nio.file.Files.move(fs.getPath(staged), live)
-    deleteRecursively(old)
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
+      .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    // a failed rename must THROW (ignoring it could delete the sole
+    // surviving copy); a crash between the two moves leaves _old or
+    // _staged intact for manual recovery, never zero copies
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"failed to move $live aside")
+    require(fs.rename(staged, live), s"failed to promote $staged -> $live")
+    fs.delete(old, true)
+    ()
   }
 
   /** The reference's redis export shape (estimator.persist:81-99):

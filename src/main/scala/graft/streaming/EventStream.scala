@@ -286,12 +286,23 @@ object EventStream {
       .start()
   }
 
-  private[streaming] def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
+  /** Hadoop FileSystem + path for a snapshot dir — resolved from the
+    * path's scheme against the session's Hadoop conf (same resolution
+    * as [[BucketStore]]'s metadata I/O), so the swap protocol runs on
+    * file:/, a mounted shared FS, hdfs://, or an object-store
+    * connector. On object stores the renames are copy+delete, not
+    * atomic — the _SUCCESS guard + [[recoverSnapshot]] still yield a
+    * complete snapshot, but a whole-dir swap there is O(bytes);
+    * prefer the [[BucketStore]] generation protocol for anything
+    * large.
+    */
+  private def hadoopFs(path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(conf), p)
   }
 
   /** Promote any staged directory → live: rename live aside, rename
@@ -302,16 +313,19 @@ object EventStream {
     * missing live dir (first-ever write of e.g. the recs export).
     */
   private[streaming] def promoteStaged(path: String): Unit = {
-    val fs = java.nio.file.FileSystems.getDefault
-    val live = fs.getPath(path)
-    val staged = fs.getPath(path + "_staged")
-    val old = fs.getPath(path + "_old")
-    require(java.nio.file.Files.exists(staged.resolve("_SUCCESS")),
+    val (fs, live) = hadoopFs(path)
+    val staged = new org.apache.hadoop.fs.Path(path + "_staged")
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    require(fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS")),
       s"staged dir $staged incomplete (no _SUCCESS)")
-    deleteRecursively(old)
-    if (java.nio.file.Files.exists(live)) java.nio.file.Files.move(live, old)
-    java.nio.file.Files.move(staged, live)
-    deleteRecursively(old)
+    fs.delete(old, true)
+    // rename failure must THROW (silently losing it could delete the
+    // sole surviving copy on the trailing delete)
+    if (fs.exists(live))
+      require(fs.rename(live, old), s"failed to move $live aside")
+    require(fs.rename(staged, live), s"failed to promote $staged -> $live")
+    fs.delete(old, true)
+    ()
   }
 
   /** Crash recovery: if the live dir is missing, promote the completed
@@ -320,16 +334,14 @@ object EventStream {
     * restarted query always reads a complete base snapshot.
     */
   private[streaming] def recoverSnapshot(snapshot: String): Unit = {
-    val fs = java.nio.file.FileSystems.getDefault
-    val live = fs.getPath(snapshot)
-    val staged = fs.getPath(snapshot + "_staged")
-    val old = fs.getPath(snapshot + "_old")
-    if (!java.nio.file.Files.exists(live)) {
-      if (java.nio.file.Files.exists(staged.resolve("_SUCCESS"))) {
-        java.nio.file.Files.move(staged, live)
-      } else if (java.nio.file.Files.exists(old)) {
-        java.nio.file.Files.move(old, live)
-      }
+    val (fs, live) = hadoopFs(snapshot)
+    val staged = new org.apache.hadoop.fs.Path(snapshot + "_staged")
+    val old = new org.apache.hadoop.fs.Path(snapshot + "_old")
+    if (!fs.exists(live)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS")))
+        require(fs.rename(staged, live), s"failed to recover $staged -> $live")
+      else if (fs.exists(old))
+        require(fs.rename(old, live), s"failed to restore $old -> $live")
     }
   }
 
