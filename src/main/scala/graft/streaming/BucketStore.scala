@@ -245,21 +245,55 @@ private[graft] object BucketStore {
   /** Batch id recorded in the store (-1 before the first tick) — the
     * name of the current manifest. The underscore-prefixed marker
     * file is invisible to Spark's readers.
+    *
+    * The marker is overwritten in place (the atomic-PUT publish), and
+    * on HDFS/POSIX an in-place overwrite can expose a momentarily
+    * EMPTY file to a concurrent reader. A missing marker legitimately
+    * means -1 (pre-first-tick), but unparseable content must NOT —
+    * silently mapping it to -1 would void the replay guard (double
+    * apply) or resolve a reader to the wrong manifest. So: retry the
+    * glimpse briefly, then fail loudly.
     */
   def appliedBatchId(dir: String): Long = {
     val (fs, p) = fsFor(dir)
-    readSmall(fs, new HPath(p, Marker)).map(_.trim.toLong).getOrElse(-1L)
+    val mp = new HPath(p, Marker)
+    var attempt = 0
+    while (true) {
+      readSmall(fs, mp) match {
+        case None => return -1L
+        case Some(s) =>
+          scala.util.Try(s.trim.toLong).toOption match {
+            case Some(id) => return id
+            case None =>
+              attempt += 1
+              require(attempt < 20,
+                s"marker $mp unreadable after $attempt attempts (content ${s.length} bytes)")
+              Thread.sleep(25)
+          }
+      }
+    }
+    -1L // unreachable
   }
 
   // ---------------------------------------------------------------
   // snapshot resolution
 
   /** The current snapshot's bucket → generation map (marker read
-    * once; the map references only immutable files).
+    * once; the map references only immutable files). A published
+    * marker whose manifest FILE is missing is a protocol violation
+    * (torn store, or a reader lagging past the retention window) and
+    * fails loudly — returning an empty map there would silently
+    * present an empty store.
     */
   private def currentManifest(dir: String): Map[Int, String] = {
     val (fs, p) = fsFor(dir)
-    readManifest(fs, p, appliedBatchId(dir))
+    val id = appliedBatchId(dir)
+    val m = readManifest(fs, p, id)
+    if (m.isEmpty && id >= 0)
+      require(fs.exists(new HPath(p, ManifestPrefix + id)),
+        s"store $dir: marker names batch $id but its manifest is missing — " +
+          "torn store or reader lagging past the retention window")
+    m
   }
 
   /** Read the selected (or all) buckets of the current snapshot,

@@ -122,6 +122,20 @@ class BucketStoreSpec extends AnyFunSuite {
     assert(BucketStore.readBuckets(spark, dir, Seq(2), n = 64).count() === 0L)
   }
 
+  test("a corrupt marker fails loudly; a missing marker means pre-first-tick") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bucket_store_marker").toString + "/store"
+    BucketStore.seed(Seq((1L, 10L)).toDF("k", "v"),
+      BucketStore.longBucket(col("k"), 64), dir, n = 64)
+    assert(BucketStore.appliedBatchId(dir) === -1L) // missing marker = -1
+    // an EMPTY marker (the in-place-overwrite glimpse) must never be
+    // silently read as -1 — that would void the replay guard
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_graft_applied_batch"), Array.empty[Byte])
+    val e = intercept[IllegalArgumentException] { BucketStore.appliedBatchId(dir) }
+    assert(e.getMessage.contains("unreadable"))
+  }
+
   test("a tick with a mismatched bucket count fails loudly instead of corrupting the store") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bucket_store_meta").toString + "/store"
