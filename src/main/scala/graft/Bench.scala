@@ -19,12 +19,11 @@ object Bench {
     "q_implicit_backfill", "q_events_window", "q_sessionize", "q_interval_join",
     "q5_nation", "q1_rollup", "q_moving_avg", "q_events_props", "q_asof_join",
     "q_skew_join",
-    // q_item_cooc_store stays OUT of the headline (same reasoning as
-    // the ML sweeps): it seeds the full 12M-row unfiltered matrix into
-    // the bucketed store in-query — two materializations of the store
-    // to measure one tick — and at this SF the delta's pair spread
-    // touches every bucket. It is a store-LIFECYCLE demo gated by its
-    // oracle; the tick-vs-batch timing story is IvmTimingSpec's.
+    // q_item_cooc_store AND q_ratings_cdc_store stay OUT of the
+    // headline (same reasoning as the ML sweeps): each seeds a full
+    // bucketed store in-query — two materializations of the store to
+    // measure one tick. They are store-LIFECYCLE demos gated by their
+    // oracles; the tick-vs-batch timing story is IvmTimingSpec's.
     "q_item_cooc", "q_item_cooc_inc", "q_item_sim", "q_user_sim",
     "q_item_cf_recs", "q_recs_serve",
     "q_user_mutations", "text_tfidf",

@@ -134,6 +134,11 @@ object SparkEntry {
     "q_user_sim"     -> ((s, d) => ItemCF.userSimilarity(s, d)),
     "q_recs_serve"   -> ((s, d) => Serving.recsServe(s, d)),
     "q_user_mutations" -> ((s, d) => graft.operators.Mutations.userMutationsSnapshot(s, d)),
+    // the CDC snapshot lifecycle through a REAL BucketStore: seeds,
+    // runs the streaming maintainer's own merge tick (tombstones
+    // empty bucket 5), reads the store back — hash-gated vs a plain
+    // SQL merge of the same batch
+    "q_ratings_cdc_store" -> ((s, d) => graft.operators.Mutations.cdcSnapshotStore(s, d)),
     "text_tfidf"     -> ((s, d) => TextAnalysis.tfIdf(s, d)),
     // — deterministic sampling —
     "q_sample_hash"     -> ((s, d) => Sampling.sampleDocs(s, d)),
@@ -904,6 +909,40 @@ object SparkEntry {
          |SELECT m.user_id, m.name, m.segment,
          |  coalesce(c.n, 0) AS n_ratings
          |FROM merged m LEFT JOIN counts c ON m.user_id = c.user_id""".stripMargin,
+
+    // the CDC-through-the-bucketed-store lifecycle: the oracle merges
+    // the same data-derived batch in plain SQL (union + latest-wins
+    // window + tombstone filter) — the Spark side runs the streaming
+    // maintainer's own tick against a real BucketStore and reads the
+    // store back, so rows+schema+hash gate the whole store regime,
+    // emptied-bucket tombstones included
+    "q_ratings_cdc_store" ->
+      s"""$I, batch AS (
+         |  SELECT user_id, item_id, CAST(NULL AS DOUBLE) AS rating,
+         |    FALSE AS is_implicit, DATE '2005-01-01' AS ts, 'delete' AS op
+         |  FROM interactions WHERE user_id % 64 = 5 OR user_id % 97 = 0
+         |  UNION ALL
+         |  SELECT user_id, item_id, 6.0 - rating AS rating, is_implicit,
+         |    DATE '2005-01-01' AS ts, 'upsert' AS op
+         |  FROM interactions WHERE user_id % 89 = 0 AND user_id % 64 <> 5
+         |  UNION ALL
+         |  SELECT user_id, item_id + 10000000 AS item_id, 4.6 AS rating,
+         |    TRUE AS is_implicit, DATE '2005-01-01' AS ts, 'upsert' AS op
+         |  FROM interactions WHERE user_id % 101 = 0 AND user_id % 64 <> 5),
+         |unioned AS (
+         |  SELECT user_id, item_id, rating, is_implicit, ts, 'upsert' AS op
+         |  FROM interactions
+         |  UNION ALL
+         |  SELECT user_id, item_id,
+         |    least(5.0, greatest(0.5, round(rating * 2.0) / 2.0)) AS rating,
+         |    is_implicit, ts, op FROM batch),
+         |merged AS (
+         |  SELECT user_id, item_id, rating, is_implicit, ts FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id, item_id
+         |      ORDER BY ts DESC, op DESC) AS rn FROM unioned)
+         |  WHERE rn = 1 AND op <> 'delete')
+         |SELECT user_id, item_id, rating, is_implicit,
+         |  strftime(ts, '%Y-%m-%d') AS ts_day FROM merged""".stripMargin,
 
     "text_tfidf" ->
       """WITH tokens AS (

@@ -155,6 +155,80 @@ object Mutations {
         coalesce(col("n_ratings"), lit(0L)).as("n_ratings"))
   }
 
+  /** Oracle-gated CDC snapshot lifecycle through the bucketed store
+    * (`q_ratings_cdc_store`) — the ratings twin of
+    * [[graft.operators.ItemCF.coocIncrementalStore]], and the
+    * HASH-GATED proof of the regime
+    * [[graft.streaming.EventStream.startCdcApply]] runs: the ratings
+    * fact is seeded into a [[graft.streaming.BucketStore]] on
+    * `pmod(user_id, nBuckets)`, one deterministic data-derived CDC
+    * batch applies through the maintainer's OWN tick body
+    * ([[graft.streaming.EventStream.cdcMergeTick]] — pruned
+    * touched-bucket read, [[applyBatchDelta]], tombstoned
+    * `applyTick`), and the result is the post-apply store read back
+    * from disk. Oracle = the same batch merged in plain SQL
+    * (union + latest-wins window + tombstone filter).
+    *
+    * The batch exercises every CDC path, including the one the
+    * streaming specs can only spec-gate:
+    *  - `user_id % nBuckets = 5` → delete ALL of those users' rows:
+    *    bucket 5 is EMPTIED, so the tick must drop it from the
+    *    manifest (the tombstone-manifest path, now value-checked);
+    *  - `user_id % 97 = 0` → spread deletes across buckets;
+    *  - `user_id % 89 = 0` (outside bucket 5) → re-rate upserts,
+    *    including same-ts delete/upsert conflicts on `% 97` overlaps
+    *    (upsert wins, op-desc tie-break — both sides);
+    *  - `user_id % 101 = 0` (outside bucket 5) → brand-new keys
+    *    (`item_id + 10M`), the insert path.
+    *
+    * `ts` returns as a formatted day string so the date round-trips
+    * engine-independently. Store path follows the shared-FS artifacts
+    * contract; the seed clears any previous run's store, so reruns
+    * rebuild rather than replay-skip against a stale marker.
+    */
+  def cdcSnapshotStore(spark: SparkSession, sfDir: String, nBuckets: Int = 64,
+      artifactDir: String = "target/graft-artifacts"): DataFrame = {
+    import graft.streaming.BucketStore
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val storeDir = s"$artifactDir/ratings_cdc_store_$digest"
+    val base = graft.Tables.interactions(spark, sfDir).cache()
+    BucketStore.seed(base, BucketStore.longBucket(col("user_id"), nBuckets),
+      storeDir, nBuckets)
+    val batch = cdcDemoBatch(base, nBuckets).cache()
+    graft.streaming.EventStream.cdcMergeTick(spark, storeDir, batch,
+      batchId = 0L, nBuckets = nBuckets)
+    base.unpersist(); batch.unpersist()
+    BucketStore.readAll(spark, storeDir)
+      .select(col("user_id"), col("item_id"), col("rating"), col("is_implicit"),
+        date_format(col("ts"), "yyyy-MM-dd").as("ts_day"))
+  }
+
+  /** The deterministic CDC batch [[cdcSnapshotStore]] applies — data-
+    * derived so the DuckDB oracle regenerates it from the same fact.
+    * All rows carry a ts past the fact's date range, so the batch
+    * always wins latest-ts resolution against base rows.
+    */
+  private[graft] def cdcDemoBatch(base: DataFrame, nBuckets: Int): DataFrame = {
+    val bts = lit("2005-01-01").cast("date")
+    val dels = base
+      .filter(col("user_id") % nBuckets === 5 || col("user_id") % 97 === 0)
+      .select(col("user_id"), col("item_id"),
+        lit(null).cast("double").as("rating"), lit(false).as("is_implicit"),
+        bts.as("ts"), lit("delete").as("op"))
+    val reRates = base
+      .filter(col("user_id") % 89 === 0 && col("user_id") % nBuckets =!= 5)
+      .select(col("user_id"), col("item_id"),
+        (lit(6.0) - col("rating")).as("rating"), col("is_implicit"),
+        bts.as("ts"), lit("upsert").as("op"))
+    val adds = base
+      .filter(col("user_id") % 101 === 0 && col("user_id") % nBuckets =!= 5)
+      .select(col("user_id"), (col("item_id") + 10000000L).as("item_id"),
+        lit(4.6).as("rating"), lit(true).as("is_implicit"),
+        bts.as("ts"), lit("upsert").as("op"))
+    dels.unionByName(reRates).unionByName(adds)
+  }
+
   /** set_movie_watched as a batch: watched events become implicit
     * ratings valued at the item's current average (min voters) else
     * the default — composed from the stats aggregate exactly like

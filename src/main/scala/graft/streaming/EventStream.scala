@@ -116,9 +116,11 @@ object EventStream {
     * reads only those buckets' current rows
     * ([[graft.operators.Mutations.applyBatchDelta]], work ∝ batch),
     * and the apply publishes only those buckets into a new store
-    * generation, tombstones included.
+    * generation, tombstones included. Package-visible so
+    * [[graft.operators.Mutations.cdcSnapshotStore]] can hash-gate
+    * this exact body against a SQL oracle.
     */
-  private def cdcMergeTick(spark: SparkSession, snapshot: String, b: DataFrame,
+  private[graft] def cdcMergeTick(spark: SparkSession, snapshot: String, b: DataFrame,
                            batchId: Long, nBuckets: Int): Unit = {
     val keys = b.select(col("user_id"), col("item_id")).distinct().cache()
     val touched = BucketStore.touchedBuckets(keys.select(

@@ -95,4 +95,34 @@ class MutationsSpec extends AnyFunSuite {
     val next = Mutations.applyBatch(base, Mutations.watchedBatch(spark, base, watched))
     assert(next.filter(col("is_implicit")).count() === 2)
   }
+
+  test("cdcSnapshotStore ≡ applyBatch and empties bucket 5 out of the manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_store_spec").toString
+    val nBuckets = 64
+    val stored = Mutations.cdcSnapshotStore(spark, TestSpark.sf,
+        nBuckets = nBuckets, artifactDir = dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3), r.getString(4))).toSet
+    // batch-oracle identity: the store round-trip matches the one-shot
+    // full-snapshot merge of the same batch
+    val base = graft.Tables.interactions(spark, TestSpark.sf).cache()
+    val expected = Mutations.applyBatch(base, Mutations.cdcDemoBatch(base, nBuckets))
+      .select(col("user_id"), col("item_id"), col("rating"), col("is_implicit"),
+        date_format(col("ts"), "yyyy-MM-dd").as("ts_day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3), r.getString(4))).toSet
+    assert(stored === expected)
+    // every % nBuckets = 5 user's rows were tombstoned...
+    assert(!stored.exists(_._1 % nBuckets === 5))
+    // ...and the EMPTIED bucket dropped out of the manifest: the
+    // pruned read of bucket 5 resolves to zero generation paths
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(TestSpark.sf.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val storeDir = s"$dir/ratings_cdc_store_$digest"
+    assert(streaming.BucketStore.readBuckets(spark, storeDir, Seq(5), nBuckets).count() === 0)
+    // the seed DID have bucket-5 rows (the emptied path was exercised)
+    assert(base.filter(col("user_id") % nBuckets === 5).count() > 0)
+    base.unpersist()
+    ()
+  }
 }
