@@ -31,7 +31,10 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * a bucketed table: at 100 TB a 15-minute tick cadence must not
   * rewrite a multi-TB store to apply a few thousand changed rows —
   * with `n` buckets the rewrite is ~`touched/n` of the store, and
-  * `touched` is bounded by the tick's changed-row count.
+  * `touched` is bounded by the tick's changed-row count. Generation
+  * sprawl is bounded too: a tick auto-compacts the store into one
+  * generation whenever the live state spans
+  * [[DefaultMaxLiveGenerations]] of them (see [[applyTick]]).
   *
   * The bucket count is part of the on-disk contract: [[seed]] records
   * it (plus the key kind) in a `_graft_store_meta` file and every
@@ -85,6 +88,15 @@ private[graft] object BucketStore {
     * after it was resolved.
     */
   val RetainManifests = 2
+
+  /** Live-generation bound before a tick auto-compacts (see
+    * [[applyTick]]): once the previous manifest references this many
+    * distinct generations, the next tick folds the whole store into
+    * its own generation. Bounds per-bucket file count and manifest
+    * fan-out at a constant; one amortized full rewrite every
+    * ~`DefaultMaxLiveGenerations` ticks is the LSM trade.
+    */
+  val DefaultMaxLiveGenerations = 8
 
   private val Marker = "_graft_applied_batch"
   private val MetaFile = "_graft_store_meta"
@@ -165,10 +177,27 @@ private[graft] object BucketStore {
     * caller should still guard on [[appliedBatchId]] to skip its
     * merge compute too. `n` is the caller's bucket count, asserted
     * against the store meta before anything is read or written.
+    *
+    * '''Compaction.''' Each tick adds one generation holding only its
+    * touched buckets, so without housekeeping a long-lived store
+    * scatters its live state across up to min(ticks, n) generations —
+    * unbounded small-file and listing growth at a continuous tick
+    * cadence. LSM-style, a tick whose PREVIOUS manifest already
+    * references `maxLiveGenerations` distinct generations widens its
+    * touched set to every live bucket and folds the whole store into
+    * its own generation: one amortized full rewrite every ~`maxLive`
+    * ticks bounds live generations (and the per-bucket file count) at
+    * a constant, with zero protocol changes — the compacting tick
+    * publishes, recovers, and snapshot-isolates exactly like any
+    * other, and older generations age out through the normal
+    * retention gc. Callers that pin untouched-bucket byte-identity
+    * across a tick must size `maxLiveGenerations` above their tick
+    * count or account for the fold.
     */
   def applyTick(spark: SparkSession, dir: String, changes: DataFrame,
                 keyCols: Seq[String], batchId: Long, n: Int,
-                removed: Option[DataFrame] = None): Unit = {
+                removed: Option[DataFrame] = None,
+                maxLiveGenerations: Int = DefaultMaxLiveGenerations): Unit = {
     val prevId = appliedBatchId(dir)
     if (prevId >= batchId) return
     requireBucketCount(dir, n)
@@ -176,10 +205,11 @@ private[graft] object BucketStore {
     val prevManifest = readManifest(fs, p, prevId)
     val ch = changes.cache()
     val rm = removed.map(_.cache())
-    val touched = touchedBuckets(
+    val changed = touchedBuckets(
       rm.map(r => ch.select(col(BucketCol)).unionByName(r.select(col(BucketCol))))
         .getOrElse(ch.select(col(BucketCol))))
-    if (touched.isEmpty) {
+    val compacting = prevManifest.values.toSet.size >= maxLiveGenerations
+    if (changed.isEmpty && !compacting) {
       // an all-duplicate tick changes nothing but must still advance
       // the marker, or the replay guard would re-run it forever
       writeManifest(fs, p, batchId, prevManifest.toSeq.sortBy(_._1))
@@ -188,6 +218,8 @@ private[graft] object BucketStore {
       ch.unpersist(); rm.foreach(_.unpersist())
       return
     }
+    val touched =
+      if (compacting) (prevManifest.keySet ++ changed).toSeq else changed
     val old = selectOrEmpty(spark, dir, prevManifest,
       prevManifest.filter { case (b, _) => touched.contains(b) })
     // carry-over: touched-bucket rows the tick neither changed nor

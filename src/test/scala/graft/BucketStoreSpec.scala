@@ -159,4 +159,37 @@ class BucketStoreSpec extends AnyFunSuite {
     // the matching count still reads/applies fine
     assert(BucketStore.readBuckets(spark, dir, Seq(1), n = 64).count() === 2L)
   }
+
+  test("generation sprawl auto-compacts: live state folds into one generation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bucket_store_compact").toString + "/store"
+    def tick(batchId: Long, k: Long, v: Long): Unit =
+      BucketStore.applyTick(spark, dir,
+        Seq((k, v)).toDF("k", "v")
+          .withColumn("bucket", BucketStore.longBucket(col("k"), 64)),
+        Seq("k"), batchId = batchId, n = 64, maxLiveGenerations = 3)
+    def liveGens(): Set[String] =
+      BucketStore.readAll(spark, dir).inputFiles
+        .map(_.split("/").find(_.startsWith("gen-")).get).toSet
+    BucketStore.seed(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"),
+      BucketStore.longBucket(col("k"), 64), dir, n = 64)
+    tick(0L, 1L, 11L)                         // live: gen-base + gen-0
+    tick(1L, 2L, 21L)                         // live: base + 0 + 1 = 3 gens
+    assert(liveGens() === Set("gen-base", "gen-0", "gen-1"))
+    // next tick sees 3 live generations >= maxLive → folds EVERYTHING
+    // (its own change included) into its generation
+    tick(2L, 3L, 31L)
+    assert(liveGens() === Set("gen-2"))
+    assert(storeRows(dir) === Set((1L, 11L), (2L, 21L), (3L, 31L)))
+    assert(BucketStore.appliedBatchId(dir) === 2L) // publish protocol unchanged
+    // the compaction is invisible to the value story: a further normal
+    // tick merges against the folded store, and retention gc reclaims
+    // the pre-compaction generations
+    tick(3L, 1L, 12L)
+    assert(storeRows(dir) === Set((1L, 12L), (2L, 21L), (3L, 31L)))
+    assert(liveGens() === Set("gen-2", "gen-3"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "gen-base")),
+      "pre-compaction generations must age out through the normal retention gc")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "gen-0")))
+  }
 }
