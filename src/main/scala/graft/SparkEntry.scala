@@ -97,6 +97,12 @@ object SparkEntry {
     // — similarity search —
     "knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "knn_ivf"   -> ((s, d) => Similarity.ivfSearch(s, d)),
+    // the PERSISTED index lifecycle (rows-only; k-means not SQL-
+    // expressible): frozen quantizer artifact + cluster-bucketed
+    // postings BucketStore, held-out split appended as one tick,
+    // queries answered from the read-back index with probe-pruned
+    // bucket reads; IvfStoreSpec gates identity with a one-shot index
+    "knn_ivf_store" -> ((s, d) => Similarity.ivfStoreSearch(s, d)),
     "knn_sq8"   -> ((s, d) => Similarity.knnSq8(s, d)),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     // — text analysis —

@@ -143,4 +143,150 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"),
         assigned("cluster").as("cluster"))
   }
+
+  // ---------------------------------------------------------------
+  // persisted IVF index: centroids artifact + postings BucketStore
+
+  /** Centroid set as a broadcast-small literal column of
+    * `(cv, ||cv||², cluster)` structs — the quantizer ships to every
+    * task as a constant, so assignment and probing are MAP-SIDE (zero
+    * shuffle, codegen-friendly `transform`/`array_min` over the
+    * literal), the way a 100 TB assign pass must run. Bounded by
+    * `nlist` (the one sanctioned driver-side materialization here,
+    * same class as BucketStore's bucket-id pull).
+    */
+  private def centsLit(cents: Seq[(Int, Seq[Double])]): org.apache.spark.sql.Column =
+    typedLit(cents.map { case (i, cv) => (cv, cv.map(x => x * x).sum, i) })
+
+  /** Squared-L2 distance array to every centroid, as sortable
+    * `(dist, cluster)` structs; requires columns `v`, `norm2`,
+    * `cents`.
+    */
+  private val distArr =
+    "transform(cents, c -> struct(norm2 + c._2 - 2.0d * graft_dot(v, c._1) AS dist, c._3 AS cluster))"
+
+  /** Nearest-centroid assignment, map-side (see [[centsLit]]); ties
+    * break to the lowest cluster id via struct ordering.
+    */
+  private def assignClusters(df: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame =
+    df.withColumn("cents", centsLit(cents))
+      .withColumn("norm2", expr("graft_dot(v, v)"))
+      .withColumn("cluster", expr(s"array_min($distArr)").getField("cluster"))
+      .drop("cents", "norm2")
+
+  /** Train the coarse quantizer on a deterministic sample of `df`
+    * (FAISS-style — O(100k) points for O(1k) centroids, never a full
+    * pass) and persist it as a tiny parquet artifact
+    * `(cluster, cv)` — the index's only driver-scale state.
+    */
+  private[graft] def trainQuantizer(spark: SparkSession, df: DataFrame,
+      centroidsDir: String, nlist: Int): Seq[(Int, Seq[Double])] = {
+    import spark.implicits._
+    val train = df.filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit("40"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("fv")
+      .setMaxIter(10).fit(train)
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (vec, i) => (i, vec.toArray.toSeq) }.toSeq
+    cents.toDF("cluster", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(centroidsDir)
+    cents
+  }
+
+  private[graft] def loadCentroids(spark: SparkSession, centroidsDir: String): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(centroidsDir)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+
+  /** Seed the postings store: vectors assigned to their nearest
+    * centroid, bucketed BY CLUSTER ID — IVF's inverted lists ARE the
+    * store's buckets, so probe-time pruning is
+    * [[graft.streaming.BucketStore.readBuckets]] and an append tick
+    * touches exactly the clusters that receive new vectors.
+    */
+  private[graft] def seedIvfStore(spark: SparkSession, vectors: DataFrame,
+      storeDir: String, cents: Seq[(Int, Seq[Double])], nlist: Int): Unit =
+    graft.streaming.BucketStore.seed(
+      assignClusters(vectors, cents),
+      graft.streaming.BucketStore.longBucket(col("cluster"), nlist),
+      storeDir, nlist)
+
+  /** Append new vectors to the persisted index as ONE tick: assign
+    * with the FROZEN quantizer (standard IVF practice — re-training
+    * is an index rebuild, not a tick), then advance the store through
+    * the generation-publish protocol. Touched buckets = the clusters
+    * the batch's vectors land in; untouched inverted lists stay
+    * byte-identical.
+    */
+  private[graft] def ivfAppendTick(spark: SparkSession, storeDir: String,
+      cents: Seq[(Int, Seq[Double])], newVectors: DataFrame,
+      batchId: Long, nlist: Int): Unit =
+    graft.streaming.BucketStore.applyTick(spark, storeDir,
+      assignClusters(newVectors, cents)
+        .withColumn(graft.streaming.BucketStore.BucketCol,
+          graft.streaming.BucketStore.longBucket(col("cluster"), nlist)),
+      Seq("vec_id"), batchId = batchId, n = nlist)
+
+  /** Search the persisted index: probe lists are computed map-side
+    * against the centroid literal, the union of probed clusters
+    * (≤ nlist ids) names the store buckets, and ONLY those inverted
+    * lists are read back — the scan fraction ≈ nprobe/nlist is
+    * enforced by the store layout, not by a filter over a full scan.
+    */
+  private[graft] def searchIvfStore(spark: SparkSession, storeDir: String,
+      cents: Seq[(Int, Seq[Double])], queries: DataFrame,
+      k: Int, nprobe: Int, nlist: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val probes = queries
+      .withColumn("cents", centsLit(cents))
+      .withColumn("norm2", expr("graft_dot(qv, qv)").as("norm2"))
+      .withColumn("v", col("qv")) // distArr reads v
+      .withColumn("ps", expr(s"slice(array_sort($distArr), 1, $nprobe)"))
+      .select(col("query_id"), col("qv"), col("qnorm"),
+        explode(col("ps.cluster")).as("cluster"))
+    val touched = graft.streaming.BucketStore.touchedBuckets(
+      probes.select(col("cluster").as(graft.streaming.BucketStore.BucketCol)))
+    val postings = graft.streaming.BucketStore.readBuckets(spark, storeDir, touched, nlist)
+    val scored = postings.join(broadcast(probes),
+        postings("cluster") === probes("cluster") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(expr(dot) / (col("norm") * col("qnorm")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"),
+        postings("cluster").as("cluster"))
+  }
+
+  /** The IVF index LIFECYCLE as a registered query (`knn_ivf_store`) —
+    * the ANN rung of the store ladder ([[graft.operators.Dedup]] has
+    * the dedup one): quantizer trained on the base split and frozen
+    * to a parquet artifact, base postings seeded into a cluster-
+    * bucketed [[graft.streaming.BucketStore]], the held-out split
+    * (`vec_id % 10 = 7`) appended as ONE tick through the generation
+    * publish, and the queries answered from the READ-BACK index with
+    * probe-pruned bucket reads. Rows-only (k-means is not SQL-
+    * expressible); IvfStoreSpec gates search-result identity with a
+    * one-shot index over the full corpus (same frozen quantizer) and
+    * untouched-inverted-list byte-identity across the tick.
+    */
+  def ivfStoreSearch(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+      k: Int = 10, nlist: Int = 8, nprobe: Int = 2,
+      artifactDir: String = "target/graft-artifacts"): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val storeDir = s"$artifactDir/ivf_store_$digest"
+    val centroidsDir = s"$artifactDir/ivf_centroids_$digest"
+    val c = corpus(spark, sfDir).cache()
+    val base = c.filter(col("vec_id") % 10 =!= 7)
+    val delta = c.filter(col("vec_id") % 10 === 7)
+    val cents = trainQuantizer(spark, base, centroidsDir, nlist)
+    seedIvfStore(spark, base.select(col("vec_id"), col("v"), col("norm")),
+      storeDir, cents, nlist)
+    ivfAppendTick(spark, storeDir, loadCentroids(spark, centroidsDir),
+      delta.select(col("vec_id"), col("v"), col("norm")), batchId = 0L, nlist = nlist)
+    val queries = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val out = searchIvfStore(spark, storeDir, cents, queries, k, nprobe, nlist)
+    c.unpersist()
+    out
+  }
 }
