@@ -168,11 +168,13 @@ object Similarity {
   /** Nearest-centroid assignment, map-side (see [[centsLit]]); ties
     * break to the lowest cluster id via struct ordering.
     */
-  private def assignClusters(df: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame =
+  private def assignClusters(df: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
     df.withColumn("cents", centsLit(cents))
       .withColumn("norm2", expr("graft_dot(v, v)"))
       .withColumn("cluster", expr(s"array_min($distArr)").getField("cluster"))
       .drop("cents", "norm2")
+  }
 
   /** Train the coarse quantizer on a deterministic sample of `df`
     * (FAISS-style — O(100k) points for O(1k) centroids, never a full

@@ -183,4 +183,51 @@ object DocStream {
         ()
       }
       .start()
+
+  /** Continuous maintainer for the PERSISTED IVF index
+    * ([[graft.operators.Similarity.ivfStoreSearch]]'s store): each
+    * micro-batch of (vec_id, embedding) rows is assigned to its
+    * nearest centroid with the FROZEN quantizer (map-side against the
+    * centroid artifact — re-training is an index rebuild, not a
+    * tick) and appended through one generation-publish tick; touched
+    * buckets = exactly the clusters the batch's vectors land in, so
+    * untouched inverted lists stay byte-identical and searches keep
+    * snapshot isolation while the index grows. Crash/replay story
+    * identical to every other maintainer: recover rolls unpublished
+    * generations back, the applied-batch marker skips redelivered
+    * batches.
+    *
+    * Seed with [[graft.operators.Similarity.trainQuantizer]] +
+    * `seedIvfStore` over the landed corpus.
+    *
+    * @param vecs          streaming (vec_id, embedding) rows
+    * @param storeDir      cluster-bucketed postings BucketStore
+    * @param centroidsDir  the frozen quantizer artifact
+    * @param checkpointDir durable streaming checkpoint (REQUIRED: the
+    *                      replay guard needs monotonic batch ids)
+    * @param nlist         the quantizer's centroid count = the
+    *                      store's bucket count, must match the seed
+    */
+  def startIvfMaintain(vecs: DataFrame, storeDir: String, centroidsDir: String,
+                       checkpointDir: String, nlist: Int): StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.VectorFunctions.register(spark)
+        BucketStore.recover(storeDir)
+        val b = batch.toDF()
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .distinct()
+          .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+          .cache()
+        if (b.count() > 0 && BucketStore.appliedBatchId(storeDir) < batchId)
+          graft.operators.Similarity.ivfAppendTick(spark, storeDir,
+            graft.operators.Similarity.loadCentroids(spark, centroidsDir),
+            b, batchId, nlist)
+        b.unpersist()
+        ()
+      }
+      .start()
 }

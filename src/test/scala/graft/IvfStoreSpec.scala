@@ -69,4 +69,48 @@ class IvfStoreSpec extends AnyFunSuite {
     c.unpersist()
     ()
   }
+
+  test("IVF maintainer: streamed appends across ticks ≡ one-shot index") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ivf_maintain_spec").toString
+    val storeDir = s"$root/store"; val centsDir = s"$root/cents"
+    val nlist = 8; val nQueries = 10; val k = 10; val nprobe = 2
+    graft.functions.VectorFunctions.register(spark)
+    val c = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .cache()
+    val base = c.filter(col("vec_id") % 10 =!= 7 && col("vec_id") % 10 =!= 3)
+      .select("vec_id", "v", "norm")
+    val cents = Similarity.trainQuantizer(spark, base, centsDir, nlist)
+    Similarity.seedIvfStore(spark, base, storeDir, cents, nlist)
+
+    def ingest(m: Int): Seq[VecIngest] = c.filter(col("vec_id") % 10 === m)
+      .select(col("vec_id"), col("v"))
+      .collect().map(r => VecIngest(r.getLong(0), r.getSeq[Double](1))).toSeq
+
+    val input = MemoryStream[VecIngest]
+    val q = streaming.DocStream.startIvfMaintain(
+      input.toDF(), storeDir, centsDir, s"$root/ckpt", nlist)
+    input.addData(ingest(7): _*); q.processAllAvailable()
+    input.addData(ingest(3): _*); q.processAllAvailable()
+    q.stop()
+    assert(graft.streaming.BucketStore.appliedBatchId(storeDir) === 1L)
+
+    // the maintained index answers exactly like a one-shot index of
+    // the full corpus under the same frozen quantizer
+    val fullDir = s"$root/full"
+    Similarity.seedIvfStore(spark, c.select("vec_id", "v", "norm"), fullDir, cents, nlist)
+    val queries = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    def results(dir: String) =
+      Similarity.searchIvfStore(spark, dir, cents, queries, k, nprobe, nlist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3), r.getInt(4))).toSet
+    assert(results(storeDir) === results(fullDir))
+    c.unpersist()
+    ()
+  }
 }
