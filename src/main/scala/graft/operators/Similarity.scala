@@ -258,6 +258,76 @@ object Similarity {
         postings("cluster").as("cluster"))
   }
 
+  // ----- versioned index root: rebuild with atomic cutover --------
+
+  /** The one mutation [[ivfAppendTick]] cannot express is re-TRAINING
+    * the quantizer — centroid drift after enough appends degrades
+    * recall, and re-assignment moves every posting, so IVF practice
+    * is a full index REBUILD. At 100 TB a rebuild must not block
+    * readers, so the index root is versioned:
+    * `idx-<v>/{centroids,store}` built completely offline, then
+    * published by overwriting one small `_graft_ivf_current` pointer
+    * file (the same atomic-PUT publish as the store marker — no
+    * renames, object-store-native). Readers resolve the pointer once
+    * and from then on touch only the resolved version's immutable
+    * files; the previous version is retained one rebuild back (same
+    * isolation window as BucketStore's manifests), older ones are
+    * reclaimed.
+    *
+    * Returns the new version id. Maintainer handoff is the caller's:
+    * stop the tick stream, rebuild, restart against the resolved
+    * dirs (a tick mid-rebuild would land in the OLD version and be
+    * lost at cutover).
+    */
+  private[graft] def rebuildIvfIndex(spark: SparkSession, vectors: DataFrame,
+      indexRoot: String, nlist: Int): Long = {
+    val (fs, root) = hadoopFs(spark, indexRoot)
+    val v = currentIvfVersion(spark, indexRoot) + 1L
+    val vDir = s"$indexRoot/idx-$v"
+    val cents = trainQuantizer(spark, vectors, s"$vDir/centroids", nlist)
+    seedIvfStore(spark, vectors, s"$vDir/store", cents, nlist)
+    // the publish point: one small-file overwrite
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_graft_ivf_current"), true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    // retention: current + previous version; older rebuilds reclaimed
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("idx-") &&
+          scala.util.Try(name.stripPrefix("idx-").toLong).toOption.exists(_ < v - 1))
+        fs.delete(st.getPath, true)
+    }
+    v
+  }
+
+  /** Resolve the live index version's (storeDir, centroidsDir);
+    * fails loudly on a root with no published version.
+    */
+  private[graft] def resolveIvfIndex(spark: SparkSession, indexRoot: String): (String, String) = {
+    val v = currentIvfVersion(spark, indexRoot)
+    require(v >= 0, s"no published IVF index under $indexRoot")
+    (s"$indexRoot/idx-$v/store", s"$indexRoot/idx-$v/centroids")
+  }
+
+  private def currentIvfVersion(spark: SparkSession, indexRoot: String): Long = {
+    val (fs, root) = hadoopFs(spark, indexRoot)
+    val p = new org.apache.hadoop.fs.Path(root, "_graft_ivf_current")
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64); var r = in.read(buf)
+        while (r >= 0) { bytes.write(buf, 0, r); r = in.read(buf) }
+        new String(bytes.toByteArray, "UTF-8").trim.toLong
+      } finally in.close()
+    }
+  }
+
+  private def hadoopFs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
   /** The IVF index LIFECYCLE as a registered query (`knn_ivf_store`) —
     * the ANN rung of the store ladder ([[graft.operators.Dedup]] has
     * the dedup one): quantizer trained on the base split and frozen

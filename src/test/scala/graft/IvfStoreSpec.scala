@@ -113,4 +113,53 @@ class IvfStoreSpec extends AnyFunSuite {
     c.unpersist()
     ()
   }
+
+  test("index rebuild publishes by pointer cutover; reader snapshot survives; retention reclaims") {
+    val root = java.nio.file.Files.createTempDirectory("ivf_rebuild_spec").toString + "/idx"
+    val nlist = 8; val nQueries = 5; val k = 5; val nprobe = 2
+    graft.functions.VectorFunctions.register(spark)
+    val c = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .cache()
+    val base = c.filter(col("vec_id") % 2 === 0).select("vec_id", "v", "norm")
+    val full = c.select("vec_id", "v", "norm")
+    val queries = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    def search(storeDir: String, centsDir: String) =
+      Similarity.searchIvfStore(spark, storeDir,
+        Similarity.loadCentroids(spark, centsDir), queries, k, nprobe, nlist)
+
+    // no published version yet → loud failure, not an empty answer
+    val e = intercept[IllegalArgumentException] { Similarity.resolveIvfIndex(spark, root) }
+    assert(e.getMessage.contains("no published IVF index"))
+
+    // v0: built from the base corpus, published, searchable
+    assert(Similarity.rebuildIvfIndex(spark, base, root, nlist) === 0L)
+    val (store0, cents0) = Similarity.resolveIvfIndex(spark, root)
+    assert(store0.contains("idx-0"))
+    val v0Results = search(store0, cents0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v0Results.nonEmpty)
+
+    // v1: rebuilt from the FULL corpus (new quantizer, full re-assign)
+    // under the old version; cutover is the pointer overwrite
+    assert(Similarity.rebuildIvfIndex(spark, full, root, nlist) === 1L)
+    val (store1, cents1) = Similarity.resolveIvfIndex(spark, root)
+    assert(store1.contains("idx-1"))
+    // previous version retained one rebuild back: the v0 reader's
+    // dirs still resolve and answer identically
+    assert(search(store0, cents0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === v0Results)
+    // the new version sees the held-out vectors v0 never indexed
+    val v1Neighbors = search(store1, cents1).collect().map(_.getLong(1)).toSet
+    assert(v1Neighbors.exists(_ % 2 === 1))
+
+    // v2: one more rebuild reclaims v0, retains v1
+    assert(Similarity.rebuildIvfIndex(spark, full, root, nlist) === 2L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "idx-0")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "idx-1")))
+    c.unpersist()
+    ()
+  }
 }
