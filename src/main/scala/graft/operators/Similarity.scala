@@ -218,15 +218,29 @@ object Similarity {
     * the generation-publish protocol. Touched buckets = the clusters
     * the batch's vectors land in; untouched inverted lists stay
     * byte-identical.
+    *
+    * `removedVectors` are CDC tombstones and must carry the INDEXED
+    * (before-image) embedding: the inverted lists are keyed by
+    * content, not id, so the only way to name a delete's bucket
+    * without an id→cluster sidecar or a full scan is to re-derive its
+    * cluster from the embedding the index holds — deterministic under
+    * the frozen quantizer. A re-embedded vector is delete(old image) +
+    * upsert(new image) in the same batch; the upsert wins on key
+    * collision (applyTick merges changes after the drop).
     */
   private[graft] def ivfAppendTick(spark: SparkSession, storeDir: String,
       cents: Seq[(Int, Seq[Double])], newVectors: DataFrame,
-      batchId: Long, nlist: Int): Unit =
+      batchId: Long, nlist: Int,
+      removedVectors: Option[DataFrame] = None): Unit = {
+    def bucketed(df: DataFrame) = assignClusters(df, cents)
+      .withColumn(graft.streaming.BucketStore.BucketCol,
+        graft.streaming.BucketStore.longBucket(col("cluster"), nlist))
     graft.streaming.BucketStore.applyTick(spark, storeDir,
-      assignClusters(newVectors, cents)
-        .withColumn(graft.streaming.BucketStore.BucketCol,
-          graft.streaming.BucketStore.longBucket(col("cluster"), nlist)),
-      Seq("vec_id"), batchId = batchId, n = nlist)
+      bucketed(newVectors),
+      Seq("vec_id"), batchId = batchId, n = nlist,
+      removed = removedVectors.map(r => bucketed(r)
+        .select(col("vec_id"), col(graft.streaming.BucketStore.BucketCol))))
+  }
 
   /** Search the persisted index: probe lists are computed map-side
     * against the centroid literal, the union of probed clusters

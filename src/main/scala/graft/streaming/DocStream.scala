@@ -217,15 +217,24 @@ object DocStream {
         val spark = batch.sparkSession
         graft.functions.VectorFunctions.register(spark)
         BucketStore.recover(storeDir)
+        // optional CDC op column: "delete" rows are tombstones and
+        // must carry the INDEXED (before-image) embedding — see
+        // Similarity.ivfAppendTick; a re-embed is delete + upsert in
+        // one batch
+        val hasOp = batch.columns.contains("op")
         val b = batch.toDF()
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+            (if (hasOp) col("op") else lit("upsert")).as("op"))
           .distinct()
           .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
           .cache()
-        if (b.count() > 0 && BucketStore.appliedBatchId(storeDir) < batchId)
-          graft.operators.Similarity.ivfAppendTick(spark, storeDir,
-            graft.operators.Similarity.loadCentroids(spark, centroidsDir),
-            b, batchId, nlist)
+        if (b.count() > 0 && BucketStore.appliedBatchId(storeDir) < batchId) {
+          val cents = graft.operators.Similarity.loadCentroids(spark, centroidsDir)
+          graft.operators.Similarity.ivfAppendTick(spark, storeDir, cents,
+            b.filter(col("op") === "upsert").drop("op"), batchId, nlist,
+            removedVectors =
+              if (hasOp) Some(b.filter(col("op") === "delete").drop("op")) else None)
+        }
         b.unpersist()
         ()
       }

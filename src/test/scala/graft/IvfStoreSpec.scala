@@ -114,6 +114,52 @@ class IvfStoreSpec extends AnyFunSuite {
     ()
   }
 
+  test("IVF maintainer tombstones: before-image deletes drop postings; re-embed moves cluster") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ivf_tomb_spec").toString
+    val storeDir = s"$root/store"; val centsDir = s"$root/cents"
+    val nlist = 8
+    graft.functions.VectorFunctions.register(spark)
+    val c = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .cache()
+    val base = c.filter(col("vec_id") % 10 =!= 7).select("vec_id", "v", "norm")
+    val cents = Similarity.trainQuantizer(spark, base, centsDir, nlist)
+    Similarity.seedIvfStore(spark, base, storeDir, cents, nlist)
+
+    val byId = c.select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val input = MemoryStream[VecCdc]
+    val q = streaming.DocStream.startIvfMaintain(
+      input.toDF(), storeDir, centsDir, s"$root/ckpt", nlist)
+    // one CDC batch: add the held-out split, delete two indexed
+    // vectors (before-image embeddings), re-embed one (delete old
+    // image + upsert a shifted vector in the same batch)
+    val adds = byId.keys.filter(_ % 10 == 7).toSeq.sorted
+      .map(id => VecCdc(id, byId(id), "upsert"))
+    val dels = Seq(VecCdc(20L, byId(20L), "delete"), VecCdc(30L, byId(30L), "delete"))
+    val reEmbedded = byId(40L).map(_ + 0.5)
+    val moves = Seq(VecCdc(40L, byId(40L), "delete"), VecCdc(40L, reEmbedded, "upsert"))
+    input.addData(adds ++ dels ++ moves: _*)
+    q.processAllAvailable(); q.stop()
+
+    val rows = graft.streaming.BucketStore.readAll(spark, storeDir)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(!rows.contains(20L) && !rows.contains(30L))
+    assert(rows(40L) === reEmbedded)        // new image indexed…
+    assert(rows.count(_._1 == 40L) === 1)   // …exactly once
+    assert(byId.keys.filter(_ % 10 == 7).forall(rows.contains))
+    // no duplicate postings anywhere
+    val n = graft.streaming.BucketStore.readAll(spark, storeDir).count()
+    assert(n === rows.size)
+    c.unpersist()
+    ()
+  }
+
   test("index rebuild publishes by pointer cutover; reader snapshot survives; retention reclaims") {
     val root = java.nio.file.Files.createTempDirectory("ivf_rebuild_spec").toString + "/idx"
     val nlist = 8; val nQueries = 5; val k = 5; val nprobe = 2
@@ -163,3 +209,5 @@ class IvfStoreSpec extends AnyFunSuite {
     ()
   }
 }
+
+case class VecCdc(vec_id: Long, embedding: Seq[Double], op: String)
