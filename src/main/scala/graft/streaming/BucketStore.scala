@@ -74,6 +74,8 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   */
 private[graft] object BucketStore {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.streaming.BucketStore")
+
   val BucketCol = "bucket"
 
   /** Default bucket count. Tests and local runs spread a handful of
@@ -109,6 +111,29 @@ private[graft] object BucketStore {
     */
   val KindLong = "long"
   val KindMd5 = "md5"
+
+  /** What one [[applyTick]] did — the per-tick observability a
+    * continuous maintainer logs (and an operator alerts on: touched
+    * creeping toward `n` means the delta's key spread defeats bucket
+    * pruning; `compacted` cadence tracks the amortized rewrite cost).
+    * All fields are free — no extra actions are run to fill them.
+    *
+    * @param applied         false = replay guard skipped the batch
+    * @param touchedBuckets  buckets this tick read + rewrote (0 for
+    *                        an all-duplicate no-op that only advanced
+    *                        the marker)
+    * @param compacted       this tick folded the whole store into its
+    *                        generation (see `maxLiveGenerations`)
+    * @param liveGenerations distinct generations the published
+    *                        manifest references (1 right after a
+    *                        compaction or re-seed)
+    */
+  case class TickStats(batchId: Long, applied: Boolean, touchedBuckets: Int,
+                       compacted: Boolean, liveGenerations: Int) {
+    override def toString: String =
+      s"tick[batch=$batchId applied=$applied touched=$touchedBuckets " +
+        s"compacted=$compacted liveGens=$liveGenerations]"
+  }
 
   /** Bucket of a non-negative long key. */
   def longBucket(pk: Column, n: Int): Column = pmod(pk, lit(n)).cast("int")
@@ -197,9 +222,11 @@ private[graft] object BucketStore {
   def applyTick(spark: SparkSession, dir: String, changes: DataFrame,
                 keyCols: Seq[String], batchId: Long, n: Int,
                 removed: Option[DataFrame] = None,
-                maxLiveGenerations: Int = DefaultMaxLiveGenerations): Unit = {
+                maxLiveGenerations: Int = DefaultMaxLiveGenerations): TickStats = {
     val prevId = appliedBatchId(dir)
-    if (prevId >= batchId) return
+    if (prevId >= batchId)
+      return TickStats(batchId, applied = false, touchedBuckets = 0,
+        compacted = false, liveGenerations = 0)
     requireBucketCount(dir, n)
     val (fs, p) = fsFor(dir)
     val prevManifest = readManifest(fs, p, prevId)
@@ -216,7 +243,10 @@ private[graft] object BucketStore {
       writeMarker(dir, batchId)
       gc(fs, p, dir, Seq(batchId, prevId))
       ch.unpersist(); rm.foreach(_.unpersist())
-      return
+      val st = TickStats(batchId, applied = true, touchedBuckets = 0,
+        compacted = false, liveGenerations = prevManifest.values.toSet.size)
+      log.info(s"$dir $st")
+      return st
     }
     val touched =
       if (compacting) (prevManifest.keySet ++ changed).toSeq else changed
@@ -248,7 +278,10 @@ private[graft] object BucketStore {
     writeMarker(dir, batchId)
     gc(fs, p, dir, Seq(batchId, prevId))
     ch.unpersist(); rm.foreach(_.unpersist())
-    ()
+    val st = TickStats(batchId, applied = true, touchedBuckets = touched.size,
+      compacted = compacting, liveGenerations = newManifest.values.toSet.size)
+    log.info(s"$dir $st")
+    st
   }
 
   /** Roll an interrupted tick BACK: generations and manifests newer

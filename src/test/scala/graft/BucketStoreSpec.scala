@@ -163,7 +163,7 @@ class BucketStoreSpec extends AnyFunSuite {
   test("generation sprawl auto-compacts: live state folds into one generation") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bucket_store_compact").toString + "/store"
-    def tick(batchId: Long, k: Long, v: Long): Unit =
+    def tick(batchId: Long, k: Long, v: Long): BucketStore.TickStats =
       BucketStore.applyTick(spark, dir,
         Seq((k, v)).toDF("k", "v")
           .withColumn("bucket", BucketStore.longBucket(col("k"), 64)),
@@ -173,12 +173,15 @@ class BucketStoreSpec extends AnyFunSuite {
         .map(_.split("/").find(_.startsWith("gen-")).get).toSet
     BucketStore.seed(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"),
       BucketStore.longBucket(col("k"), 64), dir, n = 64)
-    tick(0L, 1L, 11L)                         // live: gen-base + gen-0
+    val s0 = tick(0L, 1L, 11L)                // live: gen-base + gen-0
+    assert(s0 === BucketStore.TickStats(0L, applied = true, touchedBuckets = 1,
+      compacted = false, liveGenerations = 2))
     tick(1L, 2L, 21L)                         // live: base + 0 + 1 = 3 gens
     assert(liveGens() === Set("gen-base", "gen-0", "gen-1"))
     // next tick sees 3 live generations >= maxLive → folds EVERYTHING
     // (its own change included) into its generation
-    tick(2L, 3L, 31L)
+    val s2 = tick(2L, 3L, 31L)
+    assert(s2.compacted && s2.touchedBuckets === 3 && s2.liveGenerations === 1)
     assert(liveGens() === Set("gen-2"))
     assert(storeRows(dir) === Set((1L, 11L), (2L, 21L), (3L, 31L)))
     assert(BucketStore.appliedBatchId(dir) === 2L) // publish protocol unchanged
