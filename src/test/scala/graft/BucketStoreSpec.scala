@@ -195,4 +195,37 @@ class BucketStoreSpec extends AnyFunSuite {
       "pre-compaction generations must age out through the normal retention gc")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "gen-0")))
   }
+
+  test("soak: 20 ticks of upserts/deletes track a reference map; live generations stay bounded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bucket_store_soak").toString + "/store"
+    val maxLive = 3
+    // deterministic pseudo-random stream of mutations over a 40-key space
+    def keyAt(i: Int): Long = ((i * 7919L) % 40) + 1L
+    val ref = scala.collection.mutable.Map[Long, Long]()
+    Seq((1L, 100L), (2L, 200L)).foreach { case (k, v) => ref(k) = v }
+    BucketStore.seed(ref.toSeq.toDF("k", "v"),
+      BucketStore.longBucket(col("k"), 16), dir, n = 16)
+    (0 until 20).foreach { i =>
+      val k1 = keyAt(2 * i); val k2 = keyAt(2 * i + 1)
+      // a key may not be both changed and removed in one tick (the
+      // post-merge state cannot be both present and gone)
+      val deleting = i % 4 == 3 && ref.contains(k2) && k2 != k1
+      val changes = Seq((k1, i.toLong * 10)).toDF("k", "v")
+        .withColumn("bucket", BucketStore.longBucket(col("k"), 16))
+      val removed = if (deleting)
+        Some(Seq((k2, 0L)).toDF("k", "v")
+          .select(col("k"), BucketStore.longBucket(col("k"), 16).as("bucket")))
+      else None
+      val st = BucketStore.applyTick(spark, dir, changes, Seq("k"),
+        batchId = i.toLong, n = 16, removed = removed,
+        maxLiveGenerations = maxLive)
+      ref(k1) = i.toLong * 10
+      if (deleting) ref.remove(k2)
+      assert(st.applied && st.liveGenerations <= maxLive,
+        s"tick $i: $st exceeded the live-generation bound")
+      assert(storeRows(dir) === ref.toSet, s"tick $i diverged from the reference")
+    }
+    assert(BucketStore.appliedBatchId(dir) === 19L)
+  }
 }
