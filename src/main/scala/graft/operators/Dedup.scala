@@ -530,6 +530,79 @@ object Dedup {
     ()
   }
 
+  /** Canonical reader of a maintainer's pair log: `batch=<id>` dirs
+    * plus `compact-<id>` fold dirs that finished writing (`_SUCCESS`
+    * present — a fold that crashed mid-write is skipped; its rows are
+    * all still in the dirs it was folding). `distinct` makes the read
+    * exact across every crash window: replays rewrite identical
+    * batch content, and a completed fold coexisting with its
+    * not-yet-deleted inputs duplicates rows exactly.
+    */
+  private[graft] def readPairLog(spark: SparkSession, pairsDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(pairsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter { d =>
+          val n = d.getName
+          n.startsWith("batch=") ||
+            (n.startsWith("compact-") &&
+              fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+        }
+    require(dirs.nonEmpty, s"no pair log under $pairsDir")
+    spark.read.parquet(dirs.map(_.toString): _*).distinct()
+  }
+
+  /** Fold the pair log's per-batch dirs into one `compact-<upTo>`
+    * dir — the maintainer's pair log grows one directory per tick
+    * forever otherwise. Only batches the replay guard will never
+    * rewrite may fold: pass `upTo` = the band store's
+    * [[graft.streaming.BucketStore.appliedBatchId]] (a replayed
+    * batch ≤ the marker skips its tick entirely, pair write
+    * included). Roll-forward and rename-free: write the fold (with
+    * `_SUCCESS`), then delete its inputs; a crash between the two
+    * leaves duplicate rows that [[readPairLog]]'s `distinct`
+    * collapses, and the next fold sweeps the leftovers. Incomplete
+    * folds from earlier crashes are deleted up front.
+    */
+  private[graft] def compactPairLog(spark: SparkSession, pairsDir: String,
+                                    upTo: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(pairsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val all = fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+    // roll-forward hygiene: a fold dir without _SUCCESS is a crashed
+    // write — its inputs are all still present; redo from scratch
+    all.filter(d => d.getName.startsWith("compact-") &&
+        !fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+      .foreach(fs.delete(_, true))
+    val foldable = fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter { d =>
+        val n = d.getName
+        (n.startsWith("batch=") &&
+          scala.util.Try(n.stripPrefix("batch=").toLong).toOption.exists(_ <= upTo)) ||
+        (n.startsWith("compact-") &&
+          scala.util.Try(n.stripPrefix("compact-").toLong).toOption.exists(_ < upTo))
+      }
+    val target = new org.apache.hadoop.fs.Path(p, s"compact-$upTo")
+    if (fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))) {
+      // a completed fold already holds every input's rows (inputs
+      // ≤ the marker are immutable): an earlier run crashed between
+      // its write and its deletes — just resume the deletes. A
+      // re-fold here from the SURVIVING inputs would lose the rows
+      // whose dirs that run already deleted.
+      foldable.foreach(fs.delete(_, true))
+      return
+    }
+    if (foldable.size <= 1) return
+    spark.read.parquet(foldable.map(_.toString): _*).distinct()
+      .coalesce(1.max(foldable.size / 8))
+      .write.mode("overwrite").parquet(target.toString)
+    foldable.foreach(fs.delete(_, true))
+    ()
+  }
+
   /** Near-dup CLUSTER resolution — the step between pairwise
     * detection and an actual dedup decision. Similarity pairs are not
     * transitive (A~B and B~C does not imply A~C was emitted), but

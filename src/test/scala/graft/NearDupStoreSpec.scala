@@ -189,6 +189,51 @@ class NearDupStoreSpec extends AnyFunSuite {
     assert(maintained === batchNow)
     assert(maintained.exists(p => p._1 == 10L && p._2 == 12L))
   }
+
+  test("pair log compaction folds batch dirs; every crash window still reads exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pairlog_spec").toString + "/pairs"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeBatch(id: Long, pairs: Seq[(Long, Long, Double)]): Unit =
+      pairs.toDF("vec_a", "vec_b", "cos")
+        .write.mode("overwrite").parquet(s"$dir/batch=$id")
+    def readSet = graft.operators.Dedup.readPairLog(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def dirNames = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+
+    val p0 = (1L, 2L, 0.9); val p1 = (3L, 4L, 0.95); val p2 = (5L, 6L, 0.99)
+    writeBatch(0, Seq(p0)); writeBatch(1, Seq(p1)); writeBatch(2, Seq(p2))
+    assert(readSet === Set(p0, p1, p2))
+
+    // fold the replay-safe prefix (ticks 0-1); tick 2 stays per-batch
+    graft.operators.Dedup.compactPairLog(spark, dir, upTo = 1)
+    assert(dirNames === Set("compact-1", "batch=2"))
+    assert(readSet === Set(p0, p1, p2))
+
+    // crash window: a completed fold coexisting with a not-yet-deleted
+    // input duplicates rows exactly — the canonical reader collapses it
+    writeBatch(1, Seq(p1))
+    assert(readSet === Set(p0, p1, p2))
+    // and the re-run resumes the DELETES instead of re-folding from
+    // the survivors (which would lose batch 0's rows)
+    graft.operators.Dedup.compactPairLog(spark, dir, upTo = 1)
+    assert(dirNames === Set("compact-1", "batch=2"))
+    assert(readSet === Set(p0, p1, p2))
+
+    // crash window: a fold that died mid-write (no _SUCCESS) is
+    // invisible to readers and swept by the next run
+    val p3 = (7L, 8L, 0.8)
+    writeBatch(3, Seq(p3))
+    Seq((99L, 99L, 0.0)).toDF("vec_a", "vec_b", "cos")
+      .write.mode("overwrite").parquet(s"$dir/compact-3")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/compact-3/_SUCCESS"), false)
+    assert(readSet === Set(p0, p1, p2, p3))
+    graft.operators.Dedup.compactPairLog(spark, dir, upTo = 3)
+    assert(dirNames === Set("compact-3"))
+    assert(readSet === Set(p0, p1, p2, p3))
+  }
 }
 
 case class VecIngest(vec_id: Long, embedding: Seq[Double])
