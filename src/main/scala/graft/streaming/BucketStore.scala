@@ -171,6 +171,24 @@ private[graft] object BucketStore {
   def readAll(spark: SparkSession, dir: String): DataFrame =
     resolve(spark, dir, None).drop(BucketCol)
 
+  /** Time-travel read: the snapshot AS OF `batchId`'s publish. Only
+    * snapshots inside the retention window ([[RetainManifests]]: the
+    * current and previous manifest) are guaranteed resolvable — gc
+    * reclaims older ones, and asking for them fails loudly here
+    * rather than returning a silently empty store. The debugging /
+    * audit twin of the implicit isolation readers already get: "what
+    * did the view hold before this tick" is one call, not a dig
+    * through generation dirs.
+    */
+  def readAt(spark: SparkSession, dir: String, batchId: Long): DataFrame = {
+    val (fs, p) = fsFor(dir)
+    val m = readManifest(fs, p, batchId)
+    require(m.nonEmpty || fs.exists(new HPath(p, ManifestPrefix + batchId)),
+      s"store $dir has no retained manifest for batch $batchId " +
+        s"(retention window: current + previous tick)")
+    selectOrEmpty(spark, dir, m, m).drop(BucketCol)
+  }
+
   /** Pruned read of only the named buckets — the manifest resolves
     * them to exact generation paths; untouched buckets are never
     * opened. `n` is the caller's bucket count, asserted against the

@@ -102,6 +102,13 @@ class BucketStoreSpec extends AnyFunSuite {
     assert(storeRows(dir) === Set((1L, 13L), (2L, 20L)))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "gen-0")),
       "generation outside the retention window was not reclaimed")
+    // explicit time travel inside the retention window: AS OF the
+    // previous tick; outside it fails loudly, never an empty store
+    assert(BucketStore.readAt(spark, dir, 1L).select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 12L), (2L, 20L)))
+    val e = intercept[IllegalArgumentException] { BucketStore.readAt(spark, dir, 0L) }
+    assert(e.getMessage.contains("no retained manifest"))
   }
 
   test("tombstones: an emptied bucket drops out of the manifest at publish") {
