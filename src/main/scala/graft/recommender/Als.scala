@@ -38,9 +38,14 @@ object Als {
   /** Training input after the id seam: `train` carries int32
     * (user, item, rating); the maps are present iff the raw keys were
     * re-indexed and are needed to translate scored output back.
+    * `source` is the cached raw frame backing a re-index — call
+    * [[release]] once `train` is materialized (post-fit) to drop it.
     */
   private[graft] case class AlsInput(train: DataFrame,
-      userMap: Option[DataFrame], itemMap: Option[DataFrame])
+      userMap: Option[DataFrame], itemMap: Option[DataFrame],
+      source: Option[DataFrame] = None) {
+    def release(): Unit = source.foreach { df => df.unpersist(); () }
+  }
 
   /** ALS requires 32-bit ids. Keys already in int range pass through
     * with a bare cast (testdata, MovieLens); keys outside it — the
@@ -73,14 +78,21 @@ object Als {
          b.getLong(2) >= Int.MinValue && b.getLong(3) <= Int.MaxValue)
       if (fits) return direct
     }
-    val users = denseIndex(raw.select(col("user_id")), "user_id", "user")
-    val items = denseIndex(raw.select(col("item_id")), "item_id", "item")
-    val train = raw
+    // one source scan, not four: the two zipWithIndex rank builds (each
+    // eager — the size job runs at construction) and the train join all
+    // re-read `raw`, whose upstream lineage (interaction joins + dedup
+    // windows) is expensive to recompute. The first rank job populates
+    // the cache; everything after reads it. Released by the caller
+    // after training materializes `train` (AlsInput.release).
+    val src = raw.cache()
+    val users = denseIndex(src.select(col("user_id")), "user_id", "user")
+    val items = denseIndex(src.select(col("item_id")), "item_id", "item")
+    val train = src
       .join(users, Seq("user_id")).join(items, Seq("item_id"))
       .select(col("user"), col("item"), col("rating").cast("float").as("rating"))
       .repartition(col("user"))
       .sortWithinPartitions(col("user"), col("item"), col("rating"))
-    AlsInput(train, Some(users), Some(items))
+    AlsInput(train, Some(users), Some(items), Some(src))
   }
 
   /** Dense ids for one key side: distinct keys → rank in sorted order.
@@ -148,6 +160,7 @@ object Als {
     val keyed = keyedTrainingSet(raw, force)
     val train = keyed.train.cache()
     val model = fit(train)
+    keyed.release()
     val out = topNUnseen(train, model, n, bufferCap, keyed)
     train.unpersist()
     out
@@ -208,6 +221,7 @@ object Als {
     val keyed = keyedTrainingSet(implicitRawSet(spark, sfDir))
     val train = keyed.train.cache()
     val model = fit(train, implicitPrefs = true, alpha = alpha)
+    keyed.release()
     val out = topNUnseen(train, model, n, bufferCap, keyed)
     train.unpersist()
     out

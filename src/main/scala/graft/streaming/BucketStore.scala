@@ -102,6 +102,7 @@ private[graft] object BucketStore {
 
   private val Marker = "_graft_applied_batch"
   private val MetaFile = "_graft_store_meta"
+  private val SchemaFile = "_graft_schema"
   private val ManifestPrefix = "_graft_manifest_"
   private val GenPrefix = "gen-"
   private val SeedGen = GenPrefix + "base"
@@ -156,10 +157,16 @@ private[graft] object BucketStore {
            kind: String = KindLong): Unit = {
     val (fs, p) = fsFor(dir)
     fs.delete(p, true)
-    df.withColumn(BucketCol, bucket)
+    val bucketed = df.withColumn(BucketCol, bucket)
+    bucketed
       .repartition(col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$dir/$SeedGen")
     writeSmall(fs, new HPath(p, MetaFile), s"n=$n\nkind=$kind\n")
+    // the store's schema, durable beyond any data file: once every row
+    // is tombstoned and gc reclaims the last generation (including the
+    // seed's), empty reads and the next tick's merge still need a
+    // schema to serve — see selectOrEmpty
+    writeSmall(fs, new HPath(p, SchemaFile), bucketed.schema.json)
     writeManifest(fs, p, -1L,
       presentBuckets(s"$dir/$SeedGen").toSeq.sorted.map(_ -> SeedGen))
   }
@@ -259,7 +266,7 @@ private[graft] object BucketStore {
       // the marker, or the replay guard would re-run it forever
       writeManifest(fs, p, batchId, prevManifest.toSeq.sortBy(_._1))
       writeMarker(dir, batchId)
-      gc(fs, p, dir, Seq(batchId, prevId))
+      gc(fs, p, dir, batchId)
       ch.unpersist(); rm.foreach(_.unpersist())
       val st = TickStats(batchId, applied = true, touchedBuckets = 0,
         compacted = false, liveGenerations = prevManifest.values.toSet.size)
@@ -294,7 +301,7 @@ private[graft] object BucketStore {
     // the publish point: one small-file overwrite, no renames —
     // everything above is invisible to readers until this lands
     writeMarker(dir, batchId)
-    gc(fs, p, dir, Seq(batchId, prevId))
+    gc(fs, p, dir, batchId)
     ch.unpersist(); rm.foreach(_.unpersist())
     val st = TickStats(batchId, applied = true, touchedBuckets = touched.size,
       compacted = compacting, liveGenerations = newManifest.values.toSet.size)
@@ -392,16 +399,34 @@ private[graft] object BucketStore {
   /** [[selectPaths]] that degrades to a SCHEMA-CORRECT empty frame
     * when the selection is empty (a pruned read of buckets the store
     * has never held — routine for a tick introducing brand-new
-    * buckets): schema off any live bucket, or off the seed
-    * generation's parquet footer when the manifest itself is empty. A
-    * store that never held a row cannot serve a schema (unchanged
-    * from the Hive-discovery layout, which had the same edge).
+    * buckets): schema off any live bucket, else off the schema file
+    * [[seed]] wrote. The schema file matters when the manifest itself
+    * is empty: a store whose rows were ALL tombstoned keeps no data
+    * files at all once gc reclaims its generations (the seed's
+    * included), yet must stay readable and tick-able — without the
+    * durable schema there would be no parquet footer left to serve
+    * one, bricking the store. Stores seeded before the schema file
+    * existed fall back to the seed generation's footer.
     */
   private def selectOrEmpty(spark: SparkSession, dir: String,
                             m: Map[Int, String], sel: Map[Int, String]): DataFrame =
     if (sel.nonEmpty) selectPaths(spark, dir, sel)
     else if (m.nonEmpty) selectPaths(spark, dir, m.take(1)).limit(0)
-    else spark.read.parquet(s"$dir/$SeedGen").limit(0)
+    else storedSchema(dir) match {
+      case Some(schema) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case None => spark.read.parquet(s"$dir/$SeedGen").limit(0)
+    }
+
+  /** Schema recorded at [[seed]] time (None for pre-schema-file
+    * stores).
+    */
+  private def storedSchema(dir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val (fs, p) = fsFor(dir)
+    readSmall(fs, new HPath(p, SchemaFile)).map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
 
   /** One DataFrame over exact bucket paths, grouped per generation so
     * Spark's partition discovery (basePath = the generation dir)
@@ -496,15 +521,21 @@ private[graft] object BucketStore {
       entries.map { case (b, g) => s"$b\t$g" }.mkString("\n"))
 
   /** Drop generations and manifests outside the retention window:
-    * keep the manifests in `keepIds` (current + previous) and every
-    * generation either of them references — plus the current tick's
-    * own generation (it may be empty and thus unreferenced). Runs
-    * after publish; a crash mid-gc just leaves garbage the next
-    * tick's gc sweeps.
+    * keep the [[RetainManifests]] newest manifests and every
+    * generation any of them references — plus the current tick's own
+    * generation (it may be empty and thus unreferenced). Runs after
+    * publish; a crash mid-gc just leaves garbage the next tick's gc
+    * sweeps.
     */
-  private def gc(fs: FileSystem, p: HPath, dir: String, keepIds: Seq[Long]): Unit = {
+  private def gc(fs: FileSystem, p: HPath, dir: String, currentId: Long): Unit = {
+    val keepIds = fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(n => !n.isEmpty && n.startsWith(ManifestPrefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(ManifestPrefix).toLong).toOption)
+      .sorted(Ordering[Long].reverse)
+      .take(RetainManifests)
     val referenced = keepIds.flatMap(id => readManifest(fs, p, id).values).toSet +
-      (GenPrefix + keepIds.head)
+      (GenPrefix + currentId)
     val keepManifests = keepIds.map(ManifestPrefix + _).toSet
     fs.listStatus(p).foreach { st =>
       val name = st.getPath.getName

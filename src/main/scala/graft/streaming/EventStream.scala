@@ -238,22 +238,26 @@ object EventStream {
     * reference's redis `u<id>` export refresh).
     *
     * The snapshot must be seeded with [[BucketStore.seed]] on
-    * `pmod(user_id, nBuckets)`, same as [[startCdcApply]]. Pass a
-    * durable `checkpointDir` in production — the replay guard needs
-    * monotonic batch ids across restarts. The pending counter is
-    * process-local (a restart retrains on the first qualifying
-    * batch — safe, just eager); production tracking belongs in the
-    * streaming checkpoint / a metadata table.
+    * `pmod(user_id, nBuckets)`, same as [[startCdcApply]].
+    *
+    * @param checkpointDir durable streaming checkpoint (REQUIRED, same
+    *   contract as [[startCdcApply]]: the replay guard compares the
+    *   store's applied-batch marker against the stream's batch ids, so
+    *   ids must stay monotonic across restarts — without a checkpoint
+    *   they restart at 0 and every batch up to the marker would be
+    *   silently skipped, dropping its mutations). The pending counter
+    *   is process-local (a restart retrains on the first qualifying
+    *   batch — safe, just eager); production tracking belongs in the
+    *   streaming checkpoint / a metadata table.
     */
   def startRetrainLoop(updates: DataFrame, snapshot: String, recsDir: String,
+                       checkpointDir: String,
                        retrainEvery: Long = 100, topN: Int = 10,
                        rank: Int = 4, maxIter: Int = 5,
-                       nBuckets: Int = BucketStore.DefaultBuckets,
-                       checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+                       nBuckets: Int = BucketStore.DefaultBuckets): org.apache.spark.sql.streaming.StreamingQuery = {
     val pending = new java.util.concurrent.atomic.AtomicLong(0L)
-    val writer = updates.writeStream.outputMode(OutputMode.Append())
-    checkpointDir.foreach(writer.option("checkpointLocation", _))
-    writer
+    updates.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         BucketStore.recover(snapshot)

@@ -129,6 +129,39 @@ class BucketStoreSpec extends AnyFunSuite {
     assert(BucketStore.readBuckets(spark, dir, Seq(2), n = 64).count() === 0L)
   }
 
+  test("a fully-tombstoned store survives gc of its last data file") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bucket_store_empty").toString + "/store"
+    BucketStore.seed(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      BucketStore.longBucket(col("k"), 64), dir, n = 64)
+    // tick 0 tombstones EVERY row — the published manifest is empty
+    BucketStore.applyTick(spark, dir,
+      spark.emptyDataset[(Long, Long)].toDF("k", "v")
+        .withColumn("bucket", BucketStore.longBucket(col("k"), 64)),
+      Seq("k"), batchId = 0L, n = 64,
+      removed = Some(Seq((1L, 0L), (2L, 0L)).toDF("k", "v")
+        .select(col("k"), BucketStore.longBucket(col("k"), 64).as("bucket"))))
+    assert(storeRows(dir) === Set.empty)
+    // tick 1 pushes the seed manifest out of the retention window and
+    // gc reclaims gen-base — the store's LAST remaining data file
+    BucketStore.applyTick(spark, dir,
+      spark.emptyDataset[(Long, Long)].toDF("k", "v")
+        .withColumn("bucket", BucketStore.longBucket(col("k"), 64)),
+      Seq("k"), batchId = 1L, n = 64)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "gen-base")),
+      "unreferenced seed generation should be reclaimed like any other")
+    // with zero data files left, reads still serve the seeded schema…
+    val empty = BucketStore.readAll(spark, dir)
+    assert(empty.columns.toSet === Set("k", "v"))
+    assert(empty.count() === 0L)
+    // …and the store still ticks: a later insert revives it
+    BucketStore.applyTick(spark, dir,
+      Seq((3L, 30L)).toDF("k", "v")
+        .withColumn("bucket", BucketStore.longBucket(col("k"), 64)),
+      Seq("k"), batchId = 2L, n = 64)
+    assert(storeRows(dir) === Set((3L, 30L)))
+  }
+
   test("a corrupt marker fails loudly; a missing marker means pre-first-tick") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bucket_store_marker").toString + "/store"

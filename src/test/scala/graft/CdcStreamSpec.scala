@@ -75,7 +75,8 @@ class CdcStreamSpec extends AnyFunSuite {
 
     val input = MemoryStream[RatingUpdate]
     val q = graft.streaming.EventStream.startRetrainLoop(
-      input.toDF(), dir, recsDir, retrainEvery = 2, topN = 3)
+      input.toDF(), dir, recsDir, checkpointDir = root + "/ckpt",
+      retrainEvery = 2, topN = 3)
     // batch 1: one mutation — below the threshold, no model yet
     input.addData(RatingUpdate(1L, 6L, 5.0, false, ts("2024-01-02 00:00:00"), "upsert"))
     q.processAllAvailable()
