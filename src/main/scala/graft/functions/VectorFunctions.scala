@@ -411,25 +411,19 @@ object VectorFunctions {
       copy(left = newLeft, right = newRight)
   }
 
-  /** Idempotent per-session registration; operators call this before
-    * using `expr("graft_dot(...)")` / `expr("graft_simhash64(...)")`.
+  /** Canonical name → builder list for the vector/sketch functions.
+    * Single source of truth shared by the programmatic per-session
+    * `register` below and the `spark.sql.extensions` deployment path
+    * (`graft.GraftExtensions`).
     */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash64", exprs => MinHashSig(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_shingles", exprs => Shingles(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hyperplane64", exprs => Hyperplane64(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_sq8", exprs => Sq8Encode(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_sq8_dot", exprs => Sq8Dot(exprs(0), exprs(1)), "built-in")
-  }
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "graft_simhash64" -> (exprs => SimHash64(exprs.head)),
+    "graft_minhash64" -> (exprs => MinHashSig(exprs.head)),
+    "graft_shingles" -> (exprs => Shingles(exprs(0), exprs(1))),
+    "graft_hyperplane64" -> (exprs => Hyperplane64(exprs.head)),
+    "graft_sq8" -> (exprs => Sq8Encode(exprs.head)),
+    "graft_sq8_dot" -> (exprs => Sq8Dot(exprs(0), exprs(1))))
 
   /** Spark ships production Bloom expressions (the machinery behind
     * runtime row-group filtering: `BloomFilterAggregate` builds the
@@ -438,16 +432,26 @@ object VectorFunctions {
     * names for the decontamination scale path. Same codegen'd
     * implementations the optimizer itself injects.
     */
-  def registerBloom(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_agg",
-      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        exprs(0), exprs(1), exprs(2)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_might_contain",
-      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        exprs(0), exprs(1)),
-      "built-in")
-  }
+  val bloomBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_bloom_agg" ->
+      (exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2))),
+    "graft_might_contain" ->
+      (exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1))))
+
+  /** Idempotent per-session registration; operators call this before
+    * using `expr("graft_dot(...)")` / `expr("graft_simhash64(...)")`.
+    */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  def registerBloom(spark: SparkSession): Unit =
+    bloomBuilders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }
