@@ -114,20 +114,30 @@ object Bench {
     var heavyBudgetSec = sys.env.get("SPARK_GRAFT_BENCH_HEAVY_BUDGET")
       .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
       .getOrElse(90.0)
+    // A failed rep must NEVER surface as a timing: r7 shipped six
+    // analysis-crashed queries as ~0.06 s "successes" (the fastest
+    // numbers on the board) and the total quietly lost their real
+    // work. A failure records NaN, drops the query from the JSON
+    // maps, lands it in a "failed" list, and flips the exit code —
+    // mirroring Verify's contract.
+    val failedQueries = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         def once(): Double = {
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              failedQueries += name
+              false
+            }
           val dt = (System.nanoTime() - t0) / 1e9
           // operators cache intermediates (sig tables, sim chains) for
           // intra-query reuse; drop them between queries or 34 queries'
           // worth of cached blocks pile up and GC-thrash the tail
           spark.catalog.clearCache()
-          dt
+          if (ok) dt else Double.NaN
         }
         // per-query warm-up at the smallest SF: the q1_agg warm-up
         // above only touches ITS plan's classes — a heavy query's
@@ -147,22 +157,24 @@ object Bench {
         Thread.sleep(30) // let the async listener bus drain this query
         val qShuffleBytes = shuffleBytes.get() - bytes0
         val best =
-          if (reps > 1 && first <= repCutoffSec)
-            (first +: Seq.fill(reps - 1)(once())).min
+          if (first.isNaN) first // no reruns of a crashing plan
+          else if (reps > 1 && first <= repCutoffSec)
+            (first +: Seq.fill(reps - 1)(once())).filterNot(_.isNaN).min
           else if (reps > 1 && first <= heavyBudgetSec / 2) {
             val extra = once()
-            heavyBudgetSec -= extra
-            math.min(first, extra)
+            if (extra.isNaN) first
+            else { heavyBudgetSec -= extra; math.min(first, extra) }
           } else first
         (name, best, qShuffleBytes)
       }
-    }
+    }.filterNot { case (_, t, _) => t.isNaN }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sb = results.map { case (k, _, b) => "\"" + k + "\":" + b }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"sf":"$sfDir"}"""
+    val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // stdout goes through sbt's [info] prefixing, which defeats
     // line-oriented JSON parsing — always also write the bare line to a
@@ -175,5 +187,10 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
+    if (failedQueries.nonEmpty) {
+      System.err.println(
+        s"[bench] ${failedQueries.size} quer${if (failedQueries.size == 1) "y" else "ies"} FAILED: ${failedQueries.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

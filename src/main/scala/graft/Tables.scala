@@ -24,19 +24,43 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads via
-    * the nanosAsLong legacy mode. We convert the ns long to a µs
-    * TIMESTAMP with integer division (double division would lose
-    * precision above 2^53 ns). DuckDB keeps ns natively; oracle-facing
-    * queries therefore surface epoch millis, identical on both.
+  /** The events table with `ts` normalized to ONE canonical type
+    * (session-zoned TIMESTAMP), whatever parquet vintage wrote it.
+    *
+    * A 100 TB lake always carries mixed-vintage files; this loader has
+    * now met three encodings of the SAME logical column across test
+    * rounds — TIMESTAMP(NANOS) (readable only as a long via the
+    * nanosAsLong legacy mode), TIMESTAMP_NTZ (µs, no zone), and zoned
+    * TIMESTAMP — and r7 proved that normalizing only one of them lets a
+    * re-vintaged file crash every downstream `unix_millis(ts)` at
+    * analysis time. So: ns-long → µs via integer division (double
+    * division loses precision above 2⁵³ ns); NTZ → cast to TimestampType
+    * (every graft entrypoint pins session tz UTC, so the wall-clock
+    * reinterpretation is value-identical and DuckDB epoch-millis parity
+    * holds); zoned passes through; anything else fails LOUDLY here with
+    * the observed type, not five operators later inside an analyzer
+    * error. (Reference contrast: models.py:6-77 declares DateTime once
+    * and Postgres owns coercion — on a lake, the engine must own it.)
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
+    normalizeEventTs(table(s, d, "events"))
+  }
+
+  /** Vintage normalization seam for any events-shaped frame — see
+    * [[events]]. Exposed so specs can feed fixtures of each encoding.
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType => // TIMESTAMP(NANOS) read as ns-since-epoch long
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
+      case TimestampNTZType => // µs, zone-less: UTC wall-clock by contract
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other; expected TIMESTAMP, " +
+          "TIMESTAMP_NTZ, or ns-as-long TIMESTAMP(NANOS)")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
