@@ -24,7 +24,7 @@ object Bench {
     // bucketed store in-query — two materializations of the store to
     // measure one tick. They are store-LIFECYCLE demos gated by their
     // oracles; the tick-vs-batch timing story is IvmTimingSpec's.
-    "q_item_cooc", "q_item_cooc_inc", "q_item_sim", "q_user_sim",
+    "q_item_cooc", "q_item_cooc_salted", "q_item_cooc_inc", "q_item_sim", "q_user_sim",
     "q_item_cf_recs", "q_recs_serve",
     "q_user_mutations", "text_tfidf",
     "q_user_topk_agg", "q_approx_stats",

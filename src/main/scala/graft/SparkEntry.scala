@@ -103,6 +103,7 @@ object SparkEntry {
     // queries answered from the read-back index with probe-pruned
     // bucket reads; IvfStoreSpec gates identity with a one-shot index
     "knn_ivf_store" -> ((s, d) => Similarity.ivfStoreSearch(s, d)),
+    "knn_ivf_drift" -> ((s, d) => Similarity.ivfDriftProbe(s, d)),
     "knn_sq8"   -> ((s, d) => Similarity.knnSq8(s, d)),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     // — text analysis —
@@ -126,6 +127,10 @@ object SparkEntry {
     "mm_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
     // — neighborhood (item-item) collaborative filtering —
     "q_item_cooc"    -> ((s, d) => ItemCF.cooccurrence(s, d)),
+    // hot-user salting engaged (measured-skew gate, threshold 32):
+    // same oracle as q_item_cooc — salting must redistribute work
+    // without moving a single pair count
+    "q_item_cooc_salted" -> ((s, d) => ItemCF.cooccurrenceSalted(s, d)),
     // incremental-view-maintenance path; oracle = the BATCH pair count,
     // so the gate checks the IVM identity itself
     "q_item_cooc_inc" -> ((s, d) => ItemCF.coocIncremental(s, d)),
@@ -605,6 +610,15 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
 
     "q_item_cooc" ->
+      s"""$IU SELECT a.item_id AS item_a, b.item_id AS item_b,
+         |  count(*) AS n_users
+         |FROM capped a JOIN capped b
+         |  ON a.user_id = b.user_id AND a.item_id < b.item_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    // identical to q_item_cooc by design: the salted plan must not
+    // change one value
+    "q_item_cooc_salted" ->
       s"""$IU SELECT a.item_id AS item_a, b.item_id AS item_b,
          |  count(*) AS n_users
          |FROM capped a JOIN capped b

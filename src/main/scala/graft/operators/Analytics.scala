@@ -95,15 +95,26 @@ object Analytics {
       .select(col("order_date").cast("string").as("order_date"), col("daily_total"), col("ma"))
   }
 
-  /** Semi-structured column handling: extract the JSON `k` attribute
-    * from events.props, bucket it, aggregate. get_json_object keeps
-    * parsing codegen'd and map-side.
+  /** Declared schema of the events.props JSON document — the contract
+    * a 100 TB pipeline should state once, not re-discover per
+    * attribute at parse time.
+    */
+  private val propsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+
+  /** Semi-structured column handling: parse events.props ONCE with an
+    * explicit schema (`from_json` → a single JsonToStructs in the
+    * plan, typed fields out — PlanShapeSpec pins it), then bucket and
+    * aggregate. The per-attribute `get_json_object` alternative
+    * re-parses the document for every attribute extracted — invisible
+    * at sf0.1, a real multiplier on 100 TB of events the moment the
+    * schema grows past one field — and hands back strings to re-cast
+    * besides.
     */
   def eventsProps(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
-      .select(
-        (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket"),
-        col("value"))
+      .select(from_json(col("props"), propsSchema).as("p"), col("value"))
+      .select((col("p.k") % 10).as("k_bucket"), col("value"))
       .groupBy(col("k_bucket"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
 

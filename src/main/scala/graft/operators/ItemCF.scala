@@ -69,19 +69,81 @@ object ItemCF {
     coocCountsOn(i).filter(col("n_users") >= minUsers)
   }
 
+  /** [[cooccurrence]] with the hot-user salting ENGAGED (registered as
+    * `q_item_cooc_salted`, HASH-gated against the SAME oracle as
+    * `q_item_cooc`): at the test SFs the 32-degree threshold marks
+    * ~87 (sf0.001) / ~1020 (sf0.01) users hot, so the salted arm
+    * carries real rows through the gate and the oracle passes only if
+    * salting redistributed work without changing one pair count.
+    */
+  def cooccurrenceSalted(spark: SparkSession, sfDir: String, minUsers: Int = 3,
+                         maxDegree: Int = DefaultMaxDegree, hotDegree: Int = 32,
+                         salts: Int = 8): DataFrame = {
+    val i = cappedByUser(spark, sfDir, maxDegree).select(col("user_id"), col("item_id"))
+    coocCountsOn(i, hotDegree, salts).filter(col("n_users") >= minUsers)
+  }
+
   /** Unfiltered pair counts (minUsers = 1) over an arbitrary
     * (user_id, item_id) fact set — the shared core of [[cooccurrence]]
     * and the incremental path below.
+    *
+    * '''Skew''': the self-join shuffles on `user_id`, so ONE user's
+    * entire deg² pair generation runs in the single task that holds
+    * their key — and unlike the similarity path, the matrix builds
+    * here run over UNCAPPED facts (the matrix must count every pair).
+    * With `hotDegree` set, users whose degree exceeds it (measured by
+    * one cheap partial-agg pass) take a SALTED self-join instead:
+    * their a-side rows are salted by `item_a` content
+    * ([[Skew.salt]] — deterministic, retry-safe), their b-side rows
+    * replicated across the salts, and the join key becomes
+    * (user_id, salt) — per-task work drops from deg² to deg²/salts
+    * while each (a < b) pair still forms exactly once (in a's salt
+    * partition). Normal users keep the plain path; the b-side
+    * replication cost is confined to the measured-hot rows. The gate
+    * is measured, not assumed: no hot users → the plain plan,
+    * byte-identical results either way (SkewSpec pins the salted
+    * shuffle key and the identity; `q_item_cooc_salted` HASH-gates it
+    * against the same oracle as `q_item_cooc`). Default = disabled:
+    * the threshold only pays for itself once degrees reach the many
+    * thousands, far beyond the test SFs' ≤105.
     */
-  private[graft] def coocCountsOn(i: DataFrame): DataFrame = {
+  private[graft] def coocCountsOn(i: DataFrame, hotDegree: Int = Int.MaxValue,
+                                  salts: Int = 8): DataFrame = {
+    val pairs =
+      if (hotDegree == Int.MaxValue) selfPairs(i)
+      else {
+        val hotUsers = i.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") > hotDegree)
+          .select(col("user_id"))
+          .cache()
+        if (hotUsers.count() == 0) { hotUsers.unpersist(); selfPairs(i) }
+        else {
+          val hot = i.join(broadcast(hotUsers), Seq("user_id"), "left_semi")
+          val normal = i.join(broadcast(hotUsers), Seq("user_id"), "left_anti")
+          val hotA = hot.select(col("user_id"), col("item_id").as("item_a"))
+            .withColumn("__salt", Skew.salt(salts, col("item_a")))
+          val hotB = hot.select(col("user_id"), col("item_id").as("item_b"))
+            .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+          val hotPairs = hotA.join(hotB, Seq("user_id", "__salt"))
+            .filter(col("item_a") < col("item_b"))
+            .select(packPair(col("item_a"), col("item_b")).as("pk"))
+          selfPairs(normal).unionByName(hotPairs)
+        }
+      }
+    pairs
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(unpackA(col("pk")).as("item_a"), unpackB(col("pk")).as("item_b"), col("n_users"))
+  }
+
+  /** Plain per-user pair enumeration (the unsalted arm). */
+  private def selfPairs(i: DataFrame): DataFrame = {
     val a = i.select(col("user_id"), col("item_id").as("item_a"))
     val b = i.select(col("user_id"), col("item_id").as("item_b"))
     a.join(b, Seq("user_id"))
       .filter(col("item_a") < col("item_b"))
       .select(packPair(col("item_a"), col("item_b")).as("pk"))
-      .groupBy(col("pk"))
-      .agg(count(lit(1)).as("n_users"))
-      .select(unpackA(col("pk")).as("item_a"), unpackB(col("pk")).as("item_b"), col("n_users"))
   }
 
   /** Pair-count contributions of a delta batch, keyed by packed pair:

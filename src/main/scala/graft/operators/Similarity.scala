@@ -272,6 +272,81 @@ object Similarity {
         postings("cluster").as("cluster"))
   }
 
+  // ----- recall-drift probe: when to trigger the rebuild ----------
+
+  /** One probe measurement: `sampledRecall` over `nQueries` sampled
+    * queries, `tripped` when it fell below the configured threshold.
+    */
+  case class IvfProbeResult(sampledRecall: Double, nQueries: Int, tripped: Boolean) {
+    override def toString: String =
+      f"ivfProbe[recall=$sampledRecall%.3f queries=$nQueries tripped=$tripped]"
+  }
+
+  /** Sampled-recall probe against the persisted index: for each query,
+    * the fraction of its TRUE top-`k` cosine neighbors (brute force
+    * over the store) whose assigned cluster is in the query's `nprobe`
+    * probe list. Because in-bucket scoring is exact, this bucket
+    * recall IS the search recall — a vector the probe list misses is
+    * exactly a vector [[searchIvfStore]] cannot return. Recall decays
+    * invisibly as appends drift from the FROZEN quantizer; this probe
+    * makes the [[rebuildIvfIndex]] decision data-driven instead of
+    * operator guesswork.
+    *
+    * Cost: one scan of the store (broadcast-joined against the tiny
+    * query sample) per probed tick — no bucket reads, no window over
+    * the corpus beyond the per-query top-k. The 100 TB knobs are in
+    * [[IvfProbeConfig]]: probe every N ticks, and/or hash-sample the
+    * corpus side with `corpusFraction` (recall against a uniform
+    * subcorpus is an unbiased drift signal — drift moves the whole
+    * distribution, not individual ranks).
+    */
+  private[graft] def ivfRecallProbe(spark: SparkSession, storeDir: String,
+      cents: Seq[(Int, Seq[Double])], queries: DataFrame,
+      k: Int, nprobe: Int, nlist: Int, threshold: Double,
+      corpusFraction: Double = 1.0): IvfProbeResult = {
+    graft.functions.VectorFunctions.register(spark)
+    val all = graft.streaming.BucketStore.readAll(spark, storeDir)
+    val postings =
+      if (corpusFraction >= 1.0) all
+      else {
+        val gate = f"${(corpusFraction * 256).toInt}%02x"
+        all.filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit(gate))
+      }
+    // probe list per query, map-side against the centroid literal
+    val probed = queries
+      .withColumn("cents", centsLit(cents))
+      .withColumn("v", col("qv"))
+      .withColumn("norm2", expr("graft_dot(qv, qv)"))
+      .withColumn("probed", expr(s"slice(array_sort($distArr), 1, $nprobe).cluster"))
+      .select(col("query_id"), col("qv"), col("qnorm"), col("probed"))
+    // true top-k over the (sampled) store, with each neighbor's
+    // assigned cluster riding along; hit = cluster ∈ probe list
+    val scored = postings.join(broadcast(probed), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(expr(dot) / (col("norm") * col("qnorm")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    val truth = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .withColumn("hit", array_contains(col("probed"), col("cluster")))
+    val agg = truth.agg(
+      avg(col("hit").cast("double")).as("recall"),
+      count_distinct(col("query_id")).as("nq")).collect()(0)
+    val recall = Option(agg.getDouble(0)).getOrElse(1.0)
+    IvfProbeResult(recall, agg.getLong(1).toInt, tripped = recall < threshold)
+  }
+
+  /** Probe policy for the continuous maintainer
+    * ([[graft.streaming.DocStream.startIvfMaintain]]): every
+    * `everyNTicks` ticks, `sample` of the tick's upserted vectors
+    * become probe queries (freshly landed data is where drift shows
+    * first), recall is measured via [[ivfRecallProbe]] and logged with
+    * the tick stats; below `threshold`, `onDrift` fires — typically
+    * recorded by the operator loop that stops the maintainer, runs
+    * [[rebuildIvfIndex]], and restarts against the new version (the
+    * rebuild is a versioned-root cutover, so readers never block).
+    */
+  case class IvfProbeConfig(sample: Int = 8, k: Int = 10, nprobe: Int = 2,
+      threshold: Double = 0.9, corpusFraction: Double = 1.0,
+      everyNTicks: Int = 1, onDrift: (Long, IvfProbeResult) => Unit = (_, _) => ())
+
   // ----- versioned index root: rebuild with atomic cutover --------
 
   /** The one mutation [[ivfAppendTick]] cannot express is re-TRAINING
@@ -354,6 +429,47 @@ object Similarity {
     * one-shot index over the full corpus (same frozen quantizer) and
     * untouched-inverted-list byte-identity across the tick.
     */
+  /** The recall-drift probe as a registered query (`knn_ivf_drift`):
+    * the same persisted-index lifecycle as [[ivfStoreSearch]] — seed
+    * the base split, append the held-out split as one tick under the
+    * FROZEN quantizer — then measure what that tick did to recall:
+    * [[ivfRecallProbe]] over a deterministic sample of the tick's own
+    * vectors, exactly what [[graft.streaming.DocStream.startIvfMaintain]]
+    * logs per tick to decide when [[rebuildIvfIndex]] runs. One row
+    * (sampled_recall, n_queries, tripped); rows-only — k-means is not
+    * SQL-expressible — with IvfStoreSpec gating the trip/restore
+    * behavior on planted drift.
+    *
+    * Absolute recall on the synthetic embeddings table is dominated by
+    * the nprobe/nlist scan fraction (the table is weakly clustered, so
+    * ~0.5 at 2/8 is the index's steady state, not damage); the
+    * operational signal is the DELTA across ticks under a frozen
+    * quantizer — which is why the maintainer compares each tick's
+    * reading against a configured floor rather than chasing a
+    * universal constant.
+    */
+  def ivfDriftProbe(spark: SparkSession, sfDir: String, k: Int = 10,
+      nlist: Int = 8, nprobe: Int = 2, threshold: Double = 0.9,
+      artifactDir: String = "target/graft-artifacts"): DataFrame = {
+    import spark.implicits._
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest((sfDir + "#drift").getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val storeDir = s"$artifactDir/ivf_store_$digest"
+    val centroidsDir = s"$artifactDir/ivf_centroids_$digest"
+    val c = corpus(spark, sfDir).cache()
+    val base = c.filter(col("vec_id") % 10 =!= 7).select("vec_id", "v", "norm")
+    val delta = c.filter(col("vec_id") % 10 === 7).select("vec_id", "v", "norm")
+    val cents = trainQuantizer(spark, base, centroidsDir, nlist)
+    seedIvfStore(spark, base, storeDir, cents, nlist)
+    ivfAppendTick(spark, storeDir, cents, delta, batchId = 0L, nlist = nlist)
+    val queries = delta.orderBy(md5(col("vec_id").cast("string"))).limit(8)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val r = ivfRecallProbe(spark, storeDir, cents, queries, k, nprobe, nlist, threshold)
+    c.unpersist()
+    Seq((r.sampledRecall, r.nQueries, r.tripped))
+      .toDF("sampled_recall", "n_queries", "tripped")
+  }
+
   def ivfStoreSearch(spark: SparkSession, sfDir: String, nQueries: Int = 10,
       k: Int = 10, nlist: Int = 8, nprobe: Int = 2,
       artifactDir: String = "target/graft-artifacts"): DataFrame = {

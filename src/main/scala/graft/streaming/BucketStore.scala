@@ -64,6 +64,22 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * lags further can hit deleted files — a clean read error, never
   * silently mixed data.
   *
+  * '''Writer fencing.''' The single-writer contract is additionally
+  * ENFORCED, not just documented: every marker publish embeds a fresh
+  * fence token, [[applyTick]] snapshots the raw marker at entry, and
+  * requires it unchanged immediately before its generation write and
+  * again before its publish. Two maintainers accidentally pointed at
+  * the same store (a real operational hazard at scale) therefore
+  * cannot silently last-writer-win the marker and drop a tick: the
+  * first to publish wins, the second fails LOUDLY at its fence check
+  * and its orphaned generation is swept by the next tick's gc. This is
+  * detection, not a distributed lock — the Hadoop FileSystem API has
+  * no portable compare-and-swap, so two writers racing the same
+  * instant can still interleave inside the check→PUT window — but it
+  * shrinks the silent-loss window from an entire tick's wall-clock to
+  * microseconds and turns every observed conflict into an exception
+  * an operator sees.
+  *
   * Crash safety is roll-BACK + replay: the marker moves only after the
   * generation dir and manifest are complete, so a crash anywhere
   * earlier leaves the live snapshot untouched and orphans invisible to
@@ -247,8 +263,15 @@ private[graft] object BucketStore {
   def applyTick(spark: SparkSession, dir: String, changes: DataFrame,
                 keyCols: Seq[String], batchId: Long, n: Int,
                 removed: Option[DataFrame] = None,
-                maxLiveGenerations: Int = DefaultMaxLiveGenerations): TickStats = {
-    val prevId = appliedBatchId(dir)
+                maxLiveGenerations: Int = DefaultMaxLiveGenerations,
+                beforePublish: () => Unit = () => ()): TickStats = {
+    // fence snapshot: the raw marker this tick's view of the store is
+    // based on. Any publish by another writer changes it (the UUID on
+    // line 2), and this tick then aborts at a checkFence instead of
+    // overwriting that writer's tick. beforePublish is a fault-
+    // injection seam (specs interleave a competing writer there); it
+    // runs after merge compute, before the fence check + publish.
+    val (prevId, fence0) = markerSnapshot(dir)
     if (prevId >= batchId)
       return TickStats(batchId, applied = false, touchedBuckets = 0,
         compacted = false, liveGenerations = 0)
@@ -257,6 +280,7 @@ private[graft] object BucketStore {
     val prevManifest = readManifest(fs, p, prevId)
     val ch = changes.cache()
     val rm = removed.map(_.cache())
+    try {
     val changed = touchedBuckets(
       rm.map(r => ch.select(col(BucketCol)).unionByName(r.select(col(BucketCol))))
         .getOrElse(ch.select(col(BucketCol))))
@@ -264,10 +288,11 @@ private[graft] object BucketStore {
     if (changed.isEmpty && !compacting) {
       // an all-duplicate tick changes nothing but must still advance
       // the marker, or the replay guard would re-run it forever
+      beforePublish()
+      checkFence(dir, fence0, batchId)
       writeManifest(fs, p, batchId, prevManifest.toSeq.sortBy(_._1))
       writeMarker(dir, batchId)
       gc(fs, p, dir, batchId)
-      ch.unpersist(); rm.foreach(_.unpersist())
       val st = TickStats(batchId, applied = true, touchedBuckets = 0,
         compacted = false, liveGenerations = prevManifest.values.toSet.size)
       log.info(s"$dir $st")
@@ -290,6 +315,11 @@ private[graft] object BucketStore {
         keyCols, "left_anti")
       .unionByName(ch)
     val gen = GenPrefix + batchId
+    // fence before the data write too: a writer that lost the store
+    // after the winner ALREADY published aborts here, before it can
+    // clobber a same-named generation dir the winner's manifest
+    // references (mode=overwrite deletes the dir first)
+    checkFence(dir, fence0, batchId)
     merged.repartition(col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$dir/$gen")
     // new manifest: touched buckets move to this generation iff the
@@ -297,16 +327,18 @@ private[graft] object BucketStore {
     // untouched buckets keep their previous generation
     val newManifest = (prevManifest -- touched) ++
       presentBuckets(s"$dir/$gen").map(_ -> gen)
+    beforePublish()
+    checkFence(dir, fence0, batchId)
     writeManifest(fs, p, batchId, newManifest.toSeq.sortBy(_._1))
     // the publish point: one small-file overwrite, no renames —
     // everything above is invisible to readers until this lands
     writeMarker(dir, batchId)
     gc(fs, p, dir, batchId)
-    ch.unpersist(); rm.foreach(_.unpersist())
     val st = TickStats(batchId, applied = true, touchedBuckets = touched.size,
       compacted = compacting, liveGenerations = newManifest.values.toSet.size)
     log.info(s"$dir $st")
     st
+    } finally { ch.unpersist(); rm.foreach(_.unpersist()) }
   }
 
   /** Roll an interrupted tick BACK: generations and manifests newer
@@ -335,6 +367,13 @@ private[graft] object BucketStore {
   /** Batch id recorded in the store (-1 before the first tick) — the
     * name of the current manifest. The underscore-prefixed marker
     * file is invisible to Spark's readers.
+    */
+  def appliedBatchId(dir: String): Long = markerSnapshot(dir)._1
+
+  /** Marker read as (batchId, raw content): the raw content is the
+    * FENCE a tick must observe unchanged at publish time (the token on
+    * line 2 makes every publish distinct even when batch ids repeat
+    * across writers).
     *
     * The marker is overwritten in place (the atomic-PUT publish), and
     * on HDFS/POSIX an in-place overwrite can expose a momentarily
@@ -344,16 +383,16 @@ private[graft] object BucketStore {
     * apply) or resolve a reader to the wrong manifest. So: retry the
     * glimpse briefly, then fail loudly.
     */
-  def appliedBatchId(dir: String): Long = {
+  private def markerSnapshot(dir: String): (Long, Option[String]) = {
     val (fs, p) = fsFor(dir)
     val mp = new HPath(p, Marker)
     var attempt = 0
     while (true) {
       readSmall(fs, mp) match {
-        case None => return -1L
+        case None => return (-1L, None)
         case Some(s) =>
-          scala.util.Try(s.trim.toLong).toOption match {
-            case Some(id) => return id
+          scala.util.Try(s.linesIterator.next().trim.toLong).toOption match {
+            case Some(id) => return (id, Some(s))
             case None =>
               attempt += 1
               require(attempt < 20,
@@ -362,8 +401,30 @@ private[graft] object BucketStore {
           }
       }
     }
-    -1L // unreachable
+    (-1L, None) // unreachable
   }
+
+  /** Loud-loser fence check: the raw marker must still be exactly what
+    * this tick read at entry. Any change means another writer
+    * published under us — abort rather than overwrite its tick.
+    */
+  private def checkFence(dir: String, fence0: Option[String], batchId: Long): Unit = {
+    val (fs, p) = fsFor(dir)
+    val now = readSmall(fs, new HPath(p, Marker))
+    if (now != fence0)
+      throw new ConcurrentWriterException(
+        s"store $dir: marker changed while tick $batchId was computing " +
+          s"(expected ${fence0.map(_.linesIterator.mkString("/")).getOrElse("<absent>")}, " +
+          s"found ${now.map(_.linesIterator.mkString("/")).getOrElse("<absent>")}) — " +
+          "another maintainer owns this store; this tick aborts without publishing")
+  }
+
+  /** Thrown by [[applyTick]] when the fence check detects a concurrent
+    * writer. Deliberately NOT an IllegalStateException subclass a
+    * caller might blanket-swallow: losing a fence means two maintainers
+    * are pointed at one store and an operator must intervene.
+    */
+  final class ConcurrentWriterException(msg: String) extends RuntimeException(msg)
 
   // ---------------------------------------------------------------
   // snapshot resolution
@@ -502,9 +563,15 @@ private[graft] object BucketStore {
       .toSet
   }
 
+  /** Publish: batch id on line 1 (what readers and the replay guard
+    * parse), a fresh fence token on line 2 (what makes every publish
+    * distinguishable to [[checkFence]], even a replay of the same
+    * batch id by a different writer).
+    */
   private def writeMarker(dir: String, batchId: Long): Unit = {
     val (fs, p) = fsFor(dir)
-    writeSmall(fs, new HPath(p, Marker), batchId.toString)
+    writeSmall(fs, new HPath(p, Marker),
+      s"$batchId\n${java.util.UUID.randomUUID()}")
   }
 
   private def readManifest(fs: FileSystem, p: HPath, id: Long): Map[Int, String] =

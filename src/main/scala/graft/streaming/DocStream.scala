@@ -15,6 +15,8 @@ case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
   */
 object DocStream {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.streaming.DocStream")
+
   /** Keep the first arrival of each distinct content hash.
     * `dropDuplicatesWithinWatermark` holds one state entry per
     * DISTINCT content seen within the watermark horizon and expires
@@ -207,9 +209,16 @@ object DocStream {
     *                      replay guard needs monotonic batch ids)
     * @param nlist         the quantizer's centroid count = the
     *                      store's bucket count, must match the seed
+    * @param probe         optional recall-drift probe policy: sampled
+    *                      recall measured after qualifying ticks,
+    *                      logged with the tick stats; a reading below
+    *                      the threshold fires `onDrift`, the signal to
+    *                      schedule a [[graft.operators.Similarity.rebuildIvfIndex]]
+    *                      (see IvfProbeConfig for the 100 TB cost knobs)
     */
   def startIvfMaintain(vecs: DataFrame, storeDir: String, centroidsDir: String,
-                       checkpointDir: String, nlist: Int): StreamingQuery =
+                       checkpointDir: String, nlist: Int,
+                       probe: Option[graft.operators.Similarity.IvfProbeConfig] = None): StreamingQuery =
     vecs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -230,10 +239,29 @@ object DocStream {
           .cache()
         if (b.count() > 0 && BucketStore.appliedBatchId(storeDir) < batchId) {
           val cents = graft.operators.Similarity.loadCentroids(spark, centroidsDir)
+          val ups = b.filter(col("op") === "upsert").drop("op")
           graft.operators.Similarity.ivfAppendTick(spark, storeDir, cents,
-            b.filter(col("op") === "upsert").drop("op"), batchId, nlist,
+            ups, batchId, nlist,
             removedVectors =
               if (hasOp) Some(b.filter(col("op") === "delete").drop("op")) else None)
+          probe.filter(p => batchId % p.everyNTicks.max(1) == 0).foreach { p =>
+            // probe queries = a deterministic hash-sample of THIS
+            // tick's upserts: freshly landed vectors are where frozen-
+            // quantizer drift shows first (the indexed backlog was
+            // either seeded under this quantizer or already probed)
+            val qs = ups
+              .orderBy(md5(col("vec_id").cast("string"))).limit(p.sample)
+              .select(col("vec_id").as("query_id"), col("v").as("qv"),
+                col("norm").as("qnorm"))
+            val r = graft.operators.Similarity.ivfRecallProbe(spark, storeDir,
+              cents, qs, p.k, p.nprobe, nlist, p.threshold, p.corpusFraction)
+            log.info(s"$storeDir batch=$batchId $r")
+            if (r.tripped) {
+              log.warn(s"$storeDir batch=$batchId RECALL DRIFT: $r — " +
+                "schedule a rebuildIvfIndex (versioned-root cutover)")
+              p.onDrift(batchId, r)
+            }
+          }
         }
         b.unpersist()
         ()

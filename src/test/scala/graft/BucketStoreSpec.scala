@@ -268,4 +268,51 @@ class BucketStoreSpec extends AnyFunSuite {
     }
     assert(BucketStore.appliedBatchId(dir) === 19L)
   }
+
+  test("writer fencing: of two interleaved appliers exactly one wins and the loser fails loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bucket_store_fence").toString + "/store"
+    BucketStore.seed(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      BucketStore.longBucket(col("k"), 64), dir, n = 64)
+
+    def changesOf(k: Long, v: Long) = Seq((k, v)).toDF("k", "v")
+      .withColumn("bucket", BucketStore.longBucket(col("k"), 64))
+
+    // Writer A reads the store, computes its merge, and — in the
+    // window between its compute and its publish — writer B (a second
+    // maintainer accidentally pointed at the same store) runs a full
+    // tick. A's publish must then fail loudly, not overwrite B's.
+    var interleaved = false
+    val e = intercept[BucketStore.ConcurrentWriterException] {
+      BucketStore.applyTick(spark, dir, changesOf(1L, 111L), Seq("k"),
+        batchId = 5L, n = 64,
+        beforePublish = () => {
+          val st = BucketStore.applyTick(spark, dir, changesOf(2L, 222L),
+            Seq("k"), batchId = 4L, n = 64)
+          assert(st.applied)
+          interleaved = true
+        })
+    }
+    assert(interleaved)
+    assert(e.getMessage.contains("another maintainer"))
+    // store state equals the WINNER's tick: B's change landed, A's did not
+    assert(storeRows(dir) === Set((1L, 10L), (2L, 222L)))
+    assert(BucketStore.appliedBatchId(dir) === 4L)
+
+    // the loser's orphaned generation is garbage, not live state, and
+    // the next healthy tick publishes over it normally and gc sweeps it
+    val st2 = BucketStore.applyTick(spark, dir, changesOf(3L, 30L), Seq("k"),
+      batchId = 6L, n = 64)
+    assert(st2.applied)
+    assert(storeRows(dir) === Set((1L, 10L), (2L, 222L), (3L, 30L)))
+
+    // same-batch-id race: B already published batch 7; A attempting
+    // batch 7 afterwards is stopped by the replay guard (applied=false)
+    BucketStore.applyTick(spark, dir, changesOf(1L, 77L), Seq("k"),
+      batchId = 7L, n = 64)
+    val replay = BucketStore.applyTick(spark, dir, changesOf(1L, 88L), Seq("k"),
+      batchId = 7L, n = 64)
+    assert(!replay.applied)
+    assert(storeRows(dir) === Set((1L, 77L), (2L, 222L), (3L, 30L)))
+  }
 }

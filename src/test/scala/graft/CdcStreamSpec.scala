@@ -166,6 +166,6 @@ class CdcStreamSpec extends AnyFunSuite {
     val marker = java.nio.file.FileSystems.getDefault
       .getPath(matrixDir, "_graft_applied_batch")
     assert(java.nio.file.Files.exists(marker))
-    assert(new String(java.nio.file.Files.readAllBytes(marker)).trim.toLong === 2L)
+    assert(graft.streaming.BucketStore.appliedBatchId(matrixDir) === 2L)
   }
 }

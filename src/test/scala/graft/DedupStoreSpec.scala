@@ -87,6 +87,6 @@ class DedupStoreSpec extends AnyFunSuite {
     val marker = java.nio.file.FileSystems.getDefault
       .getPath(storeDir, "_graft_applied_batch")
     assert(java.nio.file.Files.exists(marker))
-    assert(new String(java.nio.file.Files.readAllBytes(marker)).trim.toLong === 1L)
+    assert(graft.streaming.BucketStore.appliedBatchId(storeDir) === 1L)
   }
 }

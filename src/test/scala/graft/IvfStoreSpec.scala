@@ -160,6 +160,78 @@ class IvfStoreSpec extends AnyFunSuite {
     ()
   }
 
+  test("recall-drift probe: planted drift trips the maintainer's probe; rebuild restores recall") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ivf_drift_spec").toString
+    val storeDir = s"$root/store"; val centsDir = s"$root/cents"
+    val dim = 8; val perBlob = 60; val k = 5; val nprobe = 1
+    graft.functions.VectorFunctions.register(spark)
+
+    // Synthetic corpus with a KNOWN cluster structure: four tight
+    // blobs along orthogonal axes — the frozen quantizer (nlist=4)
+    // learns exactly these.
+    def noise(j: Int, d: Int): Double = (((j * 31 + d * 7) % 11) - 5) * 0.004
+    def blobVec(axis: Int, j: Int): Seq[Double] =
+      (0 until dim).map(d => (if (d == axis) 1.0 else 0.0) + noise(j, d))
+    val base = (for (b <- 0 until 4; j <- 0 until perBlob)
+      yield (b * 1000L + j, blobVec(b, j))).toDF("vec_id", "v")
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+    val cents = Similarity.trainQuantizer(spark, base, centsDir, nlist = 4)
+    Similarity.seedIvfStore(spark, base, storeDir, cents, nlist = 4)
+
+    // in-distribution queries: probe reads healthy (no trip)
+    val inQ = base.filter(col("vec_id") % 1000 < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val healthy = Similarity.ivfRecallProbe(spark, storeDir, cents, inQ,
+      k, nprobe, nlist = 4, threshold = 0.9)
+    assert(!healthy.tripped && healthy.sampledRecall >= 0.9, s"baseline $healthy")
+
+    // planted drift: a NEW blob at 45° between axis 0 and axis 1 —
+    // dead on the frozen quantizer's c0/c1 decision boundary, so the
+    // per-vector noise's (d0-d1) component assigns members to the two
+    // old clusters pseudo-randomly. True cosine neighborhoods follow
+    // a DIFFERENT structure (sub-groups spread along axis 2), so every
+    // member's nearest neighbors straddle both inverted lists and
+    // nprobe=1 must miss roughly half of them. This is exactly the
+    // failure mode frozen quantizers develop in production: new mass
+    // between old centroids, split by a boundary the quantizer drew
+    // for data that no longer looks like this.
+    val planted = (0 until 40).map { j =>
+      val v = (0 until dim).map { d =>
+        val on = if (d <= 1) 1.0 / math.sqrt(2) else 0.0
+        on + noise(j, d) + (if (d == 2) (j % 5) * 0.05 else 0.0)
+      }
+      VecIngest(9000L + j, v)
+    }
+    val trips = scala.collection.mutable.ListBuffer.empty[(Long, Similarity.IvfProbeResult)]
+    val input = MemoryStream[VecIngest]
+    val q = streaming.DocStream.startIvfMaintain(
+      input.toDF(), storeDir, centsDir, s"$root/ckpt", nlist = 4,
+      probe = Some(Similarity.IvfProbeConfig(sample = 8, k = k, nprobe = nprobe,
+        threshold = 0.9, onDrift = (b, r) => trips += ((b, r)))))
+    input.addData(planted: _*)
+    q.processAllAvailable(); q.stop()
+    assert(trips.nonEmpty, "planted drift did not trip the probe")
+    assert(trips.head._2.sampledRecall < 0.9)
+
+    // the data-driven response: rebuild from the maintained store's
+    // own contents with capacity for the new structure — recall over
+    // the SAME drifted queries is restored
+    val corpus = graft.streaming.BucketStore.readAll(spark, storeDir)
+      .select("vec_id", "v", "norm")
+    Similarity.rebuildIvfIndex(spark, corpus, s"$root/idx", nlist = 5)
+    val (newStore, newCents) = Similarity.resolveIvfIndex(spark, s"$root/idx")
+    val driftQ = planted.take(8).map(p => (p.vec_id, p.embedding)).toDF("query_id", "qv")
+      .withColumn("qnorm", sqrt(expr("graft_dot(qv, qv)")))
+    val after = Similarity.ivfRecallProbe(spark, newStore,
+      Similarity.loadCentroids(spark, newCents), driftQ,
+      k, nprobe, nlist = 5, threshold = 0.9)
+    assert(!after.tripped && after.sampledRecall >= 0.9, s"post-rebuild $after")
+    ()
+  }
+
   test("index rebuild publishes by pointer cutover; reader snapshot survives; retention reclaims") {
     val root = java.nio.file.Files.createTempDirectory("ivf_rebuild_spec").toString + "/idx"
     val nlist = 8; val nQueries = 5; val k = 5; val nprobe = 2

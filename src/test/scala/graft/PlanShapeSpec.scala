@@ -26,6 +26,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(read.contains("l_quantity") && read.contains("l_returnflag"), read)
   }
 
+  test("events-props: one schema'd from_json parse, no per-attribute get_json_object") {
+    val df = Analytics.eventsProps(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("from_json"), analyzed)
+    assert(!analyzed.contains("get_json_object"), analyzed)
+    // exactly one parse of the document per row
+    assert(analyzed.linesIterator.count(_.contains("from_json")) === 1, analyzed)
+  }
+
   test("top-movies: global top-N plans as TakeOrderedAndProject, not a full sort") {
     val p = plan(Relational.topMovies(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -125,6 +125,38 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("cooc hot-user salting: salt in the shuffle key when skew is measured; values unchanged") {
+    import spark.implicits._
+    // 4 hot users (deg 60) + 200 normal users (deg ≤ 6): the measured
+    // gate must mark exactly the hot four and route them through the
+    // salted arm
+    val hot = for (u <- 0L until 4L; j <- 0L until 60L) yield (u, 1000L + (u * 7 + j) % 80)
+    val normal = for (u <- 10L until 210L; j <- 0L until 6L) yield (u, 2000L + (u + j) % 50)
+    val facts = (hot ++ normal).toDF("user_id", "item_id").distinct().cache()
+
+    val plain = graft.operators.ItemCF.coocCountsOn(facts)
+    val salted = graft.operators.ItemCF.coocCountsOn(facts, hotDegree = 32, salts = 8)
+
+    // plan pin: the engaged salted arm shuffles on (user_id, __salt)
+    val plan = salted.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt"), s"no salt in the engaged plan:\n$plan")
+    val planPlain = plain.queryExecution.optimizedPlan.toString
+    assert(!planPlain.contains("__salt"))
+
+    // value identity: not one pair count moves
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(salted) === rows(plain))
+    assert(rows(salted).nonEmpty)
+
+    // measured gate: NO hot users → the plain plan comes back
+    val ungated = graft.operators.ItemCF.coocCountsOn(facts, hotDegree = 128, salts = 8)
+    assert(!ungated.queryExecution.optimizedPlan.toString.contains("__salt"))
+    assert(rows(ungated) === rows(plain))
+    facts.unpersist()
+    ()
+  }
+
   test("hot key actually spreads across salt partitions") {
     import spark.implicits._
     val fact = spark.range(10000).select(lit(7L).as("k"), col("id").as("payload"))
