@@ -369,15 +369,32 @@ object Similarity {
     * lost at cutover).
     */
   private[graft] def rebuildIvfIndex(spark: SparkSession, vectors: DataFrame,
-      indexRoot: String, nlist: Int): Long = {
+      indexRoot: String, nlist: Int,
+      beforePublish: () => Unit = () => ()): Long = {
     val (fs, root) = hadoopFs(spark, indexRoot)
-    val v = currentIvfVersion(spark, indexRoot) + 1L
+    // fence: same loud-loser protocol as the BucketStore marker — a
+    // rebuild snapshots the raw pointer at entry and requires it
+    // unchanged at publish, so of two concurrent rebuilds (minutes of
+    // wall-clock each: the accident is easy to have) exactly one
+    // cuts over and the other throws instead of overwriting a version
+    // readers already resolved. beforePublish is the spec's
+    // fault-injection seam.
+    val (v0, fence0) = ivfPointerSnapshot(spark, indexRoot)
+    val v = v0 + 1L
     val vDir = s"$indexRoot/idx-$v"
     val cents = trainQuantizer(spark, vectors, s"$vDir/centroids", nlist)
     seedIvfStore(spark, vectors, s"$vDir/store", cents, nlist)
-    // the publish point: one small-file overwrite
+    beforePublish()
+    val now = readPointerRaw(spark, indexRoot)
+    if (now != fence0)
+      throw new graft.streaming.BucketStore.ConcurrentWriterException(
+        s"ivf index $indexRoot: pointer changed while rebuild to idx-$v was " +
+          s"running (expected ${fence0.getOrElse("<absent>")}, found " +
+          s"${now.getOrElse("<absent>")}) — another rebuild published; aborting")
+    // the publish point: one small-file overwrite (version + fence token)
     val out = fs.create(new org.apache.hadoop.fs.Path(root, "_graft_ivf_current"), true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(s"$v\n${java.util.UUID.randomUUID()}".getBytes("UTF-8"))
+    finally out.close()
     // retention: current + previous version; older rebuilds reclaimed
     fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
@@ -397,19 +414,49 @@ object Similarity {
     (s"$indexRoot/idx-$v/store", s"$indexRoot/idx-$v/centroids")
   }
 
-  private def currentIvfVersion(spark: SparkSession, indexRoot: String): Long = {
+  private def currentIvfVersion(spark: SparkSession, indexRoot: String): Long =
+    ivfPointerSnapshot(spark, indexRoot)._1
+
+  private def readPointerRaw(spark: SparkSession, indexRoot: String): Option[String] = {
     val (fs, root) = hadoopFs(spark, indexRoot)
     val p = new org.apache.hadoop.fs.Path(root, "_graft_ivf_current")
-    if (!fs.exists(p)) -1L
+    if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       try {
         val bytes = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](64); var r = in.read(buf)
         while (r >= 0) { bytes.write(buf, 0, r); r = in.read(buf) }
-        new String(bytes.toByteArray, "UTF-8").trim.toLong
+        Some(new String(bytes.toByteArray, "UTF-8"))
       } finally in.close()
     }
+  }
+
+  /** Pointer read as (version, raw content) — the raw content is the
+    * rebuild fence. In-place overwrites can expose a momentarily empty
+    * file on HDFS/POSIX: a missing pointer legitimately means -1
+    * (never published), unparseable content must not (it would resolve
+    * a reader to the wrong version), so the glimpse retries briefly
+    * then fails loudly — same contract as the BucketStore marker.
+    */
+  private def ivfPointerSnapshot(spark: SparkSession, indexRoot: String): (Long, Option[String]) = {
+    var attempt = 0
+    while (true) {
+      readPointerRaw(spark, indexRoot) match {
+        case None => return (-1L, None)
+        case Some(s) =>
+          scala.util.Try(s.linesIterator.next().trim.toLong).toOption match {
+            case Some(v) => return (v, Some(s))
+            case None =>
+              attempt += 1
+              require(attempt < 20,
+                s"ivf pointer under $indexRoot unreadable after $attempt attempts " +
+                  s"(content ${s.length} bytes)")
+              Thread.sleep(25)
+          }
+      }
+    }
+    (-1L, None) // unreachable
   }
 
   private def hadoopFs(spark: SparkSession, dir: String) = {

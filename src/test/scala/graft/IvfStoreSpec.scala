@@ -277,6 +277,23 @@ class IvfStoreSpec extends AnyFunSuite {
     assert(Similarity.rebuildIvfIndex(spark, full, root, nlist) === 2L)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "idx-0")))
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "idx-1")))
+
+    // rebuild fencing: a competing rebuild publishing mid-build makes
+    // the slower one fail loudly at cutover; the pointer and search
+    // results are the winner's
+    val winnerV = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val e2 = intercept[graft.streaming.BucketStore.ConcurrentWriterException] {
+      Similarity.rebuildIvfIndex(spark, base, root, nlist,
+        beforePublish = () =>
+          winnerV.set(Similarity.rebuildIvfIndex(spark, full, root, nlist)))
+    }
+    assert(e2.getMessage.contains("another rebuild"))
+    assert(winnerV.get() === 3L)
+    val (storeW, centsW) = Similarity.resolveIvfIndex(spark, root)
+    assert(storeW.contains("idx-3")) // the winner's version is live…
+    // …with the winner's CONTENT: the loser indexed only even ids, the
+    // winner the full corpus — odd neighbors prove whose index serves
+    assert(search(storeW, centsW).collect().map(_.getLong(1)).exists(_ % 2 === 1))
     c.unpersist()
     ()
   }

@@ -1,0 +1,34 @@
+#!/usr/bin/env bash
+# The pre-snapshot full gate (SURVEY §5): every registered query dumped
+# and DuckDB-compared, full ScalaTest suite, bench smoke. Run this as
+# the LAST act of every round — r7 shipped six crashed queries because
+# a testdata regeneration landed after the last full rehearsal.
+#
+# Usage: tools/gate.sh [sfDir]   (default /root/testdata/sf0.001)
+set -uo pipefail
+cd "$(dirname "$0")/.."
+SF="${1:-/root/testdata/sf0.001}"
+OUT="$(mktemp -d /tmp/graft_gate.XXXXXX)"
+echo "== gate: Verify at $SF -> $OUT"
+sbt -batch "runMain graft.Verify $SF $OUT" > "$OUT/verify.log" 2>&1
+VRC=$?
+grep -E "\[verify\].*failed" "$OUT/verify.log"
+echo "== gate: verify exit $VRC"
+echo "== gate: DuckDB oracle compare"
+python3 tools/check_oracle.py "$SF" "$OUT"
+ORC=$?
+echo "== gate: oracle exit $ORC"
+echo "== gate: full test suite"
+sbt -batch test > "$OUT/test.log" 2>&1
+TRC=$?
+tail -n 4 "$OUT/test.log"
+echo "== gate: bench smoke"
+SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_REPS=1 \
+  SPARK_GRAFT_BENCH_OUT="$OUT/bench.json" \
+  sbt -batch "runMain graft.Bench" > "$OUT/bench.log" 2>&1
+BRC=$?
+cat "$OUT/bench.json" 2>/dev/null | head -c 300; echo
+echo "== gate: bench exit $BRC"
+RC=$((VRC + ORC + TRC + BRC))
+echo "== gate: OVERALL $([ "$RC" -eq 0 ] && echo PASS || echo FAIL) (logs in $OUT)"
+exit $RC
