@@ -329,7 +329,9 @@ object Similarity {
     val agg = truth.agg(
       avg(col("hit").cast("double")).as("recall"),
       count_distinct(col("query_id")).as("nq")).collect()(0)
-    val recall = Option(agg.getDouble(0)).getOrElse(1.0)
+    // an empty probe set (empty tick sample / empty store) is "no
+    // evidence", not "no recall" — report 1.0 untripped
+    val recall = if (agg.isNullAt(0)) 1.0 else agg.getDouble(0)
     IvfProbeResult(recall, agg.getLong(1).toInt, tripped = recall < threshold)
   }
 
@@ -375,43 +377,61 @@ object Similarity {
     // fence: same loud-loser protocol as the BucketStore marker — a
     // rebuild snapshots the raw pointer at entry and requires it
     // unchanged at publish, so of two concurrent rebuilds (minutes of
-    // wall-clock each: the accident is easy to have) exactly one
-    // cuts over and the other throws instead of overwriting a version
-    // readers already resolved. beforePublish is the spec's
-    // fault-injection seam.
+    // wall-clock each: the accident is easy to have) exactly one cuts
+    // over and the other throws instead of overwriting a version
+    // readers already resolved. And unlike a bare version counter, the
+    // version DIR carries a per-build nonce (the pointer names the
+    // dir): two racing rebuilds that both derive v0+1 write DISJOINT
+    // directories, so even the eventual loser can never scribble over
+    // the dir the winner's pointer serves — the fence decides only the
+    // pointer, and the loser's orphan dir ages out through retention.
+    // beforePublish is the spec's fault-injection seam.
     val (v0, fence0) = ivfPointerSnapshot(spark, indexRoot)
     val v = v0 + 1L
-    val vDir = s"$indexRoot/idx-$v"
+    val dirName = s"idx-$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    val vDir = s"$indexRoot/$dirName"
     val cents = trainQuantizer(spark, vectors, s"$vDir/centroids", nlist)
     seedIvfStore(spark, vectors, s"$vDir/store", cents, nlist)
     beforePublish()
     val now = readPointerRaw(spark, indexRoot)
     if (now != fence0)
       throw new graft.streaming.BucketStore.ConcurrentWriterException(
-        s"ivf index $indexRoot: pointer changed while rebuild to idx-$v was " +
+        s"ivf index $indexRoot: pointer changed while rebuild to $dirName was " +
           s"running (expected ${fence0.getOrElse("<absent>")}, found " +
           s"${now.getOrElse("<absent>")}) — another rebuild published; aborting")
-    // the publish point: one small-file overwrite (version + fence token)
+    // the publish point: one small-file overwrite
+    // (version \n fence-token \n dir-name)
     val out = fs.create(new org.apache.hadoop.fs.Path(root, "_graft_ivf_current"), true)
-    try out.write(s"$v\n${java.util.UUID.randomUUID()}".getBytes("UTF-8"))
+    try out.write(s"$v\n${java.util.UUID.randomUUID()}\n$dirName".getBytes("UTF-8"))
     finally out.close()
-    // retention: current + previous version; older rebuilds reclaimed
+    // retention: current + previous version; older rebuilds (and any
+    // loser orphans from two versions back) reclaimed
     fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory && name.startsWith("idx-") &&
-          scala.util.Try(name.stripPrefix("idx-").toLong).toOption.exists(_ < v - 1))
+          idxVersionOf(name).exists(_ < v - 1))
         fs.delete(st.getPath, true)
     }
     v
   }
 
+  /** Version prefix of an index dir name: `idx-<v>` (legacy) or
+    * `idx-<v>-<nonce>`.
+    */
+  private def idxVersionOf(name: String): Option[Long] =
+    scala.util.Try(name.stripPrefix("idx-").takeWhile(_ != '-').toLong).toOption
+
   /** Resolve the live index version's (storeDir, centroidsDir);
-    * fails loudly on a root with no published version.
+    * fails loudly on a root with no published version. The pointer's
+    * third line names the (nonce'd) dir; a legacy two-line pointer
+    * falls back to the bare `idx-<v>` name.
     */
   private[graft] def resolveIvfIndex(spark: SparkSession, indexRoot: String): (String, String) = {
-    val v = currentIvfVersion(spark, indexRoot)
+    val (v, raw) = ivfPointerSnapshot(spark, indexRoot)
     require(v >= 0, s"no published IVF index under $indexRoot")
-    (s"$indexRoot/idx-$v/store", s"$indexRoot/idx-$v/centroids")
+    val dirName = raw.flatMap(_.linesIterator.toSeq.lift(2).map(_.trim).filter(_.nonEmpty))
+      .getOrElse(s"idx-$v")
+    (s"$indexRoot/$dirName/store", s"$indexRoot/$dirName/centroids")
   }
 
   private def currentIvfVersion(spark: SparkSession, indexRoot: String): Long =

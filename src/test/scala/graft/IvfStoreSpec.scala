@@ -275,8 +275,12 @@ class IvfStoreSpec extends AnyFunSuite {
 
     // v2: one more rebuild reclaims v0, retains v1
     assert(Similarity.rebuildIvfIndex(spark, full, root, nlist) === 2L)
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "idx-0")))
-    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "idx-1")))
+    def versionsOnDisk(): Set[Long] =
+      new java.io.File(root).listFiles().toSeq
+        .map(_.getName).filter(_.startsWith("idx-"))
+        .map(_.stripPrefix("idx-").takeWhile(_ != '-').toLong).toSet
+    assert(!versionsOnDisk().contains(0L))
+    assert(versionsOnDisk().contains(1L))
 
     // rebuild fencing: a competing rebuild publishing mid-build makes
     // the slower one fail loudly at cutover; the pointer and search
