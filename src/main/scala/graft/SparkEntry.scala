@@ -120,6 +120,10 @@ object SparkEntry {
     // bloom-prefiltered scale path; identical output (FPs removed by
     // the exact verify join) → gated by the same oracle
     "q_decontaminate_bloom" -> ((s, d) => Decontamination.flagContaminatedBloom(s, d)),
+    // the artifact lifecycle: bloom built + PERSISTED + loaded back,
+    // map-side suspect flagging against the loaded literal, exact
+    // verify over suspects only; identical output → same oracle
+    "q_decontaminate_store" -> ((s, d) => Decontamination.flagContaminatedStored(s, d)),
     "q_seq_pack"       -> ((s, d) => SeqPack.pack(s, d)),
     // — multimodal —
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
@@ -531,6 +535,8 @@ object SparkEntry {
     "q_decontaminate" -> decontaminateOracle,
     // the bloom prefilter changes the plan, not the result
     "q_decontaminate_bloom" -> decontaminateOracle,
+    // the persisted-artifact round-trip changes the plan, not the result
+    "q_decontaminate_store" -> decontaminateOracle,
 
     "q_seq_pack" ->
       """WITH t AS (SELECT doc_id, doc_id % 16 AS bucket,

@@ -128,7 +128,7 @@ object TextAnalysis {
     * `graft_shingles`, which dedups, tokenizes on `\s+`, and emits
     * short docs as a single shingle.
     */
-  private[operators] def wordGrams(n: Int): org.apache.spark.sql.Column =
+  private[graft] def wordGrams(n: Int): org.apache.spark.sql.Column =
     expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))")
 
   /** Within-document repetition score — the Gopher-style "fraction of

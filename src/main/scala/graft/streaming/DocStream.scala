@@ -186,6 +186,33 @@ object DocStream {
       }
       .start()
 
+  /** Continuous decontamination at ingest: flag incoming documents
+    * whose word n-grams hit the PERSISTED eval-suite bloom artifact
+    * ([[graft.operators.Decontamination.buildBloomArtifact]]). Fully
+    * STATELESS — the filter rides into every task as a binary literal
+    * and the per-doc candidate count is computed inside the row
+    * (array `filter`/`size` over the gram list, no explode, no
+    * shuffle, no streaming state), so this composes with any
+    * watermark/output-mode downstream. Bloom-only semantics are
+    * conservative by construction: a false positive QUARANTINES a
+    * clean doc for the (tiny, offline) exact verify —
+    * `Decontamination.flagContaminatedStored`'s second phase — a leak
+    * can never pass. Works identically on batch frames (the spec
+    * gates it against the exact operator).
+    */
+  def flagSuspects(docs: DataFrame, bloom: Array[Byte], n: Int = 4): DataFrame = {
+    graft.functions.VectorFunctions.registerBloom(docs.sparkSession)
+    def mightContain(g: org.apache.spark.sql.Column) =
+      call_function("graft_might_contain", lit(bloom), xxhash64(g))
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= n)
+      .withColumn("n_candidate_grams",
+        size(filter(graft.operators.TextAnalysis.wordGrams(n), mightContain(_))))
+      .filter(col("n_candidate_grams") > 0)
+      .select(col("doc_id"), col("n_candidate_grams"))
+  }
+
   /** Continuous maintainer for the PERSISTED IVF index
     * ([[graft.operators.Similarity.ivfStoreSearch]]'s store): each
     * micro-batch of (vec_id, embedding) rows is assigned to its

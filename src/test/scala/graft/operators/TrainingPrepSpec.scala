@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Planted-case specs for the training-prep trio: repetition scoring,
@@ -47,6 +48,52 @@ class TrainingPrepSpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(exact.nonEmpty)
     assert(bloom === exact)
+  }
+
+  test("persisted bloom artifact: round-trip flags equal the exact operator; stream flagging quarantines every leak") {
+    import spark.implicits._
+    // artifact lifecycle on the real corpus: build+persist+load+flag+
+    // verify must reproduce the exact operator byte-for-byte
+    val exact = Decontamination.flagContaminated(spark, graft.TestSpark.sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val stored = Decontamination.flagContaminatedStored(spark, graft.TestSpark.sf,
+      artifactDir = java.nio.file.Files.createTempDirectory("decon_art").toString)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(stored === exact)
+
+    // the stateless ingest-side flagging: every planted leak is
+    // quarantined (bloom has no false negatives), and at this filter
+    // size no clean doc false-positives
+    val dir = java.nio.file.Files.createTempDirectory("decon_art2").toString
+    val evalDocs = Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val evalGrams = evalDocs
+      .withColumn("w", split(col("text"), " "))
+      .select(explode(TextAnalysis.wordGrams(4)).as("gram")).distinct()
+    Decontamination.buildBloomArtifact(spark, evalGrams, s"$dir/bloom")
+    val bloom = Decontamination.loadBloomArtifact(spark, s"$dir/bloom")
+    val ingest = Seq(
+      (10L, "xx alpha beta gamma delta yy"),   // one leaked 4-gram
+      (11L, "clean words entirely different"), // clean, too short for overlap
+      (12L, "beta gamma delta epsilon zeta"),  // two leaked 4-grams
+      (13L, "unrelated text with many plain words here")
+    ).toDF("doc_id", "text")
+    val flagged = graft.streaming.DocStream.flagSuspects(ingest, bloom)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(flagged === Map(10L -> 1, 12L -> 2))
+
+    // and the expression is fully stateless/streamable: the same
+    // transform binds to a streaming source without analysis errors
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sq = graft.streaming.DocStream.flagSuspects(
+        mem.toDF().toDF("doc_id", "text"), bloom)
+      .writeStream.format("memory").queryName("decon_suspects").start()
+    mem.addData((20L, "alpha beta gamma delta trailing"), (21L, "totally clean"))
+    sq.processAllAvailable(); sq.stop()
+    val streamed = spark.table("decon_suspects").collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(streamed === Map(20L -> 1))
   }
 
   test("sequence packing: offsets, boundary split, per-bucket independence") {
