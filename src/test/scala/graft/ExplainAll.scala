@@ -19,7 +19,8 @@ object ExplainAll {
       "q_top_movies_paged", "text_redact", "dedup_exact_inc", "dedup_exact_delta",
       "q_skew_join", "dedup_exact_store", "q_item_cooc_store",
       "dedup_minhash_store", "als_implicit",
-      "q_ratings_cdc_store", "knn_ivf_store")
+      "q_ratings_cdc_store", "knn_ivf_store",
+      "q_item_cooc_salted", "q_events_props", "q_decontaminate_store")
     interesting.foreach { name =>
       w.println(s"========== $name ==========")
       w.println(SparkEntry.queries(name)(spark, sf).queryExecution.explainString(

@@ -45,7 +45,7 @@ def main(sf_dir, out_dir, only=None):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    n_skip = 0
+    n_skip = n_timeout = 0
     for name, sql in sorted(oracle.items()):
         # names outside an explicit targeted list are skipped before
         # touching disk (the oracle SQL — all-pairs jaccard, recursive
@@ -70,12 +70,33 @@ def main(sf_dir, out_dir, only=None):
             print(f"FAIL {name}: spark result read error: {e}")
             n_fail += 1
             continue
+        # GRAFT_ORACLE_TIMEOUT=<seconds>: opt-in per-query cap for
+        # exploratory scale sweeps — some oracles are pathologically
+        # slower than the engine they check (the sf0.1 WITH RECURSIVE
+        # star-closure burned 2.5 CPU-hours in DuckDB against a 4 s
+        # Spark answer). A timed-out ORACLE is reported and counted
+        # separately: it is no evidence either way about the engine,
+        # and must not wedge the rest of the sweep. Leave unset for
+        # gate runs — there every oracle must actually complete.
+        timeout_s = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0"))
+        timer = None
+        if timeout_s > 0:
+            import threading
+            timer = threading.Timer(timeout_s, con.interrupt)
+            timer.start()
         try:
             want = canon(con.execute(sql).df())
+        except duckdb.InterruptException:
+            print(f"TIMEOUT {name}: oracle exceeded {timeout_s}s (engine unchecked)")
+            n_timeout += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
             n_fail += 1
@@ -95,7 +116,8 @@ def main(sf_dir, out_dir, only=None):
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
     skipped = f", {n_skip} skipped (outside --only)" if n_skip else ""
-    print(f"== {n_pass} pass, {n_fail} fail{skipped} ==")
+    timed = f", {n_timeout} oracle-timeout (engine unchecked)" if n_timeout else ""
+    print(f"== {n_pass} pass, {n_fail} fail{skipped}{timed} ==")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
