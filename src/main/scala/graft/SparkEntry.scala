@@ -46,6 +46,10 @@ object SparkEntry {
     // Hu-Koren-Volinsky confidence weights (rows-only; ranking-sanity
     // spec-gated)
     "als_implicit" -> ((s, d) => Als.implicitTopN(s, d)),
+    // fold-in serving: new-user factors solved against the FROZEN
+    // item factors (the reference's between-retrains gap); rows-only,
+    // AlsFoldInSpec pins trained-user parity + ranking sanity
+    "als_fold_in" -> ((s, d) => Als.foldInTopN(s, d)),
     // — deduplication —
     "dedup_exact"         -> ((s, d) => Dedup.exact(s, d)),
     // IVM over the hash-group store; oracle = the batch dedup (gates

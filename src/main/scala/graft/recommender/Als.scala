@@ -227,6 +227,162 @@ object Als {
     out
   }
 
+  // ---------------------------------------------------------------
+  // fold-in: new users between retrains, no retrain
+
+  /** Factors for NEW users solved against the FROZEN item factors —
+    * the scale answer to the reference's retrain cadence gap: a user
+    * who signs up between estimator.py's periodic recomputes gets only
+    * the popularity fallback (controller.py:262) until the next full
+    * retrain. Fold-in is the standard middle path: with item factors Y
+    * frozen, one user's factor is the ridge solution
+    * `x_u = (Yᵤᵀ Yᵤ + λ·n_u·I)⁻¹ Yᵤᵀ r_u` over just their rated
+    * items — EXACTLY the per-user half of an ALS sweep, with MLlib's
+    * own weighted-λ regularization (λ scaled by the user's rating
+    * count), so folding in a user the model already trained on
+    * reproduces their trained factor to float tolerance
+    * (AlsFoldInSpec pins it).
+    *
+    * Distribution: one shuffle keyed by the NEW users (delta-sized,
+    * never the corpus); each group solves a rank×rank system in
+    * microseconds. Items the frozen model has never seen contribute
+    * nothing (inner join) — a user with zero known items yields no
+    * row, which is the honest answer (they are genuinely cold; the
+    * popularity fallback still applies).
+    *
+    * @param ratings (user_id long, item int — the MODEL's item key
+    *                space, rating float)
+    * @return (user_id, features array&lt;float&gt;)
+    */
+  private[graft] def foldInFactors(itemFactors: DataFrame, ratings: DataFrame,
+      regParam: Double): DataFrame = {
+    val spark = itemFactors.sparkSession
+    import spark.implicits._
+    val joined = ratings
+      .join(itemFactors.select(col("id").as("item"), col("features")), Seq("item"))
+      .select(col("user_id").cast("long"), col("features"),
+        col("rating").cast("float"))
+      .as[(Long, Seq[Float], Float)]
+    joined.groupByKey(_._1).mapGroups { (u, rows) =>
+      var k = -1
+      var a: Array[Double] = null
+      var b: Array[Double] = null
+      var n = 0
+      rows.foreach { case (_, y, r) =>
+        if (k < 0) { k = y.length; a = new Array[Double](k * k); b = new Array[Double](k) }
+        var i = 0
+        while (i < k) {
+          val yi = y(i).toDouble
+          b(i) += r * yi
+          var j = 0
+          while (j < k) { a(i * k + j) += yi * y(j); j += 1 }
+          i += 1
+        }
+        n += 1
+      }
+      val lam = regParam * n // MLlib's weighted-λ (scaled by rating count)
+      var d = 0
+      while (d < k) { a(d * k + d) += lam; d += 1 }
+      (u, solveSym(a, b, k).map(_.toFloat).toSeq)
+    }.toDF("user_id", "features")
+  }
+
+  /** In-place Gaussian elimination with partial pivoting for the
+    * rank×rank normal equations (SPD by construction; rank ≤ a few
+    * hundred, so a dense direct solve per user is microseconds).
+    */
+  private def solveSym(a: Array[Double], b: Array[Double], k: Int): Array[Double] = {
+    var col0 = 0
+    while (col0 < k) {
+      var p = col0; var r = col0 + 1
+      while (r < k) { if (math.abs(a(r * k + col0)) > math.abs(a(p * k + col0))) p = r; r += 1 }
+      if (p != col0) {
+        var j = 0
+        while (j < k) {
+          val t = a(col0 * k + j); a(col0 * k + j) = a(p * k + j); a(p * k + j) = t; j += 1
+        }
+        val tb = b(col0); b(col0) = b(p); b(p) = tb
+      }
+      val piv = a(col0 * k + col0)
+      r = col0 + 1
+      while (r < k) {
+        val f = a(r * k + col0) / piv
+        if (f != 0.0) {
+          var j = col0
+          while (j < k) { a(r * k + j) -= f * a(col0 * k + j); j += 1 }
+          b(r) -= f * b(col0)
+        }
+        r += 1
+      }
+      col0 += 1
+    }
+    val x = new Array[Double](k)
+    var i = k - 1
+    while (i >= 0) {
+      var s = b(i); var j = i + 1
+      while (j < k) { s -= a(i * k + j) * x(j); j += 1 }
+      x(i) = s / a(i * k + i)
+      i -= 1
+    }
+    x
+  }
+
+  /** The fold-in SERVING path end-to-end (registered as
+    * `als_fold_in`): train on the base population, hold out a slice of
+    * users as "signed up since the last retrain", fold their factors
+    * in against the frozen item factors, and serve per-user top-N over
+    * their unseen items — scores from the same dot product
+    * `recommendForAllUsers` computes, ranked by the partial-
+    * aggregating top-k heap (≤ n rows per user per map partition
+    * shuffle). The fold-in side is broadcast (delta-sized by
+    * definition); the item-factor side streams map-side — no shuffle
+    * of the item factors at any point, which is the 100 TB shape
+    * (items are the big side of a mature recommender). Id seam: items
+    * translate through the re-index map when present; fold-in user
+    * ids never need translating (they stay original longs — fold-in
+    * is per-user independent, no int32 contract).
+    */
+  def foldInTopN(spark: SparkSession, sfDir: String, n: Int = 20,
+                 holdMod: Int = 50, holdVal: Int = 7,
+                 rank: Int = 8, regParam: Double = 0.1): DataFrame = {
+    val raw = rawSet(spark, sfDir).cache()
+    val newSide = raw.filter(col("user_id") % holdMod === holdVal)
+    val baseSide = raw.filter(col("user_id") % holdMod =!= holdVal)
+    val keyed = keyedTrainingSet(baseSide)
+    val train = keyed.train.cache()
+    val model = fit(train, rank = rank, regParam = regParam)
+    keyed.release()
+    train.unpersist() // fit materialized it; the serving path needs only factors
+    val newKeyed = keyed.itemMap match {
+      case Some(im) => newSide.join(im, Seq("item_id"))
+        .select(col("user_id"), col("item"), col("rating"))
+      case None => newSide
+        .select(col("user_id"), col("item_id").cast("int").as("item"), col("rating"))
+    }
+    val folded = foldInFactors(model.itemFactors, newKeyed, regParam)
+    graft.functions.VectorFunctions.register(spark)
+    graft.functions.TopKAgg.register(spark)
+    val scored = model.itemFactors
+      .select(col("id").as("item"), col("features").as("yf"))
+      .join(broadcast(folded), lit(true))
+      .withColumn("score",
+        expr("graft_dot(cast(features as array<double>), cast(yf as array<double>))"))
+    val seen = newKeyed.select(col("user_id"), col("item")).distinct()
+    val top = scored.join(seen, Seq("user_id", "item"), "left_anti")
+      .groupBy(col("user_id"))
+      .agg(expr(s"graft_topk(score, cast(item as bigint), $n)").as("topk"))
+      .select(col("user_id"), posexplode(col("topk")))
+      .select(col("user_id"), col("col.id").cast("int").as("item"),
+        col("col.score").as("score"), (col("pos") + 1).as("rn"))
+    val out = keyed.itemMap match {
+      case Some(im) => top.join(im, Seq("item"))
+      case None => top.withColumn("item_id", col("item").cast("long"))
+    }
+    raw.unpersist()
+    out.select(col("user_id"), col("item_id"),
+      round(col("score").cast("double"), 4).as("score"), col("rn"))
+  }
+
   /** Confidence-weighted raw rows for the implicit model — same id
     * seam as the explicit path ([[keyedTrainingSet]]).
     */
