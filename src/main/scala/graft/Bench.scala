@@ -167,7 +167,7 @@ object Bench {
           } else first
         (name, best, qShuffleBytes)
       }
-    }.filterNot { case (_, t, _) => t.isNaN }
+    }.filterNot { case (n, t, _) => t.isNaN || failedQueries.contains(n) }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sb = results.map { case (k, _, b) => "\"" + k + "\":" + b }

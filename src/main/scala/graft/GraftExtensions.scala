@@ -31,8 +31,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val fns: Seq[(String, Seq[Expression] => Expression)] =
       graft.functions.VectorFunctions.builders ++
         graft.functions.VectorFunctions.bloomBuilders ++
-        Seq("graft_topk" -> ((exprs: Seq[Expression]) =>
-          graft.functions.TopKAgg(exprs(0), exprs(1), exprs(2))))
+        Seq("graft_topk" -> ((exprs: Seq[Expression]) => {
+          // arity-check before indexing: a bare-SQL caller's
+          // graft_topk(x, y) should read as a wrong-argument-count
+          // error, not an IndexOutOfBoundsException
+          if (exprs.length != 3)
+            throw new IllegalArgumentException(
+              s"Invalid number of arguments for function graft_topk: " +
+                s"expected 3 (score, id, k), found ${exprs.length}")
+          graft.functions.TopKAgg(exprs(0), exprs(1), exprs(2))
+        }))
     fns.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),

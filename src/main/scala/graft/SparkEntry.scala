@@ -50,6 +50,10 @@ object SparkEntry {
     // item factors (the reference's between-retrains gap); rows-only,
     // AlsFoldInSpec pins trained-user parity + ranking sanity
     "als_fold_in" -> ((s, d) => Als.foldInTopN(s, d)),
+    // the same between-retrains serve for the IMPLICIT model: Hu-Koren
+    // confidence-weighted fold-in (gram-matrix term + per-user solve);
+    // rows-only, AlsImplicitFoldInSpec pins trained-user parity
+    "als_implicit_fold_in" -> ((s, d) => Als.implicitFoldInTopN(s, d)),
     // — deduplication —
     "dedup_exact"         -> ((s, d) => Dedup.exact(s, d)),
     // IVM over the hash-group store; oracle = the batch dedup (gates
@@ -135,9 +139,11 @@ object SparkEntry {
     "mm_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
     // — neighborhood (item-item) collaborative filtering —
     "q_item_cooc"    -> ((s, d) => ItemCF.cooccurrence(s, d)),
-    // hot-user salting engaged (measured-skew gate, threshold 32):
-    // same oracle as q_item_cooc — salting must redistribute work
-    // without moving a single pair count
+    // measured-skew gate armed with the DERIVED cut (p99.9 ∨ floor):
+    // same oracle as q_item_cooc — on unskewed data the gate measures
+    // zero hot users and hands back the plain plan (cost ≈ plain);
+    // under genuine skew the salted arm engages (SkewSpec pins the
+    // engaged identity on planted-skew fixtures)
     "q_item_cooc_salted" -> ((s, d) => ItemCF.cooccurrenceSalted(s, d)),
     // incremental-view-maintenance path; oracle = the BATCH pair count,
     // so the gate checks the IVM identity itself

@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Parquet table loaders over a scale-factor directory, plus the
   * `interactions` view that maps the driver's TPC-H-ish testdata onto
@@ -14,8 +15,115 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // TIMESTAMP(NANOS) parquet is unreadable without this legacy mode;
+    // set before the read so an ns-vintage file surfaces as long for
+    // the guard below instead of failing the scan
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    canonicalSchemas.get(name).map(normalizeSchema(raw, name, _)).getOrElse(raw)
+  }
+
+  /** Canonical LOGICAL schema per testdata table — what every operator
+    * downstream is written against. The driver regenerates the parquet
+    * between rounds and physical encodings have drifted across
+    * vintages (r7: events.ts went TIMESTAMP(NANOS) → TIMESTAMP_NTZ and
+    * six green queries crashed at analysis time), so [[table]] runs
+    * every load through [[normalizeSchema]]: known-safe re-encodings
+    * cast to the canonical type, anything else fails LOUDLY at the
+    * loader with the observed type. A 100 TB lake is never one
+    * vintage; the engine owns coercion (the reference leaves it to
+    * Postgres, models.py:6-77).
+    */
+  private[graft] val canonicalSchemas: Map[String, Seq[(String, DataType)]] = Map(
+    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType, "p_size" -> IntegerType,
+      "p_retailprice" -> DoubleType),
+    "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      // canonical = NTZ for the date-ish columns: that IS the current
+      // physical vintage, so the common path stays projection-free and
+      // date filters keep reaching the parquet scan; zoned/DATE/ns
+      // vintages cast TO it (UTC sessions make it value-identical).
+      // events.ts stays canonically ZONED — the r7 seam and its specs.
+      "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TimestampNTZType),
+    "events" -> Seq("event_id" -> LongType, "ts" -> TimestampType,
+      "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+
+  /** Assert-and-normalize every expected column to its canonical type.
+    * Zero drift → the input frame unchanged (no projection inserted, so
+    * pinned plans and pushdowns are untouched on the common path).
+    * Extra columns pass through; a MISSING expected column throws.
+    */
+  private[graft] def normalizeSchema(raw: DataFrame, tableName: String,
+      expected: Seq[(String, DataType)]): DataFrame = {
+    val replacements = expected.flatMap { case (name, canonical) =>
+      val field = raw.schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"$tableName is missing expected column $name " +
+            s"(found: ${raw.columns.mkString(", ")})"))
+      normalizeColumn(tableName, name, field.dataType, canonical).map(name -> _)
+    }
+    replacements.foldLeft(raw) { case (df, (name, c)) => df.withColumn(name, c) }
+  }
+
+  private def isIntegral(t: DataType): Boolean =
+    t == ByteType || t == ShortType || t == IntegerType || t == LongType
+
+  /** The known-safe drift matrix — `None` = already canonical. Each
+    * admitted case is a physical RE-ENCODING of the same logical
+    * value, met or plausible across testdata vintages:
+    * ns-as-long/NTZ/DATE → zoned TIMESTAMP (the r7 burn, UTC sessions
+    * make the reinterpretation value-identical); integral width moves
+    * (the generated key spaces fit every width the driver has used,
+    * and the DuckDB-side canon collapses int widths the same way);
+    * integral/float/decimal → DOUBLE; array&lt;double&gt; →
+    * array&lt;float&gt; (the embedding column's storage precision).
+    * Everything else throws with the observed type — a NEW vintage
+    * should fail here, once, loudly.
+    */
+  private def normalizeColumn(table: String, name: String,
+      actual: DataType, canonical: DataType): Option[Column] = (actual, canonical) match {
+    case (a, c) if a == c => None
+    // timestamp family: ns-since-epoch long (nanosAsLong surfaces
+    // TIMESTAMP(NANOS) this way; integer div — double div loses
+    // precision above 2^53 ns), zone-less µs, plain DATE
+    case (LongType, TimestampType) => Some(timestamp_micros(expr(s"$name div 1000")))
+    case (TimestampNTZType, TimestampType) => Some(col(name).cast(TimestampType))
+    case (DateType, TimestampType) => Some(col(name).cast(TimestampType))
+    case (LongType, TimestampNTZType) =>
+      Some(timestamp_micros(expr(s"$name div 1000")).cast(TimestampNTZType))
+    case (TimestampType, TimestampNTZType) => Some(col(name).cast(TimestampNTZType))
+    case (DateType, TimestampNTZType) => Some(col(name).cast(TimestampNTZType))
+    case (a, c) if isIntegral(a) && isIntegral(c) => Some(col(name).cast(c))
+    case (a, DoubleType) if isIntegral(a) || a == FloatType ||
+      a.isInstanceOf[DecimalType] => Some(col(name).cast(DoubleType))
+    case (ArrayType(DoubleType, n), ArrayType(FloatType, _)) =>
+      Some(col(name).cast(ArrayType(FloatType, n)))
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => None // containsNull variance
+    case (a, c) => throw new IllegalArgumentException(
+      s"$table.$name has unsupported type $a; expected $c " +
+        "or a known-safe re-encoding of it (see Tables.normalizeColumn)")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -42,27 +150,14 @@ object Tables {
     * error. (Reference contrast: models.py:6-77 declares DateTime once
     * and Postgres owns coercion — on a lake, the engine must own it.)
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeEventTs(table(s, d, "events"))
-  }
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
 
-  /** Vintage normalization seam for any events-shaped frame — see
-    * [[events]]. Exposed so specs can feed fixtures of each encoding.
+  /** Vintage normalization seam for any events-shaped frame — the
+    * original (r7) instance of what [[normalizeSchema]] now does for
+    * every table; kept as the spec-facing seam for ts-only fixtures.
     */
-  def normalizeEventTs(raw: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types._
-    raw.schema("ts").dataType match {
-      case LongType => // TIMESTAMP(NANOS) read as ns-since-epoch long
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => // µs, zone-less: UTC wall-clock by contract
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case TimestampType => raw
-      case other => throw new IllegalArgumentException(
-        s"events.ts has unsupported type $other; expected TIMESTAMP, " +
-          "TIMESTAMP_NTZ, or ns-as-long TIMESTAMP(NANOS)")
-    }
-  }
+  def normalizeEventTs(raw: DataFrame): DataFrame =
+    normalizeSchema(raw, "events", Seq("ts" -> TimestampType))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

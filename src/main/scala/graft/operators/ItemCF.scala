@@ -35,6 +35,29 @@ object ItemCF {
     */
   val DefaultMaxDegree = 128
 
+  /** Sentinel for `hotDegree`: derive the hot-user cut from the
+    * MEASURED degree distribution ([[derivedHotCut]]) instead of a
+    * constant — the default for [[cooccurrenceSalted]], so the salted
+    * arm engages only under genuine, observed skew.
+    */
+  val DerivedHotDegree: Int = -1
+
+  /** Floor for the derived cut. Below this degree, a user's deg²
+    * pair generation (≤ 65k pairs) is a non-problem for any task, so
+    * salting them only pays replication cost. Above every test SF's
+    * max degree — unskewed data takes the plain plan untouched.
+    */
+  val DerivedHotFloor = 256
+
+  /** Max hot-user ids pulled to the driver for the literal in-set
+    * (4M longs = 32 MB — the same order the broadcast these ids
+    * previously rode would have shipped). A cut that marks more users
+    * hot than this is degenerate (salting a corpus-sized population
+    * replicates the b-side corpus-wide — a pessimization, not a
+    * mitigation), so the plain plan + AQE takes over instead.
+    */
+  private val HotIdsMaxCollect = 4 << 20
+
   /** One shared, cached working set per query: the interactions build
     * (orders⋈lineitem + upsert window) feeds 2-4 branches of every CF
     * plan; uncached, Catalyst re-derives that two-shuffle chain per
@@ -69,15 +92,22 @@ object ItemCF {
     coocCountsOn(i).filter(col("n_users") >= minUsers)
   }
 
-  /** [[cooccurrence]] with the hot-user salting ENGAGED (registered as
+  /** [[cooccurrence]] with the measured skew gate ARMED (registered as
     * `q_item_cooc_salted`, HASH-gated against the SAME oracle as
-    * `q_item_cooc`): at the test SFs the 32-degree threshold marks
-    * ~87 (sf0.001) / ~1020 (sf0.01) users hot, so the salted arm
-    * carries real rows through the gate and the oracle passes only if
-    * salting redistributed work without changing one pair count.
+    * `q_item_cooc`): the hot cut is DERIVED from the observed degree
+    * distribution ([[derivedHotCut]] — p99.9 clamped to
+    * ≥ [[DerivedHotFloor]]), so on the unskewed test SFs (max degree
+    * ≤ 105) zero users measure hot and the gate hands back the plain
+    * plan — cost ≈ `q_item_cooc` + one partial-agg degree pass, and
+    * the oracle hash holds structurally. Under genuine skew (degrees
+    * past the floor AND past the corpus's own p99.9) the salted arm
+    * engages; its value identity is pinned by SkewSpec on planted-skew
+    * fixtures where the derived cut marks exactly the planted hot
+    * users.
     */
   def cooccurrenceSalted(spark: SparkSession, sfDir: String, minUsers: Int = 3,
-                         maxDegree: Int = DefaultMaxDegree, hotDegree: Int = 32,
+                         maxDegree: Int = DefaultMaxDegree,
+                         hotDegree: Int = DerivedHotDegree,
                          salts: Int = 8): DataFrame = {
     val i = cappedByUser(spark, sfDir, maxDegree).select(col("user_id"), col("item_id"))
     coocCountsOn(i, hotDegree, salts).filter(col("n_users") >= minUsers)
@@ -103,24 +133,40 @@ object ItemCF {
     * is measured, not assumed: no hot users → the plain plan,
     * byte-identical results either way (SkewSpec pins the salted
     * shuffle key and the identity; `q_item_cooc_salted` HASH-gates it
-    * against the same oracle as `q_item_cooc`). Default = disabled:
-    * the threshold only pays for itself once degrees reach the many
-    * thousands, far beyond the test SFs' ≤105.
+    * against the same oracle as `q_item_cooc`).
+    *
+    * `hotDegree` forms: `Int.MaxValue` (default) = gate off entirely;
+    * [[DerivedHotDegree]] = cut from the measured distribution
+    * ([[derivedHotCut]]); any other value = explicit cut (spec use).
+    * The hot POPULATION rides to the tasks as a literal in-set: the
+    * gate's own count materializes the ids, and the set is by
+    * construction the extreme tail (p99.9 past a floor), so the
+    * driver holds O(hot users) longs — the same bytes the broadcast
+    * they previously rode would have pinned on the driver anyway,
+    * without the per-branch semi/anti joins or the cached frame the
+    * engaged path used to leak.
     */
   private[graft] def coocCountsOn(i: DataFrame, hotDegree: Int = Int.MaxValue,
                                   salts: Int = 8): DataFrame = {
     val pairs =
       if (hotDegree == Int.MaxValue) selfPairs(i)
       else {
-        val hotUsers = i.groupBy(col("user_id"))
+        val degrees = i.groupBy(col("user_id"))
           .agg(count(lit(1)).as("deg"))
-          .filter(col("deg") > hotDegree)
-          .select(col("user_id"))
           .cache()
-        if (hotUsers.count() == 0) { hotUsers.unpersist(); selfPairs(i) }
+        val cut =
+          if (hotDegree == DerivedHotDegree) derivedHotCut(degrees)
+          else hotDegree
+        val hotIds = degrees.filter(col("deg") > cut)
+          .select(col("user_id").cast("long"))
+          .limit(HotIdsMaxCollect + 1)
+          .collect().map(_.getLong(0)).toIndexedSeq
+        degrees.unpersist()
+        if (hotIds.isEmpty || hotIds.length > HotIdsMaxCollect) selfPairs(i)
         else {
-          val hot = i.join(broadcast(hotUsers), Seq("user_id"), "left_semi")
-          val normal = i.join(broadcast(hotUsers), Seq("user_id"), "left_anti")
+          val isHot = col("user_id").isInCollection(hotIds)
+          val hot = i.filter(isHot)
+          val normal = i.filter(!isHot)
           val hotA = hot.select(col("user_id"), col("item_id").as("item_a"))
             .withColumn("__salt", Skew.salt(salts, col("item_a")))
           val hotB = hot.select(col("user_id"), col("item_id").as("item_b"))
@@ -135,6 +181,22 @@ object ItemCF {
       .groupBy(col("pk"))
       .agg(count(lit(1)).as("n_users"))
       .select(unpackA(col("pk")).as("item_a"), unpackB(col("pk")).as("item_b"), col("n_users"))
+  }
+
+  /** Hot cut from the MEASURED degree distribution: p99.9 of per-user
+    * degree, clamped to ≥ [[DerivedHotFloor]]. p99.9 adapts the cut to
+    * the corpus (a catalog where everyone has 500 interactions should
+    * not salt everyone); the floor keeps the gate shut when even the
+    * extreme tail is too small to matter (deg² ≤ 65k pairs — one
+    * task's normal work). Robust against the skew it hunts: a
+    * percentile, unlike mean + k·σ, does not inflate when the outliers
+    * it should catch appear. One partial-agg job over the cached
+    * degree frame.
+    */
+  private[graft] def derivedHotCut(degrees: DataFrame): Int = {
+    val row = degrees.agg(expr("approx_percentile(deg, 0.999)").as("p")).head()
+    val p999 = if (row.isNullAt(0)) 0L else row.getLong(0)
+    math.min(math.max(DerivedHotFloor.toLong, p999), Int.MaxValue.toLong).toInt
   }
 
   /** Plain per-user pair enumeration (the unsalted arm). */
@@ -456,10 +518,19 @@ object ItemCF {
     * blowup key here is item popularity), norms broadcast per user.
     */
   def userSimilarity(spark: SparkSession, sfDir: String, minCommon: Int = 3, minSim: Double = 0.0,
-                     maxDegree: Int = DefaultMaxDegree): DataFrame = {
-    val i = Tables.capDegree(Tables.interactions(spark, sfDir), "item_id", "user_id", maxDegree)
-      .select(col("user_id"), col("item_id"), col("rating"))
-      .cache()
+                     maxDegree: Int = DefaultMaxDegree): DataFrame =
+    userSimilarityOn(
+      Tables.capDegree(Tables.interactions(spark, sfDir), "item_id", "user_id", maxDegree)
+        .select(col("user_id"), col("item_id"), col("rating"))
+        .cache(),
+      minCommon, minSim)
+
+  /** [[userSimilarity]] over an explicit item-capped
+    * (user_id, item_id, rating) frame — the seam the scale bench
+    * ([[graft.BenchScale]]) drives with generator facts. `i` should be
+    * cached (three branches read it).
+    */
+  private[graft] def userSimilarityOn(i: DataFrame, minCommon: Int, minSim: Double): DataFrame = {
     val norms = i.groupBy(col("user_id"))
       .agg(sqrt(sum(col("rating") * col("rating"))).as("norm"))
     val a = i.select(col("item_id"), col("user_id").as("user_a"), col("rating").as("ra"))

@@ -34,11 +34,22 @@ object Serving {
 
   def recsServe(spark: SparkSession, sfDir: String, topN: Int = 10,
                 poolSize: Int = 200, cutoff: String = "2000-07-01",
+                minCommon: Int = 3, maxDegree: Int = ItemCF.DefaultMaxDegree): DataFrame =
+    recsServeOn(
+      Tables.interactions(spark, sfDir)
+        .select(col("user_id"), col("item_id"), col("rating"), col("ts")),
+      topN, poolSize, cutoff, minCommon, maxDegree)
+
+  /** [[recsServe]] over an explicit (user_id, item_id, rating, ts)
+    * interactions frame — the seam the scale bench
+    * ([[graft.BenchScale]]) drives with generator facts.
+    */
+  private[graft] def recsServeOn(interactions: DataFrame, topN: Int = 10,
+                poolSize: Int = 200, cutoff: String = "2000-07-01",
                 minCommon: Int = 3, maxDegree: Int = ItemCF.DefaultMaxDegree): DataFrame = {
+    val spark = interactions.sparkSession
     // full history: serve-time seen filter + fallback aggregates
-    val base = Tables.interactions(spark, sfDir)
-      .select(col("user_id"), col("item_id"), col("rating"), col("ts"))
-      .cache()
+    val base = interactions.cache()
     // train-time snapshot: what the last recompute saw
     val snap = base.filter(col("ts") < lit(cutoff).cast("timestamp"))
     val capped = Tables.capDegree(snap, "user_id", "item_id", maxDegree)

@@ -344,10 +344,23 @@ object Similarity {
     * recorded by the operator loop that stops the maintainer, runs
     * [[rebuildIvfIndex]], and restarts against the new version (the
     * rebuild is a versioned-root cutover, so readers never block).
+    *
+    * The tick sample has a BLIND SPOT: drift that degrades OLD
+    * vectors' neighborhoods (a tick's mass landing across a boundary
+    * the quantizer drew for data that no longer looks like this
+    * damages the HISTORICAL corpus's recall, while a later benign
+    * tick's own sample reads healthy). `corpusSample` > 0 arms a
+    * second, typically rarer probe (`corpusEveryNTicks`) whose
+    * queries are hash-sampled from the WHOLE store — recall over a
+    * uniform subcorpus, the unbiased drift signal. Costs one extra
+    * column-pruned store scan for the sample draw on top of the
+    * probe's own truth scan; at 100 TB pair it with `corpusFraction`
+    * to bound the truth side too.
     */
   case class IvfProbeConfig(sample: Int = 8, k: Int = 10, nprobe: Int = 2,
       threshold: Double = 0.9, corpusFraction: Double = 1.0,
-      everyNTicks: Int = 1, onDrift: (Long, IvfProbeResult) => Unit = (_, _) => ())
+      everyNTicks: Int = 1, onDrift: (Long, IvfProbeResult) => Unit = (_, _) => (),
+      corpusSample: Int = 0, corpusEveryNTicks: Int = 0)
 
   // ----- versioned index root: rebuild with atomic cutover --------
 

@@ -327,6 +327,92 @@ object Als {
     x
   }
 
+  /** Yᵀ·Y over ALL item factors — the k×k Gram matrix the implicit
+    * fold-in solve needs (Hu–Koren's trick: the sum over UNOBSERVED
+    * items collapses to this one corpus-level term). One distributed
+    * treeAggregate; the result is rank² doubles (rank ≤ a few hundred
+    * → ≤ a few hundred KB), driver-held and broadcast — never a
+    * per-user recomputation.
+    */
+  private[graft] def gramMatrix(itemFactors: DataFrame): Array[Double] =
+    itemFactors.select(col("features")).rdd
+      .map(_.getSeq[Float](0))
+      .treeAggregate(Array.empty[Double])(
+        (acc, y) => {
+          val k = y.length
+          val a = if (acc.isEmpty) new Array[Double](k * k) else acc
+          var i = 0
+          while (i < k) {
+            val yi = y(i).toDouble
+            var j = 0
+            while (j < k) { a(i * k + j) += yi * y(j); j += 1 }
+            i += 1
+          }
+          a
+        },
+        (a, b) =>
+          if (a.isEmpty) b
+          else if (b.isEmpty) a
+          else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+
+  /** Implicit-model fold-in (Hu–Koren–Volinsky): a new user's factor
+    * against FROZEN implicit item factors is
+    * `x_u = (YᵀY + Σ_obs αr·y yᵀ + λ·n_u·I)⁻¹ Σ_obs (1+αr)·y`
+    * — confidence c = 1 + α·r enters the normal equations only for
+    * OBSERVED items; the all-items preference-0 mass is the shared
+    * [[gramMatrix]] term. λ matches MLlib's implicit convention
+    * (regParam × the user's positive-interaction count), and MLlib's
+    * implicit loop also ends on a user update against the final item
+    * factors, so — exactly as in the explicit path — folding in a
+    * TRAINED user reproduces their trained factor to float tolerance
+    * (AlsImplicitFoldInSpec pins it).
+    *
+    * Same distribution shape as [[foldInFactors]]: one delta-sized
+    * shuffle keyed by the new users; item factors never shuffle; each
+    * group is a rank×rank direct solve.
+    *
+    * @param ratings (user_id long, item int — the MODEL's item key
+    *                space, rating float = the CONFIDENCE source r > 0)
+    */
+  private[graft] def implicitFoldInFactors(itemFactors: DataFrame, ratings: DataFrame,
+      regParam: Double, alpha: Double): DataFrame = {
+    val spark = itemFactors.sparkSession
+    import spark.implicits._
+    val bcGram = spark.sparkContext.broadcast(gramMatrix(itemFactors))
+    val joined = ratings
+      .join(itemFactors.select(col("id").as("item"), col("features")), Seq("item"))
+      .select(col("user_id").cast("long"), col("features"),
+        col("rating").cast("float"))
+      .as[(Long, Seq[Float], Float)]
+    joined.groupByKey(_._1).mapGroups { (u, rows) =>
+      var k = -1
+      var a: Array[Double] = null
+      var b: Array[Double] = null
+      var n = 0
+      rows.foreach { case (_, y, r) =>
+        if (k < 0) {
+          k = y.length
+          a = bcGram.value.clone()
+          b = new Array[Double](k)
+        }
+        val c1 = alpha * math.abs(r.toDouble) // c_ui − 1
+        var i = 0
+        while (i < k) {
+          val yi = y(i).toDouble
+          b(i) += (1.0 + c1) * yi
+          var j = 0
+          while (j < k) { a(i * k + j) += c1 * yi * y(j); j += 1 }
+          i += 1
+        }
+        if (r > 0f) n += 1
+      }
+      val lam = regParam * n // MLlib's implicit weighted-λ (positive count)
+      var d = 0
+      while (d < k) { a(d * k + d) += lam; d += 1 }
+      (u, solveSym(a, b, k).map(_.toFloat).toSeq)
+    }.toDF("user_id", "features")
+  }
+
   /** The fold-in SERVING path end-to-end (registered as
     * `als_fold_in`): train on the base population, hold out a slice of
     * users as "signed up since the last retrain", fold their factors
@@ -344,13 +430,42 @@ object Als {
     */
   def foldInTopN(spark: SparkSession, sfDir: String, n: Int = 20,
                  holdMod: Int = 50, holdVal: Int = 7,
-                 rank: Int = 8, regParam: Double = 0.1): DataFrame = {
-    val raw = rawSet(spark, sfDir).cache()
+                 rank: Int = 8, regParam: Double = 0.1): DataFrame =
+    foldInServe(rawSet(spark, sfDir), n, holdMod, holdVal,
+      t => fit(t, rank = rank, regParam = regParam),
+      (yf, r) => foldInFactors(yf, r, regParam))
+
+  /** [[foldInTopN]] for the IMPLICIT model (registered as
+    * `als_implicit_fold_in`): the same hold-out serve, with the
+    * confidence-weighted raw set, `implicitPrefs` training, and the
+    * Hu–Koren fold-in solve ([[implicitFoldInFactors]]) — closing the
+    * between-retrains serving gap for BOTH models (estimator.py:104
+    * leaves new users to the popularity fallback until the next
+    * periodic recompute; controller.py:150's implicit rows deserve
+    * the same freshness).
+    */
+  def implicitFoldInTopN(spark: SparkSession, sfDir: String, n: Int = 20,
+                         holdMod: Int = 50, holdVal: Int = 7,
+                         rank: Int = 8, regParam: Double = 0.1,
+                         alpha: Double = 10.0): DataFrame =
+    foldInServe(implicitRawSet(spark, sfDir), n, holdMod, holdVal,
+      t => fit(t, rank = rank, regParam = regParam, implicitPrefs = true, alpha = alpha),
+      (yf, r) => implicitFoldInFactors(yf, r, regParam, alpha))
+
+  /** Shared hold-out → train → fold-in → serve pipeline of
+    * [[foldInTopN]] / [[implicitFoldInTopN]]; `fitFn` and `foldFn`
+    * carry the model-specific halves.
+    */
+  private def foldInServe(rawIn: DataFrame, n: Int, holdMod: Int, holdVal: Int,
+                          fitFn: DataFrame => ALSModel,
+                          foldFn: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val spark = rawIn.sparkSession
+    val raw = rawIn.cache()
     val newSide = raw.filter(col("user_id") % holdMod === holdVal)
     val baseSide = raw.filter(col("user_id") % holdMod =!= holdVal)
     val keyed = keyedTrainingSet(baseSide)
     val train = keyed.train.cache()
-    val model = fit(train, rank = rank, regParam = regParam)
+    val model = fitFn(train)
     keyed.release()
     train.unpersist() // fit materialized it; the serving path needs only factors
     val newKeyed = keyed.itemMap match {
@@ -359,7 +474,7 @@ object Als {
       case None => newSide
         .select(col("user_id"), col("item_id").cast("int").as("item"), col("rating"))
     }
-    val folded = foldInFactors(model.itemFactors, newKeyed, regParam)
+    val folded = foldFn(model.itemFactors, newKeyed)
     graft.functions.VectorFunctions.register(spark)
     graft.functions.TopKAgg.register(spark)
     val scored = model.itemFactors

@@ -117,6 +117,7 @@ private[graft] object BucketStore {
   val DefaultMaxLiveGenerations = 8
 
   private val Marker = "_graft_applied_batch"
+  private val LeaseFile = "_graft_writer_lease"
   private val MetaFile = "_graft_store_meta"
   private val SchemaFile = "_graft_schema"
   private val ManifestPrefix = "_graft_manifest_"
@@ -150,6 +151,92 @@ private[graft] object BucketStore {
     override def toString: String =
       s"tick[batch=$batchId applied=$applied touched=$touchedBuckets " +
         s"compacted=$compacted liveGens=$liveGenerations]"
+  }
+
+  /** Opt-in writer LEASE for [[applyTick]] — a real mutex where the
+    * filesystem supports one, on top of the always-on fencing.
+    *
+    * `FileSystem.create(path, overwrite = false)` is an ATOMIC
+    * create-exclusive on HDFS-like filesystems (HDFS, POSIX local):
+    * of two writers racing the lease file, exactly one create
+    * succeeds, so the loser is blocked at ENTRY — before it reads a
+    * manifest, computes a merge, or writes an orphan generation —
+    * instead of at the publish-time fence. On object stores whose
+    * Hadoop connector does not implement exclusive create atomically,
+    * the lease degrades to advisory and the fence remains the
+    * enforcement (which is why the fence checks stay on even under a
+    * lease).
+    *
+    * The TTL bounds a crashed holder: an expired lease is reclaimed
+    * (re-read immediately before delete so a FRESH lease is never
+    * deleted, then one more exclusive create decides the winner —
+    * the reclaim path retains a tiny delete-window, the healthy path
+    * none). `writerId` makes re-acquisition by the same writer (crash
+    * + restart with a durable id) idempotent.
+    */
+  case class WriterLease(writerId: String = java.util.UUID.randomUUID().toString,
+                         ttlMs: Long = 10 * 60 * 1000L)
+
+  private def readLease(fs: org.apache.hadoop.fs.FileSystem,
+      lp: org.apache.hadoop.fs.Path): Option[(String, Long)] =
+    try {
+      if (!fs.exists(lp)) None
+      else {
+        val in = fs.open(lp)
+        val s = try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](128); var r = in.read(buf)
+          while (r >= 0) { bytes.write(buf, 0, r); r = in.read(buf) }
+          new String(bytes.toByteArray, "UTF-8")
+        } finally in.close()
+        val lines = s.linesIterator.toSeq
+        for {
+          h <- lines.headOption.map(_.trim).filter(_.nonEmpty)
+          e <- lines.lift(1).flatMap(x => scala.util.Try(x.trim.toLong).toOption)
+        } yield (h, e)
+      }
+    } catch { case _: java.io.IOException => None }
+
+  private[graft] def acquireLease(dir: String, lease: WriterLease): Unit = {
+    val (fs, p) = fsFor(dir)
+    val lp = new org.apache.hadoop.fs.Path(p, LeaseFile)
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lp, false) // overwrite=false: create-exclusive
+        try out.write(
+          s"${lease.writerId}\n${System.currentTimeMillis() + lease.ttlMs}".getBytes("UTF-8"))
+        finally out.close()
+        // read-back: the expiry-reclaim path can delete-and-recreate
+        // concurrently; the holder named by the FILE holds the lease,
+        // not whoever's create call returned
+        readLease(fs, lp).exists(_._1 == lease.writerId)
+      } catch { case _: java.io.IOException => false }
+    if (tryCreate()) return
+    readLease(fs, lp) match {
+      case Some((holder, _)) if holder == lease.writerId =>
+        () // already ours (restart with a durable writer id)
+      case Some((holder, expiry)) if expiry >= System.currentTimeMillis() =>
+        throw new ConcurrentWriterException(
+          s"$dir: writer lease held by another maintainer ($holder, expires " +
+            s"${java.time.Instant.ofEpochMilli(expiry)}) — refusing to enter applyTick")
+      case _ =>
+        // expired (crashed holder) or vanished mid-race: reclaim —
+        // re-read right before delete so a fresh lease is never
+        // deleted, then one more exclusive create decides
+        readLease(fs, lp).foreach { case (_, exp) =>
+          if (exp < System.currentTimeMillis()) { fs.delete(lp, false); () }
+        }
+        if (!tryCreate())
+          throw new ConcurrentWriterException(
+            s"$dir: writer lease contention during expiry reclaim — " +
+              "another maintainer won; refusing to enter applyTick")
+    }
+  }
+
+  private[graft] def releaseLease(dir: String, lease: WriterLease): Unit = {
+    val (fs, p) = fsFor(dir)
+    val lp = new org.apache.hadoop.fs.Path(p, LeaseFile)
+    if (readLease(fs, lp).exists(_._1 == lease.writerId)) { fs.delete(lp, false); () }
   }
 
   /** Bucket of a non-negative long key. */
@@ -264,7 +351,8 @@ private[graft] object BucketStore {
                 keyCols: Seq[String], batchId: Long, n: Int,
                 removed: Option[DataFrame] = None,
                 maxLiveGenerations: Int = DefaultMaxLiveGenerations,
-                beforePublish: () => Unit = () => ()): TickStats = {
+                beforePublish: () => Unit = () => (),
+                lease: Option[WriterLease] = None): TickStats = {
     // fence snapshot: the raw marker this tick's view of the store is
     // based on. Any publish by another writer changes it (the UUID on
     // line 2), and this tick then aborts at a checkFence instead of
@@ -276,6 +364,11 @@ private[graft] object BucketStore {
       return TickStats(batchId, applied = false, touchedBuckets = 0,
         compacted = false, liveGenerations = 0)
     requireBucketCount(dir, n)
+    // opt-in lease: where create-exclusive is atomic this blocks a
+    // second maintainer HERE — before any manifest read, merge
+    // compute, or orphan generation write (see WriterLease)
+    lease.foreach(acquireLease(dir, _))
+    try {
     val (fs, p) = fsFor(dir)
     val prevManifest = readManifest(fs, p, prevId)
     val ch = changes.cache()
@@ -339,6 +432,7 @@ private[graft] object BucketStore {
     log.info(s"$dir $st")
     st
     } finally { ch.unpersist(); rm.foreach(_.unpersist()) }
+    } finally lease.foreach(releaseLease(dir, _))
   }
 
   /** Roll an interrupted tick BACK: generations and manifests newer

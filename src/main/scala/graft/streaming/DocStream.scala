@@ -289,6 +289,26 @@ object DocStream {
               p.onDrift(batchId, r)
             }
           }
+          // corpus-sample probe: the tick sample above sees fresh-data
+          // drift, but damage to OLD vectors' neighborhoods (a past
+          // tick's mass straddling a stale quantizer boundary) is
+          // invisible to it — this rarer probe draws its queries
+          // hash-uniformly from the WHOLE store instead
+          probe.filter(p => p.corpusSample > 0 && p.corpusEveryNTicks > 0 &&
+              batchId % p.corpusEveryNTicks == 0).foreach { p =>
+            val qs = BucketStore.readAll(spark, storeDir)
+              .orderBy(md5(col("vec_id").cast("string"))).limit(p.corpusSample)
+              .select(col("vec_id").as("query_id"), col("v").as("qv"),
+                col("norm").as("qnorm"))
+            val r = graft.operators.Similarity.ivfRecallProbe(spark, storeDir,
+              cents, qs, p.k, p.nprobe, nlist, p.threshold, p.corpusFraction)
+            log.info(s"$storeDir batch=$batchId corpus-probe $r")
+            if (r.tripped) {
+              log.warn(s"$storeDir batch=$batchId CORPUS RECALL DRIFT: $r — " +
+                "schedule a rebuildIvfIndex (versioned-root cutover)")
+              p.onDrift(batchId, r)
+            }
+          }
         }
         b.unpersist()
         ()

@@ -315,4 +315,64 @@ class BucketStoreSpec extends AnyFunSuite {
     assert(!replay.applied)
     assert(storeRows(dir) === Set((1L, 77L), (2L, 222L), (3L, 30L)))
   }
+
+  test("writer lease: the loser is blocked at ENTRY — no orphan generation written at all") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bucket_store_lease").toString + "/store"
+    BucketStore.seed(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      BucketStore.longBucket(col("k"), 64), dir, n = 64)
+    def changesOf(k: Long, v: Long) = Seq((k, v)).toDF("k", "v")
+      .withColumn("bucket", BucketStore.longBucket(col("k"), 64))
+    def genDirs(): Set[String] = new java.io.File(dir).listFiles().toSeq
+      .map(_.getName).filter(_.startsWith("gen-")).toSet
+
+    // under the fence alone, an interleaved writer B completes a full
+    // tick and A's orphan generation hits disk before the loud loss;
+    // under the LEASE, B cannot even enter: create-exclusive on the
+    // lease file is atomic on a POSIX local FS, so B throws at entry
+    // and writes NOTHING
+    val leaseA = BucketStore.WriterLease(writerId = "maintainer-A")
+    val leaseB = BucketStore.WriterLease(writerId = "maintainer-B")
+    val gensBeforeB = new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
+    var bBlocked = false
+    val stA = BucketStore.applyTick(spark, dir, changesOf(1L, 111L), Seq("k"),
+      batchId = 5L, n = 64, lease = Some(leaseA),
+      beforePublish = () => {
+        gensBeforeB.set(genDirs())
+        val e = intercept[BucketStore.ConcurrentWriterException] {
+          BucketStore.applyTick(spark, dir, changesOf(2L, 222L), Seq("k"),
+            batchId = 4L, n = 64, lease = Some(leaseB))
+        }
+        assert(e.getMessage.contains("lease held by another maintainer"))
+        assert(genDirs() === gensBeforeB.get(), "loser wrote a generation before being blocked")
+        bBlocked = true
+      })
+    assert(stA.applied && bBlocked)
+    assert(storeRows(dir) === Set((1L, 111L), (2L, 20L))) // A's tick, uncontested
+    assert(!genDirs().exists(_ == "gen-4"), "loser's orphan generation exists")
+
+    // lease released after A's tick: B now enters and applies cleanly
+    val stB = BucketStore.applyTick(spark, dir, changesOf(2L, 222L), Seq("k"),
+      batchId = 6L, n = 64, lease = Some(leaseB))
+    assert(stB.applied)
+    assert(storeRows(dir) === Set((1L, 111L), (2L, 222L)))
+
+    // crashed-holder story: a stale lease (expired TTL) is reclaimed,
+    // a live one refuses
+    val (fs0, p0) = (new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), new org.apache.hadoop.fs.Path(dir))
+    val lp = new org.apache.hadoop.fs.Path(p0, "_graft_writer_lease")
+    val out = fs0.create(lp, true)
+    out.write(s"crashed-writer\n${System.currentTimeMillis() - 1000}".getBytes("UTF-8")); out.close()
+    val stC = BucketStore.applyTick(spark, dir, changesOf(3L, 30L), Seq("k"),
+      batchId = 7L, n = 64, lease = Some(leaseA))
+    assert(stC.applied, "expired lease was not reclaimed")
+    // same writer id re-enters (restart with a durable id): idempotent
+    val out2 = fs0.create(lp, true)
+    out2.write(s"maintainer-A\n${System.currentTimeMillis() + 600000}".getBytes("UTF-8")); out2.close()
+    val stD = BucketStore.applyTick(spark, dir, changesOf(3L, 33L), Seq("k"),
+      batchId = 8L, n = 64, lease = Some(leaseA))
+    assert(stD.applied)
+    ()
+  }
 }

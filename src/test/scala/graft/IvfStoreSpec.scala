@@ -232,6 +232,73 @@ class IvfStoreSpec extends AnyFunSuite {
     ()
   }
 
+  test("corpus-sample probe catches old-region drift the tick-only probe misses") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ivf_corpus_probe_spec").toString
+    val storeDir = s"$root/store"; val centsDir = s"$root/cents"
+    val dim = 8; val perBlob = 60; val k = 5; val nprobe = 1
+    graft.functions.VectorFunctions.register(spark)
+
+    // same known-structure corpus as the drift test: four tight blobs
+    // on orthogonal axes, quantizer (nlist=4) frozen on them
+    def noise(j: Int, d: Int): Double = (((j * 31 + d * 7) % 11) - 5) * 0.004
+    def blobVec(axis: Int, j: Int): Seq[Double] =
+      (0 until dim).map(d => (if (d == axis) 1.0 else 0.0) + noise(j, d))
+    val base = (for (b <- 0 until 4; j <- 0 until perBlob)
+      yield (b * 1000L + j, blobVec(b, j))).toDF("vec_id", "v")
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+    val cents = Similarity.trainQuantizer(spark, base, centsDir, nlist = 4)
+    Similarity.seedIvfStore(spark, base, storeDir, cents, nlist = 4)
+
+    // tick 0: benign (tight, in-distribution on axis 3); tick 1:
+    // DAMAGE — a blob dead on the frozen c0/c1 boundary, built as
+    // TWIN PAIRS: 2m and 2m+1 are near-identical (shared d2 group,
+    // adjacent d3) but carry a tiny opposite d0/d1 tilt, so the
+    // quantizer assigns each twin to a DIFFERENT old cluster while
+    // cosine ranks the twin as its sibling's nearest neighbor —
+    // every damaged query's top-k straddles both inverted lists by
+    // construction (recall ≈ ½ at nprobe=1, not noise-dependent);
+    // tick 2: benign again. Tick probes run at batch 0 and 2 only
+    // (everyNTicks=2) and both sample BENIGN vectors → green; the
+    // corpus probe (corpusEveryNTicks=2) at batch 2 hash-samples the
+    // WHOLE store — including tick 1's damaged neighborhoods — and
+    // must trip. trips must therefore be exactly [batch 2].
+    val benign0 = (0 until 20).map(j => VecIngest(7000L + j, blobVec(3, j + 7)))
+    val damage = (0 until 240).map { j =>
+      val m = j / 2
+      val tilt = if (j % 2 == 0) 0.002 else -0.002
+      val v = (0 until dim).map { d =>
+        if (d == 0) 1.0 / math.sqrt(2) + tilt
+        else if (d == 1) 1.0 / math.sqrt(2) - tilt
+        else if (d == 2) (m % 7) * 0.06 // neighborhood groups
+        else if (d == 3) j * 0.001     // per-vector uniqueness
+        else 0.0
+      }
+      VecIngest(9000L + j, v)
+    }
+    val benign2 = (0 until 20).map(j => VecIngest(8000L + j, blobVec(2, j + 13)))
+
+    val trips = scala.collection.mutable.ListBuffer.empty[(Long, Similarity.IvfProbeResult)]
+    val input = MemoryStream[VecIngest]
+    val q = streaming.DocStream.startIvfMaintain(
+      input.toDF(), storeDir, centsDir, s"$root/ckpt", nlist = 4,
+      probe = Some(Similarity.IvfProbeConfig(sample = 8, k = k, nprobe = nprobe,
+        threshold = 0.9, everyNTicks = 2,
+        corpusSample = 128, corpusEveryNTicks = 2,
+        onDrift = (b, r) => trips += ((b, r)))))
+    input.addData(benign0: _*); q.processAllAvailable()
+    input.addData(damage: _*); q.processAllAvailable()
+    input.addData(benign2: _*); q.processAllAvailable()
+    q.stop()
+
+    assert(trips.map(_._1) === Seq(2L),
+      s"expected exactly the batch-2 corpus probe to trip, got $trips")
+    assert(trips.head._2.sampledRecall < 0.9)
+    ()
+  }
+
   test("index rebuild publishes by pointer cutover; reader snapshot survives; retention reclaims") {
     val root = java.nio.file.Files.createTempDirectory("ivf_rebuild_spec").toString + "/idx"
     val nlist = 8; val nQueries = 5; val k = 5; val nprobe = 2

@@ -157,6 +157,35 @@ class SkewSpec extends AnyFunSuite {
     ()
   }
 
+  test("derived hot cut: engages on planted skew, stays plain on unskewed data") {
+    import spark.implicits._
+    // 3 hot users (deg 400 — past the DerivedHotFloor AND past p99.9
+    // of a 5003-user population: rank 0.999·5003 ≈ 4998 lands well
+    // inside the deg-5 mass, not on the hot tail) + 5000 normal users
+    // (deg 5): the derived cut must mark exactly the planted hot three
+    val hot = for (u <- 0L until 3L; j <- 0L until 400L) yield (u, 10000L + (u * 401 + j) % 1000)
+    val normal = for (u <- 100L until 5100L; j <- 0L until 5L) yield (u, 2000L + (u + j) % 500)
+    val facts = (hot ++ normal).toDF("user_id", "item_id").distinct().cache()
+
+    val plain = graft.operators.ItemCF.coocCountsOn(facts)
+    val derived = graft.operators.ItemCF.coocCountsOn(facts,
+      hotDegree = graft.operators.ItemCF.DerivedHotDegree, salts = 8)
+    assert(derived.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "derived cut did not engage under planted skew")
+    // value identity, checked distributively (240k pairs)
+    assert(derived.count() === plain.count())
+    assert(derived.join(plain, Seq("item_a", "item_b", "n_users"), "left_anti").count() === 0)
+    facts.unpersist()
+
+    // unskewed: max degree 60 < the floor → the plain plan comes back
+    val mild = (for (u <- 0L until 50L; j <- 0L until 60L) yield (u, 1000L + (u * 7 + j) % 300))
+      .toDF("user_id", "item_id").distinct()
+    val gated = graft.operators.ItemCF.coocCountsOn(mild,
+      hotDegree = graft.operators.ItemCF.DerivedHotDegree, salts = 8)
+    assert(!gated.queryExecution.optimizedPlan.toString.contains("__salt"))
+    ()
+  }
+
   test("hot key actually spreads across salt partitions") {
     import spark.implicits._
     val fact = spark.range(10000).select(lit(7L).as("k"), col("id").as("payload"))

@@ -38,6 +38,47 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
+class OracleTimeout(Exception):
+    pass
+
+def oracle_df(con, sql, timeout_s):
+    """Run one oracle query, optionally under a wall-clock cap.
+
+    The timer's interrupt runs under a lock shared with a done-flag, so
+    a query that finishes just before the timer fires marks itself done
+    and the late callback no-ops instead of poisoning the shared
+    connection. If a stale interrupt still lands between queries, the
+    next execute raises instantly with THIS query's fired-flag unset —
+    distinguishable from a genuine timeout — and is retried once.
+    """
+    if timeout_s <= 0:
+        return con.execute(sql).df()
+    import threading
+    lock = threading.Lock()
+    state = {"done": False, "fired": False}
+    def _fire():
+        with lock:
+            if not state["done"]:
+                state["fired"] = True
+                con.interrupt()
+    timer = threading.Timer(timeout_s, _fire)
+    timer.start()
+    try:
+        for attempt in (0, 1):
+            try:
+                df = con.execute(sql).df()
+                with lock:
+                    state["done"] = True
+                return df
+            except duckdb.InterruptException:
+                with lock:
+                    if state["fired"] or attempt == 1:
+                        state["done"] = True
+                        raise OracleTimeout()
+                # stale interrupt from a prior query: retry once
+    finally:
+        timer.cancel()
+
 def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
@@ -79,14 +120,9 @@ def main(sf_dir, out_dir, only=None):
         # and must not wedge the rest of the sweep. Leave unset for
         # gate runs — there every oracle must actually complete.
         timeout_s = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0"))
-        timer = None
-        if timeout_s > 0:
-            import threading
-            timer = threading.Timer(timeout_s, con.interrupt)
-            timer.start()
         try:
-            want = canon(con.execute(sql).df())
-        except duckdb.InterruptException:
+            want = canon(oracle_df(con, sql, timeout_s))
+        except OracleTimeout:
             print(f"TIMEOUT {name}: oracle exceeded {timeout_s}s (engine unchecked)")
             n_timeout += 1
             continue
@@ -94,9 +130,6 @@ def main(sf_dir, out_dir, only=None):
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        finally:
-            if timer is not None:
-                timer.cancel()
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
             n_fail += 1

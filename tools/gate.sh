@@ -29,6 +29,9 @@ SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_REPS=1 \
 BRC=$?
 cat "$OUT/bench.json" 2>/dev/null | head -c 300; echo
 echo "== gate: bench exit $BRC"
-RC=$((VRC + ORC + TRC + BRC))
+# boolean accumulation, NOT a sum: exit codes can sum to a multiple of
+# 256 (e.g. 130+126) and wrap to 0 through exit's 8-bit truncation
+RC=0
+[ "$VRC" -eq 0 ] && [ "$ORC" -eq 0 ] && [ "$TRC" -eq 0 ] && [ "$BRC" -eq 0 ] || RC=1
 echo "== gate: OVERALL $([ "$RC" -eq 0 ] && echo PASS || echo FAIL) (logs in $OUT)"
 exit $RC
