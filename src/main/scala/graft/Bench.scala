@@ -34,7 +34,7 @@ object Bench {
     "dedup_minhash", "dedup_minhash_inc", "dedup_minhash_store",
     "dedup_simhash", "dedup_simhash_inc",
     "dedup_ngram_jaccard", "dedup_ngram_inc",
-    "dedup_embed_cosine", "dedup_embed_lsh", "dedup_embed_lsh_inc",
+    "dedup_embed_cosine", "dedup_embed_lsh", "dedup_embed_lsh_wide", "dedup_embed_lsh_inc",
     "dedup_clusters", "dedup_clusters_star",
     "knn_brute", "knn_ivf", "knn_sq8",
     "text_quality", "text_tokens", "text_token_count", "text_repetition",

@@ -1,0 +1,253 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-stress bench for the DOCUMENT and EMBEDDING pipelines —
+  * the companion of [[BenchScale]] (which covers the interactions /
+  * cooc / serving shuffles). The driver's per-round bench runs these
+  * operators at sf0.1 (5 000 docs / 2 000 vectors); this run is
+  * 200×/1000× that, with planted structure the operators must find:
+  *
+  * Documents (default 1M, ~110 words each, 30k-word vocab):
+  *  - 2% exact copies (id % 50 == 49 copies id-2, byte-identical),
+  *  - 2% near-dups (id % 50 == 48 re-rolls id-1's word stream with
+  *    ~1/16 words mutated → true 3-shingle Jaccard ≈ 0.7),
+  *  - 20% share a 12-word boilerplate preamble (hot-shingle stress).
+  *  Measured: exact hash-dedup, MinHash+LSH (threshold 0.5, planted
+  *  recall recorded), SimHash, and star-contraction clustering over
+  *  the discovered pair graph.
+  *
+  * Embeddings (default 2M, 64-dim, 256 latent clusters, same-cluster
+  * cos ≈ 0.4, cross-cluster ≈ 0): every 40th vector is a planted
+  * near-identical copy of its predecessor (cos ≈ 0.9999).
+  *  - `embed_lsh64_500k`: the EXISTING 64-bit/16-bit-band detector at
+  *    500k — the largest n where its C(n,2)·bands·2^-16 random-pair
+  *    candidate term stays sane; the measured candidate volume IS the
+  *    evidence for the banding wall the wide signature fixes.
+  *  - `embed_lsh128_2m`: [[operators.Dedup.embedLshWideOn]] (4 bands
+  *    × 32 bits) at the full 2M — the scale path, with planted recall.
+  *  - `ivf_build_2m` / `ivf_search_2m` vs `knn_brute_2m`: persisted
+  *    IVF index build (kmeans quantizer + BucketStore postings),
+  *    64-query probe search, and the exact brute-force baseline the
+  *    recall@10 is computed against.
+  *
+  * Deterministic throughout (splitmix-derived columns, no RNG); both
+  * corpora are materialized to parquet once so every timed query pays
+  * a plain columnar scan. Not part of the driver's per-round bench:
+  * run manually, results recorded in BENCH_scale_docs.json + SURVEY
+  * §7f.
+  */
+object BenchScaleDocs {
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.get("SPARK_GRAFT_SCALE_DOCS").map(_.toLong).getOrElse(1000000L)
+    val nVecs = sys.env.get("SPARK_GRAFT_SCALE_VECS").map(_.toLong).getOrElse(2000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_scale_docs.json")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(taskEnd: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = taskEnd.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
+    val extras = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    def record(name: String, dt: Double, bytes: Long): Unit = {
+      val better = results.get(name).forall(_._1 > dt)
+      if (better) results(name) = (dt, bytes)
+      spark.catalog.clearCache()
+      println(f"[scale-docs] $name%-22s ${dt}%8.1f s  ${bytes / 1e6}%10.1f MB shuffle")
+    }
+    def timed(name: String)(df: => DataFrame): Unit = {
+      val b0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(50)
+      record(name, dt, shuffleBytes.get() - b0)
+    }
+    // variant that lands the result as parquet (write cost included in
+    // the timing — the realistic shape when a later stage consumes it)
+    def timedWrite(name: String, path: String)(df: => DataFrame): Unit = {
+      val b0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").parquet(path)
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(50)
+      record(name, dt, shuffleBytes.get() - b0)
+    }
+    def timedUnit(name: String)(work: => Unit): Unit = {
+      val b0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      work
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(50)
+      record(name, dt, shuffleBytes.get() - b0)
+    }
+
+    val scaleDir = "target/graft-scale-docs"
+    locally {
+      val hp = new org.apache.hadoop.fs.Path(scaleDir)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+      ()
+    }
+
+    // ----- corpus: documents -------------------------------------
+    val vocab = 30000
+    spark.range(0L, nDocs, 1L, 64)
+      .select(col("id").as("doc_id"))
+      .withColumn("r", pmod(col("doc_id"), lit(50)))
+      // stream key: 48 re-rolls id-1 (near-dup), 49 copies id-2 (exact)
+      .withColumn("b", col("doc_id")
+        - when(col("r") === 48, 1).otherwise(0)
+        - when(col("r") === 49, 2).otherwise(0))
+      .withColumn("m", col("r") === 48)
+      .withColumn("len", (lit(60) + pmod(xxhash64(col("b")), lit(90))).cast("int"))
+      .withColumn("body", expr(
+        s"array_join(transform(sequence(0, len - 1), j -> " +
+        s"CASE WHEN m AND pmod(xxhash64(doc_id * 7 + j), 16) = 0 " +
+        s"THEN concat('m', pmod(xxhash64(doc_id * 31 + j), $vocab)) " +
+        s"ELSE concat('w', pmod(xxhash64(b * 1000003 + j), $vocab)) END), ' ')"))
+      .withColumn("text", when(pmod(col("b"), lit(5)) === 0, concat(
+          lit("terms of service apply to all content on this site please read carefully "),
+          col("body")))
+        .otherwise(col("body")))
+      .select(col("doc_id"), col("text"))
+      .write.parquet(s"$scaleDir/docs")
+    val docs = spark.read.parquet(s"$scaleDir/docs")
+    extras("n_docs") = docs.count()
+
+    // ----- corpus: embeddings ------------------------------------
+    val dim = 64
+    spark.range(0L, nVecs, 1L, 64)
+      .select(col("id").as("vec_id"))
+      .withColumn("bv", when(pmod(col("vec_id"), lit(40)) === 39, col("vec_id") - 1)
+        .otherwise(col("vec_id")))
+      .withColumn("c", pmod(xxhash64(col("bv") * 2654435761L), lit(256)))
+      .withColumn("embedding", expr(
+        s"transform(sequence(0, ${dim - 1}), i -> " +
+        s"(pmod(xxhash64(c * 64 + i), 2000) - 1000) / 1000.0 " +
+        s"+ 1.2 * (pmod(xxhash64(bv * 64 + i), 2000) - 1000) / 1000.0 " +
+        s"+ CASE WHEN bv <> vec_id THEN 0.01 * (pmod(xxhash64(vec_id * 64 + i), 2000) - 1000) / 1000.0 ELSE 0.0 END)"))
+      .select(col("vec_id"), col("embedding"))
+      .write.parquet(s"$scaleDir/vecs")
+    def vecs(): DataFrame = spark.read.parquet(s"$scaleDir/vecs")
+    extras("n_vecs") = vecs().count()
+
+    import graft.operators.{Dedup, Graph, Similarity}
+    graft.functions.VectorFunctions.register(spark)
+
+    // ----- documents: the dedup ladder at 200× -------------------
+    timed(s"exact_dedup")(docs
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id")))
+
+    timedWrite("minhash_lsh", s"$scaleDir/mh_pairs")(
+      Dedup.minhashLshOn(spark, docs, threshold = 0.5))
+    val mhPairs = spark.read.parquet(s"$scaleDir/mh_pairs")
+    extras("minhash_pairs") = mhPairs.count()
+    // planted recall: near-dup (id-1, id) at jaccard ≈ 0.7 for r=48,
+    // exact (id-2, id) at 1.0 for r=49 — every planted pair is a true
+    // ≥-threshold pair, so found/planted is a recall measurement
+    val planted = mhPairs.filter(
+      (col("doc_b") - col("doc_a") === 1 && pmod(col("doc_b"), lit(50)) === 48) ||
+      (col("doc_b") - col("doc_a") === 2 && pmod(col("doc_b"), lit(50)) === 49)).count()
+    val plantedTotal = extras("n_docs").asInstanceOf[Long] / 50 * 2
+    extras("minhash_planted_found") = planted
+    extras("minhash_planted_total") = plantedTotal
+
+    timed("simhash")(Dedup.simhashOn(spark, docs))
+
+    timedWrite("clusters_star", s"$scaleDir/clusters")(
+      Graph.connectedComponentsStar(
+        mhPairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))))
+    extras("clusters") = spark.read.parquet(s"$scaleDir/clusters")
+      .select(col("label")).distinct().count()
+
+    // ----- embeddings: the 64-bit banding wall, then the wide path
+    val half = 500000L
+    timedWrite("embed_lsh64_500k", s"$scaleDir/lsh64")(
+      Dedup.embedLshOn(spark, vecs().filter(col("vec_id") < half), threshold = 0.9))
+    extras("lsh64_pairs_500k") = spark.read.parquet(s"$scaleDir/lsh64").count()
+
+    timedWrite("embed_lsh128_2m", s"$scaleDir/lsh128")(
+      Dedup.embedLshWideOn(spark, vecs(), threshold = 0.9))
+    val lsh128 = spark.read.parquet(s"$scaleDir/lsh128")
+    extras("lsh128_pairs_2m") = lsh128.count()
+    val planted128 = lsh128.filter(
+      col("vec_b") - col("vec_a") === 1 && pmod(col("vec_b"), lit(40)) === 39).count()
+    extras("lsh128_planted_found") = planted128
+    extras("lsh128_planted_total") = extras("n_vecs").asInstanceOf[Long] / 40
+
+    // ----- embeddings: persisted IVF index vs exact brute --------
+    def corpus(): DataFrame = vecs()
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+    val centroidsDir = s"$scaleDir/ivf_centroids"
+    val storeDir = s"$scaleDir/ivf_store"
+    val nlist = 256
+    var cents: Seq[(Int, Seq[Double])] = Seq.empty
+    timedUnit("ivf_build_2m") {
+      cents = Similarity.trainQuantizer(spark, corpus(), centroidsDir, nlist)
+      Similarity.seedIvfStore(spark, corpus(), storeDir, cents, nlist)
+    }
+    def queries(): DataFrame = corpus().filter(col("vec_id") < 64)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    for (_ <- 0 until 2)
+      timedWrite("ivf_search_2m", s"$scaleDir/ivf_hits")(
+        Similarity.searchIvfStore(spark, storeDir, cents, queries(),
+          k = 10, nprobe = 8, nlist = nlist))
+    timedWrite("knn_brute_2m", s"$scaleDir/brute_hits") {
+      val q = queries()
+      val scored = corpus().join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cos", round(expr("graft_dot(qv, v)") / (col("norm") * col("qnorm")), 4))
+        .select(col("query_id"), col("vec_id"), col("cos")) // slim before the rank shuffle
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
+    }
+    val ivfHits = spark.read.parquet(s"$scaleDir/ivf_hits")
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteHits = spark.read.parquet(s"$scaleDir/brute_hits")
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bruteHits.count(ivfHits.contains).toDouble / math.max(1, bruteHits.size)
+    extras("ivf_recall_at10") = f"$recall%.4f"
+
+    // ----- report ------------------------------------------------
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sb = results.map { case (k, (_, b)) => "\"" + k + "\":" + b }
+      .mkString("{", ",", "}")
+    val ex = extras.map { case (k, v) => "\"" + k + "\":" + (v match {
+      case s: String => "\"" + s + "\""
+      case other => other.toString
+    }) }.mkString("{", ",", "}")
+    val line = s"""{"metric":"scale_docs_total","value":${results.values.map(_._1).sum},""" +
+      s""""unit":"sec","queries":$qs,"shuffle_bytes":$sb,"extras":$ex}"""
+    println(line)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[scale-docs] could not write $outPath: ${e.getMessage}")
+    }
+    spark.stop()
+  }
+}

@@ -91,6 +91,7 @@ object SparkEntry {
     // the LSH scale path, exercised in its regime via deterministic
     // planted near-dups (rows-only; recall vs all-pairs is spec-gated)
     "dedup_embed_lsh"     -> ((s, d) => Dedup.embedLshPlanted(s, d)),
+    "dedup_embed_lsh_wide" -> ((s, d) => Dedup.embedLshWidePlanted(s, d)),
     // its ingest-tick regime: delta signatures vs the corpus band index
     "dedup_embed_lsh_inc" -> ((s, d) => Dedup.embedLshIncremental(s, d)),
     // the embed-LSH tick through a REAL parquet signature/band store

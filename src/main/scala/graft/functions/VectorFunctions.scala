@@ -259,6 +259,103 @@ object VectorFunctions {
       copy(child = newChild)
   }
 
+  /** hyperplane(v, nwords) over array<double> → array<long> of nwords
+    * 64-bit random-hyperplane signature words — the WIDE form of
+    * [[Hyperplane64]] for corpora past the 64-bit banding wall.
+    *
+    * Why it exists: banded LSH candidate volume from RANDOM pairs is
+    * C(n,2) · bands · 2^-bandBits — with 16-bit bands (the only
+    * geometry 64 bits allows at 4 bands) that term crosses ~10M
+    * candidates near n ≈ 10⁶ vectors no matter how clean the corpus
+    * is, and grows with n². Wider signatures buy exponentially more
+    * selectivity: 4 bands × 32 bits (nwords = 2) puts the random-pair
+    * term at C(n,2) · 4 · 2^-32 ≈ 2k candidates at n = 2M while
+    * near-identical pairs (cos ≥ 0.99) still collide in ≥1 band with
+    * p ≈ 0.999 (per-band p = (1 - θ/π)^32). Cost is linear: nwords×64
+    * hyperplane dots per vector, one map-side pass.
+    *
+    * Plane `w·64 + p` uses the same (planeIdx << 32 | dim) splitmix
+    * draw as [[Hyperplane64]], so word 0 IS the 64-bit signature —
+    * widening an existing index re-derives, never re-shuffles, and
+    * the two functions agree on their shared prefix (spec-pinned).
+    */
+  case class HyperplaneWide(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, int), got (${l.simpleString}, ${r.simpleString})")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_hyperplane"
+
+    override def nullSafeEval(input: Any, nw: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val words = nw.asInstanceOf[Int]
+      require(words >= 1 && words <= 16, s"$prettyName: nwords must be in [1,16], got $words")
+      val out = new Array[Long](words)
+      var w = 0
+      while (w < words) {
+        var sig = 0L
+        var p = 0
+        while (p < 64) {
+          var dot = 0.0
+          var d = 0
+          while (d < v.numElements()) {
+            var x = ((w.toLong * 64 + p) << 32 | d.toLong) * -7046029254386353131L
+            x = (x ^ (x >>> 30)) * -4658895280553007687L
+            x = (x ^ (x >>> 27)) * -7723592293110705685L
+            x ^= (x >>> 31)
+            dot += v.getDouble(d) * (x.toDouble / 9.223372036854776e18)
+            d += 1
+          }
+          if (dot > 0) sig |= (1L << p)
+          p += 1
+        }
+        out(w) = sig
+        w += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, nw) => {
+        val out = ctx.freshName("out")
+        val sig = ctx.freshName("sig")
+        val w = ctx.freshName("w")
+        val p = ctx.freshName("p")
+        val d = ctx.freshName("d")
+        val x = ctx.freshName("x")
+        val dot = ctx.freshName("dot")
+        s"""
+           |if ($nw < 1 || $nw > 16) {
+           |  throw new IllegalArgumentException(
+           |    "graft_hyperplane: nwords must be in [1,16], got " + $nw);
+           |}
+           |long[] $out = new long[$nw];
+           |for (int $w = 0; $w < $nw; $w++) {
+           |  long $sig = 0L;
+           |  for (int $p = 0; $p < 64; $p++) {
+           |    double $dot = 0.0;
+           |    for (int $d = 0; $d < $a.numElements(); $d++) {
+           |      long $x = ((((long) $w * 64 + $p) << 32) | (long) $d) * -7046029254386353131L;
+           |      $x = ($x ^ ($x >>> 30)) * -4658895280553007687L;
+           |      $x = ($x ^ ($x >>> 27)) * -7723592293110705685L;
+           |      $x ^= ($x >>> 31);
+           |      $dot += $a.getDouble($d) * ((double) $x / 9.223372036854776e18);
+           |    }
+           |    if ($dot > 0) $sig |= (1L << $p);
+           |  }
+           |  $out[$w] = $sig;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** sq8_encode(v) over array<double> → binary: 8-bit scalar
     * quantization, one byte per component, code = round((x+1)·127.5)
     * clamped to [0, 255] (components of unit-norm embeddings live in
@@ -422,6 +519,7 @@ object VectorFunctions {
     "graft_minhash64" -> (exprs => MinHashSig(exprs.head)),
     "graft_shingles" -> (exprs => Shingles(exprs(0), exprs(1))),
     "graft_hyperplane64" -> (exprs => Hyperplane64(exprs.head)),
+    "graft_hyperplane" -> (exprs => HyperplaneWide(exprs(0), exprs(1))),
     "graft_sq8" -> (exprs => Sq8Encode(exprs.head)),
     "graft_sq8_dot" -> (exprs => Sq8Dot(exprs(0), exprs(1))))
 

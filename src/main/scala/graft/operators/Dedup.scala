@@ -966,6 +966,69 @@ object Dedup {
     e.unionByName(planted)
   }
 
+  /** [[embedLshPlanted]] with the WIDE signature (registered as
+    * `dedup_embed_lsh_wide`): identical semantics, 128-bit banding.
+    */
+  def embedLshWidePlanted(spark: SparkSession, sfDir: String, nPlant: Int = 50,
+                          threshold: Double = 0.9): DataFrame =
+    embedLshWideOn(spark, plantedCorpus(spark, sfDir, nPlant), threshold)
+
+  /** Wide-signature embedding LSH — [[embedLshOn]] past the 64-bit
+    * banding wall. Same pipeline (signature → banded blocking →
+    * hot-bucket guard → exact-cosine verify, precision 1.0 by
+    * construction), but the signature is `nWords`×64 bits
+    * ([[graft.functions.VectorFunctions.HyperplaneWide]]) banded as
+    * `nWords·64/bandBits` bands of `bandBits` bits.
+    *
+    * Why: candidate volume from RANDOM pairs is
+    * C(n,2)·bands·2^-bandBits — a corpus-independent n² term that
+    * 16-bit bands (all 64 bits allow at 4 bands) push past ~10M
+    * candidates around n ≈ 10⁶ vectors (measured in BENCH_scale_docs:
+    * 7M+ candidates at 500k). The default here (2 words → 4 bands ×
+    * 32 bits) holds the random term to ~2k candidates at n = 2M while
+    * near-identical pairs (cos ≥ 0.99, the dedup regime) still
+    * collide in ≥1 band with p ≈ 0.999. The trade is recall at the
+    * BOTTOM of the similarity band: borderline-0.9 pairs collide with
+    * p ≈ 0.03 — wide banding is the near-identical detector; for
+    * borderline-similarity mining at scale use [[Similarity]]'s IVF
+    * search, which probes by geometry rather than bit agreement.
+    */
+  private[graft] def embedLshWideOn(spark: SparkSession, embeddings: DataFrame,
+                                    threshold: Double, nWords: Int = 2, bandBits: Int = 32,
+                                    bucketCap: Int = 10000): DataFrame = {
+    require(Set(8, 16, 32, 64)(bandBits), s"bandBits must divide 64, got $bandBits")
+    graft.functions.VectorFunctions.register(spark)
+    val e = hyperSetsWide(embeddings, nWords).cache()
+    val bands = dropHotBuckets(hyperBandsWide(e, nWords, bandBits), bucketCap)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    verifyCosPairs(cand, e, threshold)
+  }
+
+  /** (vec_id, v, norm, sigw): wide-signature twin of [[hyperSets]]. */
+  private def hyperSetsWide(embeddings: DataFrame, nWords: Int): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .withColumn("sigw", expr(s"graft_hyperplane(v, $nWords)"))
+
+  /** `bandBits`-bit band blocking over the wide signature words. The
+    * shift is arithmetic but the mask clears any sign-extended bits,
+    * so keys are the raw bit slices.
+    */
+  private def hyperBandsWide(e: DataFrame, nWords: Int, bandBits: Int): DataFrame = {
+    val nBands = nWords * 64 / bandBits
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    e.select(col("vec_id"), explode(expr(
+      s"transform(sequence(0, ${nBands - 1}), b -> named_struct('band', b, " +
+      s"'key', shiftright(element_at(sigw, cast((b * $bandBits) div 64 as int) + 1), " +
+      s"cast((b * $bandBits) % 64 as int)) & ${mask}L))"
+    )).as("x")).select(col("vec_id"), col("x.band"), col("x.key"))
+  }
+
   private[graft] def embedLshOn(spark: SparkSession, embeddings: DataFrame, threshold: Double,
                                 bucketCap: Int = 10000): DataFrame = {
     graft.functions.VectorFunctions.register(spark)

@@ -49,6 +49,18 @@ object ItemCF {
     */
   val DerivedHotFloor = 256
 
+  /** Sentinel for `salts`: size the salt count from the MEASURED max
+    * hot degree (deg²/[[TargetPairsPerSaltTask]], clamped to [8, 64])
+    * instead of a constant — the default, so straggler depth tracks
+    * the worst profile actually observed.
+    */
+  val DerivedSalts: Int = -1
+
+  /** Target pair-generation work per (hot user, salt) task under the
+    * derived salt count — a few seconds of codegen'd hash-agg work.
+    */
+  val TargetPairsPerSaltTask: Long = 5000000L
+
   /** Max hot-user ids pulled to the driver for the literal in-set
     * (4M longs = 32 MB — the same order the broadcast these ids
     * previously rode would have shipped). A cut that marks more users
@@ -108,7 +120,7 @@ object ItemCF {
   def cooccurrenceSalted(spark: SparkSession, sfDir: String, minUsers: Int = 3,
                          maxDegree: Int = DefaultMaxDegree,
                          hotDegree: Int = DerivedHotDegree,
-                         salts: Int = 8): DataFrame = {
+                         salts: Int = DerivedSalts): DataFrame = {
     val i = cappedByUser(spark, sfDir, maxDegree).select(col("user_id"), col("item_id"))
     coocCountsOn(i, hotDegree, salts).filter(col("n_users") >= minUsers)
   }
@@ -147,7 +159,7 @@ object ItemCF {
     * engaged path used to leak.
     */
   private[graft] def coocCountsOn(i: DataFrame, hotDegree: Int = Int.MaxValue,
-                                  salts: Int = 8): DataFrame = {
+                                  salts: Int = DerivedSalts): DataFrame = {
     val pairs =
       if (hotDegree == Int.MaxValue) selfPairs(i)
       else {
@@ -157,20 +169,37 @@ object ItemCF {
         val cut =
           if (hotDegree == DerivedHotDegree) derivedHotCut(degrees)
           else hotDegree
-        val hotIds = degrees.filter(col("deg") > cut)
-          .select(col("user_id").cast("long"))
+        val hotRows = degrees.filter(col("deg") > cut)
+          .select(col("user_id").cast("long"), col("deg").cast("long"))
           .limit(HotIdsMaxCollect + 1)
-          .collect().map(_.getLong(0)).toIndexedSeq
+          .collect()
+        val hotIds = hotRows.map(_.getLong(0)).toIndexedSeq
         degrees.unpersist()
         if (hotIds.isEmpty || hotIds.length > HotIdsMaxCollect) selfPairs(i)
         else {
+          // Salt count sized to the MEASURED worst profile when the
+          // caller leaves it derived: per-task pair work for a hot
+          // user is deg·(deg/salts), so salts = deg²/target bounds
+          // the straggler at ~[[TargetPairsPerSaltTask]] pairs. Extra
+          // salts are nearly free — the b-side replication is
+          // deg·salts ROWS per hot user (≤ 1.3M at the 64 cap),
+          // paid once in the shuffle, vs the deg²-pair compute it
+          // splits (measured: fixed salts=8 left 25M-pair tasks at a
+          // planted deg=20k; deg-derived salts cut the straggler
+          // depth 8× further for ~1M extra shuffled rows).
+          val maxHotDeg = hotRows.map(_.getLong(1)).max
+          val useSalts =
+            if (salts == DerivedSalts)
+              math.min(64L, math.max(8L,
+                maxHotDeg * maxHotDeg / TargetPairsPerSaltTask + 1)).toInt
+            else salts
           val isHot = col("user_id").isInCollection(hotIds)
           val hot = i.filter(isHot)
           val normal = i.filter(!isHot)
           val hotA = hot.select(col("user_id"), col("item_id").as("item_a"))
-            .withColumn("__salt", Skew.salt(salts, col("item_a")))
+            .withColumn("__salt", Skew.salt(useSalts, col("item_a")))
           val hotB = hot.select(col("user_id"), col("item_id").as("item_b"))
-            .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+            .withColumn("__salt", explode(sequence(lit(0), lit(useSalts - 1))))
           val hotPairs = hotA.join(hotB, Seq("user_id", "__salt"))
             .filter(col("item_a") < col("item_b"))
             .select(packPair(col("item_a"), col("item_b")).as("pk"))

@@ -38,6 +38,11 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(expr(dot) / (col("norm") * col("qnorm")), 4))
+      // slim BEFORE the rank shuffle: the window only needs the score
+      // triple, and carrying the embedding arrays through it would
+      // multiply the one shuffle here ~30× (measured shape at 2M
+      // vectors in BENCH_scale_docs)
+      .select(col("query_id"), col("vec_id"), col("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -133,6 +138,9 @@ object Similarity {
     val scored = assigned.join(broadcast(probes),
         assigned("cluster") === probes("cluster") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(expr(dot) / (col("norm") * col("qnorm")), 4))
+      // slim BEFORE the rank shuffle (same reasoning as knnBrute)
+      .select(col("query_id"), col("vec_id"), col("cos"),
+        assigned("cluster").as("cluster"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
     // NOTE: c stays cached — the returned plan scans it again for both
     // the probe and corpus sides, so unpersisting here would force the
@@ -141,7 +149,7 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"),
-        assigned("cluster").as("cluster"))
+        col("cluster"))
   }
 
   // ---------------------------------------------------------------
@@ -265,11 +273,14 @@ object Similarity {
     val scored = postings.join(broadcast(probes),
         postings("cluster") === probes("cluster") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(expr(dot) / (col("norm") * col("qnorm")), 4))
+      // slim BEFORE the rank shuffle (same reasoning as knnBrute)
+      .select(col("query_id"), col("vec_id"), col("cos"),
+        postings("cluster").as("cluster"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"),
-        postings("cluster").as("cluster"))
+        col("cluster"))
   }
 
   // ----- recall-drift probe: when to trigger the rebuild ----------

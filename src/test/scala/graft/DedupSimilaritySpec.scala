@@ -42,6 +42,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("wide hyperplane signature: word 0 is the 64-bit signature, width checked") {
+    graft.functions.VectorFunctions.register(spark)
+    val rows = Tables.embeddings(spark, sf).limit(20)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(
+        expr("graft_hyperplane64(v)").as("sig64"),
+        expr("graft_hyperplane(v, 2)").as("sigw"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sigw = r.getAs[scala.collection.Seq[Long]]("sigw")
+      assert(sigw.length == 2)
+      assert(sigw.head == r.getAs[Long]("sig64"),
+        "widening must preserve the 64-bit prefix (re-derive, never re-shuffle)")
+    }
+    val bad = intercept[Exception] {
+      Tables.embeddings(spark, sf).limit(1)
+        .select(col("embedding").cast("array<double>").as("v"))
+        .select(expr("graft_hyperplane(v, 17)")).collect()
+    }
+    assert(bad.getMessage != null)
+  }
+
+  test("registered wide-band embed-LSH recalls planted dups with 32-bit bands") {
+    val corpus = Dedup.plantedCorpus(spark, sf, nPlant = 50)
+    val lsh = Dedup.embedLshWidePlanted(spark, sf)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val exact = Dedup.embedCosineOn(spark, corpus, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(exact.size >= 50)
+    assert(lsh.subsetOf(exact)) // precision 1.0: candidates re-verified exactly
+    // the planted near-identical pairs (cos ≈ 0.999) are the wide
+    // detector's contract; borderline-0.9 corpus pairs may drop
+    val planted = exact.filter { case (a, b) => b == a + 1000000L }
+    val recall = planted.count(lsh.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"planted recall $recall (${lsh.size}/${planted.size})")
+  }
+
   test("sub-3-word docs (empty shingle sets) don't break minhash verification") {
     import spark.implicits._
     // empty shingle sets share the all-sentinel signature, so these

@@ -20,7 +20,8 @@ object ExplainAll {
       "q_skew_join", "dedup_exact_store", "q_item_cooc_store",
       "dedup_minhash_store", "als_implicit",
       "q_ratings_cdc_store", "knn_ivf_store",
-      "q_item_cooc_salted", "q_events_props", "q_decontaminate_store")
+      "q_item_cooc_salted", "q_events_props", "q_decontaminate_store",
+      "dedup_embed_lsh_wide")
     interesting.foreach { name =>
       w.println(s"========== $name ==========")
       w.println(SparkEntry.queries(name)(spark, sf).queryExecution.explainString(

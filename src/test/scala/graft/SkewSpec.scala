@@ -186,6 +186,38 @@ class SkewSpec extends AnyFunSuite {
     ()
   }
 
+  test("derived salts: sized to the measured worst profile, value-identical") {
+    import spark.implicits._
+    // one planted hot user deep enough that deg²/TargetPairsPerSaltTask
+    // exceeds the 8 floor: deg 8000 → 64M/5M → 13 salts
+    val hot = for (j <- 0L until 8000L) yield (0L, 10000L + j)
+    val normal = for (u <- 100L until 3100L; j <- 0L until 5L) yield (u, 2000L + (u + j) % 500)
+    val facts = (hot ++ normal).toDF("user_id", "item_id").distinct().cache()
+
+    val derived = graft.operators.ItemCF.coocCountsOn(facts,
+      hotDegree = graft.operators.ItemCF.DerivedHotDegree) // salts left derived
+    val plan = derived.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt"), "derived cut did not engage")
+    // the a-side salt modulus carries the derived count (the b-side
+    // sequence(0, useSalts-1) constant-folds to an opaque array
+    // literal in the optimized plan): useSalts = 8000²/5M + 1 = 13
+    assert(plan.contains(", 13) AS __salt"),
+      s"expected 13 derived salts in the engaged plan:\n$plan")
+    // explicit salts still honored
+    val explicit = graft.operators.ItemCF.coocCountsOn(facts,
+      hotDegree = graft.operators.ItemCF.DerivedHotDegree, salts = 8)
+    assert(explicit.queryExecution.optimizedPlan.toString.contains(", 8) AS __salt"))
+    // value fingerprint vs the plain plan (full anti-join identity is
+    // pinned by the derived-cut test above; at deg 8000 the pair set
+    // is 32M rows, so compare one-pass aggregates here)
+    val plain = graft.operators.ItemCF.coocCountsOn(facts)
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum("n_users"), sum(col("item_a") * col("n_users"))).head()
+    assert(fp(derived) === fp(plain))
+    facts.unpersist()
+    ()
+  }
+
   test("hot key actually spreads across salt partitions") {
     import spark.implicits._
     val fact = spark.range(10000).select(lit(7L).as("k"), col("id").as("payload"))
