@@ -178,6 +178,25 @@ object BenchScaleDocs {
     extras("clusters") = spark.read.parquet(s"$scaleDir/clusters")
       .select(col("label")).distinct().count()
 
+    // ----- documents: near-dup maintainer soak ------------------
+    // seed the signature/band BucketStores from a 98% base, then one
+    // 2% ingest tick — the continuous regime's two store operations at
+    // corpus scale. The claim under test: tick COMPUTE is delta-sized
+    // (base×base candidates never re-form), vs the 26s full-batch LSH.
+    val mhStoreCut = (extras("n_docs").asInstanceOf[Long] * 98 / 100 / 50) * 50
+    val storeRoot = s"$scaleDir/mh_store"
+    timedUnit("mh_store_seed") {
+      Dedup.seedMinhashStores(spark, docs.filter(col("doc_id") < mhStoreCut),
+        s"$storeRoot/sig", s"$storeRoot/band", nBuckets = 256)
+    }
+    timedUnit("mh_store_tick") {
+      Dedup.nearDupStoreTick(spark, Dedup.minhashDetector(spark, 0.5),
+        s"$storeRoot/sig", s"$storeRoot/band", s"$storeRoot/pairs",
+        docs.filter(col("doc_id") >= mhStoreCut),
+        batchId = 1L, nBuckets = 256, bucketCap = 10000)
+    }
+    extras("mh_tick_pairs") = Dedup.readPairLog(spark, s"$storeRoot/pairs").count()
+
     // ----- embeddings: the 64-bit banding wall, then the wide path
     val half = 500000L
     timedWrite("embed_lsh64_500k", s"$scaleDir/lsh64")(

@@ -426,6 +426,19 @@ object Dedup {
       hyperBands(_),
       (cand, e) => verifyCosPairs(cand, e, threshold))
 
+  /** [[embedLshDetector]] with the WIDE signature
+    * ([[embedLshWideOn]]'s geometry) — plugs the 2M+-vector banding
+    * into the same seed/tick/maintainer machinery unchanged: the
+    * stored row schema gains `sigw` (array of words), band keys stay
+    * longs, everything downstream is detector-generic.
+    */
+  private[graft] def embedLshWideDetector(threshold: Double, nWords: Int = 2,
+                                          bandBits: Int = 32): NearDupDetector =
+    NearDupDetector("embed_lsh_wide", "vec_id", Seq("vec_id", "embedding"),
+      hyperSetsWide(_, nWords),
+      hyperBandsWide(_, nWords, bandBits),
+      (cand, e) => verifyCosPairs(cand, e, threshold))
+
   /** Seed the CONTINUOUSLY MAINTAINED near-dup stores
     * ([[graft.streaming.DocStream.startNearDupMaintain]]): the base
     * corpus's row store bucketed by `pmod(id, n)` and its band index

@@ -49,10 +49,12 @@ object ItemCF {
     */
   val DerivedHotFloor = 256
 
-  /** Sentinel for `salts`: size the salt count from the MEASURED max
-    * hot degree (deg²/[[TargetPairsPerSaltTask]], clamped to [8, 64])
-    * instead of a constant — the default, so straggler depth tracks
-    * the worst profile actually observed.
+  /** Sentinel for `salts`: derive the salt count from the measured
+    * skew — min(work-split need deg²/[[TargetPairsPerSaltTask]],
+    * parallelism coverage P/hotUsers), clamped to [8, 64] — instead
+    * of a constant. See the derivation note in [[coocCountsOn]]: hot
+    * work is conserved across salt counts, so salts beyond partition
+    * coverage only buy replication (scale-measured).
     */
   val DerivedSalts: Int = -1
 
@@ -177,22 +179,26 @@ object ItemCF {
         degrees.unpersist()
         if (hotIds.isEmpty || hotIds.length > HotIdsMaxCollect) selfPairs(i)
         else {
-          // Salt count sized to the MEASURED worst profile when the
-          // caller leaves it derived: per-task pair work for a hot
-          // user is deg·(deg/salts), so salts = deg²/target bounds
-          // the straggler at ~[[TargetPairsPerSaltTask]] pairs. Extra
-          // salts are nearly free — the b-side replication is
-          // deg·salts ROWS per hot user (≤ 1.3M at the 64 cap),
-          // paid once in the shuffle, vs the deg²-pair compute it
-          // splits (measured: fixed salts=8 left 25M-pair tasks at a
-          // planted deg=20k; deg-derived salts cut the straggler
-          // depth 8× further for ~1M extra shuffled rows).
+          // Salt count derived from the measured skew when the caller
+          // leaves it: hot-pair work is CONSERVED across salt counts
+          // (per-partition expected load is Σ deg²/2P for ANY s with
+          // ≥ P cells), so more salts past the point where the
+          // hot-cell count covers the shuffle parallelism only buy
+          // b-side replication — measured at 20M facts / 8×20k-deep
+          // hot users: s=8 (= P/hot) ran 192 s, s=64 ran 348 s, pure
+          // replication overhead. The derived count is therefore the
+          // SMALLER of the work-split need (deg²/target — don't split
+          // a mildly-hot profile 64 ways to fill partitions) and the
+          // parallelism-coverage need (P/hotUsers — don't leave
+          // partitions idle under one mega-user), clamped to [8, 64].
           val maxHotDeg = hotRows.map(_.getLong(1)).max
           val useSalts =
-            if (salts == DerivedSalts)
-              math.min(64L, math.max(8L,
-                maxHotDeg * maxHotDeg / TargetPairsPerSaltTask + 1)).toInt
-            else salts
+            if (salts == DerivedSalts) {
+              val p = i.sparkSession.sessionState.conf.numShufflePartitions.toLong
+              val forWork = maxHotDeg * maxHotDeg / TargetPairsPerSaltTask + 1
+              val forCoverage = (p + hotIds.length - 1) / hotIds.length
+              math.min(64L, math.max(8L, math.min(forWork, forCoverage))).toInt
+            } else salts
           val isHot = col("user_id").isInCollection(hotIds)
           val hot = i.filter(isHot)
           val normal = i.filter(!isHot)

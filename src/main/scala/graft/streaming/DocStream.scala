@@ -99,6 +99,21 @@ object DocStream {
     startBandedMaintain(vecs, _ => graft.operators.Dedup.embedLshDetector(threshold),
       vecDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap)
 
+  /** [[startEmbedNearDupMaintain]] with the WIDE-signature detector
+    * ([[graft.operators.Dedup.embedLshWideDetector]]) — the
+    * continuous regime for corpora past the 64-bit banding wall
+    * (BENCH_scale_docs: ~10⁶ vectors). Seed with
+    * [[graft.operators.Dedup.seedNearDupStores]] over the same
+    * detector; same tick machinery, same crash/replay story.
+    */
+  def startEmbedWideNearDupMaintain(vecs: DataFrame, vecDir: String, bandDir: String,
+                                    pairsDir: String, checkpointDir: String,
+                                    nBuckets: Int = BucketStore.DefaultBuckets,
+                                    threshold: Double = 0.9,
+                                    bucketCap: Int = 10000): StreamingQuery =
+    startBandedMaintain(vecs, _ => graft.operators.Dedup.embedLshWideDetector(threshold),
+      vecDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap)
+
   /** The shared maintainer loop behind all three detectors. The band
     * store's marker is the LAST thing a tick moves, so "band store
     * caught up" ⇒ the whole tick (pairs included) landed; anything

@@ -190,6 +190,48 @@ class NearDupStoreSpec extends AnyFunSuite {
     assert(maintained.exists(p => p._1 == 10L && p._2 == 12L))
   }
 
+  test("wide embed-LSH maintainer: stores ∪ ticks ≡ batch with 32-bit bands") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("embedlshw_mv").toString
+    val vecDir = root + "/vec"; val bandDir = root + "/bands"; val pairsDir = root + "/pairs"
+
+    def oneHot(i: Int): Seq[Double] = Seq.tabulate(8)(j => if (j == i % 8) 1.0 else 0.0)
+    def nearCopy(v: Seq[Double]): Seq[Double] = v.updated(7, v(7) + 0.001)
+    val seed: Seq[(Long, Seq[Double])] = Seq(
+      1L -> oneHot(0), 2L -> nearCopy(oneHot(0)),
+      3L -> oneHot(1), 4L -> oneHot(2), 5L -> oneHot(3))
+    var corpus = seed
+    graft.operators.Dedup.seedNearDupStores(spark, seed.toDF("vec_id", "embedding"),
+      graft.operators.Dedup.embedLshWideDetector(0.9), vecDir, bandDir, nBuckets = 64)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b", "cos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val basePairs = pairsOf(graft.operators.Dedup
+      .embedLshWideOn(spark, seed.toDF("vec_id", "embedding"), 0.9))
+    assert(basePairs.exists(p => p._1 == 1L && p._2 == 2L))
+
+    val input = MemoryStream[VecIngest]
+    val q = DocStream.startEmbedWideNearDupMaintain(
+      input.toDF(), vecDir, bandDir, pairsDir, root + "/ckpt")
+    def maintained = basePairs ++ pairsOf(spark.read.parquet(pairsDir))
+    def batchNow = pairsOf(graft.operators.Dedup
+      .embedLshWideOn(spark, corpus.toDF("vec_id", "embedding"), 0.9))
+
+    input.addData(VecIngest(10L, nearCopy(oneHot(1))), VecIngest(11L, oneHot(4)))
+    corpus = corpus ++ Seq(10L -> nearCopy(oneHot(1)), 11L -> oneHot(4))
+    q.processAllAvailable()
+    assert(maintained === batchNow)
+    assert(maintained.exists(p => p._1 == 3L && p._2 == 10L))
+
+    input.addData(VecIngest(12L, nearCopy(nearCopy(oneHot(1)))))
+    corpus = corpus ++ Seq(12L -> nearCopy(nearCopy(oneHot(1))))
+    q.processAllAvailable()
+    q.stop()
+    assert(maintained === batchNow)
+    assert(maintained.exists(p => p._1 == 10L && p._2 == 12L))
+  }
+
   test("pair log compaction folds batch dirs; every crash window still reads exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("pairlog_spec").toString + "/pairs"

@@ -194,19 +194,27 @@ class SkewSpec extends AnyFunSuite {
     val normal = for (u <- 100L until 3100L; j <- 0L until 5L) yield (u, 2000L + (u + j) % 500)
     val facts = (hot ++ normal).toDF("user_id", "item_id").distinct().cache()
 
-    val derived = graft.operators.ItemCF.coocCountsOn(facts,
-      hotDegree = graft.operators.ItemCF.DerivedHotDegree) // salts left derived
+    // at ample parallelism the WORK term binds: 8000²/5M + 1 = 13
+    // (the a-side salt modulus carries the count; the b-side
+    // sequence(0, useSalts-1) constant-folds to an opaque literal)
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    val derived =
+      try graft.operators.ItemCF.coocCountsOn(facts,
+        hotDegree = graft.operators.ItemCF.DerivedHotDegree) // salts left derived
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
     val plan = derived.queryExecution.optimizedPlan.toString
     assert(plan.contains("__salt"), "derived cut did not engage")
-    // the a-side salt modulus carries the derived count (the b-side
-    // sequence(0, useSalts-1) constant-folds to an opaque array
-    // literal in the optimized plan): useSalts = 8000²/5M + 1 = 13
     assert(plan.contains(", 13) AS __salt"),
       s"expected 13 derived salts in the engaged plan:\n$plan")
+    // at the suite's 4-partition parallelism the COVERAGE term binds
+    // (one hot user → ceil(4/1) = 4, clamped to the 8 floor)
+    val covered = graft.operators.ItemCF.coocCountsOn(facts,
+      hotDegree = graft.operators.ItemCF.DerivedHotDegree)
+    assert(covered.queryExecution.optimizedPlan.toString.contains(", 8) AS __salt"))
     // explicit salts still honored
     val explicit = graft.operators.ItemCF.coocCountsOn(facts,
-      hotDegree = graft.operators.ItemCF.DerivedHotDegree, salts = 8)
-    assert(explicit.queryExecution.optimizedPlan.toString.contains(", 8) AS __salt"))
+      hotDegree = graft.operators.ItemCF.DerivedHotDegree, salts = 11)
+    assert(explicit.queryExecution.optimizedPlan.toString.contains(", 11) AS __salt"))
     // value fingerprint vs the plain plan (full anti-join identity is
     // pinned by the derived-cut test above; at deg 8000 the pair set
     // is 32M rows, so compare one-pass aggregates here)
