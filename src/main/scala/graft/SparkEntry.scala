@@ -122,6 +122,15 @@ object SparkEntry {
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_repetition"  -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // corpus n-gram frequency table (contamination audits / tokenizer
+    // seeding): gram explode -> two-phase agg -> TakeOrdered top-k
+    "q_ngram_topk"     -> ((s, d) => TextAnalysis.ngramTopK(s, d)),
+    // C4/Gopher rule cascade with a first-failing-rule audit column;
+    // pure map-side column work
+    "q_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
+    // cross-doc boilerplate line scrub (CCNet/RefinedWeb): lines in
+    // >= minDocs distinct docs struck, docs reassembled in order
+    "text_line_dedup"  -> ((s, d) => TextAnalysis.lineDedup(s, d)),
     // PII scrub over deterministically planted emails/phones; the full
     // redacted string is value-gated via md5
     "text_redact"      -> ((s, d) => TextAnalysis.redactPii(s, d)),
@@ -527,6 +536,57 @@ object SparkEntry {
         |  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
         |  round(1.0 - count(DISTINCT gram) / count(*), 4) AS dup_gram_frac
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_topk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (SELECT doc_id, array_to_string(l[i:i+2], ' ') AS ngram
+        |      FROM t, UNNEST(generate_series(1, len(l) - 2)) AS u(i))
+        |SELECT ngram, count(*) AS freq,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |FROM g GROUP BY ngram ORDER BY freq DESC, ngram ASC LIMIT 100""".stripMargin,
+
+    "q_quality_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l, len(text) AS nc
+        |           FROM documents),
+        |m AS (SELECT doc_id, max(c) AS maxtok FROM (
+        |        SELECT doc_id, u.tok, count(*) AS c
+        |        FROM t, UNNEST(l) AS u(tok) GROUP BY doc_id, u.tok)
+        |      GROUP BY doc_id),
+        |s AS (SELECT t.doc_id, len(l) AS n_tokens,
+        |        CAST(nc - (len(l) - 1) AS DOUBLE) / len(l) AS atl,
+        |        list_has_any(l, ['the','a','of','to','and','in','is','it']) AS has_stop,
+        |        m.maxtok
+        |      FROM t JOIN m USING (doc_id)),
+        |f AS (SELECT doc_id, n_tokens, atl,
+        |        CASE WHEN n_tokens < 25 THEN 'too_short'
+        |             WHEN atl > 8.0 THEN 'long_words'
+        |             WHEN NOT has_stop THEN 'no_stopword'
+        |             WHEN maxtok * 1.0 / n_tokens > 0.2 THEN 'repetitive'
+        |        END AS first_fail
+        |      FROM s)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(atl, 4) AS avg_token_len,
+        |  (first_fail IS NULL) AS kept, first_fail
+        |FROM f""".stripMargin,
+
+    "text_line_dedup" ->
+      """WITH lines AS (
+        |  SELECT doc_id, l[i] AS line, i
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents),
+        |       UNNEST(generate_series(1, len(l))) AS u(i)),
+        |boiler AS (
+        |  SELECT trim(line) AS k FROM lines WHERE trim(line) <> ''
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |marked AS (
+        |  SELECT doc_id, line, i,
+        |    (trim(line) <> '' AND trim(line) IN (SELECT k FROM boiler)) AS rm
+        |  FROM lines)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN rm THEN NULL ELSE line END, chr(10)
+        |           ORDER BY i), '') AS clean_text
+        |FROM marked GROUP BY doc_id""".stripMargin,
 
     "q_skew_join" ->
       """WITH fact AS (

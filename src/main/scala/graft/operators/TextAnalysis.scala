@@ -203,6 +203,126 @@ object TextAnalysis {
         regexp_replace(col("text"), EmailRe, "[EMAIL]"),
         PhoneRe, "[PHONE]")).as("clean_md5"))
 
+  /** Corpus-level n-gram top-k — the frequency table behind
+    * contamination audits, tokenizer-merge seeding, and boilerplate
+    * discovery: every (n consecutive tokens) gram with its total
+    * occurrence count and document frequency. Plan shape is the
+    * word-count classic widened to grams: map-side gram explode →
+    * one shuffle on the gram key (the `freq` count partial-aggregates
+    * map-side; the `doc_freq` distinct is planned by Catalyst as the
+    * standard two-phase distinct aggregate keyed (gram, doc_id), so a
+    * hot gram's copies spread across the cluster by doc before they
+    * count) → global top-k via TakeOrderedAndProject, never a full
+    * sort. At 100 TB: candidate work ∝ corpus tokens, the result ∝ k.
+    */
+  def ngramTopK(spark: SparkSession, sfDir: String, n: Int = 3, topK: Int = 100): DataFrame =
+    ngramTopKOf(Tables.documents(spark, sfDir), n, topK)
+
+  /** Core on an injectable corpus (docs: doc_id, text) — spec entry. */
+  private[graft] def ngramTopKOf(docs: DataFrame, n: Int = 3, topK: Int = 100): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(wordGrams(n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("freq").desc, col("ngram").asc)
+      .limit(topK)
+
+  /** C4/Gopher-style quality-filter CASCADE with an audit column: the
+    * keep/drop decision plus the FIRST failing rule, so a pipeline can
+    * report per-rule drop rates (the number every dataset card quotes)
+    * without re-running one pass per rule. Rules, in order:
+    * `too_short` (token count), `long_words` (average token length —
+    * lorem-noise/base64 blobs), `no_stopword` (C4's "no common word →
+    * not prose"), `repetitive` (max single-token share — tag-soup and
+    * generator loops). Entirely per-row column work — zero shuffle,
+    * rides the ingest scan at any scale. The max-token-share term is
+    * computed as the longest run in the SORTED token array (O(n log n)
+    * per doc, one pass — not the O(n·distinct) nested-filter form,
+    * which is quadratic on exactly the degenerate docs this rule
+    * exists to catch).
+    */
+  def qualityFilter(spark: SparkSession, sfDir: String, minTokens: Int = 25,
+                    maxAvgTokenLen: Double = 8.0, maxTopTokenRatio: Double = 0.2): DataFrame =
+    qualityFilterOf(Tables.documents(spark, sfDir), minTokens, maxAvgTokenLen, maxTopTokenRatio)
+
+  /** Core on an injectable corpus (docs: doc_id, text) — spec entry. */
+  private[graft] def qualityFilterOf(docs: DataFrame, minTokens: Int = 25,
+      maxAvgTokenLen: Double = 8.0, maxTopTokenRatio: Double = 0.2): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("atl",
+        (length(col("text")) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      // longest equal-token run in the sorted array == max token count
+      .withColumn("max_tok", expr(
+        "aggregate(sort_array(w), named_struct('prev', '', 'run', 0, 'best', 0), " +
+        "(acc, x) -> named_struct('prev', x, " +
+        "  'run', IF(x = acc.prev, acc.run + 1, 1), " +
+        "  'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1, 1))), " +
+        "acc -> acc.best)"))
+      .withColumn("first_fail",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("atl") > maxAvgTokenLen, "long_words")
+          .when(size(array_intersect(col("w"), stopArr)) === 0, "no_stopword")
+          .when(col("max_tok") / col("n_tokens") > maxTopTokenRatio, "repetitive"))
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(col("atl"), 4).as("avg_token_len"),
+        col("first_fail").isNull.as("kept"),
+        col("first_fail"))
+  }
+
+  /** Cross-document LINE dedup — the CCNet/RefinedWeb boilerplate
+    * scrub: a (trimmed, non-empty) line that appears in `minDocs`+
+    * distinct documents is navigation/cookie-banner/footer noise and
+    * is struck from every document carrying it; each doc is returned
+    * reassembled from its surviving lines in original order. Three
+    * bounded shuffles: (1) the distinct on (line-key, doc_id) — a hot
+    * boilerplate line spreads across the cluster BY DOC before
+    * anything counts it, so "every page has this footer" is
+    * parallelism, not a straggler; (2) the per-key doc count
+    * (partial-aggregated); (3) the re-assembly groupBy doc_id, ∝
+    * corpus lines. The boilerplate set itself (lines in ≥ minDocs
+    * docs) is orders smaller than the corpus and ships size-gated
+    * ([[Hints.broadcastIfSmall]]); past the gate the fallback shuffled
+    * join has one build row per key, so skew lives only on the probe
+    * side where AQE splits it. Reassembly sorts each doc's own
+    * collected lines by position — bounded by the doc's size, which
+    * arrived as one row to begin with.
+    */
+  def lineDedup(spark: SparkSession, sfDir: String, minDocs: Int = 2): DataFrame =
+    lineDedupOf(Tables.documents(spark, sfDir), minDocs)
+
+  /** Core on an injectable corpus (docs: doc_id, text) — spec entry. */
+  private[graft] def lineDedupOf(docs: DataFrame, minDocs: Int = 2): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("k", trim(col("line")))
+    val boiler = lines.filter(col("k") =!= "")
+      .select(col("k"), col("doc_id")).distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("k"), lit(true).as("rm0"))
+      // cached: broadcastIfSmall's size gate counts it eagerly and the
+      // join reads it again (query-scoped residency, same pattern as
+      // minhashLshOn's signature cache)
+      .cache()
+    lines
+      .join(Hints.broadcastIfSmall(boiler), Seq("k"), "left")
+      .withColumn("rm", col("k") =!= "" && coalesce(col("rm0"), lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(expr(
+          "transform(filter(sort_array(collect_list(struct(pos, line, rm))), " +
+          "s -> NOT s.rm), s -> s.line)"), "\n").as("clean_text"))
+  }
+
   /** Rolling polynomial (Rabin-Karp-style) document fingerprint over
     * token hashes — order-sensitive, unlike the bag-of-shingles
     * signatures in [[Dedup]]. Arithmetic kept modular (acc < 2^31,
