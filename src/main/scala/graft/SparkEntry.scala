@@ -142,11 +142,22 @@ object SparkEntry {
     // map-side suspect flagging against the loaded literal, exact
     // verify over suspects only; identical output → same oracle
     "q_decontaminate_store" -> ((s, d) => Decontamination.flagContaminatedStored(s, d)),
+    // FUZZY decontamination: MinHash band probe of the corpus against
+    // the (broadcast) eval band index + exact-Jaccard verify — catches
+    // lightly-rewritten benchmark leaks exact n-grams miss; rows-only
+    // (LSH candidate set is not SQL-expressible), planted leaks
+    // spec-gated in DecontaminationFuzzySpec
+    "q_decontaminate_minhash" -> ((s, d) => Decontamination.flagContaminatedFuzzy(s, d)),
     "q_seq_pack"       -> ((s, d) => SeqPack.pack(s, d)),
     // — multimodal —
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
     "mm_resize"   -> ((s, d) => Multimodal.resizePlan(s, d)),
     "mm_frames"   -> ((s, d) => Multimodal.frameSample(s, d)),
+    // perceptual-hash (dHash) image near-dup pairs: re-encoded /
+    // brightness-shifted copies pair via 4x16-bit banded hamming
+    // (simhash shape over pixels); decode map-side; rows-only (binary
+    // codec — no SQL form), planted-pair recall pinned in spec
+    "mm_phash"    -> ((s, d) => Multimodal.imageDups(s, d)),
     // — neighborhood (item-item) collaborative filtering —
     "q_item_cooc"    -> ((s, d) => ItemCF.cooccurrence(s, d)),
     // measured-skew gate armed with the DERIVED cut (p99.9 ∨ floor):

