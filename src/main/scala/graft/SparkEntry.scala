@@ -131,6 +131,13 @@ object SparkEntry {
     // cross-doc boilerplate line scrub (CCNet/RefinedWeb): lines in
     // >= minDocs distinct docs struck, docs reassembled in order
     "text_line_dedup"  -> ((s, d) => TextAnalysis.lineDedup(s, d)),
+    // ingest-tick regime: delta line counts merged against the base's
+    // (touched keys only), delta docs cleaned; oracle = batch
+    // restricted to delta ids
+    "text_line_dedup_inc"   -> ((s, d) => TextAnalysis.lineDedupIncremental(s, d)),
+    // same identity through a materialized parquet line-count store
+    // (seed -> tick apply -> read back); plan changes, values don't
+    "text_line_dedup_store" -> ((s, d) => TextAnalysis.lineDedupStore(s, d)),
     // PII scrub over deterministically planted emails/phones; the full
     // redacted string is value-gated via md5
     "text_redact"      -> ((s, d) => TextAnalysis.redactPii(s, d)),
@@ -599,6 +606,12 @@ object SparkEntry {
         |           ORDER BY i), '') AS clean_text
         |FROM marked GROUP BY doc_id""".stripMargin,
 
+    // both tick rungs reproduce the batch scrub restricted to the
+    // delta slice (merged counts over base ∪ delta == full-corpus
+    // counts), so one oracle gates all the plumbing
+    "text_line_dedup_inc" -> lineDedupDeltaOracle,
+    "text_line_dedup_store" -> lineDedupDeltaOracle,
+
     "q_skew_join" ->
       """WITH fact AS (
         |  SELECT CASE WHEN l_orderkey % 100 < 80 THEN 0
@@ -772,6 +785,29 @@ object SparkEntry {
     // star contraction computes the same component minima — same oracle
     "dedup_clusters_star" -> clustersOracle,
   ) ++ oracleSqlTail
+
+  // batch line-dedup over the full corpus, restricted to the delta
+  // slice (doc_id >= floor(0.8 * n)) — the IVM identity both tick
+  // rungs must reproduce
+  private val lineDedupDeltaOracle: String =
+    """WITH lines AS (
+      |  SELECT doc_id, l[i] AS line, i
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents),
+      |       UNNEST(generate_series(1, len(l))) AS u(i)),
+      |boiler AS (
+      |  SELECT trim(line) AS k FROM lines WHERE trim(line) <> ''
+      |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+      |cutoff AS (SELECT CAST(floor(count(*) * 0.8) AS BIGINT) AS cut FROM documents),
+      |marked AS (
+      |  SELECT doc_id, line, i,
+      |    (trim(line) <> '' AND trim(line) IN (SELECT k FROM boiler)) AS rm
+      |  FROM lines)
+      |SELECT m.doc_id, count(*) AS n_lines,
+      |  CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  coalesce(string_agg(CASE WHEN rm THEN NULL ELSE line END, chr(10)
+      |           ORDER BY i), '') AS clean_text
+      |FROM marked m, cutoff WHERE m.doc_id >= cutoff.cut
+      |GROUP BY m.doc_id""".stripMargin
 
   private val decontaminateOracle: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -298,21 +298,35 @@ object TextAnalysis {
     lineDedupOf(Tables.documents(spark, sfDir), minDocs)
 
   /** Core on an injectable corpus (docs: doc_id, text) — spec entry. */
-  private[graft] def lineDedupOf(docs: DataFrame, minDocs: Int = 2): DataFrame = {
+  private[graft] def lineDedupOf(docs: DataFrame, minDocs: Int = 2): DataFrame =
+    cleanWithBoiler(docs,
+      lineCountsOf(docs).filter(col("ndocs") >= minDocs).select(col("k")))
+
+  /** The line-count table — the STORE SCHEMA of the incremental
+    * regime: (trimmed non-empty line key, distinct-doc count). The
+    * (k, doc_id) distinct spreads a hot boilerplate line across the
+    * cluster by doc before anything counts it.
+    */
+  private[graft] def lineCountsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .select(trim(col("line")).as("k"), col("doc_id"))
+      .filter(col("k") =!= "")
+      .distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("ndocs"))
+
+  /** Strike every line of `docs` whose trimmed key is in `boiler` and
+    * reassemble each doc in original order — the shared back half of
+    * all three line-dedup rungs. `boiler` is cached here (the
+    * broadcast size gate counts it eagerly, the join reads it again).
+    */
+  private[graft] def cleanWithBoiler(docs: DataFrame, boiler: DataFrame): DataFrame = {
     val lines = docs
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
       .withColumn("k", trim(col("line")))
-    val boiler = lines.filter(col("k") =!= "")
-      .select(col("k"), col("doc_id")).distinct()
-      .groupBy(col("k")).agg(count(lit(1)).as("ndocs"))
-      .filter(col("ndocs") >= minDocs)
-      .select(col("k"), lit(true).as("rm0"))
-      // cached: broadcastIfSmall's size gate counts it eagerly and the
-      // join reads it again (query-scoped residency, same pattern as
-      // minhashLshOn's signature cache)
-      .cache()
+    val marked = boiler.select(col("k"), lit(true).as("rm0")).cache()
     lines
-      .join(Hints.broadcastIfSmall(boiler), Seq("k"), "left")
+      .join(Hints.broadcastIfSmall(marked), Seq("k"), "left")
       .withColumn("rm", col("k") =!= "" && coalesce(col("rm0"), lit(false)))
       .groupBy(col("doc_id"))
       .agg(
@@ -321,6 +335,86 @@ object TextAnalysis {
         array_join(expr(
           "transform(filter(sort_array(collect_list(struct(pos, line, rm))), " +
           "s -> NOT s.rm), s -> s.line)"), "\n").as("clean_text"))
+  }
+
+  /** Incremental line dedup — the ingest-tick regime of [[lineDedup]]:
+    * at 100 TB the boilerplate scrub does not re-explode the landed
+    * corpus per batch; the tick counts the DELTA's lines, pulls the
+    * store's counts for exactly the TOUCHED keys (a delta doc's line
+    * can only be boilerplate through a key the delta itself carries,
+    * so the semi-join prune is lossless), merges, thresholds, and
+    * cleans only the delta docs. Base docs keep the text they were
+    * admitted with — ingest-time cleaning is the streaming contract;
+    * retroactive scrubbing when a line LATER crosses the threshold is
+    * a batch job ([[lineDedup]]), the same split every store rung in
+    * [[Dedup]] documents. Here the base counts are rebuilt in-query
+    * for oracle self-containment (the documented upper bound on the
+    * tick, as `q_item_cooc_inc`); the store regime is
+    * [[lineDedupStore]]. Output: the cleaned DELTA docs — identical
+    * to the batch operator restricted to delta ids, which is the
+    * registered oracle.
+    */
+  def lineDedupIncremental(spark: SparkSession, sfDir: String, minDocs: Int = 2,
+                           baseFrac: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val cut = docs.agg(floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
+    val all = docs.crossJoin(broadcast(cut))
+    val base = all.filter(col("doc_id") < col("cut")).select(col("doc_id"), col("text"))
+    val delta = all.filter(col("doc_id") >= col("cut")).select(col("doc_id"), col("text"))
+    lineDedupDeltaOf(lineCountsOf(base), delta, minDocs)
+  }
+
+  /** Tick core: clean `delta` docs against `storeCounts` ⊎ the delta's
+    * own counts (touched keys only). Store/spec entry.
+    */
+  private[graft] def lineDedupDeltaOf(storeCounts: DataFrame, delta: DataFrame,
+                                      minDocs: Int = 2): DataFrame = {
+    val deltaCounts = lineCountsOf(delta).cache()
+    val touched = storeCounts
+      .join(Hints.broadcastIfSmall(deltaCounts.select(col("k"))), Seq("k"), "left_semi")
+    val merged = touched.unionByName(deltaCounts)
+      .groupBy(col("k")).agg(sum(col("ndocs")).as("ndocs"))
+    cleanWithBoiler(delta, merged.filter(col("ndocs") >= minDocs).select(col("k")))
+  }
+
+  /** [[lineDedupDeltaOf]] through a REAL materialized line-count store
+    * (registered `text_line_dedup_store`, same structure as
+    * [[Dedup.exactIncrementalStore]]): base counts written to parquet,
+    * one delta tick applied — untouched keys pass through untouched,
+    * touched keys merge — the post-apply store round-trips through
+    * disk, and the returned result is the delta cleaned against it.
+    * Same oracle as the incremental rung: the store plumbing changes
+    * the plan, never the values.
+    */
+  def lineDedupStore(spark: SparkSession, sfDir: String, minDocs: Int = 2,
+                     baseFrac: Double = 0.8,
+                     artifactDir: String = "target/graft-artifacts"): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val cut = docs.agg(floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
+    val all = docs.crossJoin(broadcast(cut))
+    val base = all.filter(col("doc_id") < col("cut")).select(col("doc_id"), col("text"))
+    val delta = all.filter(col("doc_id") >= col("cut")).select(col("doc_id"), col("text"))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val storeDir = s"$artifactDir/line_store_$digest"
+    lineCountsOf(base).write.mode("overwrite").parquet(storeDir)
+    val store = spark.read.parquet(storeDir)
+    val deltaCounts = lineCountsOf(delta).cache()
+    val untouched = store
+      .join(Hints.broadcastIfSmall(deltaCounts.select(col("k"))), Seq("k"), "left_anti")
+    val changes = store
+      .join(Hints.broadcastIfSmall(deltaCounts.select(col("k"))), Seq("k"), "left_semi")
+      .unionByName(deltaCounts)
+      .groupBy(col("k")).agg(sum(col("ndocs")).as("ndocs"))
+    untouched.unionByName(changes)
+      .write.mode("overwrite").parquet(storeDir + "_applied")
+    // the applied write consumed the seed — drop it; the applied dir
+    // IS the store until the next run overwrites it
+    val seedPath = new org.apache.hadoop.fs.Path(storeDir)
+    seedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(seedPath, true)
+    val applied = spark.read.parquet(storeDir + "_applied")
+    cleanWithBoiler(delta, applied.filter(col("ndocs") >= minDocs).select(col("k")))
   }
 
   /** Rolling polynomial (Rabin-Karp-style) document fingerprint over

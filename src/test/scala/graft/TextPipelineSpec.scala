@@ -78,6 +78,36 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(mismatched === 0L)
   }
 
+  test("line dedup tick == batch restricted to delta, across every threshold-crossing shape") {
+    // L1: 2 base + 1 delta (boiler before and after the tick)
+    // L2: 1 base + 1 delta (crosses the threshold ONLY when merged)
+    // L3: 2 delta docs    (delta-only boilerplate)
+    // L4: 2 base docs     (boiler the delta never carries)
+    val base = docs(
+      1L -> "L1 shared\nbase one",
+      2L -> "L1 shared\nL2 pair\nbase two",
+      3L -> "L4 legacy\nbase three",
+      4L -> "L4 legacy\nbase four")
+    val delta = docs(
+      10L -> "L1 shared\nL2 pair\ndelta one",
+      11L -> "L3 fresh\ndelta two",
+      12L -> "L3 fresh\ndelta three")
+    val tick = TextAnalysis.lineDedupDeltaOf(
+        TextAnalysis.lineCountsOf(base), delta, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(tick(10L).getAs[String]("clean_text") === "delta one")
+    assert(tick(10L).getAs[Long]("n_removed") === 2L)
+    assert(tick(11L).getAs[String]("clean_text") === "delta two")
+    assert(tick(12L).getAs[String]("clean_text") === "delta three")
+    // identity vs the batch operator restricted to delta ids
+    val batch = TextAnalysis.lineDedupOf(base.unionByName(delta), minDocs = 2)
+      .filter(col("doc_id") >= 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val tickSet = tick.values
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(tickSet === batch)
+  }
+
   // ---- q_quality_filter --------------------------------------------
 
   test("quality filter: each rule fires, in cascade order") {
