@@ -39,8 +39,14 @@ object Bench {
     "knn_brute", "knn_ivf", "knn_sq8",
     "text_quality", "text_tokens", "text_token_count", "text_repetition",
     "text_langid", "text_fingerprint", "text_redact",
-    "q_decontaminate", "q_decontaminate_bloom", "q_seq_pack",
-    "mm_features", "mm_resize", "mm_frames", "als_top_n", "als_implicit")
+    "q_ngram_topk", "q_quality_filter",
+    "text_line_dedup", "text_line_dedup_inc",
+    // text_line_dedup_store stays out (store-lifecycle demo, same
+    // reasoning as the other *_store rungs)
+    "q_decontaminate", "q_decontaminate_bloom", "q_decontaminate_minhash",
+    "q_seq_pack",
+    "mm_features", "mm_resize", "mm_frames", "mm_phash",
+    "als_top_n", "als_implicit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

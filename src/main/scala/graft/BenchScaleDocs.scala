@@ -249,6 +249,89 @@ object BenchScaleDocs {
     val recall = bruteHits.count(ivfHits.contains).toDouble / math.max(1, bruteHits.size)
     extras("ivf_recall_at10") = f"$recall%.4f"
 
+    // ----- documents: text pipeline at 200× ----------------------
+    // line-structured variant of the same corpus: tokens chunked into
+    // 12-word lines, so the 13-word boilerplate preamble's first 12
+    // words become a LINE shared by ~20% of docs (the planted signal
+    // for the line scrub), while dup-family lines stay far below the
+    // scale threshold.
+    locally {
+      import graft.operators.TextAnalysis
+      import graft.operators.Decontamination
+      val lineDocs = docs
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("text", expr(
+          "array_join(transform(sequence(0, cast(ceil(size(w) / 12.0) as int) - 1), " +
+          "i -> concat_ws(' ', slice(w, i * 12 + 1, 12))), '\n')"))
+        .select(col("doc_id"), col("text"))
+      lineDocs.write.parquet(s"$scaleDir/linedocs")
+      val ldocs = spark.read.parquet(s"$scaleDir/linedocs")
+
+      timedWrite("line_dedup_1m", s"$scaleDir/line_clean")(
+        TextAnalysis.lineDedupOf(ldocs, minDocs = 1000))
+      val cleaned = spark.read.parquet(s"$scaleDir/line_clean")
+      extras("line_docs_touched") = cleaned.filter(col("n_removed") > 0).count()
+      extras("line_lines_removed") = cleaned.agg(sum(col("n_removed"))).head.getLong(0)
+
+      // one 2% ingest tick against the 98% base's counts (the
+      // in-query base recount is the tick's documented upper bound)
+      val lineCut = extras("n_docs").asInstanceOf[Long] * 98 / 100
+      timed("line_dedup_tick_1m")(TextAnalysis.lineDedupDeltaOf(
+        TextAnalysis.lineCountsOf(ldocs.filter(col("doc_id") < lineCut)),
+        ldocs.filter(col("doc_id") >= lineCut), minDocs = 1000))
+
+      // corpus n-gram audit: ~110M grams, two-phase distinct agg
+      timed("ngram_topk_1m")(TextAnalysis.ngramTopKOf(docs, n = 3, topK = 100))
+
+      // map-only rule cascade
+      timedWrite("quality_filter_1m", s"$scaleDir/qf")(
+        TextAnalysis.qualityFilterOf(docs))
+      extras("quality_kept") = spark.read.parquet(s"$scaleDir/qf")
+        .filter(col("kept")).count()
+
+      // fuzzy decontamination: 5% eval carve (50k docs, 800k band
+      // rows ride the broadcast), train×eval candidates only. The
+      // corpus's own dup families can never leak here — their bases
+      // sit at 47/48 mod 50, which mod 20 cycles {7,17,8,18}, never
+      // the eval residue — so the leaks are PLANTED the way the
+      // registered query plants them: 5k eval docs re-ingested as
+      // suffix-mutated train docs (byte-unequal, shingle-Jaccard
+      // high)
+      val evalPlants = docs
+        .filter(col("doc_id") % 200 === 0)
+        .select((col("doc_id") + 100000001L).as("doc_id"),
+          concat(col("text"), lit(" leaked benchmark answer key appended here")).as("text"))
+      timedWrite("decon_fuzzy_1m", s"$scaleDir/decon")(
+        Decontamination.flagContaminatedFuzzyOf(spark, docs.unionByName(evalPlants)))
+      val decon = spark.read.parquet(s"$scaleDir/decon")
+      extras("decon_flagged") = decon.count()
+      extras("decon_planted_found") = decon.filter(col("doc_id") >= 100000001L).count()
+      extras("decon_planted_total") = extras("n_docs").asInstanceOf[Long] / 200
+    }
+
+    // ----- images: perceptual-hash near-dup at 100k --------------
+    // 100k synthetic PNGs + a brightness-shifted re-encode of every
+    // 10th (different bytes, same content): decode+hash is the cost
+    // and it is map-side; the pair join moves 3 band rows per image.
+    locally {
+      import spark.implicits._
+      // NOTE: no `val m = Multimodal` alias — a captured object ref
+      // makes the lambda unserializable; direct references compile to
+      // static MODULE$ access with no closure capture
+      val nImg = 100000L
+      val base = spark.range(0L, nImg, 1L, 64).as[Long]
+        .map(i => graft.multimodal.MmAsset(i, "image/png", graft.multimodal.Multimodal.makePng(i)))
+      val plants = spark.range(0L, nImg, 10L, 64).as[Long]
+        .map(i => graft.multimodal.MmAsset(i + 10000000L, "image/png", graft.multimodal.Multimodal.brightenPng(graft.multimodal.Multimodal.makePng(i), 4)))
+      timedWrite("phash_100k", s"$scaleDir/phash")(
+        graft.multimodal.Multimodal.imageDupsOn(spark, base.union(plants)))
+      val pairs = spark.read.parquet(s"$scaleDir/phash")
+      extras("phash_pairs") = pairs.count()
+      extras("phash_planted_found") = pairs
+        .filter(col("doc_b") - col("doc_a") === 10000000L).count()
+      extras("phash_planted_total") = nImg / 10
+    }
+
     // ----- report ------------------------------------------------
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -32,7 +32,7 @@ case class MmFrame(doc_id: Long, frame_idx: Int, ts_ms: Long, brightness: Float)
   * codec for a JNI/FFmpeg call changes no plan shape: decode stays
   * partition-local, no shuffle, batch-sized by the input splits.
   */
-object Multimodal {
+object Multimodal extends Serializable {
 
   // ImageIO's default stream cache spills every encode/decode through
   // a temp FILE — pure overhead for in-memory byte arrays (measured
@@ -62,9 +62,19 @@ object Multimodal {
     val px = new Array[Int](w * h)
     var i = 0
     while (i < px.length) {
-      // deterministic per-pixel mix — cheap, full-range RGB
-      val m = seed * 6364136223846793005L + i.toLong * 1442695040888963407L
-      px(i) = (m >>> 40).toInt & 0xffffff
+      // deterministic per-pixel mix with a FULL-AVALANCHE finalizer
+      // (splitmix64). A bare truncated linear sequence is not enough
+      // here: block AVERAGES of a linear-congruence stream are
+      // low-discrepancy, so pooled-cell means come out nearly equal
+      // across seeds and perceptual hashes of large images collapse
+      // onto shared plateaus (measured: ~500k spurious hamming<=4
+      // pairs at 100k images) — avalanche makes cell-mean
+      // fluctuations independent per seed
+      var z = seed * 6364136223846793005L + i.toLong * 1442695040888963407L
+      z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+      z ^= z >>> 27; z *= 0x94d049bb133111ebL
+      z ^= z >>> 31
+      px(i) = (z >>> 40).toInt & 0xffffff
       i += 1
     }
     img.setRGB(0, 0, w, h, px, 0, w)
@@ -516,10 +526,23 @@ object Multimodal {
     val imgs = assets(spark, sfDir).filter(col("mime") === lit("image/png")).as[MmAsset]
     val planted = imgs.filter((a: MmAsset) => a.doc_id % 10 == 0)
       .map(a => MmAsset(a.doc_id + 10000000L, a.mime, brightenPng(a.payload, 4)))
-    val hashed = imgs.union(planted)
+    imageDupsOn(spark, imgs.union(planted), maxDist, bucketCap)
+  }
+
+  /** Core on an injectable asset set — spec / scale-bench entry. */
+  private[graft] def imageDupsOn(spark: SparkSession,
+      imgAssets: org.apache.spark.sql.Dataset[MmAsset],
+      maxDist: Int = 4, bucketCap: Int = 10000): DataFrame = {
+    import spark.implicits._
+    val hashed = imgAssets
       .mapPartitions(_.map(a => (a.doc_id, dHash(a.payload))))
       .toDF("doc_id", "fp")
       .filter(col("fp").isNotNull)
+      // cached: the decode+hash pass is the dominant cost and FOUR
+      // plan branches read it (the hot-bucket list's eager count, both
+      // pair-join sides, and the final project) — 16 bytes/image
+      // resident vs re-decoding the corpus per branch
+      .cache()
     val bands = graft.operators.Dedup.dropHotBuckets(
       hashed.select(col("doc_id"), col("fp"), explode(expr(
         "transform(sequence(0, 3), b -> named_struct('band', b, 'key', shiftright(fp, b * 16) & 65535))"

@@ -201,6 +201,53 @@ object DocStream {
       }
       .start()
 
+  /** Streaming materialized view of the boilerplate LINE-COUNT store —
+    * the continuous rung of the [[graft.operators.TextAnalysis
+    * .lineDedup]] family (batch → inc → parquet store → this): each
+    * micro-batch's distinct (line-key, doc) counts merge into a
+    * bucket-partitioned store of (k, ndocs), and the tick is O(delta)
+    * in I/O as well as compute — the touched buckets are a pure
+    * function of the batch's own line keys (a delta line can only
+    * move a count it carries), so the merge reads and rewrites only
+    * those bucket directories, exactly the [[startDedupMaintain]]
+    * contract over a different reduction (sum of doc counts instead
+    * of min-keeper/count). The store IS the scrub decision surface:
+    * `ndocs >= minDocs` keys are the boilerplate set
+    * [[graft.operators.TextAnalysis.cleanWithBoiler]] strikes at
+    * ingest. Replay guard identical to the other maintainers
+    * (applied-batch marker; redelivered ticks no-op instead of
+    * double-counting).
+    */
+  def startLineCountMaintain(docs: DataFrame, storeDir: String, checkpointDir: String,
+                             nBuckets: Int = BucketStore.DefaultBuckets): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        BucketStore.recover(storeDir)
+        val b = batch.toDF().select(col("doc_id"), col("text")).cache()
+        if (b.count() > 0 && BucketStore.appliedBatchId(storeDir) < batchId) {
+          val deltaCounts = graft.operators.TextAnalysis.lineCountsOf(b).cache()
+          val touched = BucketStore.touchedBuckets(deltaCounts.select(
+            BucketStore.md5Bucket(md5(col("k")), nBuckets).as(BucketStore.BucketCol)))
+          val store = BucketStore.readBuckets(spark, storeDir, touched, nBuckets)
+          val changes = store
+            .join(graft.operators.Hints.broadcastIfSmall(deltaCounts.select(col("k"))),
+              Seq("k"), "left_semi")
+            .unionByName(deltaCounts)
+            .groupBy(col("k")).agg(sum(col("ndocs")).as("ndocs"))
+          BucketStore.applyTick(spark, storeDir,
+            changes.withColumn(BucketStore.BucketCol,
+              BucketStore.md5Bucket(md5(col("k")), nBuckets)),
+            Seq("k"), batchId, n = nBuckets)
+          deltaCounts.unpersist()
+        }
+        b.unpersist()
+        ()
+      }
+      .start()
+
   /** Continuous decontamination at ingest: flag incoming documents
     * whose word n-grams hit the PERSISTED eval-suite bloom artifact
     * ([[graft.operators.Decontamination.buildBloomArtifact]]). Fully

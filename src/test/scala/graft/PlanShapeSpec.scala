@@ -269,6 +269,30 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("ngram top-k: global top-k is TakeOrdered over a partial-agged gram count") {
+    val p = plan(graft.operators.TextAnalysis.ngramTopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("partial_count") || p.contains("partial count"), p.take(3000))
+  }
+
+  test("quality filter is map-only: zero exchanges in the executed plan") {
+    val p = plan(graft.operators.TextAnalysis.qualityFilter(spark, sf))
+    assert(!p.contains("Exchange"), p.take(3000))
+  }
+
+  test("line dedup: the boilerplate set joins as a broadcast under the size gate") {
+    val p = plan(graft.operators.TextAnalysis.lineDedup(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    spark.catalog.clearCache()
+  }
+
+  test("fuzzy decontamination: the eval band index probes as a broadcast") {
+    val p = plan(graft.operators.Decontamination.flagContaminatedFuzzy(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    spark.catalog.clearCache()
+  }
+
   test("interactions: exactly one window shuffle implements the upsert") {
     // the is_implicit filter CANNOT push below the latest-wins window
     // (the kept row determines the flag) — but the upsert must cost
