@@ -19,11 +19,6 @@ object Bench {
     "q_implicit_backfill", "q_events_window", "q_sessionize", "q_interval_join",
     "q5_nation", "q1_rollup", "q_moving_avg", "q_events_props", "q_asof_join",
     "q_skew_join",
-    // q_item_cooc_store AND q_ratings_cdc_store stay OUT of the
-    // headline (same reasoning as the ML sweeps): each seeds a full
-    // bucketed store in-query — two materializations of the store to
-    // measure one tick. They are store-LIFECYCLE demos gated by their
-    // oracles; the tick-vs-batch timing story is IvmTimingSpec's.
     "q_item_cooc", "q_item_cooc_salted", "q_item_cooc_inc", "q_item_sim", "q_user_sim",
     "q_item_cf_recs", "q_recs_serve",
     "q_user_mutations", "text_tfidf",
@@ -32,7 +27,7 @@ object Bench {
     "q_sample_curriculum", "q_mix_plan", "q_epoch_shuffle",
     "dedup_exact", "dedup_exact_inc", "dedup_exact_delta", "dedup_exact_store",
     "dedup_minhash", "dedup_minhash_inc", "dedup_minhash_store",
-    "dedup_simhash", "dedup_simhash_inc",
+    "dedup_simhash", "dedup_simhash_inc", "dedup_simhash_store",
     "dedup_ngram_jaccard", "dedup_ngram_inc",
     "dedup_embed_cosine", "dedup_embed_lsh", "dedup_embed_lsh_wide", "dedup_embed_lsh_inc",
     "dedup_clusters", "dedup_clusters_star",
@@ -41,12 +36,26 @@ object Bench {
     "text_langid", "text_fingerprint", "text_redact",
     "q_ngram_topk", "q_quality_filter",
     "text_line_dedup", "text_line_dedup_inc",
-    // text_line_dedup_store stays out (store-lifecycle demo, same
-    // reasoning as the other *_store rungs)
     "q_decontaminate", "q_decontaminate_bloom", "q_decontaminate_minhash",
     "q_seq_pack",
     "mm_features", "mm_resize", "mm_frames", "mm_phash",
     "als_top_n", "als_implicit")
+
+  /** Only the ALS hyper-parameter SWEEPS stay out of the bench (each
+    * trains many models to measure one engine); every other
+    * registered query runs — the explicit ordering above first, then
+    * whatever else `SparkEntry.queries` registers, alphabetically.
+    * That includes the `*_store` lifecycle rungs (each seeds a full
+    * store in-query, so they land in the heavy-rep budget): a
+    * store-path regression must show up in BENCH_r{N}, not only in
+    * the correctness gate. Registering a new query makes it benched
+    * by construction — the r9 gap (seven registered rungs invisible
+    * to the bench) cannot re-open.
+    */
+  private val excluded = Set("als_eval", "als_cv", "als_grid")
+  private def allRegistered: Seq[String] =
+    headline ++ SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(k => excluded.contains(k) || headline.contains(k))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,8 +97,8 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run (local iteration)
     val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-      .map(only => headline.filter(only))
-      .getOrElse(headline)
+      .map(only => allRegistered.filter(only))
+      .getOrElse(allRegistered)
     // SPARK_GRAFT_BENCH_REPS=n: repeat each query and report the MIN,
     // so a transiently contended host cannot fake a regression. To keep
     // total wall bounded, full reps apply only to queries whose first

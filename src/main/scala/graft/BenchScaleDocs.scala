@@ -312,7 +312,7 @@ object BenchScaleDocs {
     // ----- images: perceptual-hash near-dup at 100k --------------
     // 100k synthetic PNGs + a brightness-shifted re-encode of every
     // 10th (different bytes, same content): decode+hash is the cost
-    // and it is map-side; the pair join moves 3 band rows per image.
+    // and it is map-side; the pair join moves 8 band rows per image.
     locally {
       import spark.implicits._
       // NOTE: no `val m = Multimodal` alias — a captured object ref
@@ -330,6 +330,20 @@ object BenchScaleDocs {
       extras("phash_planted_found") = pairs
         .filter(col("doc_b") - col("doc_a") === 10000000L).count()
       extras("phash_planted_total") = nImg / 10
+      // hamming histograms, planted vs non-planted — the evidence
+      // that the default threshold separates on a LARGE corpus, not
+      // just the 500-image gate corpus (the r9 precision gap): the
+      // planted mass must sit at tiny distances and the non-planted
+      // mass must be ~empty (128-bit random-image distance
+      // concentrates near 64, far past maxDist)
+      val hist = pairs
+        .withColumn("planted", col("doc_b") - col("doc_a") === 10000000L)
+        .groupBy(col("planted"), col("hamming")).count()
+        .collect().map(r => (r.getBoolean(0), r.getInt(1), r.getLong(2)))
+      def histStr(p: Boolean) = hist.filter(_._1 == p).sortBy(_._2)
+        .map { case (_, h, n) => s"$h:$n" }.mkString("|")
+      extras("phash_hist_planted") = histStr(true)
+      extras("phash_hist_other") = histStr(false)
     }
 
     // ----- report ------------------------------------------------

@@ -474,6 +474,71 @@ object Multimodal extends Serializable {
     Some(bits)
   }
 
+  /** 128-bit difference hash: word 0 is EXACTLY [[dHash]]'s 9×8
+    * horizontal-gradient hash (spec-pinned — the legacy 64-bit hash
+    * is this word), word 1 adds the VERTICAL gradients from an 8×9
+    * pooling (cell(r,c) < cell(r+1,c), 8×8 bits). Both poolings
+    * accumulate in ONE pixel pass. Doubling the width buys the same
+    * thing the wide LSH signature bought the embedding detector:
+    * random-image hamming concentrates near 64 instead of 32, so the
+    * verify threshold separates with far more margin, and 8 bands of
+    * 16 bits (instead of 4) extend the pigeonhole recall guarantee to
+    * hamming ≤ 7 while keeping band keys 16-bit (bucket population
+    * unchanged). Same `None`-for-undecodable contract as [[dHash]].
+    */
+  private[graft] def dHash128(payload: Array[Byte]): Option[Array[Long]] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w <= 0 || h <= 0) return None
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    // horizontal pooling: 9 cols × 8 rows; vertical pooling: 8 cols × 9 rows
+    val sumH = new Array[Double](8 * 9); val cntH = new Array[Int](8 * 9)
+    val sumV = new Array[Double](9 * 8); val cntV = new Array[Int](9 * 8)
+    var y = 0
+    while (y < h) {
+      val gyH = y * 8 / h
+      val gyV = y * 9 / h
+      var x = 0
+      while (x < w) {
+        val rgb = px(y * w + x)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000.0
+        val gxH = x * 9 / w
+        val gxV = x * 8 / w
+        sumH(gyH * 9 + gxH) += lum; cntH(gyH * 9 + gxH) += 1
+        sumV(gyV * 8 + gxV) += lum; cntV(gyV * 8 + gxV) += 1
+        x += 1
+      }
+      y += 1
+    }
+    def mean(s: Array[Double], c: Array[Int], i: Int): Double =
+      if (c(i) == 0) 0.0 else s(i) / c(i)
+    var w0 = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (mean(sumH, cntH, r * 9 + c) < mean(sumH, cntH, r * 9 + c + 1))
+          w0 |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    var w1 = 0L
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (mean(sumV, cntV, r * 8 + c) < mean(sumV, cntV, (r + 1) * 8 + c))
+          w1 |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    Some(Array(w0, w1))
+  }
+
   /** Spec fixture helper: decode, shift every channel by `delta`
     * (clamped), re-encode — different bytes, same perceptual content.
     */
@@ -502,16 +567,19 @@ object Multimodal extends Serializable {
     * per-partition (binary codec — no Catalyst form, the same
     * mapPartitions contract as [[features]]); everything after is the
     * SAME declarative shape as [[graft.operators.Dedup.simhashOn]]:
-    * 4×16-bit banding of the 64-bit hash, candidate pairs only within
-    * equal (band, key) buckets (hot buckets DF-capped via
-    * [[graft.operators.Dedup.dropHotBuckets]]), exact popcount verify
-    * ≤ maxDist. Banding guarantees recall for hamming ≤ 3 (pigeonhole
-    * over 4 bands) — measured dup-class distance here is ≤ 2 while
-    * unrelated images sit ≥ 8, so maxDist = 4 separates cleanly with
-    * margin on both sides. Corrupt payloads drop out with a null hash
-    * (flag-don't-throw) rather than killing the task. At 100 TB:
+    * 8×16-bit banding of the 128-bit hash ([[dHash128]]), candidate
+    * pairs only within equal (band, key) buckets (hot buckets
+    * DF-capped via [[graft.operators.Dedup.dropHotBuckets]]), exact
+    * popcount verify ≤ maxDist. Banding GUARANTEES recall for
+    * hamming ≤ 7 (pigeonhole over 8 bands) — the default maxDist = 7
+    * advertises exactly that radius, nothing the index cannot honor.
+    * Measured dup-class distance (brightness-shifted re-encodes) is
+    * ≤ 4 over the 128 bits while unrelated images concentrate near 64
+    * (measured cross-seed floor ≥ 16), so the threshold separates
+    * with margin on both sides. Corrupt payloads drop out with a null
+    * hash (flag-don't-throw) rather than killing the task. At 100 TB:
     * pixel work is embarrassingly parallel, the band shuffle moves
-    * ~24 bytes per image, and candidate work is ∝ images × colliding
+    * ~80 bytes per image, and candidate work is ∝ images × colliding
     * buckets — never all-pairs.
     *
     * The gate corpus is seed-random (no two assets perceptually
@@ -520,7 +588,7 @@ object Multimodal extends Serializable {
     * [[graft.operators.Dedup.dupPlantedDocs]] pattern, but mutated so
     * byte-level dedup provably cannot catch it).
     */
-  def imageDups(spark: SparkSession, sfDir: String, maxDist: Int = 4,
+  def imageDups(spark: SparkSession, sfDir: String, maxDist: Int = 7,
                 bucketCap: Int = 10000): DataFrame = {
     import spark.implicits._
     val imgs = assets(spark, sfDir).filter(col("mime") === lit("image/png")).as[MmAsset]
@@ -529,32 +597,72 @@ object Multimodal extends Serializable {
     imageDupsOn(spark, imgs.union(planted), maxDist, bucketCap)
   }
 
+  /** Decode + [[dHash128]] per image — the detector's row store:
+    * (doc_id, fp: array of two 64-bit words). Corrupt payloads drop
+    * out here (flatMap over the Option).
+    */
+  private[graft] def phashRows(imgs: DataFrame): DataFrame = {
+    val spark = imgs.sparkSession
+    import spark.implicits._
+    imgs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => dHash128(p).map(fp => (id, fp)) })
+      .toDF("doc_id", "fp")
+  }
+
+  /** 8×16-bit banding of the 128-bit fingerprint: band b reads word
+    * b/4, 16-bit slice b%4; fp rides along so the pair join computes
+    * Hamming without a second lookup (the simhashBands shape, twice
+    * the words).
+    */
+  private[graft] def phashBands(hashed: DataFrame): DataFrame =
+    hashed.select(col("doc_id"), col("fp"), explode(expr(
+      "transform(sequence(0, 7), b -> named_struct('band', b, 'key', " +
+      "shiftright(element_at(fp, cast(b div 4 as int) + 1), (b % 4) * 16) & 65535))"
+    )).as("e")).select(col("doc_id"), col("fp"), col("e.band"), col("e.key"))
+
+  /** Exact 128-bit Hamming between two fp word arrays — per-word
+    * popcount summed with zip_with/aggregate (codegen'd, width-generic).
+    */
+  private def hamming128(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
+
   /** Core on an injectable asset set — spec / scale-bench entry. */
   private[graft] def imageDupsOn(spark: SparkSession,
       imgAssets: org.apache.spark.sql.Dataset[MmAsset],
-      maxDist: Int = 4, bucketCap: Int = 10000): DataFrame = {
-    import spark.implicits._
-    val hashed = imgAssets
-      .mapPartitions(_.map(a => (a.doc_id, dHash(a.payload))))
-      .toDF("doc_id", "fp")
-      .filter(col("fp").isNotNull)
-      // cached: the decode+hash pass is the dominant cost and FOUR
-      // plan branches read it (the hot-bucket list's eager count, both
-      // pair-join sides, and the final project) — 16 bytes/image
-      // resident vs re-decoding the corpus per branch
-      .cache()
-    val bands = graft.operators.Dedup.dropHotBuckets(
-      hashed.select(col("doc_id"), col("fp"), explode(expr(
-        "transform(sequence(0, 3), b -> named_struct('band', b, 'key', shiftright(fp, b * 16) & 65535))"
-      )).as("e")).select(col("doc_id"), col("fp"), col("e.band"), col("e.key")),
-      bucketCap)
+      maxDist: Int = 7, bucketCap: Int = 10000): DataFrame = {
+    // cached: the decode+hash pass is the dominant cost and FOUR
+    // plan branches read it (the hot-bucket list's eager count, both
+    // pair-join sides, and the final project) — 80 bytes/image
+    // resident vs re-decoding the corpus per branch
+    val hashed = phashRows(imgAssets.toDF()).cache()
+    val bands = graft.operators.Dedup.dropHotBuckets(phashBands(hashed), bucketCap)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+        hamming128("a.fp", "b.fp").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** The image detector for the generic near-dup store machinery
+    * ([[graft.operators.Dedup.nearDupStoreTick]] /
+    * [[graft.streaming.DocStream.startImageNearDupMaintain]]) — rows
+    * are decoded fingerprints (the binary payload never enters a
+    * store), bands and verify are the batch operator's, so the
+    * continuous rung inherits the batch semantics exactly like the
+    * MinHash/SimHash/embed detectors do.
+    */
+  private[graft] def imagePhashDetector(maxDist: Int = 7): graft.operators.Dedup.NearDupDetector =
+    graft.operators.Dedup.NearDupDetector("image_phash", "doc_id", Seq("doc_id", "payload"),
+      phashRows(_),
+      phashBands(_),
+      (cand, fp) => cand
+        .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), Seq("doc_a"))
+        .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), Seq("doc_b"))
+        .withColumn("hamming", hamming128("fp_a", "fp_b"))
+        .filter(col("hamming") <= maxDist)
+        .select(col("doc_a"), col("doc_b"), col("hamming")))
 }

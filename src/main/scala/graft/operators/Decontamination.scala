@@ -268,10 +268,20 @@ object Decontamination {
         Seq("band", "key"))
       .select(col("a.doc_id").as("doc_a"), col("eval_id").as("doc_b"))
       .distinct()
-    Dedup.verifyMinhashPairs(cand, sets, threshold)
+    val out = Dedup.verifyMinhashPairs(cand, sets, threshold)
       .groupBy(col("doc_a"))
       .agg(countDistinct(col("doc_b")).as("n_eval_hits"),
         max(col("jaccard")).as("max_jaccard"))
       .select(col("doc_a").as("doc_id"), col("n_eval_hits"), col("max_jaccard"))
+      .cache()
+    // materialize the (small — flagged docs only) result eagerly so
+    // the per-doc shingle sets — the job's LARGEST intermediate, read
+    // by three plan branches — can be released right here instead of
+    // staying pinned for the life of the session; long-lived callers
+    // (gate + bench + repeated invocations) then accumulate only the
+    // flagged rows, not the corpus
+    out.count()
+    sets.unpersist()
+    out
   }
 }

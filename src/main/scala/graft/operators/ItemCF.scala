@@ -63,6 +63,34 @@ object ItemCF {
     */
   val TargetPairsPerSaltTask: Long = 5000000L
 
+  /** Modulus of the content-hash degree sample the derived gate
+    * measures LARGE corpora with: 1-in-50 = 2%. A percentile of the
+    * extreme tail tolerates sampling (a 20k-deep profile shows ~400
+    * sampled rows, ±5%), and which side of the cut a borderline user
+    * lands on changes only the plan, never the values — so the gate
+    * tax on an unskewed build drops from a full-degree groupBy to a
+    * 2% one (scale-measured at 20M facts: the full pass cost ~30%
+    * over plain). Content-hash (not `sample()`): deterministic
+    * across task retries and bench reps.
+    */
+  val DegreeSampleMod = 50
+
+  /** Estimated-facts floor for sampling the degree measurement: under
+    * it the exact groupBy is cheap and keeps the derived gate's plan
+    * byte-identical to r9's on every test SF; over it the sampled
+    * estimate takes over.
+    */
+  val DerivedSampleMinFacts: Long = 2000000L
+
+  /** Minimum SAMPLED rows to flag a user hot from the sample. At 2%,
+    * a user needs true degree ≥ ~500 before 10 sampled hits become
+    * likely — which is exactly the population worth salting; the
+    * Poisson tail of ordinary users (λ ≈ 1) reaches 10 hits with
+    * probability ~1e-7, so false hot flags are ~zero (and harmless:
+    * the salted arm is value-identical for ANY hot set).
+    */
+  val MinSampledHits = 10
+
   /** Max hot-user ids pulled to the driver for the literal in-set
     * (4M longs = 32 MB — the same order the broadcast these ids
     * previously rode would have shipped). A cut that marks more users
@@ -161,22 +189,53 @@ object ItemCF {
     * engaged path used to leak.
     */
   private[graft] def coocCountsOn(i: DataFrame, hotDegree: Int = Int.MaxValue,
-                                  salts: Int = DerivedSalts): DataFrame = {
+                                  salts: Int = DerivedSalts,
+                                  sampleMinFacts: Long = DerivedSampleMinFacts): DataFrame = {
     val pairs =
       if (hotDegree == Int.MaxValue) selfPairs(i)
       else {
-        val degrees = i.groupBy(col("user_id"))
-          .agg(count(lit(1)).as("deg"))
-          .cache()
+        // Degree measurement. The explicit-cut path (spec use) and
+        // small corpora measure exactly; the DERIVED path on a large
+        // corpus estimates the tail from a [[DegreeSampleMod]]
+        // content-hash sample instead — the sampled probe runs first
+        // and its own row count decides whether the corpus is big
+        // enough to trust it (no separate count pass over the facts).
+        val sampled =
+          if (hotDegree == DerivedHotDegree)
+            Some(i.filter(pmod(xxhash64(col("user_id"), col("item_id")),
+                lit(DegreeSampleMod)) === 0)
+              .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+              .cache())
+          else None
+        val estFacts = sampled.map { s =>
+          val r = s.agg(sum(col("cnt"))).head()
+          (if (r.isNullAt(0)) 0L else r.getLong(0)) * DegreeSampleMod
+        }.getOrElse(0L)
+        val useSample = sampled.isDefined && estFacts >= sampleMinFacts
+        val degrees =
+          if (useSample)
+            // scaled estimates. Users absent from the sample are
+            // absent from the frame, which only biases the quantile
+            // UP (a conservative cut); [[MinSampledHits]] screens
+            // the Poisson tail of ordinary users from false flags.
+            sampled.get.select(col("user_id"),
+              (col("cnt") * DegreeSampleMod).as("deg"), col("cnt"))
+          else {
+            sampled.foreach(_.unpersist())
+            i.groupBy(col("user_id"))
+              .agg(count(lit(1)).as("deg"), count(lit(1)).as("cnt"))
+              .cache()
+          }
         val cut =
           if (hotDegree == DerivedHotDegree) derivedHotCut(degrees)
           else hotDegree
-        val hotRows = degrees.filter(col("deg") > cut)
+        val minHits = if (useSample) MinSampledHits.toLong else 1L
+        val hotRows = degrees.filter(col("deg") > cut && col("cnt") >= minHits)
           .select(col("user_id").cast("long"), col("deg").cast("long"))
           .limit(HotIdsMaxCollect + 1)
           .collect()
         val hotIds = hotRows.map(_.getLong(0)).toIndexedSeq
-        degrees.unpersist()
+        if (useSample) sampled.foreach(_.unpersist()) else degrees.unpersist()
         if (hotIds.isEmpty || hotIds.length > HotIdsMaxCollect) selfPairs(i)
         else {
           // Salt count derived from the measured skew when the caller

@@ -317,16 +317,31 @@ object TextAnalysis {
 
   /** Strike every line of `docs` whose trimmed key is in `boiler` and
     * reassemble each doc in original order — the shared back half of
-    * all three line-dedup rungs. `boiler` is cached here (the
-    * broadcast size gate counts it eagerly, the join reads it again).
+    * all three line-dedup rungs. The boiler set is counted once from
+    * a cache and then RELEASED either way: a small set (the common
+    * case — only keys over the doc-count threshold qualify) is
+    * collected into a broadcast local relation, so repeated
+    * invocations (the line-count maintainer calls this every tick)
+    * pin no executor storage between calls; a corpus-sized set is
+    * recomputed by the shuffled join instead of staying cached for
+    * the life of the session.
     */
   private[graft] def cleanWithBoiler(docs: DataFrame, boiler: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     val lines = docs
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
       .withColumn("k", trim(col("line")))
-    val marked = boiler.select(col("k"), lit(true).as("rm0")).cache()
+    val keys = boiler.select(col("k")).cache()
+    val n = keys.count()
+    val joinSide =
+      if (n <= Hints.DeltaBroadcastMaxRowsMd5) {
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(keys.collect(): _*), keys.schema)
+        keys.unpersist()
+        broadcast(local)
+      } else { keys.unpersist(); keys }
     lines
-      .join(Hints.broadcastIfSmall(marked), Seq("k"), "left")
+      .join(joinSide.withColumn("rm0", lit(true)), Seq("k"), "left")
       .withColumn("rm", col("k") =!= "" && coalesce(col("rm0"), lit(false)))
       .groupBy(col("doc_id"))
       .agg(
@@ -394,9 +409,15 @@ object TextAnalysis {
     val all = docs.crossJoin(broadcast(cut))
     val base = all.filter(col("doc_id") < col("cut")).select(col("doc_id"), col("text"))
     val delta = all.filter(col("doc_id") >= col("cut")).select(col("doc_id"), col("text"))
+    // per-run unique store path: a deterministic shared path would
+    // let two concurrent invocations on the same sfDir (e.g. bench
+    // and oracle harness) race each other's seed-delete/overwrite —
+    // the values are path-independent, so uniqueness costs nothing
+    // but a leftover _applied dir under the (test-local) artifactDir
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val storeDir = s"$artifactDir/line_store_$digest"
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val storeDir = s"$artifactDir/line_store_${digest}_$runId"
     lineCountsOf(base).write.mode("overwrite").parquet(storeDir)
     val store = spark.read.parquet(storeDir)
     val deltaCounts = lineCountsOf(delta).cache()

@@ -119,17 +119,31 @@ object Als {
     keyedTrainingSet(rawSet(spark, sfDir)).train
 
   def fit(train: DataFrame, rank: Int = 8, maxIter: Int = 10, regParam: Double = 0.1,
-          implicitPrefs: Boolean = false, alpha: Double = 1.0, seed: Long = 42L): ALSModel =
+          implicitPrefs: Boolean = false, alpha: Double = 1.0, seed: Long = 42L): ALSModel = {
+    // MLlib ALS only engages its iteration checkpointing when the
+    // context has a checkpoint dir — without one, every iteration's
+    // factor RDD chains to the previous and the whole depth rides
+    // into downstream task binaries (a reference-parity 15-iter fit
+    // has blown the serializer's stack after a long same-JVM session).
+    // Respect a caller-configured dir; otherwise point at a temp dir.
+    val sc = train.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-als-ckpt").toString)
     new ALS()
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
       .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
       .setImplicitPrefs(implicitPrefs).setAlpha(alpha)
       .setSeed(seed)
       .setColdStartStrategy("drop")
+      // truncate lineage every 5 iterations (default 10 leaves a
+      // 10-deep chain at the reference cell's 15 iterations)
+      .setCheckpointInterval(5)
       // default block count: at this data size more blocks only add
       // shuffle overhead (A/B-tested 10/16/32 at sf0.1); on a real
       // cluster set user/item blocks ≈ total cores
       .fit(train)
+  }
 
   /** Per-user top-N over UNSEEN items (the reference's anti-testset
     * semantics): over-fetch n+buffer candidates from the blocked top-k,

@@ -114,6 +114,26 @@ object DocStream {
     startBandedMaintain(vecs, _ => graft.operators.Dedup.embedLshWideDetector(threshold),
       vecDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap)
 
+  /** [[startNearDupMaintain]] with the perceptual-hash IMAGE detector
+    * ([[graft.multimodal.Multimodal.imagePhashDetector]]) over a
+    * stream of (doc_id, payload) rows — the continuous rung of the
+    * image near-dup family (`mm_phash` is its batch operator): each
+    * micro-batch's images are decoded and 128-bit dHashed map-side
+    * (only the fingerprints enter the stores — the binary payload is
+    * never persisted here), banded 8×16-bit against the stored band
+    * index, and Hamming-verified ≤ maxDist. Seed with
+    * [[graft.operators.Dedup.seedNearDupStores]] over the same
+    * detector; same tick machinery, same crash/replay story as the
+    * text and embedding detectors.
+    */
+  def startImageNearDupMaintain(imgs: DataFrame, fpDir: String, bandDir: String,
+                                pairsDir: String, checkpointDir: String,
+                                nBuckets: Int = BucketStore.DefaultBuckets,
+                                maxDist: Int = 7,
+                                bucketCap: Int = 10000): StreamingQuery =
+    startBandedMaintain(imgs, _ => graft.multimodal.Multimodal.imagePhashDetector(maxDist),
+      fpDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap)
+
   /** The shared maintainer loop behind all three detectors. The band
     * store's marker is the LAST thing a tick moves, so "band store
     * caught up" ⇒ the whole tick (pairs included) landed; anything

@@ -232,6 +232,61 @@ class NearDupStoreSpec extends AnyFunSuite {
     assert(maintained.exists(p => p._1 == 10L && p._2 == 12L))
   }
 
+  test("image phash maintainer: stores ∪ ticks ≡ batch, cross-tick re-encodes found") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val root = java.nio.file.Files.createTempDirectory("imgdup_mv").toString
+    val fpDir = root + "/fp"; val bandDir = root + "/bands"; val pairsDir = root + "/pairs"
+
+    // seed corpus: distinct seed images (cross-seed hamming floor is
+    // large), plus one planted base pair: doc 2 is doc 1's image
+    // re-encoded with a brightness shift — different bytes, same
+    // perceptual content
+    def png(s: Long) = Multimodal.makePng(s)
+    val seed: Seq[(Long, Array[Byte])] = Seq(
+      1L -> png(100), 2L -> Multimodal.brightenPng(png(100), 4),
+      3L -> png(102), 4L -> png(104), 5L -> png(106))
+    var corpus = seed
+    val det = Multimodal.imagePhashDetector()
+    graft.operators.Dedup.seedNearDupStores(spark, seed.toDF("doc_id", "payload"),
+      det, fpDir, bandDir, nBuckets = 64)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "hamming")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue())).toSet
+    def batchOf(c: Seq[(Long, Array[Byte])]) = {
+      import org.apache.spark.sql.Encoders
+      val assets = spark.createDataset(
+        c.map { case (id, p) => graft.multimodal.MmAsset(id, "image/png", p) })(
+        Encoders.product[graft.multimodal.MmAsset])
+      pairsOf(Multimodal.imageDupsOn(spark, assets))
+    }
+    val basePairs = batchOf(seed)
+    assert(basePairs.exists(p => p._1 == 1L && p._2 == 2L))
+
+    val input = MemoryStream[ImgIngest]
+    val q = DocStream.startImageNearDupMaintain(
+      input.toDF(), fpDir, bandDir, pairsDir, root + "/ckpt")
+    def maintained = basePairs ++ pairsOf(spark.read.parquet(pairsDir))
+
+    // tick 1: doc 10 re-encodes SEED doc 3's image; doc 11 unique,
+    // doc 12 corrupt (must flag out silently, not kill the tick)
+    input.addData(ImgIngest(10L, Multimodal.brightenPng(png(102), 4)),
+      ImgIngest(11L, png(108)), ImgIngest(12L, Array[Byte](1, 2, 3)))
+    corpus = corpus ++ Seq(10L -> Multimodal.brightenPng(png(102), 4), 11L -> png(108))
+    q.processAllAvailable()
+    assert(maintained === batchOf(corpus))
+    assert(maintained.exists(p => p._1 == 3L && p._2 == 10L))
+
+    // tick 2: doc 13 re-encodes TICK 1's doc 10 — the pair crosses ticks
+    input.addData(ImgIngest(13L, Multimodal.brightenPng(Multimodal.brightenPng(png(102), 4), 4)))
+    corpus = corpus :+ (13L -> Multimodal.brightenPng(Multimodal.brightenPng(png(102), 4), 4))
+    q.processAllAvailable()
+    q.stop()
+    assert(maintained === batchOf(corpus))
+    assert(maintained.exists(p => p._1 == 10L && p._2 == 13L))
+  }
+
   test("pair log compaction folds batch dirs; every crash window still reads exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("pairlog_spec").toString + "/pairs"
@@ -279,3 +334,4 @@ class NearDupStoreSpec extends AnyFunSuite {
 }
 
 case class VecIngest(vec_id: Long, embedding: Seq[Double])
+case class ImgIngest(doc_id: Long, payload: Array[Byte])

@@ -281,9 +281,25 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("line dedup: the boilerplate set joins as a broadcast under the size gate") {
-    val p = plan(graft.operators.TextAnalysis.lineDedup(spark, sf))
+    import spark.implicits._
+    // non-empty boiler set (two docs share a line): the collected
+    // local relation must enter the lines join as a BROADCAST build
+    // side — never a shuffle of the exploded corpus
+    val docs = Seq(
+      1L -> "keep one\nfollow us on social media\nkeep two",
+      2L -> "different body\nfollow us on social media",
+      3L -> "unique only").toDF("doc_id", "text")
+    val p = plan(graft.operators.TextAnalysis.lineDedupOf(docs))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       p.take(3000))
+
+    // EMPTY boiler set (the sf gate corpus has no cross-doc line):
+    // since the set rides in as a local relation, Catalyst now folds
+    // the join away entirely — the scrub with nothing to scrub is one
+    // map-side reassembly, zero joins (an optimization the old cached
+    // build side hid from the optimizer)
+    val pEmpty = plan(graft.operators.TextAnalysis.lineDedup(spark, sf))
+    assert(!pEmpty.contains("Join"), pEmpty.take(3000))
     spark.catalog.clearCache()
   }
 

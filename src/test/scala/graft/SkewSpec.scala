@@ -226,6 +226,47 @@ class SkewSpec extends AnyFunSuite {
     ()
   }
 
+  test("sampled derived gate: 2% degree estimate flags the hot tail, value-identical") {
+    import spark.implicits._
+    // force the sampled measurement path (sampleMinFacts = 0 — the
+    // real floor keeps test-SF corpora on the exact path). One hot
+    // user deep enough that its ~2% sample is unambiguous (deg 2000
+    // → λ = 40 sampled rows >> MinSampledHits); 50 000 normal users
+    // of deg 5 (λ = 0.1 — none can reach 10 sampled hits, and the
+    // ~4 800 OBSERVED normal users keep the sampled p99.9 inside
+    // their mass, not on the hot tail).
+    val hot = for (j <- 0L until 2000L) yield (0L, 10000L + j)
+    val normal = for (u <- 100L until 50100L; j <- 0L until 5L) yield (u, 2000L + (u + j) % 500)
+    val facts = (hot ++ normal).toDF("user_id", "item_id").distinct().cache()
+
+    val sampledGate = graft.operators.ItemCF.coocCountsOn(facts,
+      hotDegree = graft.operators.ItemCF.DerivedHotDegree, salts = 8,
+      sampleMinFacts = 0L)
+    assert(sampledGate.queryExecution.optimizedPlan.toString.contains("__salt"),
+      "sampled derived cut did not engage on the planted hot user")
+    val plain = graft.operators.ItemCF.coocCountsOn(facts)
+    assert(sampledGate.count() === plain.count())
+    assert(sampledGate.join(plain, Seq("item_a", "item_b", "n_users"), "left_anti").count() === 0)
+
+    // unskewed corpus through the sampled path: no user reaches the
+    // sampled-hits floor → the plain plan comes back
+    val mild = (for (u <- 0L until 50L; j <- 0L until 60L) yield (u, 1000L + (u * 7 + j) % 300))
+      .toDF("user_id", "item_id").distinct()
+    val gated = graft.operators.ItemCF.coocCountsOn(mild,
+      hotDegree = graft.operators.ItemCF.DerivedHotDegree, salts = 8,
+      sampleMinFacts = 0L)
+    assert(!gated.queryExecution.optimizedPlan.toString.contains("__salt"))
+
+    // and at the REAL floor, a test-sized corpus stays on the exact
+    // path — same engaged plan and values as the unsampled r9 gate
+    val exact = graft.operators.ItemCF.coocCountsOn(facts,
+      hotDegree = graft.operators.ItemCF.DerivedHotDegree, salts = 8)
+    assert(exact.queryExecution.optimizedPlan.toString.contains("__salt"))
+    assert(exact.join(plain, Seq("item_a", "item_b", "n_users"), "left_anti").count() === 0)
+    facts.unpersist()
+    ()
+  }
+
   test("hot key actually spreads across salt partitions") {
     import spark.implicits._
     val fact = spark.range(10000).select(lit(7L).as("k"), col("id").as("payload"))

@@ -18,6 +18,10 @@ echo "== gate: DuckDB oracle compare"
 python3 tools/check_oracle.py "$SF" "$OUT"
 ORC=$?
 echo "== gate: oracle exit $ORC"
+echo "== gate: scale-artifact drift check"
+python3 tools/check_scale_artifact.py
+ARC=$?
+echo "== gate: scale-artifact exit $ARC"
 echo "== gate: full test suite"
 sbt -batch test > "$OUT/test.log" 2>&1
 TRC=$?
@@ -32,6 +36,6 @@ echo "== gate: bench exit $BRC"
 # boolean accumulation, NOT a sum: exit codes can sum to a multiple of
 # 256 (e.g. 130+126) and wrap to 0 through exit's 8-bit truncation
 RC=0
-[ "$VRC" -eq 0 ] && [ "$ORC" -eq 0 ] && [ "$TRC" -eq 0 ] && [ "$BRC" -eq 0 ] || RC=1
+[ "$VRC" -eq 0 ] && [ "$ORC" -eq 0 ] && [ "$ARC" -eq 0 ] && [ "$TRC" -eq 0 ] && [ "$BRC" -eq 0 ] || RC=1
 echo "== gate: OVERALL $([ "$RC" -eq 0 ] && echo PASS || echo FAIL) (logs in $OUT)"
 exit $RC
