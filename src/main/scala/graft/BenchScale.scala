@@ -130,6 +130,14 @@ object BenchScale {
       timedOnce("cooc_plain_skewed")(ItemCF.coocCountsOn(ps))
       timedOnce("cooc_derived_skewed")(ItemCF.coocCountsOn(ps, ItemCF.DerivedHotDegree))
     }
+    // A THIRD interleaved rep for the unskewed pair only: its ratio
+    // (the derived-gate overhead) carries a ≤1.1 bar, tight enough
+    // that one GC/host-noise outlier in min-of-2 fakes a 30% gate tax
+    // (measured: a 45 s outlier against a 16 s warm plain while the
+    // same-rep shuffle bytes stayed byte-identical). The pair costs
+    // seconds; the skewed arms' minutes stay at two reps.
+    timedOnce("cooc_plain_unskewed")(ItemCF.coocCountsOn(pu))
+    timedOnce("cooc_derived_unskewed")(ItemCF.coocCountsOn(pu, ItemCF.DerivedHotDegree))
     def timed(name: String)(df: => DataFrame): Unit = timedOnce(name)(df)
 
     timed("user_sim")(ItemCF.userSimilarityOn(

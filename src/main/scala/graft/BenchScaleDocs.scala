@@ -249,6 +249,25 @@ object BenchScaleDocs {
     val recall = bruteHits.count(ivfHits.contains).toDouble / math.max(1, bruteHits.size)
     extras("ivf_recall_at10") = f"$recall%.4f"
 
+    // ----- embeddings: SemDeDup (cluster-bounded semantic dedup) --
+    // 200k-vector subset at nlist=256 (~800 vectors/cluster): the
+    // moderate-threshold regime banding cannot serve. The planted
+    // every-40th copies (cos ≈ 0.9999, the HIGHER id of each pair)
+    // must drop under the keep-lowest-id rule; the corpus's own
+    // intra-cluster spread (cos ≈ 0.4) must survive whole.
+    timedWrite("semdedup_200k", s"$scaleDir/semdedup")(
+      Similarity.semanticDedupOn(spark,
+        vecs().filter(col("vec_id") < 200000L)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        threshold = 0.9, nlist = 256))
+    locally {
+      val sd = spark.read.parquet(s"$scaleDir/semdedup")
+      extras("semdedup_dropped") = sd.filter(!col("keep")).count()
+      extras("semdedup_planted_found") =
+        sd.filter(!col("keep") && pmod(col("vec_id"), lit(40)) === 39).count()
+      extras("semdedup_planted_total") = 200000L / 40
+    }
+
     // ----- documents: text pipeline at 200× ----------------------
     // line-structured variant of the same corpus: tokens chunked into
     // 12-word lines, so the 13-word boilerplate preamble's first 12

@@ -79,6 +79,7 @@ object SparkEntry {
     // (rows-only; base∪tick ≡ batch through the store is spec-gated)
     "dedup_simhash_store" -> ((s, d) => Dedup.simhashIncrementalStore(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_substring"     -> ((s, d) => Dedup.substringDedup(s, d)),
     // the exact tick is deterministic → the one HASH-GATED near-dup
     // tick (oracle recomputes the delta-touching pair set from scratch)
     "dedup_ngram_inc"     -> ((s, d) => Dedup.ngramJaccardIncremental(s, d)),
@@ -114,7 +115,16 @@ object SparkEntry {
     "knn_ivf_store" -> ((s, d) => Similarity.ivfStoreSearch(s, d)),
     "knn_ivf_drift" -> ((s, d) => Similarity.ivfDriftProbe(s, d)),
     "knn_sq8"   -> ((s, d) => Similarity.knnSq8(s, d)),
+    // PQ/ADC two-stage ANN (rows-only; codebook k-means not
+    // SQL-expressible) — recall + exact-survivor-cosine spec-gated
+    "knn_pq"    -> ((s, d) => Similarity.knnPq(s, d)),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
+    // SemDeDup: cluster-bounded semantic dedup at moderate cosine
+    // thresholds (rows-only; k-means not SQL-expressible) — the
+    // regime below banded-LSH's collision floor; planted jittered
+    // copies give guaranteed true semantic dups at every SF
+    "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "dedup_semantic_store" -> ((s, d) => Similarity.semanticDedupStore(s, d)),
     // — text analysis —
     "text_quality"     -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_tokens"      -> ((s, d) => TextAnalysis.termFrequencies(s, d)),
@@ -165,6 +175,9 @@ object SparkEntry {
     // (simhash shape over pixels); decode map-side; rows-only (binary
     // codec — no SQL form), planted-pair recall pinned in spec
     "mm_phash"    -> ((s, d) => Multimodal.imageDups(s, d)),
+    // spectral-fingerprint audio dedup (rows-only; binary codec) —
+    // planted gain-scaled re-encodes give true dups at every SF
+    "mm_audio_dedup" -> ((s, d) => Multimodal.audioDups(s, d)),
     // — neighborhood (item-item) collaborative filtering —
     "q_item_cooc"    -> ((s, d) => ItemCF.cooccurrence(s, d)),
     // measured-skew gate armed with the DERIVED cut (p99.9 ∨ floor):
@@ -895,6 +908,20 @@ object SparkEntry {
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / u, 4) AS jaccard
         |FROM p WHERE round(CAST(i AS DOUBLE) / u, 4) >= 0.8""".stripMargin,
+
+    // the dfCap (<= 100 docs) and minShared (>= 2 windows) knobs are
+    // mirrored EXACTLY between the Spark plan and this SQL
+    "dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+7], ' ') AS win
+        |      FROM t, UNNEST(generate_series(1, len(l) - 7)) AS u(i)),
+        |ok AS (SELECT win FROM g GROUP BY win HAVING count(*) <= 100),
+        |f AS (SELECT g.doc_id, g.win FROM g JOIN ok USING (win))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS shared_windows
+        |FROM f a JOIN f b ON a.win = b.win AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     "q_item_sim" ->
       s"""$IU, norms AS (

@@ -665,4 +665,172 @@ object Multimodal extends Serializable {
         .withColumn("hamming", hamming128("fp_a", "fp_b"))
         .filter(col("hamming") <= maxDist)
         .select(col("doc_a"), col("doc_b"), col("hamming")))
+
+  // ----- audio fingerprint dedup -----------------------------------
+
+  /** Raw 16-bit mono LE samples of a WAV payload (the corpus layout)
+    * as doubles in [-1, 1), plus the container's sample rate. `None`
+    * for unparseable payloads or layouts the sample path doesn't
+    * cover — the [[decodeWav]] flag-don't-throw contract.
+    */
+  private[graft] def wavSamples(payload: Array[Byte]): Option[(Int, Array[Double])] = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException => return None
+      }
+    val fmt = ais.getFormat
+    if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+        fmt.getChannels != 1 || fmt.getSampleRate <= 0) return None
+    val bytes = ais.readAllBytes()
+    val out = new Array[Double](bytes.length / 2)
+    var i = 0
+    while (i + 1 < bytes.length) {
+      out(i / 2) = (((bytes(i + 1) & 0xff) << 8) | (bytes(i) & 0xff)).toShort / 32768.0
+      i += 2
+    }
+    Some((math.round(fmt.getSampleRate), out))
+  }
+
+  /** 128-bit spectral fingerprint (the Haitsma–Kalker 2002 "robust
+    * audio fingerprinting" bit construction, collapsed to the
+    * stationary-clip case): Goertzel band energies at 65 fixed
+    * FREQUENCIES (100..2148 Hz, ~32 Hz apart — Hz-space, so the same
+    * tone at a different sample rate fingerprints the same), over at
+    * most the first 4096 samples; word 0 = adjacent-band energy
+    * ordering (E[b] > E[b+1] — H-K's frequency-axis difference sign),
+    * word 1 = band-above-mean-energy flags. Both bit families are
+    * GAIN-INVARIANT (scaling multiplies every energy by the same
+    * positive constant, preserving every strict inequality), so an
+    * amplitude-scaled re-encode — which byte-level dedup provably
+    * cannot catch — moves only the handful of bits whose comparison
+    * margin sits inside the requantization noise.
+    */
+  private[graft] def audioFingerprint(payload: Array[Byte]): Option[Array[Long]] =
+    wavSamples(payload).filter(_._2.length > 0).map { case (rate, samples) =>
+      val n = math.min(samples.length, 4096)
+      val energies = new Array[Double](65)
+      var b = 0
+      while (b < 65) {
+        val freq = 100.0 + b * 32.0
+        val w = 2.0 * math.Pi * freq / rate
+        val coeff = 2.0 * math.cos(w)
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+        var i = 0
+        while (i < n) {
+          s0 = samples(i) + coeff * s1 - s2
+          s2 = s1; s1 = s0
+          i += 1
+        }
+        energies(b) = s1 * s1 + s2 * s2 - coeff * s1 * s2
+        b += 1
+      }
+      val mean = energies.take(64).sum / 64.0
+      var w0 = 0L; var w1 = 0L
+      b = 0
+      while (b < 64) {
+        if (energies(b) > energies(b + 1)) w0 |= 1L << b
+        if (energies(b) > mean) w1 |= 1L << b
+        b += 1
+      }
+      Array(w0, w1)
+    }
+
+  /** Spec/plant helper: decode, scale every sample by `gain` (clamped
+    * to 16-bit), re-encode at the same rate — different bytes, same
+    * spectral content, the audio twin of [[brightenPng]].
+    */
+  private[graft] def scaleWav(payload: Array[Byte], gain: Double): Array[Byte] = {
+    val (rate, samples) = wavSamples(payload).get
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val v = math.max(-32768, math.min(32767,
+        math.round(samples(i) * gain * 32768.0))).toInt.toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode + [[audioFingerprint]] per clip — the audio detector's
+    * row store, the [[phashRows]] twin.
+    */
+  private[graft] def audioFpRows(clips: DataFrame): DataFrame = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => audioFingerprint(p).map(fp => (id, fp)) })
+      .toDF("doc_id", "fp")
+  }
+
+  /** Spectral-fingerprint audio dedup (`mm_audio_dedup`) — the audio
+    * rung of the multimodal dedup family: byte dedup misses the same
+    * clip re-encoded or gain-adjusted; the fingerprint pairs exactly
+    * those. Identical pipeline shape to [[imageDups]]: per-partition
+    * decode+fingerprint (binary codec), [[phashBands]]' 8×16-bit
+    * banding of the 128-bit fp (recall guaranteed to hamming ≤ 7 by
+    * pigeonhole — comfortably past the default maxDist = 3), DF-capped
+    * buckets, exact popcount verify. The margins are MEASURED, not
+    * argued (MmAudioSpec pins both): gain-scaled re-encodes drift ≤ 2
+    * bits over 360 seed×gain combinations, while tones more than two
+    * band widths (64 Hz) apart never come closer than 6 — maxDist = 3
+    * sits strictly between. Tones within ~2 bands of each other DO
+    * pair (hamming tracks spectral distance — for a stationary-tone
+    * fingerprint they are spectral near-dups by construction); that
+    * is the detector's contract, not a false-positive class. Planted
+    * dups: every 10th clip re-encoded at 0.5× gain (different bytes,
+    * same spectrum). 100 TB: the Goertzel pass is embarrassingly parallel,
+    * the band shuffle moves ~80 bytes/clip, candidate work ∝ clips ×
+    * colliding buckets — never all-pairs.
+    */
+  def audioDups(spark: SparkSession, sfDir: String, maxDist: Int = 3,
+                bucketCap: Int = 10000): DataFrame = {
+    import spark.implicits._
+    val clips = assets(spark, sfDir).filter(col("mime") === lit("audio/wav")).as[MmAsset]
+    val planted = clips.filter((a: MmAsset) => a.doc_id % 10 == 1)
+      .map(a => MmAsset(a.doc_id + 10000000L, a.mime, scaleWav(a.payload, 0.5)))
+    audioDupsOn(spark, clips.union(planted), maxDist, bucketCap)
+  }
+
+  /** Core on an injectable asset set — spec entry. */
+  private[graft] def audioDupsOn(spark: SparkSession,
+      clipAssets: org.apache.spark.sql.Dataset[MmAsset],
+      maxDist: Int = 3, bucketCap: Int = 10000): DataFrame = {
+    val hashed = audioFpRows(clipAssets.toDF()).cache()
+    val bands = graft.operators.Dedup.dropHotBuckets(phashBands(hashed), bucketCap)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming128("a.fp", "b.fp").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** The audio detector for the generic near-dup store machinery —
+    * the [[imagePhashDetector]] twin; the continuous rung inherits
+    * the batch semantics through the same seam.
+    */
+  private[graft] def audioFpDetector(maxDist: Int = 3): graft.operators.Dedup.NearDupDetector =
+    graft.operators.Dedup.NearDupDetector("audio_fp", "doc_id", Seq("doc_id", "payload"),
+      audioFpRows(_),
+      phashBands(_),
+      (cand, fp) => cand
+        .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), Seq("doc_a"))
+        .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), Seq("doc_b"))
+        .withColumn("hamming", hamming128("fp_a", "fp_b"))
+        .filter(col("hamming") <= maxDist)
+        .select(col("doc_a"), col("doc_b"), col("hamming")))
 }

@@ -1224,4 +1224,52 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
+
+  /** Cross-doc VERBATIM substring overlap (the regime of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models
+    * Better": long exact substrings shared across documents are the
+    * memorization vector that survives doc-level near-dup filters —
+    * two mostly-different pages quoting the same 50-token passage).
+    * The suffix-array formulation is replaced by a Spark-shaped
+    * equivalent at fixed granularity: every `k`-token sliding window
+    * (per-doc distinct), pairs of docs sharing ≥ `minShared` windows,
+    * with the shared-window COUNT as the evidence weight. A doc pair
+    * sharing any ≥(k + minShared − 1)-token verbatim run shares ≥
+    * minShared windows, so the fixed-k detector covers every longer
+    * run — the suffix array's generality traded for one shuffle.
+    *
+    * Scale: windows ≈ tokens, so the explode is `q_ngram_topk`'s
+    * measured token-scale shuffle (not quadratic); windows travel as
+    * 64-bit xxhash keys, never strings; a window in d docs emits d²
+    * pairs, so windows with document frequency > `dfCap` are dropped
+    * from candidate generation (the [[ngramJaccard]] skew guard —
+    * corpus-wide boilerplate is [[graft.operators.TextAnalysis]]'s
+    * line-dedup's job, not this operator's) — the cap is mirrored
+    * EXACTLY in the DuckDB oracle, so the registered query stays
+    * hash-gated. Output: (doc_a, doc_b, shared_windows).
+    */
+  def substringDedup(spark: SparkSession, sfDir: String, k: Int = 8,
+                     minShared: Int = 2, dfCap: Int = 100): DataFrame =
+    substringDedupOf(Tables.documents(spark, sfDir), k, minShared, dfCap)
+
+  /** Core on an injectable (doc_id, text) corpus — spec entry. */
+  private[graft] def substringDedupOf(docs: DataFrame, k: Int,
+      minShared: Int, dfCap: Int): DataFrame = {
+    val wins = docs.withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(TextAnalysis.wordGrams(k)).as("win"))
+      .distinct()
+    val hw = wins.select(col("doc_id"), xxhash64(col("win")).as("h"))
+    // stop-window list: only keys hotter than dfCap — tiny, broadcast
+    val hot = hw.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select(col("h"))
+    val idx = hw.join(broadcast(hot), Seq("h"), "left_anti")
+    idx.as("a").join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+      .filter(col("shared_windows") >= minShared)
+  }
 }

@@ -100,6 +100,128 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /** Product-quantization ANN (Jégou, Douze, Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search" — the Faiss `PQ` /
+    * ADC path): the vector is split into `m` subspaces, each encoded
+    * as its nearest sub-codebook centroid id, so a d-float vector
+    * becomes m small ints — at m=16 over 64 float dims, 16 packed
+    * 5-bit codes (10 bytes) against the raw corpus's 256 bytes.
+    * Both sides are UNIT-NORMALIZED before training/encoding so ADC
+    * approximates the cosine itself — the coarse ranking agrees with
+    * the exact re-rank metric. Scoring is ASYMMETRIC (the published
+    * ADC): the query is never quantized; each query precomputes a
+    * lookup table of sub-dot-products against every sub-centroid
+    * (m·ncent floats, built IN Spark and broadcast with the query —
+    * no driver-side math), and a candidate's approximate dot is m
+    * table lookups over its code — a codegen'd `aggregate` over
+    * builtin functions, no UDF. Coarse top k·oversample by ADC
+    * score, exact re-rank of survivors only (the [[knnSq8]]
+    * two-stage contract: survivors carry the SAME 4-decimal cosine
+    * as [[knnBrute]]).
+    *
+    * 100 TB: codebooks are m·ncent·(d/m) doubles — driver/literal
+    * scale, trained on the content-hash sample like every quantizer
+    * here; encoding is map-side; the corpus-side scan carries only
+    * (vec_id, code); the rank shuffle carries (query_id, vec_id,
+    * approx) — the r9 narrow-projection rule. Recall is spec-gated
+    * ≥0.9 at k=10 (measured 0.98 at the m=16/ncent=32/8× defaults
+    * on the label-clustered test corpus; PQ's distortion-vs-memory
+    * trade — raise `ncent`/`oversample` to buy recall with bytes).
+    */
+  def knnPq(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 10,
+            m: Int = 16, ncent: Int = 32, oversample: Int = 8): DataFrame = {
+    val c = corpus(spark, sfDir).cache()
+    knnPqOn(spark, c, trainPqCodebooks(spark, c, m, ncent),
+      nQueries, k, m, ncent, oversample)
+  }
+
+  /** Per-subspace codebooks on the content-hash sample: m independent
+    * k-means fits, each over the s-th d/m-dim slice. Rows:
+    * (s, cluster, cv).
+    */
+  private[graft] def trainPqCodebooks(spark: SparkSession, c: DataFrame,
+      m: Int, ncent: Int): Seq[(Int, Int, Seq[Double])] = {
+    val dim = c.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // codebooks learn the UNIT-normalized corpus: ADC then
+    // approximates the cosine itself, so the coarse ranking agrees
+    // with the exact re-rank metric instead of the raw dot
+    val sample = c.filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit("40"))
+      .select(expr("transform(v, x -> x / norm)").as("v")).cache()
+    val books = (0 until m).flatMap { s =>
+      val train = sample
+        .select(slice(col("v"), s * sub + 1, sub).as("sv"))
+        .withColumn("fv", array_to_vector(col("sv")))
+      val model = new KMeans().setK(ncent).setSeed(42L + s).setFeaturesCol("fv")
+        .setMaxIter(10).fit(train)
+      model.clusterCenters.zipWithIndex.map { case (vec, i) => (s, i, vec.toArray.toSeq) }
+    }
+    sample.unpersist()
+    books
+  }
+
+  /** Core over an injectable (vec_id, v, norm) corpus + trained
+    * codebooks — spec entry.
+    */
+  private[graft] def knnPqOn(spark: SparkSession, c: DataFrame,
+      books: Seq[(Int, Int, Seq[Double])], nQueries: Int, k: Int,
+      m: Int, ncent: Int, oversample: Int): DataFrame = {
+    import spark.implicits._
+    val sub = books.head._3.size
+    // map-side encode: per subspace, argmin over the codebook literal
+    // (||v_sub||² is constant within a row's argmin — dropped); the
+    // corpus-side scan then carries only (vec_id, m-int code)
+    val unit = c.select(col("vec_id"), expr("transform(v, x -> x / norm)").as("v"))
+    val encoded = (0 until m).foldLeft(unit) { (df, s) =>
+      val bl = typedLit(books.filter(_._1 == s)
+        .map { case (_, i, cv) => (cv, cv.map(x => x * x).sum, i) })
+      df.withColumn("bk", bl)
+        .withColumn(s"c_$s",
+          expr("array_min(transform(bk, b -> struct(" +
+              s"b._2 - 2.0d * graft_dot(slice(v, ${s * sub + 1}, $sub), b._1) AS dist, " +
+              "b._3 AS code))).code"))
+        .drop("bk")
+    }
+    val codes = encoded
+      .withColumn("code", array((0 until m).map(s => col(s"c_$s")): _*))
+      .select(col("vec_id"), col("code"))
+    // ADC lookup tables, built in Spark: query × broadcast codebook →
+    // per-(subspace, centroid) partial dots, packed into one ordered
+    // array per query (index = s·ncent + centroid id)
+    val booksDf = books.toDF("s", "cid", "cv")
+    val luts = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        expr("transform(v, x -> x / norm)").as("qv"))
+      .crossJoin(broadcast(booksDf))
+      .withColumn("partial", expr(s"graft_dot(slice(qv, s * $sub + 1, $sub), cv)"))
+      .groupBy(col("query_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, cid, partial))), x -> x.partial)")
+        .as("lut"))
+    // stage 1: coarse ADC scores — m table lookups per candidate
+    val coarse = codes.join(broadcast(luts), col("vec_id") =!= col("query_id"))
+      .withColumn("approx",
+        expr(s"aggregate(sequence(0, ${m - 1}), cast(0.0 as double), " +
+          s"(acc, i) -> acc + element_at(lut, i * $ncent + element_at(code, i + 1) + 1))"))
+      .select(col("query_id"), col("vec_id"), col("approx"))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val cands = coarse.withColumn("crn", row_number().over(wCoarse))
+      .filter(col("crn") <= k * oversample)
+      .select(col("query_id"), col("vec_id"))
+    // stage 2: exact re-rank of the survivors only
+    val qFull = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val exact = cands
+      .join(c.select(col("vec_id"), col("v"), col("norm")), Seq("vec_id"))
+      .join(broadcast(qFull), Seq("query_id"))
+      .withColumn("cos", round(expr(dot) / (col("norm") * col("qnorm")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
+  }
+
   /** IVF-style ANN: k-means coarse quantizer (MLlib, fixed seed),
     * corpus bucketed by nearest centroid, queries probe their
     * `nprobe` nearest centroids and scan only those buckets.
@@ -176,7 +298,7 @@ object Similarity {
   /** Nearest-centroid assignment, map-side (see [[centsLit]]); ties
     * break to the lowest cluster id via struct ordering.
     */
-  private def assignClusters(df: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+  private[graft] def assignClusters(df: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
     df.withColumn("cents", centsLit(cents))
       .withColumn("norm2", expr("graft_dot(v, v)"))
@@ -581,5 +703,189 @@ object Similarity {
     val out = searchIvfStore(spark, storeDir, cents, queries, k, nprobe, nlist)
     c.unpersist()
     out
+  }
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means-cluster the embedding space, then prune
+    * within clusters only — a vector is dropped when its cosine to a
+    * LOWER-id vector in the same cluster reaches `threshold` (the
+    * published implementation's keep-lowest-index rule, deterministic
+    * here by id, the same keeper semantic as exact dedup).
+    *
+    * This covers the MODERATE-threshold regime the banded LSH
+    * detectors cannot: hyperplane banding's collision probability
+    * collapses well below cos ≈ 0.99, while semantic duplicates live
+    * at 0.85–0.95 — clustering bounds the quadratic term instead
+    * (Σ n_c² within-cluster pairs, never C(n,2) and never a band-key
+    * blowup). At 100 TB: centroids train on a content-hash sample and
+    * ride to every task as a literal (the IVF quantizer seam,
+    * [[assignClusters]]), so assignment is map-side; the only shuffle
+    * is the cluster-keyed pair join, and `nlist` scales with the
+    * corpus (targeting ~1k vectors/cluster) to hold per-cluster work
+    * flat. Cross-cluster duplicate pairs are missed by construction —
+    * the published algorithm's documented recall trade (boundary
+    * pairs straddle two clusters); the LSH family covers the
+    * near-identical end of that gap.
+    *
+    * Output: one row per input vector — (vec_id, cluster, keep) — so
+    * the decision audit rides with the verdicts, like
+    * `q_quality_filter`'s first-fail column.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String, nPlant: Int = 50,
+                    threshold: Double = 0.92, nlist: Int = 16): DataFrame = {
+    val vecs = Dedup.plantedCorpus(spark, sfDir, nPlant)
+      .select(col("vec_id"), col("embedding").as("v"))
+    semanticDedupOn(spark, vecs, threshold, nlist)
+  }
+
+  /** Core on an injectable (vec_id, v) frame — spec entry. */
+  private[graft] def semanticDedupOn(spark: SparkSession, vecs: DataFrame,
+      threshold: Double, nlist: Int): DataFrame = {
+    val c = withVecNorm(spark, vecs)
+    // quantizer trained on the same content-hash sample regime as
+    // [[trainQuantizer]] (sample >> centroids, never a full pass)
+    val train = c.filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit("40"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("fv")
+      .setMaxIter(10).fit(train)
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (vec, i) => (i, vec.toArray.toSeq) }.toSeq
+    semanticVerdicts(assignClusters(c, cents)
+      .select(col("vec_id"), col("v"), col("norm"), col("cluster")), threshold)
+  }
+
+  private[graft] def withVecNorm(spark: SparkSession, vecs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    vecs.select(col("vec_id"), col("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+  }
+
+  /** Keeper verdicts over an assigned (vec_id, v, norm, cluster)
+    * frame: a vector is dropped when ANY lower-id vector in its
+    * cluster — kept or not — reaches `threshold` cosine. One
+    * cluster-keyed shuffle; per-cluster work is n_c², never C(n,2).
+    */
+  private[graft] def semanticVerdicts(assigned: DataFrame, threshold: Double): DataFrame = {
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("norm").as("nb"))
+    // 4-decimal-rounded cosine (the knnBrute determinism rule) so the
+    // drop set cannot flip on float association order
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(dropped.withColumn("dropFlag", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        not(coalesce(col("dropFlag"), lit(false))).as("keep"))
+  }
+
+  // ----- semantic dedup: incremental / store / continuous ----------
+
+  /** Seed the semantic-dedup store: train the quantizer on the base
+    * corpus (persisted to `centroidsDir` — FROZEN for every later
+    * tick, the IVF practice), assign, compute base verdicts, and
+    * persist EVERY base vector (verdict included) into a
+    * cluster-bucketed [[graft.streaming.BucketStore]]. The store
+    * holds dropped vectors too: the keeper rule matches against any
+    * lower-id vector regardless of its own verdict, so parity with
+    * the batch operator needs the full seen set, not just keepers.
+    * Returns the base verdicts (vec_id, cluster, keep).
+    */
+  private[graft] def seedSemanticStore(spark: SparkSession, vecs: DataFrame,
+      storeDir: String, centroidsDir: String, threshold: Double,
+      nlist: Int): DataFrame = {
+    val c = withVecNorm(spark, vecs)
+    val cents = trainQuantizer(spark, c, centroidsDir, nlist)
+    val assigned = assignClusters(c, cents)
+      .select(col("vec_id"), col("v"), col("norm"), col("cluster"))
+    val verdicts = semanticVerdicts(assigned, threshold)
+    graft.streaming.BucketStore.seed(
+      assigned.join(verdicts.select(col("vec_id"), col("keep")), Seq("vec_id")),
+      graft.streaming.BucketStore.longBucket(col("cluster"), nlist),
+      storeDir, nlist)
+    verdicts
+  }
+
+  /** One semantic-dedup tick: assign the delta map-side under the
+    * frozen quantizer, read ONLY the touched clusters' store buckets
+    * (bucket pruning — the landed corpus never re-pairs), drop a
+    * delta vector whose cosine to any lower-id vector (stored, or
+    * earlier in this delta) in its cluster reaches `threshold`, and
+    * append the delta rows (verdicts included) through the
+    * generation-publish protocol. Arrival-order keeper semantic: a
+    * stored vector is never retroactively dropped by a later
+    * lower-id arrival — with id-ordered ingest (the registered
+    * query's split) this is EXACTLY the batch rule, spec-pinned.
+    * Returns the delta verdicts (vec_id, cluster, keep).
+    */
+  private[graft] def semanticDedupTick(spark: SparkSession, storeDir: String,
+      cents: Seq[(Int, Seq[Double])], delta: DataFrame, threshold: Double,
+      nlist: Int, batchId: Long): DataFrame = {
+    import graft.streaming.BucketStore
+    val d = assignClusters(withVecNorm(spark, delta), cents)
+      .select(col("vec_id"), col("v"), col("norm"), col("cluster")).cache()
+    val touched = BucketStore.touchedBuckets(
+      d.select(BucketStore.longBucket(col("cluster"), nlist).as(BucketStore.BucketCol)))
+    val stored = BucketStore.readBuckets(spark, storeDir, touched, nlist)
+      .select(col("cluster"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("norm").as("na"))
+    val candidates = stored.unionByName(
+      d.select(col("cluster"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("norm").as("na")))
+    val probe = d.select(col("cluster"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("norm").as("nb"))
+    val dropped = candidates.join(probe, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    // delta-sized; materialized eagerly so the returned frame never
+    // lazily re-reads pre-tick store generations (the gc hazard) —
+    // released by the caller's session-wide clearCache, the
+    // flagContaminatedFuzzyOf convention
+    val verdicts = d.select(col("vec_id"), col("cluster"))
+      .join(dropped.withColumn("dropFlag", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        not(coalesce(col("dropFlag"), lit(false))).as("keep"))
+      .cache()
+    verdicts.count()
+    BucketStore.applyTick(spark, storeDir,
+      d.join(verdicts.select(col("vec_id"), col("keep")), Seq("vec_id"))
+        .withColumn(BucketStore.BucketCol,
+          BucketStore.longBucket(col("cluster"), nlist)),
+      Seq("vec_id"), batchId = batchId, n = nlist)
+    d.unpersist()
+    verdicts
+  }
+
+  /** Registered `dedup_semantic_store`: the store rung — seed the
+    * first `baseFrac` of the planted corpus (id-ordered split, the
+    * [[graft.operators.TextAnalysis.lineDedupStore]] convention),
+    * tick the remainder through the persisted store, return seed ∪
+    * tick verdicts. Same planted-recall contract as the batch query;
+    * SemanticStoreSpec pins verdict parity with the batch operator
+    * under the seed's frozen centroids.
+    */
+  def semanticDedupStore(spark: SparkSession, sfDir: String, nPlant: Int = 50,
+      threshold: Double = 0.92, nlist: Int = 16, baseFrac: Double = 0.8,
+      artifactDir: String = "target/graft-artifacts"): DataFrame = {
+    val vecs = Dedup.plantedCorpus(spark, sfDir, nPlant)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val cut = vecs.agg(
+      floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
+    val all = vecs.crossJoin(broadcast(cut))
+    val base = all.filter(col("vec_id") < col("cut")).select(col("vec_id"), col("v"))
+    val delta = all.filter(col("vec_id") >= col("cut")).select(col("vec_id"), col("v"))
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val storeDir = s"$artifactDir/semdedup_store_$runId"
+    val centroidsDir = s"$artifactDir/semdedup_cents_$runId"
+    val seedVerdicts = seedSemanticStore(spark, base, storeDir, centroidsDir,
+      threshold, nlist)
+    val tickVerdicts = semanticDedupTick(spark, storeDir,
+      loadCentroids(spark, centroidsDir), delta, threshold, nlist, batchId = 0L)
+    seedVerdicts.unionByName(tickVerdicts)
   }
 }

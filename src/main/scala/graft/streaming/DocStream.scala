@@ -134,6 +134,24 @@ object DocStream {
     startBandedMaintain(imgs, _ => graft.multimodal.Multimodal.imagePhashDetector(maxDist),
       fpDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap)
 
+  /** [[startImageNearDupMaintain]]'s AUDIO twin: each micro-batch of
+    * (doc_id, payload) WAV rows is decoded and spectrally
+    * fingerprinted map-side
+    * ([[graft.multimodal.Multimodal.audioFpDetector]] — only the
+    * 128-bit fingerprints enter the stores), banded and
+    * Hamming-verified against the landed corpus through the same
+    * generic tick. Seed with
+    * [[graft.operators.Dedup.seedNearDupStores]] over the same
+    * detector.
+    */
+  def startAudioNearDupMaintain(clips: DataFrame, fpDir: String, bandDir: String,
+                                pairsDir: String, checkpointDir: String,
+                                nBuckets: Int = BucketStore.DefaultBuckets,
+                                maxDist: Int = 3,
+                                bucketCap: Int = 10000): StreamingQuery =
+    startBandedMaintain(clips, _ => graft.multimodal.Multimodal.audioFpDetector(maxDist),
+      fpDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap)
+
   /** The shared maintainer loop behind all three detectors. The band
     * store's marker is the LAST thing a tick moves, so "band store
     * caught up" ⇒ the whole tick (pairs included) landed; anything
@@ -391,6 +409,44 @@ object DocStream {
               p.onDrift(batchId, r)
             }
           }
+        }
+        b.unpersist()
+        ()
+      }
+      .start()
+
+  /** Continuous SEMANTIC dedup (the streaming rung of
+    * `dedup_semantic` — see [[graft.operators.Similarity.semanticDedupOn]]):
+    * each micro-batch of (vec_id, embedding) rows is assigned
+    * map-side under the FROZEN quantizer at `centroidsDir`, verdicted
+    * against the touched clusters of the seen-vector store (bucket
+    * pruning — the landed corpus never re-pairs), appended through
+    * the generation-publish protocol, and the per-batch verdicts
+    * (vec_id, cluster, keep) are appended to `verdictsDir` as the
+    * decision log. Seed with
+    * [[graft.operators.Similarity.seedSemanticStore]]; quantizer
+    * staleness is the IVF family's problem shape — the drift probe /
+    * rebuild cutover applies unchanged. Replay guard: the store
+    * marker gates the tick, the verdict append rides the same guard
+    * (at-least-once redelivery skips both).
+    */
+  def startSemanticDedupMaintain(vecs: DataFrame, storeDir: String,
+      centroidsDir: String, verdictsDir: String, checkpointDir: String,
+      threshold: Double = 0.92, nlist: Int = 16): StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        BucketStore.recover(storeDir)
+        val b = batch.toDF()
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .distinct().cache()
+        if (b.count() > 0 && BucketStore.appliedBatchId(storeDir) < batchId) {
+          val cents = graft.operators.Similarity.loadCentroids(spark, centroidsDir)
+          graft.operators.Similarity
+            .semanticDedupTick(spark, storeDir, cents, b, threshold, nlist, batchId)
+            .write.mode("append").parquet(verdictsDir)
         }
         b.unpersist()
         ()

@@ -406,6 +406,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cosMismatch === 0)
   }
 
+  test("substring dedup: a shared verbatim passage yields exactly its window count") {
+    import spark.implicits._
+    // a 10-token verbatim quote embedded in two otherwise-different
+    // docs shares exactly 10-8+1 = 3 of the 8-token windows; doc 3
+    // shares nothing
+    val quote = "the quick brown fox jumps over the lazy sleeping dog"
+    val docs = Seq(
+      1L -> s"alpha beta gamma delta $quote epsilon zeta eta theta",
+      2L -> s"one two three four five six $quote seven eight nine ten",
+      3L -> "completely different text with no overlap at all in any window of eight")
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedupOf(docs, k = 8, minShared = 2, dfCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 3L)))
+    // minShared prunes a single-window coincidence
+    val one = Dedup.substringDedupOf(docs, k = 10, minShared = 2, dfCap = 100)
+    assert(one.count() === 0) // the quote is exactly 10 tokens: 1 shared window < 2
+  }
+
+  test("substring dedup dfCap only drops boilerplate-hot windows (capped ≡ uncapped here)") {
+    val docs = Tables.documents(spark, sf)
+    val capped = Dedup.substringDedupOf(docs, k = 8, minShared = 2, dfCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val uncapped = Dedup.substringDedupOf(docs, k = 8, minShared = 2, dfCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped === uncapped)
+    assert(capped.nonEmpty) // the corpus's exact copies share all their windows
+  }
+
+  test("pq two-stage knn recalls the exact brute-force top-k via ADC tables") {
+    val brute = Similarity.knnBrute(spark, sf, nQueries = 5, k = 10)
+      .select("query_id", "neighbor_id", "cos")
+    val pq = Similarity.knnPq(spark, sf, nQueries = 5, k = 10)
+      .select("query_id", "neighbor_id", "cos")
+    val bruteSet = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqRows = pq.collect()
+    val recall = pqRows.count(r => bruteSet.contains((r.getLong(0), r.getLong(1)))).toDouble / bruteSet.size
+    assert(recall >= 0.9, s"pq recall $recall")
+    // survivors are re-ranked with the SAME exact cosine as brute force
+    val cosMismatch = pq.join(
+        brute.withColumnRenamed("cos", "bcos"), Seq("query_id", "neighbor_id"))
+      .filter(col("cos") =!= col("bcos")).count()
+    assert(cosMismatch === 0)
+  }
+
   test("IVF results are a subset of the brute-force ranking universe") {
     val brute = Similarity.knnBrute(spark, sf, nQueries = 3, k = 50)
       .select("query_id", "neighbor_id")
@@ -413,5 +458,90 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("query_id", "neighbor_id")
     // every IVF hit is a real corpus vector scored the same way
     assert(ivf.join(brute, Seq("query_id", "neighbor_id"), "left_anti").count() < 15)
+  }
+
+  test("semantic dedup: keep-lowest-id within cluster, moderate-cos spread survives") {
+    import spark.implicits._
+    // 3 orthogonal blobs in R^27: blob b points along e_b, member i
+    // adds 0.5·e_{3+b*8+i} on its OWN noise dim — so every intra-blob
+    // pair has cosine EXACTLY 1/1.25 = 0.8 (< threshold 0.92: genuine
+    // same-topic spread that must survive), inter-blob cosine 0.
+    val d = 27
+    def vec(base: Int, noiseDim: Int, noiseAmp: Double): Seq[Double] =
+      Seq.tabulate(d)(j =>
+        (if (j == base) 1.0 else 0.0) + (if (j == noiseDim) noiseAmp else 0.0))
+    val blobs = for (b <- 0 until 3; i <- 0 until 8)
+      yield ((b * 8 + i).toLong, vec(b, 3 + b * 8 + i, 0.5))
+    // planted EXACT copies of blob 0 (ids +1000: the copy is the
+    // higher id, so the keeper rule must drop the copy, never the
+    // original), plus one NEAR copy (same noise dim, amp 0.6 →
+    // cos ≈ 0.997) of member 8 in blob 1
+    val copies = (for (i <- 0 until 8) yield ((1000 + i).toLong, vec(0, 3 + i, 0.5))) :+
+      (1100L, vec(1, 3 + 8, 0.6))
+    val vecs = (blobs ++ copies).toDF("vec_id", "v")
+    val out = Similarity.semanticDedupOn(spark, vecs, threshold = 0.92, nlist = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size === blobs.size + copies.size)
+    // every original survives; every planted copy is dropped
+    blobs.foreach { case (id, _) => assert(out(id), s"original $id dropped") }
+    copies.foreach { case (id, _) => assert(!out(id), s"copy $id kept") }
+  }
+
+  test("semantic dedup store rung: seed + tick equal the batch keeper rule under the frozen quantizer") {
+    import spark.implicits._
+    // the blob fixture again, ids arranged so an id-ordered 24/rest
+    // split puts every copy in the DELTA and every original in the
+    // seed — the regime where arrival-order == id-order and tick
+    // verdicts must EQUAL the batch rule under the seed's centroids
+    val d = 27
+    def vec(base: Int, noiseDim: Int, noiseAmp: Double): Seq[Double] =
+      Seq.tabulate(d)(j =>
+        (if (j == base) 1.0 else 0.0) + (if (j == noiseDim) noiseAmp else 0.0))
+    val blobs = for (b <- 0 until 3; i <- 0 until 8)
+      yield ((b * 8 + i).toLong, vec(b, 3 + b * 8 + i, 0.5))
+    val copies = (for (i <- 0 until 8) yield ((1000 + i).toLong, vec(0, 3 + i, 0.5))) :+
+      (1100L, vec(1, 3 + 8, 0.6))
+    val root = java.nio.file.Files.createTempDirectory("semdedup_store").toString
+    val seedVerdicts = Similarity.seedSemanticStore(spark,
+      blobs.toDF("vec_id", "v"), root + "/store", root + "/cents",
+      threshold = 0.92, nlist = 3)
+    val tickVerdicts = Similarity.semanticDedupTick(spark, root + "/store",
+      Similarity.loadCentroids(spark, root + "/cents"),
+      copies.toDF("vec_id", "v"), threshold = 0.92, nlist = 3, batchId = 0L)
+    val got = seedVerdicts.unionByName(tickVerdicts)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    // expected: the BATCH keeper rule over the full corpus assigned
+    // under the SAME frozen seed centroids
+    val full = (blobs ++ copies).toDF("vec_id", "v")
+    val expected = Similarity.semanticVerdicts(
+      Similarity.assignClusters(Similarity.withVecNorm(spark, full),
+          Similarity.loadCentroids(spark, root + "/cents"))
+        .select(col("vec_id"), col("v"), col("norm"), col("cluster")),
+      threshold = 0.92)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(got === expected)
+    // and the tick found the cross-seed/tick copies
+    copies.foreach { case (id, _) =>
+      assert(got.exists(t => t._1 == id && !t._3), s"copy $id kept") }
+  }
+
+  test("registered dedup_semantic_store matches the batch planted-recall contract") {
+    val out = Similarity.semanticDedupStore(spark, sf)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.count() === n + 50)
+    val droppedPlants = out.filter(col("vec_id") >= 1000000L && !col("keep")).count()
+    assert(droppedPlants >= 45, s"only $droppedPlants/50 planted copies dropped")
+  }
+
+  test("registered dedup_semantic drops the planted jittered copies at >= 0.9 recall") {
+    val out = Similarity.semanticDedup(spark, sf)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.count() === n + 50)
+    // the 50 planted copies (ids 1000000+i, 1% jitter → cos ≈ 0.9999
+    // to their originals) land in the originals' clusters and must be
+    // dropped by the keeper rule; kmeans boundary straddles bound the
+    // miss rate like the LSH family's recall gates
+    val droppedPlants = out.filter(col("vec_id") >= 1000000L && !col("keep")).count()
+    assert(droppedPlants >= 45, s"only $droppedPlants/50 planted copies dropped")
   }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Similarity
 import graft.streaming.DocStream
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -330,6 +331,73 @@ class NearDupStoreSpec extends AnyFunSuite {
     graft.operators.Dedup.compactPairLog(spark, dir, upTo = 3)
     assert(dirNames === Set("compact-3"))
     assert(readSet === Set(p0, p1, p2, p3))
+  }
+
+  test("semantic dedup maintainer: seed ∪ tick verdicts ≡ batch keeper rule, replay no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("semdedup_mv").toString
+
+    // 3 orthogonal blobs (ids 0-23, cluster-separable); ticks append
+    // jittered copies whose ids are all HIGHER — arrival-order ==
+    // id-order, so the maintainer must reproduce the batch rule
+    val d = 27
+    def vec(base: Int, noiseDim: Int, noiseAmp: Double): Seq[Double] =
+      Seq.tabulate(d)(j =>
+        (if (j == base) 1.0 else 0.0) + (if (j == noiseDim) noiseAmp else 0.0))
+    val seed = (for (b <- 0 until 3; i <- 0 until 8)
+      yield ((b * 8 + i).toLong, vec(b, 3 + b * 8 + i, 0.5))).toSeq
+    val seedVerdicts = Similarity.seedSemanticStore(spark,
+      seed.toDF("vec_id", "v"), root + "/store", root + "/cents",
+      threshold = 0.92, nlist = 3)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(seedVerdicts.size === 24 && seedVerdicts.values.forall(identity))
+
+    val input = MemoryStream[VecIngest]
+    val q = streaming.DocStream.startSemanticDedupMaintain(
+      input.toDF(), root + "/store", root + "/cents", root + "/verdicts",
+      root + "/ckpt", threshold = 0.92, nlist = 3)
+    def ticked = spark.read.parquet(root + "/verdicts")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+
+    // tick 1: a near copy of seed 0 (drop) and a genuinely new vector
+    // (keep); within-batch double delivery of the copy
+    input.addData(VecIngest(1000L, vec(0, 3, 0.6)), VecIngest(1000L, vec(0, 3, 0.6)),
+      VecIngest(1001L, vec(0, 26, 0.5)))
+    q.processAllAvailable()
+    assert(ticked === Map(1000L -> false, 1001L -> true))
+
+    // tick 2: a near copy of TICK 1's kept vector — cross-tick drop
+    input.addData(VecIngest(1002L, vec(0, 26, 0.6)))
+    q.processAllAvailable()
+    q.stop()
+    assert(ticked === Map(1000L -> false, 1001L -> true, 1002L -> false))
+
+    // the verdicts ∪ store equal the batch keeper rule over the whole
+    // corpus under the frozen seed centroids
+    val corpus = seed ++ Seq(1000L -> vec(0, 3, 0.6), 1001L -> vec(0, 26, 0.5),
+      1002L -> vec(0, 26, 0.6))
+    val expected = Similarity.semanticVerdicts(
+      Similarity.assignClusters(
+          Similarity.withVecNorm(spark, corpus.toDF("vec_id", "v")),
+          Similarity.loadCentroids(spark, root + "/cents"))
+        .select(col("vec_id"), col("v"), col("norm"), col("cluster")),
+      threshold = 0.92)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(seedVerdicts ++ ticked === expected)
+
+    // replay guard: a restarted stream redelivering an old batch id
+    // leaves store marker and verdict log unchanged
+    val markerBefore = streaming.BucketStore.appliedBatchId(root + "/store")
+    val input2 = MemoryStream[VecIngest]
+    val q2 = streaming.DocStream.startSemanticDedupMaintain(
+      input2.toDF(), root + "/store", root + "/cents", root + "/verdicts",
+      root + "/ckpt2", threshold = 0.92, nlist = 3)
+    input2.addData(VecIngest(1000L, vec(0, 3, 0.6)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(streaming.BucketStore.appliedBatchId(root + "/store") === markerBefore)
+    assert(ticked === Map(1000L -> false, 1001L -> true, 1002L -> false))
   }
 }
 
