@@ -268,6 +268,25 @@ object BenchScaleDocs {
       extras("semdedup_planted_total") = 200000L / 40
     }
 
+    // ----- embeddings: PQ/ADC two-stage vs the same brute baseline
+    // m=16 sub-codebooks trained on the content-hash sample; the 2M
+    // corpus is scanned as 16-int codes and scored by per-query
+    // lookup tables — same 64 queries, recall against brute_hits.
+    var pqBooks: Seq[(Int, Int, Seq[Double])] = Seq.empty
+    timedUnit("pq_train_2m") {
+      pqBooks = Similarity.trainPqCodebooks(spark, corpus(), m = 16, ncent = 32)
+    }
+    timedWrite("knn_pq_2m", s"$scaleDir/pq_hits")(
+      Similarity.knnPqOn(spark, corpus(), pqBooks, nQueries = 64, k = 10,
+        m = 16, ncent = 32, oversample = 8))
+    locally {
+      val pqHits = spark.read.parquet(s"$scaleDir/pq_hits")
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val r = bruteHits.count(pqHits.contains).toDouble / math.max(1, bruteHits.size)
+      extras("pq_recall_at10") = f"$r%.4f"
+    }
+
     // ----- documents: text pipeline at 200× ----------------------
     // line-structured variant of the same corpus: tokens chunked into
     // 12-word lines, so the 13-word boilerplate preamble's first 12
@@ -307,6 +326,32 @@ object BenchScaleDocs {
         TextAnalysis.qualityFilterOf(docs))
       extras("quality_kept") = spark.read.parquet(s"$scaleDir/qf")
         .filter(col("kept")).count()
+
+      // cross-doc verbatim window overlap: ~100M 8-token windows as
+      // xxhash64 keys; the 20%-shared boilerplate preamble's windows
+      // sit at df ≈ 200k — the dfCap drops exactly those from
+      // candidate generation (without it the preamble alone emits
+      // ~2·10^10 pairs); exact copies must pair on every window,
+      // near-dups on their unmutated ≥8-token runs
+      timedWrite("substring_1m", s"$scaleDir/substr")(
+        Dedup.substringDedupOf(docs, k = 8, minShared = 2, dfCap = 100))
+      locally {
+        val substr = spark.read.parquet(s"$scaleDir/substr")
+        extras("substr_pairs") = substr.count()
+        extras("substr_planted_exact_found") = substr.filter(
+          col("doc_b") - col("doc_a") === 2 && pmod(col("doc_b"), lit(50)) === 49).count()
+        extras("substr_planted_near_found") = substr.filter(
+          col("doc_b") - col("doc_a") === 1 && pmod(col("doc_b"), lit(50)) === 48).count()
+        extras("substr_planted_total") = extras("n_docs").asInstanceOf[Long] / 50
+      }
+
+      // BPE vocabulary training: the corpus-scale half is the one
+      // distributed word count; the merge loop is driver-side over
+      // the bounded word table
+      timedUnit("bpe_train_1m") {
+        extras("bpe_merges") = graft.operators.Bpe
+          .bpeTrainOf(spark, docs, nMerges = 50, maxWords = 100000).count()
+      }
 
       // fuzzy decontamination: 5% eval carve (50k docs, 800k band
       // rows ride the broadcast), train×eval candidates only. The
@@ -363,6 +408,39 @@ object BenchScaleDocs {
         .map { case (_, h, n) => s"$h:$n" }.mkString("|")
       extras("phash_hist_planted") = histStr(true)
       extras("phash_hist_other") = histStr(false)
+    }
+
+    // ----- audio: spectral-fingerprint near-dup at 100k ----------
+    // 100k synthetic WAVs + a 0.5×-gain re-encode of every 10th
+    // (different bytes, same spectrum): decode+Goertzel is map-side;
+    // the pair join moves 8 band rows per clip. Distinct tones CAN
+    // genuinely pair when their frequencies fall within ~2 of the 32
+    // Hz bands (the detector's documented contract), so precision
+    // evidence is the planted-vs-other hamming histogram, not a zero
+    // count.
+    locally {
+      import spark.implicits._
+      val nClip = 100000L
+      val base = spark.range(0L, nClip, 1L, 64).as[Long]
+        .map(i => graft.multimodal.MmAsset(i, "audio/wav", graft.multimodal.Multimodal.makeWav(i)))
+      val plants = spark.range(0L, nClip, 10L, 64).as[Long]
+        .map(i => graft.multimodal.MmAsset(i + 10000000L, "audio/wav",
+          graft.multimodal.Multimodal.scaleWav(graft.multimodal.Multimodal.makeWav(i), 0.5)))
+      timedWrite("audiofp_100k", s"$scaleDir/audiofp")(
+        graft.multimodal.Multimodal.audioDupsOn(spark, base.union(plants)))
+      val pairs = spark.read.parquet(s"$scaleDir/audiofp")
+      extras("audiofp_pairs") = pairs.count()
+      extras("audiofp_planted_found") = pairs
+        .filter(col("doc_b") - col("doc_a") === 10000000L).count()
+      extras("audiofp_planted_total") = nClip / 10
+      val hist = pairs
+        .withColumn("planted", col("doc_b") - col("doc_a") === 10000000L)
+        .groupBy(col("planted"), col("hamming")).count()
+        .collect().map(r => (r.getBoolean(0), r.getInt(1), r.getLong(2)))
+      def histStr(p: Boolean) = hist.filter(_._1 == p).sortBy(_._2)
+        .map { case (_, h, n) => s"$h:$n" }.mkString("|")
+      extras("audiofp_hist_planted") = histStr(true)
+      extras("audiofp_hist_other") = histStr(false)
     }
 
     // ----- report ------------------------------------------------

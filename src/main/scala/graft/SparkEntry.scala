@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, CorpusPrep, Decontamination, Dedup, ItemCF, Relational, Sampling, SeqPack, Serving, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Bpe, CorpusPrep, Decontamination, Dedup, ItemCF, Relational, Sampling, SeqPack, Serving, Similarity, TextAnalysis}
 import graft.recommender.Als
 import graft.multimodal.Multimodal
 
@@ -80,6 +80,7 @@ object SparkEntry {
     "dedup_simhash_store" -> ((s, d) => Dedup.simhashIncrementalStore(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_substring"     -> ((s, d) => Dedup.substringDedup(s, d)),
+    "dedup_substring_inc" -> ((s, d) => Dedup.substringDedupIncremental(s, d)),
     // the exact tick is deterministic → the one HASH-GATED near-dup
     // tick (oracle recomputes the delta-touching pair set from scratch)
     "dedup_ngram_inc"     -> ((s, d) => Dedup.ngramJaccardIncremental(s, d)),
@@ -126,6 +127,11 @@ object SparkEntry {
     "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "dedup_semantic_store" -> ((s, d) => Similarity.semanticDedupStore(s, d)),
     // — text analysis —
+    // BPE subword vocabulary: train = one distributed word count +
+    // bounded-table merge loop; encode = map-side with broadcast
+    // ranks (rows-only; the merge recursion is not SQL-expressible)
+    "text_bpe_train"  -> ((s, d) => Bpe.bpeTrain(s, d)),
+    "text_bpe_encode" -> ((s, d) => Bpe.bpeEncode(s, d)),
     "text_quality"     -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_tokens"      -> ((s, d) => TextAnalysis.termFrequencies(s, d)),
     "text_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -908,6 +914,25 @@ object SparkEntry {
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / u, 4) AS jaccard
         |FROM p WHERE round(CAST(i AS DOUBLE) / u, 4) >= 0.8""".stripMargin,
+
+    "dedup_substring_inc" ->
+      """WITH nn AS (SELECT CAST(floor(0.8 * count(*)) AS BIGINT) AS cut FROM documents),
+        |p AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 3),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS l FROM p
+        |      WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+7], ' ') AS win
+        |      FROM t, UNNEST(generate_series(1, len(l) - 7)) AS u(i)),
+        |ok AS (SELECT win FROM g GROUP BY win HAVING count(*) <= 100),
+        |f AS (SELECT g.doc_id, g.win FROM g JOIN ok USING (win)),
+        |d AS (SELECT f.doc_id, f.win FROM f, nn WHERE f.doc_id >= nn.cut),
+        |pr AS (SELECT DISTINCT least(d.doc_id, f.doc_id) AS doc_a,
+        |         greatest(d.doc_id, f.doc_id) AS doc_b, d.win
+        |       FROM d JOIN f ON d.win = f.win AND d.doc_id <> f.doc_id)
+        |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS shared_windows
+        |FROM pr GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     // the dfCap (<= 100 docs) and minShared (>= 2 windows) knobs are
     // mirrored EXACTLY between the Spark plan and this SQL

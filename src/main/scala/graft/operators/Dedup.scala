@@ -1255,19 +1255,57 @@ object Dedup {
   /** Core on an injectable (doc_id, text) corpus — spec entry. */
   private[graft] def substringDedupOf(docs: DataFrame, k: Int,
       minShared: Int, dfCap: Int): DataFrame = {
+    val idx = windowIndex(docs, k, dfCap)
+    idx.as("a").join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+      .filter(col("shared_windows") >= minShared)
+  }
+
+  /** DF-capped inverted window index: per-doc-distinct k-token
+    * windows as xxhash64 keys, windows hotter than `dfCap` dropped
+    * (stop-window list is tiny by construction — broadcast anti-join).
+    */
+  private def windowIndex(docs: DataFrame, k: Int, dfCap: Int): DataFrame = {
     val wins = docs.withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), explode(TextAnalysis.wordGrams(k)).as("win"))
       .distinct()
     val hw = wins.select(col("doc_id"), xxhash64(col("win")).as("h"))
-    // stop-window list: only keys hotter than dfCap — tiny, broadcast
     val hot = hw.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)
       .select(col("h"))
-    val idx = hw.join(broadcast(hot), Seq("h"), "left_anti")
-    idx.as("a").join(idx.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    hw.join(broadcast(hot), Seq("h"), "left_anti")
+  }
+
+  /** The ingest-tick regime of [[substringDedup]] (registered
+    * `dedup_substring_inc`, SQL-oracle hash-gated like
+    * [[ngramJaccardIncremental]]): DELTA docs' windows probe the
+    * corpus window index — base×base pairs never re-form, candidate
+    * work ∝ delta postings. Output: qualifying pairs touching ≥ 1
+    * delta doc. Same exact semantics as the batch operator restricted
+    * to delta-touching pairs (spec-pinned), so the tick payload
+    * composes with the landed pair set by union.
+    */
+  def substringDedupIncremental(spark: SparkSession, sfDir: String, k: Int = 8,
+      minShared: Int = 2, dfCap: Int = 100, baseFrac: Double = 0.8): DataFrame = {
+    // the dupPlantedDocs augmentation (the ngram_inc convention):
+    // planted copies land at id + 10M — always in the delta — so the
+    // tick has guaranteed cross-cut pairs at every SF
+    val docs = dupPlantedDocs(spark, sfDir)
+    val cut = Tables.documents(spark, sfDir)
+      .agg(floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
+    val idx = windowIndex(docs, k, dfCap)
+    val deltaIdx = idx.crossJoin(broadcast(cut))
+      .filter(col("doc_id") >= col("cut")).drop("cut")
+    deltaIdx.as("a").join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        col("a.h").as("h"))
+      .distinct()
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_windows"))
       .filter(col("shared_windows") >= minShared)

@@ -435,6 +435,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(capped.nonEmpty) // the corpus's exact copies share all their windows
   }
 
+  test("substring inc tick equals the batch pairs restricted to delta-touching docs") {
+    val cut = math.floor(Tables.documents(spark, sf).count() * 0.8).toLong
+    val batch = Dedup.substringDedupOf(Dedup.dupPlantedDocs(spark, sf),
+        k = 8, minShared = 2, dfCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = Dedup.substringDedupIncremental(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === batch.filter(p => p._1 >= cut || p._2 >= cut))
+    assert(inc.nonEmpty) // the planted copies land past the cut by construction
+  }
+
   test("pq two-stage knn recalls the exact brute-force top-k via ADC tables") {
     val brute = Similarity.knnBrute(spark, sf, nQueries = 5, k = 10)
       .select("query_id", "neighbor_id", "cos")
