@@ -119,6 +119,7 @@ object SparkEntry {
     // PQ/ADC two-stage ANN (rows-only; codebook k-means not
     // SQL-expressible) — recall + exact-survivor-cosine spec-gated
     "knn_pq"    -> ((s, d) => Similarity.knnPq(s, d)),
+    "knn_ivf_pq" -> ((s, d) => Similarity.knnIvfPq(s, d)),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     // SemDeDup: cluster-bounded semantic dedup at moderate cosine
     // thresholds (rows-only; k-means not SQL-expressible) — the

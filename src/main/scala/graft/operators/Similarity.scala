@@ -135,74 +135,149 @@ object Similarity {
       nQueries, k, m, ncent, oversample)
   }
 
-  /** Per-subspace codebooks on the content-hash sample: m independent
-    * k-means fits, each over the s-th d/m-dim slice. Rows:
-    * (s, cluster, cv).
+  /** Per-subspace codebooks on a bounded content-hash sample: m
+    * independent Lloyd's fits, each over the s-th d/m-dim slice.
+    * Rows: (s, cluster, cv).
+    *
+    * The sample is COLLECTED (the FAISS practice — PQ codebooks
+    * train on an O(10⁴-10⁶) in-memory sample regardless of corpus
+    * size; `trainCap` bounds the pull, the same sanctioned-collect
+    * contract as the O(nlist) centroid reads) and the m fits run as
+    * plain local Lloyd's with deterministic evenly-spaced init —
+    * sub-codebooks are k≤256 centroids in d/m≤8 dims, where an
+    * MLlib fit is ~100% scheduler overhead (measured 42.7 s for
+    * m=16 at 2M vectors vs well under a second of actual math).
+    * Codebooks learn the UNIT-normalized corpus: ADC then
+    * approximates the cosine itself, so the coarse ranking agrees
+    * with the exact re-rank metric instead of the raw dot.
     */
   private[graft] def trainPqCodebooks(spark: SparkSession, c: DataFrame,
-      m: Int, ncent: Int): Seq[(Int, Int, Seq[Double])] = {
+      m: Int, ncent: Int, trainCap: Int = 25000): Seq[(Int, Int, Seq[Double])] = {
     val dim = c.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    // codebooks learn the UNIT-normalized corpus: ADC then
-    // approximates the cosine itself, so the coarse ranking agrees
-    // with the exact re-rank metric instead of the raw dot
-    val sample = c.filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit("40"))
-      .select(expr("transform(v, x -> x / norm)").as("v")).cache()
-    val books = (0 until m).flatMap { s =>
-      val train = sample
-        .select(slice(col("v"), s * sub + 1, sub).as("sv"))
-        .withColumn("fv", array_to_vector(col("sv")))
-      val model = new KMeans().setK(ncent).setSeed(42L + s).setFeaturesCol("fv")
-        .setMaxIter(10).fit(train)
-      model.clusterCenters.zipWithIndex.map { case (vec, i) => (s, i, vec.toArray.toSeq) }
+    val sample = c
+      .withColumn("hk", md5(col("vec_id").cast("string")))
+      .orderBy(col("hk")).limit(trainCap)
+      .select(expr("transform(v, x -> x / norm)").as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    (0 until m).flatMap { s =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      localLloyd(pts, ncent).zipWithIndex
+        .map { case (cv, i) => (s, i, cv.toSeq) }
     }
-    sample.unpersist()
-    books
+  }
+
+  /** Deterministic local Lloyd's: evenly-spaced init over the (hash-
+    * ordered) sample, 10 iterations, empty clusters keep their
+    * previous centroid. Work is n·k·d per iteration — sub-second at
+    * the trainCap bound.
+    */
+  private def localLloyd(pts: Array[Array[Double]], k: Int,
+      iters: Int = 10): Array[Array[Double]] = {
+    val n = pts.length
+    require(n > 0, "empty PQ training sample")
+    val d = pts(0).length
+    val kk = math.min(k, n)
+    var cents = Array.tabulate(kk)(i => pts((i.toLong * n / kk).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](d))
+      val cnts = new Array[Int](kk)
+      var i = 0
+      while (i < n) {
+        val p = pts(i)
+        var best = 0; var bestD = Double.MaxValue
+        var cI = 0
+        while (cI < kk) {
+          val cv = cents(cI)
+          var dist = 0.0; var j = 0
+          while (j < d) { val df = p(j) - cv(j); dist += df * df; j += 1 }
+          if (dist < bestD) { bestD = dist; best = cI }
+          cI += 1
+        }
+        val sAcc = sums(best)
+        var j = 0
+        while (j < d) { sAcc(j) += p(j); j += 1 }
+        cnts(best) += 1
+        i += 1
+      }
+      cents = Array.tabulate(kk) { cI =>
+        if (cnts(cI) == 0) cents(cI)
+        else { val s = sums(cI); Array.tabulate(d)(j => s(j) / cnts(cI)) }
+      }
+      it += 1
+    }
+    // pad (degenerate tiny samples) so callers always see k rows
+    if (kk < k) cents ++ Array.fill(k - kk)(cents(0).clone()) else cents
   }
 
   /** Core over an injectable (vec_id, v, norm) corpus + trained
     * codebooks — spec entry.
     */
-  private[graft] def knnPqOn(spark: SparkSession, c: DataFrame,
-      books: Seq[(Int, Int, Seq[Double])], nQueries: Int, k: Int,
-      m: Int, ncent: Int, oversample: Int): DataFrame = {
-    import spark.implicits._
-    val sub = books.head._3.size
-    // map-side encode: per subspace, argmin over the codebook literal
-    // (||v_sub||² is constant within a row's argmin — dropped); the
-    // corpus-side scan then carries only (vec_id, m-int code)
-    val unit = c.select(col("vec_id"), expr("transform(v, x -> x / norm)").as("v"))
-    val encoded = (0 until m).foldLeft(unit) { (df, s) =>
+  /** Map-side PQ encode: per subspace, argmin over the codebook
+    * literal (||v_sub||² is constant within a row's argmin —
+    * dropped). Expects a UNIT-normalized `v` column; keeps every
+    * other column and adds `code` (m small ints).
+    */
+  private def pqEncode(df: DataFrame, books: Seq[(Int, Int, Seq[Double])],
+      m: Int, sub: Int): DataFrame = {
+    val encoded = (0 until m).foldLeft(df) { (d, s) =>
       val bl = typedLit(books.filter(_._1 == s)
         .map { case (_, i, cv) => (cv, cv.map(x => x * x).sum, i) })
-      df.withColumn("bk", bl)
+      // the subvector slice is hoisted OUT of the per-centroid
+      // transform for explicitness; measured NEUTRAL at 2M vectors
+      // (Catalyst's common-subexpression elimination already shares
+      // the inline slice) — the encode's real cost is the m·ncent
+      // graft_dot argmins, which are the algorithm
+      d.withColumn("sv", expr(s"slice(v, ${s * sub + 1}, $sub)"))
+        .withColumn("bk", bl)
         .withColumn(s"c_$s",
           expr("array_min(transform(bk, b -> struct(" +
-              s"b._2 - 2.0d * graft_dot(slice(v, ${s * sub + 1}, $sub), b._1) AS dist, " +
+              "b._2 - 2.0d * graft_dot(sv, b._1) AS dist, " +
               "b._3 AS code))).code"))
-        .drop("bk")
+        .drop("bk").drop("sv")
     }
-    val codes = encoded
-      .withColumn("code", array((0 until m).map(s => col(s"c_$s")): _*))
-      .select(col("vec_id"), col("code"))
-    // ADC lookup tables, built in Spark: query × broadcast codebook →
-    // per-(subspace, centroid) partial dots, packed into one ordered
-    // array per query (index = s·ncent + centroid id)
+    (0 until m).foldLeft(
+      encoded.withColumn("code", array((0 until m).map(s => col(s"c_$s")): _*))
+    ) { (d, s) => d.drop(s"c_$s") }
+  }
+
+  /** ADC lookup tables, built in Spark: query × broadcast codebook →
+    * per-(subspace, centroid) partial dots, packed into one ordered
+    * array per query (index = s·ncent + centroid id). Expects
+    * (query_id, qv) with qv UNIT-normalized.
+    */
+  private def pqLuts(spark: SparkSession, q: DataFrame,
+      books: Seq[(Int, Int, Seq[Double])], sub: Int): DataFrame = {
+    import spark.implicits._
     val booksDf = books.toDF("s", "cid", "cv")
-    val luts = c.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"),
-        expr("transform(v, x -> x / norm)").as("qv"))
-      .crossJoin(broadcast(booksDf))
+    q.crossJoin(broadcast(booksDf))
       .withColumn("partial", expr(s"graft_dot(slice(qv, s * $sub + 1, $sub), cv)"))
       .groupBy(col("query_id"))
       .agg(expr("transform(array_sort(collect_list(struct(s, cid, partial))), x -> x.partial)")
         .as("lut"))
+  }
+
+  /** Approximate dot via m ADC table lookups — codegen'd builtins. */
+  private def adcExpr(m: Int, ncent: Int): org.apache.spark.sql.Column =
+    expr(s"aggregate(sequence(0, ${m - 1}), cast(0.0 as double), " +
+      s"(acc, i) -> acc + element_at(lut, i * $ncent + element_at(code, i + 1) + 1))")
+
+  private[graft] def knnPqOn(spark: SparkSession, c: DataFrame,
+      books: Seq[(Int, Int, Seq[Double])], nQueries: Int, k: Int,
+      m: Int, ncent: Int, oversample: Int): DataFrame = {
+    val sub = books.head._3.size
+    // the corpus-side scan carries only (vec_id, m-int code)
+    val codes = pqEncode(
+      c.select(col("vec_id"), expr("transform(v, x -> x / norm)").as("v")),
+      books, m, sub).select(col("vec_id"), col("code"))
+    val luts = pqLuts(spark, c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        expr("transform(v, x -> x / norm)").as("qv")), books, sub)
     // stage 1: coarse ADC scores — m table lookups per candidate
     val coarse = codes.join(broadcast(luts), col("vec_id") =!= col("query_id"))
-      .withColumn("approx",
-        expr(s"aggregate(sequence(0, ${m - 1}), cast(0.0 as double), " +
-          s"(acc, i) -> acc + element_at(lut, i * $ncent + element_at(code, i + 1) + 1))"))
+      .withColumn("approx", adcExpr(m, ncent))
       .select(col("query_id"), col("vec_id"), col("approx"))
     val wCoarse = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("vec_id").asc)
@@ -215,6 +290,78 @@ object Similarity {
     val exact = cands
       .join(c.select(col("vec_id"), col("v"), col("norm")), Seq("vec_id"))
       .join(broadcast(qFull), Seq("query_id"))
+      .withColumn("cos", round(expr(dot) / (col("norm") * col("qnorm")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /** IVF+PQ (the Faiss `IVFPQ` composition, and the shape that
+    * actually serves billion-vector corpora): the coarse quantizer
+    * prunes the SCAN to the query's `nprobe` inverted lists, and PQ
+    * codes shrink what that scan READS — compute ∝ nprobe/nlist of
+    * the corpus at ~10 bytes/vector, against [[knnPq]]'s full-corpus
+    * ADC scan and [[ivfSearch]]'s raw-float probed scan. Same
+    * two-stage contract as both parents: ADC-coarse top k·oversample
+    * within the probed lists, exact re-rank of survivors carrying
+    * [[knnBrute]]'s 4-decimal cosine. Both quantizers train on the
+    * content-hash sample; assignment and encoding are map-side; the
+    * rank shuffle carries (query_id, vec_id, approx) only.
+    */
+  def knnIvfPq(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 10,
+               nlist: Int = 8, nprobe: Int = 2, m: Int = 16, ncent: Int = 32,
+               oversample: Int = 8): DataFrame =
+    knnIvfPqOn(spark, corpus(spark, sfDir), nQueries, k, nlist, nprobe,
+      m, ncent, oversample)
+
+  /** Core over an injectable (vec_id, v, norm) corpus — spec /
+    * scale-bench entry.
+    */
+  private[graft] def knnIvfPqOn(spark: SparkSession, rawCorpus: DataFrame,
+      nQueries: Int, k: Int, nlist: Int, nprobe: Int, m: Int, ncent: Int,
+      oversample: Int): DataFrame = {
+    import spark.implicits._
+    val c = rawCorpus.withColumn("fv", array_to_vector(col("v"))).cache()
+    val train = c.filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit("40"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("fv")
+      .setMaxIter(10).fit(train)
+    val assigned = model.transform(c).withColumnRenamed("prediction", "cluster")
+      .select(col("vec_id"), col("v"), col("norm"), col("cluster"))
+    val books = trainPqCodebooks(spark, c, m, ncent)
+    val sub = books.head._3.size
+    val codes = pqEncode(
+      assigned.select(col("vec_id"), col("cluster"),
+        expr("transform(v, x -> x / norm)").as("v")),
+      books, m, sub).select(col("vec_id"), col("cluster"), col("code"))
+
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (vec, i) => (i, vec.toArray) }.toSeq.toDF("cluster", "cv")
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    // probe list: nprobe nearest centroids per query
+    val qc = q.join(broadcast(cents), lit(true))
+      .withColumn("cdist",
+        expr("graft_dot(qv, qv)") + expr("graft_dot(cv, cv)") - lit(2.0) * expr("graft_dot(qv, cv)"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("cdist").asc, col("cluster").asc)
+    val probes = qc.withColumn("pr", row_number().over(wq)).filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cluster"))
+    val luts = pqLuts(spark, q.select(col("query_id"),
+      expr("transform(qv, x -> x / qnorm)").as("qv")), books, sub)
+    // coarse: ADC lookups over ONLY the probed lists' codes
+    val coarse = codes.join(broadcast(probes.join(luts, Seq("query_id"))),
+        Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx", adcExpr(m, ncent))
+      .select(col("query_id"), col("vec_id"), col("approx"))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val cands = coarse.withColumn("crn", row_number().over(wCoarse))
+      .filter(col("crn") <= k * oversample)
+      .select(col("query_id"), col("vec_id"))
+    val exact = cands
+      .join(c.select(col("vec_id"), col("v"), col("norm")), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("cos", round(expr(dot) / (col("norm") * col("qnorm")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
     exact.withColumn("rn", row_number().over(w))

@@ -462,6 +462,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cosMismatch === 0)
   }
 
+  test("IVF+PQ results live in the brute universe; survivors carry the exact cosine") {
+    val brute = Similarity.knnBrute(spark, sf, nQueries = 3, k = 50)
+      .select("query_id", "neighbor_id", "cos")
+    val ivfpq = Similarity.knnIvfPq(spark, sf, nQueries = 3, k = 5)
+      .select("query_id", "neighbor_id", "cos")
+    // probe pruning bounds recall like plain IVF — same subset gate
+    assert(ivfpq.join(brute.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_anti").count() < 15)
+    // survivors that ARE in the brute set carry the identical cosine
+    val mismatch = ivfpq.join(
+        brute.withColumnRenamed("cos", "bcos"), Seq("query_id", "neighbor_id"))
+      .filter(col("cos") =!= col("bcos")).count()
+    assert(mismatch === 0)
+  }
+
   test("IVF results are a subset of the brute-force ranking universe") {
     val brute = Similarity.knnBrute(spark, sf, nQueries = 3, k = 50)
       .select("query_id", "neighbor_id")
