@@ -309,6 +309,40 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("bpe encode is one scan, zero exchanges") {
+    // the SURVEY contract: encoding is map-side (broadcast ranks,
+    // per-word segmentation), so the plan must contain no shuffle
+    val ranks = graft.operators.Bpe.learnMerges(
+      Seq(("low", 5L), ("newest", 6L)), 6).zipWithIndex
+      .map { case ((l, r, _), i) => (l, r) -> i }.toMap
+    val p = plan(graft.operators.Bpe.bpeEncodeOf(spark,
+      Tables.documents(spark, sf), ranks))
+    assert(!p.contains("Exchange"), p.take(3000))
+  }
+
+  test("substring dedup: hot-window drop broadcasts; no cartesian product") {
+    val p = plan(graft.operators.Dedup.substringDedup(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the pair join keys on the 64-bit window hash, never the string
+    assert(p.contains("xxhash64"), p.take(3000))
+  }
+
+  test("pq coarse stage carries only the score triple through the rank shuffle") {
+    val df = graft.operators.Similarity.knnPq(spark, sf, nQueries = 3, k = 5)
+    val p = plan(df)
+    // the window exchange on query_id must not carry the embedding
+    // array or the code array — the r9 narrow-projection rule
+    val exchangeIdx = p.linesIterator.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(query_id"))
+    assert(exchangeIdx >= 0, p.take(3000))
+    val window = p.linesIterator.toSeq
+      .drop(exchangeIdx).take(6).mkString("\n")
+    assert(!window.contains("code") || window.contains("approx"), window)
+    spark.catalog.clearCache()
+  }
+
   test("interactions: exactly one window shuffle implements the upsert") {
     // the is_implicit filter CANNOT push below the latest-wins window
     // (the kept row determines the flag) — but the upsert must cost
