@@ -136,9 +136,16 @@ object Bench {
     // maps, lands it in a "failed" list, and flips the exit code —
     // mirroring Verify's contract.
     val failedQueries = scala.collection.mutable.LinkedHashSet.empty[String]
+    // per-phase timings for the store-lifecycle rungs (seed vs tick vs
+    // search — see PhaseTimer): reset before each rep, keep the LAST
+    // completed rep's phases per query; emitted as "phases" so a
+    // tick-path regression is visible without untangling it from the
+    // seed's noise in the folded wall
+    val phases = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Double]]
     val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         def once(): Double = {
+          PhaseTimer.reset()
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -152,7 +159,10 @@ object Bench {
           // intra-query reuse; drop them between queries or 34 queries'
           // worth of cached blocks pile up and GC-thrash the tail
           spark.catalog.clearCache()
-          if (ok) dt else Double.NaN
+          if (ok) {
+            PhaseTimer.snapshot().get(name).foreach(ph => phases(name) = ph)
+            dt
+          } else Double.NaN
         }
         // per-query warm-up at the smallest SF: the q1_agg warm-up
         // above only touches ITS plan's classes — a heavy query's
@@ -189,7 +199,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"failed":$failedJson,"sf":"$sfDir"}"""
+    val phasesJson = phases.map { case (q, ph) =>
+      "\"" + q + "\":" + ph.toSeq.sortBy(_._1)
+        .map { case (p, t) => "\"" + p + "\":" + f"$t%.3f" }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"phases":$phasesJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // stdout goes through sbt's [info] prefixing, which defeats
     // line-oriented JSON parsing — always also write the bare line to a

@@ -114,6 +114,15 @@ object SparkEntry {
     // queries answered from the read-back index with probe-pruned
     // bucket reads; IvfStoreSpec gates identity with a one-shot index
     "knn_ivf_store" -> ((s, d) => Similarity.ivfStoreSearch(s, d)),
+    // the IVF+PQ lifecycle with PRE-ENCODED codes in the postings
+    // (rows-only; two k-means trainings): quantizer + codebook
+    // artifacts frozen from the base split, postings seeded with
+    // (raw vector, norm, 10-byte code), held-out split ticked in
+    // encode-at-rest, search = probe-pruned bucket reads + ADC over
+    // STORED codes + exact re-rank — the Faiss IVFPQ deployment
+    // shape whose win the r10 measurement proved needs a persisted
+    // index (in-query IVF+PQ 266 s ≈ flat PQ 264 s at 2M vectors)
+    "knn_ivfpq_store" -> ((s, d) => Similarity.ivfPqStoreSearch(s, d)),
     "knn_ivf_drift" -> ((s, d) => Similarity.ivfDriftProbe(s, d)),
     "knn_sq8"   -> ((s, d) => Similarity.knnSq8(s, d)),
     // PQ/ADC two-stage ANN (rows-only; codebook k-means not
@@ -133,6 +142,11 @@ object SparkEntry {
     // ranks (rows-only; the merge recursion is not SQL-expressible)
     "text_bpe_train"  -> ((s, d) => Bpe.bpeTrain(s, d)),
     "text_bpe_encode" -> ((s, d) => Bpe.bpeEncode(s, d)),
+    // the vocabulary-artifact lifecycle: merge table trained once,
+    // PERSISTED, loaded back, corpus encoded from the loaded ranks —
+    // the bloom-artifact shape for the tokenizer; byte-identical to
+    // text_bpe_encode (BpeSpec round-trips it), rows-only
+    "text_bpe_store"  -> ((s, d) => Bpe.bpeEncodeStored(s, d)),
     "text_quality"     -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_tokens"      -> ((s, d) => TextAnalysis.termFrequencies(s, d)),
     "text_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -185,6 +199,11 @@ object SparkEntry {
     // spectral-fingerprint audio dedup (rows-only; binary codec) —
     // planted gain-scaled re-encodes give true dups at every SF
     "mm_audio_dedup" -> ((s, d) => Multimodal.audioDups(s, d)),
+    // temporal-luminance video near-dup (rows-only; binary codec):
+    // per-frame level sequences, shifted-grid-banded delta windows
+    // (deterministic recall for re-encoded AND trimmed copies — the
+    // planted mutation pair), exact best-alignment verify
+    "mm_video_dedup" -> ((s, d) => Multimodal.videoDups(s, d)),
     // — neighborhood (item-item) collaborative filtering —
     "q_item_cooc"    -> ((s, d) => ItemCF.cooccurrence(s, d)),
     // measured-skew gate armed with the DERIVED cut (p99.9 ∨ floor):

@@ -271,8 +271,17 @@ object Multimodal extends Serializable {
   private[graft] def aviHeight(seed: Long): Int = 16 + math.floorMod((seed * 2654435761L) >> 7, 49L).toInt
   private[graft] def aviFrameCount(seed: Long): Int = 8 + math.floorMod(seed >> 2, 25L).toInt
   private[graft] def aviFrameLevel(seed: Long, i: Int): Int = {
-    val m = seed * 6364136223846793005L + i.toLong * 1442695040888963407L
-    ((m >>> 16) & 0xff).toInt
+    // full-avalanche finalizer (splitmix64) — the [[makePng]] lesson
+    // applies HERE with teeth: the bare truncated linear sequence
+    // makes every clip the SAME ±104-step arithmetic progression at a
+    // different phase, so any content-honest temporal fingerprint
+    // correctly calls the whole corpus near-duplicates of each other
+    // (measured: cross-seed best-alignment luminance diff hit 0.0)
+    var z = seed * 6364136223846793005L + i.toLong * 1442695040888963407L
+    z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+    z ^= z >>> 27; z *= 0x94d049bb133111ebL
+    z ^= z >>> 31
+    ((z >>> 16) & 0xff).toInt
   }
 
   private def jpegGray(w: Int, h: Int, level: Int): Array[Byte] = {
@@ -307,7 +316,16 @@ object Multimodal extends Serializable {
     */
   private[graft] def makeAvi(seed: Long, fps: Int = 24): Array[Byte] = {
     val w = aviWidth(seed); val h = aviHeight(seed); val n = aviFrameCount(seed)
-    val jpegs = (0 until n).map(i => jpegGray(w, h, aviFrameLevel(seed, i)))
+    buildAvi((0 until n).map(i => jpegGray(w, h, aviFrameLevel(seed, i))), w, h, fps)
+  }
+
+  /** Remux pre-encoded JPEG frames into the AVI container — the
+    * writer half of [[makeAvi]], exposed so spec/plant helpers can
+    * build re-encoded or trimmed variants of an existing clip.
+    */
+  private[graft] def buildAvi(jpegs: Seq[Array[Byte]], w: Int, h: Int,
+      fps: Int = 24): Array[Byte] = {
+    val n = jpegs.length
     val maxFrame = jpegs.map(_.length).max
 
     val avih = new java.io.ByteArrayOutputStream(56)
@@ -377,7 +395,7 @@ object Multimodal extends Serializable {
   /** Mean luminance of one decoded frame in [0, 1]; -1 for an
     * undecodable frame payload.
     */
-  private def frameBrightness(jpeg: Array[Byte]): Float = {
+  private[graft] def frameBrightness(jpeg: Array[Byte]): Float = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
     if (img == null) return -1f
     val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
@@ -833,4 +851,177 @@ object Multimodal extends Serializable {
         .withColumn("hamming", hamming128("fp_a", "fp_b"))
         .filter(col("hamming") <= maxDist)
         .select(col("doc_a"), col("doc_b"), col("hamming")))
+
+  // ----- video near-dup: temporal luminance fingerprint ------------
+  //
+  // The SIXTH detector family. Per-frame SPATIAL hashing (the image
+  // family's dHash) is the wrong signal for video identity: frames of
+  // one clip are often individually low-texture while the clip's
+  // identity lives in how luminance moves over TIME — the published
+  // video-fingerprinting line (Oostveen, Kalker, Haitsma 2002,
+  // "Feature extraction and a database strategy for video
+  // fingerprinting"; Mohan 1998's ordinal signatures) therefore
+  // fingerprints the temporal differential of frame luminance. The
+  // candidate stage here makes that TRIM-ROBUST and DETERMINISTIC:
+  //  - per clip, the decoded mean-luminance sequence (one int per
+  //    frame, 0..255) is the row-store row — ≤ 32 bytes/clip enters
+  //    any shuffle, never pixels;
+  //  - every 5-frame sliding window's 4 luminance DELTAS are
+  //    quantized on TWO interleaved grids (width 32, offset 16) and
+  //    emitted under all 16 grid combinations (band = combination,
+  //    key = hash of the 4 cells). The shifted-grid lemma makes
+  //    recall deterministic, not probabilistic: two deltas within
+  //    w/2 = 16 of each other share a cell in at least one grid, and
+  //    JPEG re-encode moves a uniform frame's level by ≤ ±3 (deltas
+  //    by ≤ 6), so a re-encoded copy shares EVERY window's key under
+  //    the gridmask that aligns — the pigeonhole discipline of
+  //    mm_phash, by construction instead of by band count. A copy
+  //    missing leading frames still shares every surviving window
+  //    (window offsets are not part of the key).
+  //  - verification is EXACT: best-alignment mean absolute luminance
+  //    difference over the two stored sequences (offsets −maxTrim..
+  //    maxTrim, builtin slice/zip_with/aggregate — no UDF), matched
+  //    at ≤ `tol`. Unrelated clips' levels are independent uniforms
+  //    (mean |Δ| ≈ 85), so the margin to tol = 8 is wide on both
+  //    sides (MmVideoSpec measures it).
+  //
+  // 100 TB: decode is embarrassingly parallel and partition-local;
+  // the band shuffle moves 16 keys × (frames − 4) ≈ ~2-3 KB/clip;
+  // candidate work is clips × colliding buckets with the DF cap as
+  // the skew guard — never all-pairs.
+
+  /** Decode a clip payload to its per-frame mean-luminance sequence
+    * (ints 0..255) — the video detector's row store. Corrupt
+    * containers demux to an empty frame list and drop out here; an
+    * individually undecodable frame contributes −255 (never matches).
+    */
+  private[graft] def videoLevelRows(clips: DataFrame): DataFrame = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val frames = demuxAvi(p)
+        (id, frames.map(f => math.round(frameBrightness(f) * 255f)).toArray)
+      })
+      .toDF("doc_id", "levels")
+      .filter(size(col("levels")) >= 5)
+  }
+
+  /** Banded window keys: every 5-frame window's 4 deltas under all 16
+    * shifted-grid combinations. band = gridmask (0..15); key = hash
+    * of the 4 grid cells (window position deliberately excluded —
+    * trim shifts positions, content doesn't move).
+    */
+  private[graft] def videoBands(rows: DataFrame): DataFrame = {
+    def cell(i: Int, bit: String) =
+      s"cast(floor((element_at(levels, w + ${i + 2}) - element_at(levels, w + ${i + 1}) " +
+      s"+ 256 + $bit * 16) / 32) as bigint)"
+    val bits = Seq("pmod(g, 2)", "pmod(g div 2, 2)", "pmod(g div 4, 2)", "pmod(g div 8, 2)")
+    val combined = (0 until 4).map(i => cell(i, bits(i))).reduce((a, b) => s"($a * 64 + $b)")
+    rows.select(col("doc_id"), explode(expr(
+      "flatten(transform(sequence(0, size(levels) - 5), w -> " +
+      s"transform(sequence(0, 15), g -> named_struct('band', g, 'key', xxhash64($combined)))))"
+    )).as("e")).select(col("doc_id"), col("e.band"), col("e.key"))
+  }
+
+  /** Best-alignment mean |Δluminance| between two level sequences as
+    * one builtin-only SQL expression: minimum over offsets −maxTrim..
+    * maxTrim of the mean absolute difference across the overlap
+    * (≥ `minOverlap` frames; shorter overlaps score +∞-ish).
+    */
+  private def alignDiffSql(a: String, b: String, maxTrim: Int, minOverlap: Int): String = {
+    def meanAbs(x: String, y: String, n: String) =
+      s"CASE WHEN $n >= $minOverlap THEN " +
+      s"aggregate(zip_with($x, $y, (p, q) -> abs(p - q)), 0, (acc, x) -> acc + x) " +
+      s"/ cast($n as double) ELSE 1.0e9 END"
+    val pos = meanAbs(
+      s"slice($a, o + 1, least(size($a) - o, size($b)))",
+      s"slice($b, 1, least(size($a) - o, size($b)))",
+      s"least(size($a) - o, size($b))")
+    val neg = meanAbs(
+      s"slice($a, 1, least(size($a), size($b) + o))",
+      s"slice($b, 1 - o, least(size($a), size($b) + o))",
+      s"least(size($a), size($b) + o)")
+    s"array_min(transform(sequence(-$maxTrim, $maxTrim), o -> " +
+    s"CASE WHEN o >= 0 THEN $pos ELSE $neg END))"
+  }
+
+  /** Spec/plant helper: demux, drop the first `trim` frames, decode +
+    * re-encode every remaining frame (JPEG requantization — different
+    * bytes, same content within ±3/255), remux — the video twin of
+    * [[brightenPng]]/[[scaleWav]] plus the trim the other families
+    * don't exercise.
+    */
+  private[graft] def reencodeTrimAvi(payload: Array[Byte], trim: Int,
+      fps: Int = 24): Array[Byte] = {
+    val frames = demuxAvi(payload).drop(trim)
+    val imgs = frames.map(f =>
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f)))
+    val re = imgs.map { img =>
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    buildAvi(re, imgs.head.getWidth, imgs.head.getHeight, fps)
+  }
+
+  /** Temporal-fingerprint video dedup (`mm_video_dedup`) — planted
+    * dups are re-encoded AND trimmed copies (every 10th clip, first
+    * 2 frames dropped), the two mutations byte dedup and per-frame
+    * image dedup both provably miss. Deterministic recall by the
+    * shifted-grid construction; exact alignment verify.
+    */
+  def videoDups(spark: SparkSession, sfDir: String, maxTrim: Int = 3,
+                tol: Double = 8.0, bucketCap: Int = 10000): DataFrame = {
+    import spark.implicits._
+    val clips = Tables.documents(spark, sfDir)
+      .select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions(_.map(id => MmAsset(id, "video/avi", makeAvi(id))))
+    val planted = clips.filter((a: MmAsset) => a.doc_id % 10 == 2)
+      .map(a => MmAsset(a.doc_id + 10000000L, a.mime, reencodeTrimAvi(a.payload, 2)))
+    videoDupsOn(spark, clips.union(planted), maxTrim, tol, bucketCap)
+  }
+
+  /** Core on an injectable asset set — spec / scale-bench entry. */
+  private[graft] def videoDupsOn(spark: SparkSession,
+      clipAssets: org.apache.spark.sql.Dataset[MmAsset],
+      maxTrim: Int = 3, tol: Double = 8.0, bucketCap: Int = 10000): DataFrame = {
+    // cached: decode dominates and three plan branches read the rows
+    // (hot-bucket count, both verify sides) — ≤ 40 B/clip resident
+    val rows = videoLevelRows(clipAssets.toDF()).cache()
+    val bands = graft.operators.Dedup.dropHotBuckets(videoBands(rows), bucketCap)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(rows.select(col("doc_id").as("doc_a"), col("levels").as("la")), Seq("doc_a"))
+      .join(rows.select(col("doc_id").as("doc_b"), col("levels").as("lb")), Seq("doc_b"))
+      .withColumn("align_diff", expr(alignDiffSql("la", "lb", maxTrim, 5)))
+      .filter(col("align_diff") <= tol)
+      .select(col("doc_a"), col("doc_b"), round(col("align_diff"), 2).as("align_diff"))
+  }
+
+  /** The video detector for the generic near-dup store machinery —
+    * the sixth family through [[graft.operators.Dedup.nearDupStoreTick]]
+    * / [[graft.streaming.DocStream.startVideoNearDupMaintain]]; the
+    * continuous rung inherits the batch semantics through the same
+    * seam as the other five.
+    */
+  private[graft] def videoFpDetector(maxTrim: Int = 3,
+      tol: Double = 8.0): graft.operators.Dedup.NearDupDetector =
+    graft.operators.Dedup.NearDupDetector("video_fp", "doc_id", Seq("doc_id", "payload"),
+      videoLevelRows(_),
+      videoBands(_),
+      (cand, rows) => cand
+        .join(rows.select(col("doc_id").as("doc_a"), col("levels").as("la")), Seq("doc_a"))
+        .join(rows.select(col("doc_id").as("doc_b"), col("levels").as("lb")), Seq("doc_b"))
+        .withColumn("align_diff", expr(alignDiffSql("la", "lb", maxTrim, 5)))
+        .filter(col("align_diff") <= tol)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("align_diff"), 2).as("align_diff")))
 }

@@ -151,6 +151,58 @@ object Bpe {
     bpeEncodeOf(spark, docs, merges)
   }
 
+  /** Persist a trained merge table as a tiny parquet artifact —
+    * the tokenizer's [[graft.operators.Decontamination.buildBloomArtifact]]
+    * twin: train ONCE (the corpus-scale word count + driver merge
+    * loop), freeze the result, and let every later encode load it.
+    * The artifact is ≤ `nMerges` rows of (rank, left, right, merged,
+    * pair_count) — driver/broadcast scale by construction.
+    */
+  def buildBpeArtifact(spark: SparkSession, docs: DataFrame, path: String,
+      nMerges: Int = 50, maxWords: Int = 100000): Unit =
+    bpeTrainOf(spark, docs, nMerges, maxWords)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted merge table back as the encode-side rank map.
+    * The collect is bounded by the artifact's nMerges row count —
+    * the same sanctioned pull as the bloom-bytes / centroid loads.
+    */
+  def loadBpeArtifact(spark: SparkSession, path: String): Map[(String, String), Int] =
+    spark.read.parquet(path)
+      .select(col("rank"), col("left"), col("right"))
+      .collect().map(r => ((r.getString(1), r.getString(2)), r.getInt(0))).toMap
+
+  /** Encode against a LOADED artifact — [[bpeEncodeOf]] with the
+    * merge table coming from disk instead of an in-query retrain.
+    */
+  def encodeWithArtifact(spark: SparkSession, docs: DataFrame,
+      artifactPath: String): DataFrame =
+    bpeEncodeOf(spark, docs, loadBpeArtifact(spark, artifactPath))
+
+  /** The vocabulary-artifact LIFECYCLE as a registered query
+    * (`text_bpe_store`): train + persist the merge table, then
+    * encode the corpus from the LOADED artifact — the deployment
+    * regime [[bpeEncode]]'s scaladoc promises ("production would
+    * load persisted merges"), now a first-class rung like the bloom
+    * decontamination artifact. Output is byte-identical to
+    * [[bpeEncode]] at the same knobs (BpeSpec round-trips the
+    * artifact and pins the parity); rows-only — the greedy merge
+    * loop is not SQL-expressible.
+    */
+  def bpeEncodeStored(spark: SparkSession, sfDir: String, nMerges: Int = 50,
+      maxWords: Int = 100000,
+      artifactDir: String = "target/graft-artifacts"): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest((sfDir + s"#bpe$nMerges").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val path = s"$artifactDir/bpe_merges_$digest"
+    graft.PhaseTimer.timed("text_bpe_store", "train") {
+      buildBpeArtifact(spark, docs, path, nMerges, maxWords)
+    }
+    encodeWithArtifact(spark, docs, path)
+  }
+
   /** Core on an injectable corpus + trained ranks — spec entry. */
   private[graft] def bpeEncodeOf(spark: SparkSession, docs: DataFrame,
       ranks: Map[(String, String), Int]): DataFrame = {

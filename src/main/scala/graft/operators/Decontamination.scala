@@ -201,7 +201,9 @@ object Decontamination {
     val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
       .select(col("gram")).distinct()
       .cache()
-    buildBloomArtifact(spark, evalGrams, path, numBits)
+    graft.PhaseTimer.timed("q_decontaminate_store", "seed") {
+      buildBloomArtifact(spark, evalGrams, path, numBits)
+    }
     val bloom = loadBloomArtifact(spark, path)
     // suspects via the loaded artifact (doc granularity), then the
     // exact per-gram verify on only their grams

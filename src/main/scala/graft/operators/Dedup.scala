@@ -149,17 +149,21 @@ object Dedup {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val storeDir = s"$artifactDir/dedup_store_$digest"
-    raw.filter(col("doc_id") < col("cut"))
-      .groupBy(md5(col("text")).as("text_md5"))
-      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
-      .write.mode("overwrite").parquet(storeDir)
-    val store = spark.read.parquet(storeDir)
-    val delta = raw.filter(col("doc_id") >= col("cut"))
-      .select(col("doc_id"), col("text"))
-    val (changes, _) = exactDeltaApplyTracked(store, delta)
-    store.join(changes.select(col("text_md5")), Seq("text_md5"), "left_anti")
-      .unionByName(changes)
-      .write.mode("overwrite").parquet(storeDir + "_applied")
+    graft.PhaseTimer.timed("dedup_exact_store", "seed") {
+      raw.filter(col("doc_id") < col("cut"))
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .write.mode("overwrite").parquet(storeDir)
+    }
+    graft.PhaseTimer.timed("dedup_exact_store", "tick") {
+      val store = spark.read.parquet(storeDir)
+      val delta = raw.filter(col("doc_id") >= col("cut"))
+        .select(col("doc_id"), col("text"))
+      val (changes, _) = exactDeltaApplyTracked(store, delta)
+      store.join(changes.select(col("text_md5")), Seq("text_md5"), "left_anti")
+        .unionByName(changes)
+        .write.mode("overwrite").parquet(storeDir + "_applied")
+    }
     // the applied write consumed the seed store — drop it now; the
     // applied dir IS the lazily returned result and stays until the
     // next run overwrites it
@@ -355,10 +359,12 @@ object Dedup {
       .agg(floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
     val all = minhashSets(spark, dupPlantedDocs(spark, sfDir))
       .crossJoin(broadcast(cut)).cache()
-    all.filter(col("doc_id") < col("cut")).drop("cut")
-      .write.mode("overwrite").parquet(sigDir)
-    minhashBands(all.filter(col("doc_id") < col("cut")).drop("cut"))
-      .write.mode("overwrite").parquet(bandDir)
+    graft.PhaseTimer.timed("dedup_minhash_store", "seed") {
+      all.filter(col("doc_id") < col("cut")).drop("cut")
+        .write.mode("overwrite").parquet(sigDir)
+      minhashBands(all.filter(col("doc_id") < col("cut")).drop("cut"))
+        .write.mode("overwrite").parquet(bandDir)
+    }
     val storeSets = spark.read.parquet(sigDir)
     val storeBands = spark.read.parquet(bandDir)
     val deltaSets = all.filter(col("doc_id") >= col("cut")).drop("cut").cache()
@@ -375,9 +381,11 @@ object Dedup {
       .distinct()
     val out = verifyMinhashPairs(cand,
       storeSets.unionByName(deltaSets), threshold).cache()
-    out.count()
-    deltaSets.write.mode("append").parquet(sigDir)
-    deltaBands.write.mode("append").parquet(bandDir)
+    graft.PhaseTimer.timed("dedup_minhash_store", "tick") {
+      out.count()
+      deltaSets.write.mode("append").parquet(sigDir)
+      deltaBands.write.mode("append").parquet(bandDir)
+    }
     out
   }
 
@@ -770,10 +778,12 @@ object Dedup {
       .agg(floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
     val all = simhashFingerprints(dupPlantedDocs(spark, sfDir))
       .crossJoin(broadcast(cut)).cache()
-    all.filter(col("doc_id") < col("cut")).drop("cut")
-      .write.mode("overwrite").parquet(fpDir)
-    simhashBands(all.filter(col("doc_id") < col("cut")).drop("cut"))
-      .write.mode("overwrite").parquet(bandDir)
+    graft.PhaseTimer.timed("dedup_simhash_store", "seed") {
+      all.filter(col("doc_id") < col("cut")).drop("cut")
+        .write.mode("overwrite").parquet(fpDir)
+      simhashBands(all.filter(col("doc_id") < col("cut")).drop("cut"))
+        .write.mode("overwrite").parquet(bandDir)
+    }
     val storeBands = spark.read.parquet(bandDir)
     val deltaFp = all.filter(col("doc_id") >= col("cut")).drop("cut").cache()
     val deltaBands = simhashBands(deltaFp)
@@ -791,9 +801,11 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .cache()
-    out.count()
-    deltaFp.write.mode("append").parquet(fpDir)
-    deltaBands.write.mode("append").parquet(bandDir)
+    graft.PhaseTimer.timed("dedup_simhash_store", "tick") {
+      out.count()
+      deltaFp.write.mode("append").parquet(fpDir)
+      deltaBands.write.mode("append").parquet(bandDir)
+    }
     out
   }
 
@@ -1146,10 +1158,12 @@ object Dedup {
       .agg(floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
     val all = hyperSets(plantedCorpus(spark, sfDir, nPlant))
       .crossJoin(broadcast(cut)).cache()
-    all.filter(col("vec_id") < col("cut")).drop("cut")
-      .write.mode("overwrite").parquet(sigDir)
-    hyperBands(all.filter(col("vec_id") < col("cut")).drop("cut"))
-      .write.mode("overwrite").parquet(bandDir)
+    graft.PhaseTimer.timed("dedup_embed_lsh_store", "seed") {
+      all.filter(col("vec_id") < col("cut")).drop("cut")
+        .write.mode("overwrite").parquet(sigDir)
+      hyperBands(all.filter(col("vec_id") < col("cut")).drop("cut"))
+        .write.mode("overwrite").parquet(bandDir)
+    }
     val storeSets = spark.read.parquet(sigDir)
     val storeBands = spark.read.parquet(bandDir)
     val deltaSets = all.filter(col("vec_id") >= col("cut")).drop("cut").cache()
@@ -1166,9 +1180,11 @@ object Dedup {
       .distinct()
     val out = verifyCosPairs(cand,
       storeSets.unionByName(deltaSets), threshold).cache()
-    out.count()
-    deltaSets.write.mode("append").parquet(sigDir)
-    deltaBands.write.mode("append").parquet(bandDir)
+    graft.PhaseTimer.timed("dedup_embed_lsh_store", "tick") {
+      out.count()
+      deltaSets.write.mode("append").parquet(sigDir)
+      deltaBands.write.mode("append").parquet(bandDir)
+    }
     out
   }
 
@@ -1252,10 +1268,14 @@ object Dedup {
                      minShared: Int = 2, dfCap: Int = 100): DataFrame =
     substringDedupOf(Tables.documents(spark, sfDir), k, minShared, dfCap)
 
-  /** Core on an injectable (doc_id, text) corpus — spec entry. */
+  /** Core on an injectable (doc_id, text) corpus — spec entry.
+    * `hotMaxRows` overrides the hot-list broadcast gate (specs pin
+    * the shuffled fallback with 0).
+    */
   private[graft] def substringDedupOf(docs: DataFrame, k: Int,
-      minShared: Int, dfCap: Int): DataFrame = {
-    val idx = windowIndex(docs, k, dfCap)
+      minShared: Int, dfCap: Int,
+      hotMaxRows: Long = Hints.DeltaBroadcastMaxRows): DataFrame = {
+    val idx = windowIndex(docs, k, dfCap, hotMaxRows)
     idx.as("a").join(idx.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -1265,10 +1285,19 @@ object Dedup {
   }
 
   /** DF-capped inverted window index: per-doc-distinct k-token
-    * windows as xxhash64 keys, windows hotter than `dfCap` dropped
-    * (stop-window list is tiny by construction — broadcast anti-join).
+    * windows as xxhash64 keys, windows hotter than `dfCap` dropped.
+    * The stop-window list is USUALLY tiny (only keys over dfCap
+    * qualify), but at 100 TB corpus-wide boilerplate can grow it past
+    * a broadcast — so the anti-join side is SIZE-GATED, the
+    * [[TextAnalysis.cleanWithBoiler]] convention: a small list is
+    * collected into a broadcast local relation (and the cache
+    * released either way — no executor storage pinned between
+    * invocations), a huge one degrades to a shuffled anti-join
+    * instead of an OOM. PlanShapeSpec pins both regimes.
     */
-  private def windowIndex(docs: DataFrame, k: Int, dfCap: Int): DataFrame = {
+  private def windowIndex(docs: DataFrame, k: Int, dfCap: Int,
+      hotMaxRows: Long = Hints.DeltaBroadcastMaxRows): DataFrame = {
+    val spark = docs.sparkSession
     val wins = docs.withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), explode(TextAnalysis.wordGrams(k)).as("win"))
@@ -1276,8 +1305,16 @@ object Dedup {
     val hw = wins.select(col("doc_id"), xxhash64(col("win")).as("h"))
     val hot = hw.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)
-      .select(col("h"))
-    hw.join(broadcast(hot), Seq("h"), "left_anti")
+      .select(col("h")).cache()
+    val n = hot.count()
+    val hotSide =
+      if (n <= hotMaxRows) {
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(hot.collect(): _*), hot.schema)
+        hot.unpersist()
+        broadcast(local)
+      } else { hot.unpersist(); hot }
+    hw.join(hotSide, Seq("h"), "left_anti")
   }
 
   /** The ingest-tick regime of [[substringDedup]] (registered

@@ -558,18 +558,23 @@ object ItemCF {
       .select(col("user_id"), col("item_id")).cache()
     val delta = base.filter(col("ts") >= lit(cutoff).cast("date"))
       .select(col("user_id"), col("item_id"))
-    BucketStore.seed(coocCountsOn(old),
-      BucketStore.longBucket(col("item_a"), nBuckets), storeDir, nBuckets)
+    graft.PhaseTimer.timed("q_item_cooc_store", "seed") {
+      BucketStore.seed(coocCountsOn(old),
+        BucketStore.longBucket(col("item_a"), nBuckets), storeDir, nBuckets)
+    }
     val (pairCounts, pairCaches) = deltaPairCountsTracked(old, delta)
     val deltaPairs = pairCounts.cache()
-    val touched = BucketStore.touchedBuckets(deltaPairs.select(
-      pairBucket(col("pk"), nBuckets).as(BucketStore.BucketCol)))
-    val matrix = BucketStore.readBuckets(spark, storeDir, touched, nBuckets)
-    val (changes, mergeCaches) = coocChangesFromPairs(matrix, deltaPairs)
-    BucketStore.applyTick(spark, storeDir,
-      changes.withColumn(BucketStore.BucketCol,
-        BucketStore.longBucket(col("item_a"), nBuckets)),
-      Seq("item_a", "item_b"), batchId = 0L, n = nBuckets)
+    val mergeCaches = graft.PhaseTimer.timed("q_item_cooc_store", "tick") {
+      val touched = BucketStore.touchedBuckets(deltaPairs.select(
+        pairBucket(col("pk"), nBuckets).as(BucketStore.BucketCol)))
+      val matrix = BucketStore.readBuckets(spark, storeDir, touched, nBuckets)
+      val (changes, caches) = coocChangesFromPairs(matrix, deltaPairs)
+      BucketStore.applyTick(spark, storeDir,
+        changes.withColumn(BucketStore.BucketCol,
+          BucketStore.longBucket(col("item_a"), nBuckets)),
+        Seq("item_a", "item_b"), batchId = 0L, n = nBuckets)
+      caches
+    }
     (pairCaches ++ Seq(base, old, deltaPairs) ++ mergeCaches).foreach(_.unpersist())
     BucketStore.readAll(spark, storeDir)
       .filter(col("n_users") >= minUsers)

@@ -193,11 +193,15 @@ object Mutations {
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val storeDir = s"$artifactDir/ratings_cdc_store_$digest"
     val base = graft.Tables.interactions(spark, sfDir).cache()
-    BucketStore.seed(base, BucketStore.longBucket(col("user_id"), nBuckets),
-      storeDir, nBuckets)
+    graft.PhaseTimer.timed("q_ratings_cdc_store", "seed") {
+      BucketStore.seed(base, BucketStore.longBucket(col("user_id"), nBuckets),
+        storeDir, nBuckets)
+    }
     val batch = cdcDemoBatch(base, nBuckets).cache()
-    graft.streaming.EventStream.cdcMergeTick(spark, storeDir, batch,
-      batchId = 0L, nBuckets = nBuckets)
+    graft.PhaseTimer.timed("q_ratings_cdc_store", "tick") {
+      graft.streaming.EventStream.cdcMergeTick(spark, storeDir, batch,
+        batchId = 0L, nBuckets = nBuckets)
+    }
     base.unpersist(); batch.unpersist()
     BucketStore.readAll(spark, storeDir)
       .select(col("user_id"), col("item_id"), col("rating"), col("is_implicit"),

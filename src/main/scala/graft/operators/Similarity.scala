@@ -123,16 +123,75 @@ object Similarity {
     * scale, trained on the content-hash sample like every quantizer
     * here; encoding is map-side; the corpus-side scan carries only
     * (vec_id, code); the rank shuffle carries (query_id, vec_id,
-    * approx) — the r9 narrow-projection rule. Recall is spec-gated
-    * ≥0.9 at k=10 (measured 0.98 at the m=16/ncent=32/8× defaults
-    * on the label-clustered test corpus; PQ's distortion-vs-memory
-    * trade — raise `ncent`/`oversample` to buy recall with bytes).
+    * approx) — the r9 narrow-projection rule.
+    *
+    * Recall is a function of the knobs AND the corpus size: at the
+    * old fixed m=16/ncent=32/8× knobs the small label-clustered test
+    * corpus measures 0.98 recall@10, but 2M vectors measure 0.56
+    * (BENCH_scale_docs `pq_recall_at10` — the quantization cells get
+    * denser as the corpus grows while the codebook stays fixed, so
+    * ADC rank errors inside a cell explode). The measured recovery
+    * curve at 2M: oversample 32 → 0.87 at equal wall, ncent 128 →
+    * 0.94. So `ncent`/`oversample` DEFAULT TO SCALE-DERIVED values
+    * ([[derivePqNcent]]/[[derivePqOversample]] — one cheap corpus
+    * count, the derivedHotCut precedent): small corpora keep 32/8,
+    * 2M derives 128/32, and the default-knob caller gets ≥0.9 recall
+    * at every measured shape instead of silently degraded answers.
+    * Pass explicit knobs to pin the distortion-vs-memory trade.
     */
   def knnPq(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 10,
-            m: Int = 16, ncent: Int = 32, oversample: Int = 8): DataFrame = {
+            m: Int = 16, ncent: Int = -1, oversample: Int = -1): DataFrame = {
     val c = corpus(spark, sfDir).cache()
-    knnPqOn(spark, c, trainPqCodebooks(spark, c, m, ncent),
-      nQueries, k, m, ncent, oversample)
+    val n = c.count() // materializes the cache; the knob-derivation input
+    val nc = if (ncent > 0) ncent else derivePqNcent(n)
+    val os = if (oversample > 0) oversample else derivePqOversample(n)
+    val out = knnPqOn(spark, c, trainPqCodebooks(spark, c, m, nc),
+      nQueries, k, m, nc, os).cache()
+    // eager-materialize the (nQueries·k)-row result, then release the
+    // GB-scale corpus cache — the flagContaminatedFuzzyOf convention;
+    // without it every long-lived bench/gate session pins the corpus
+    // in executor storage for the query's lifetime
+    out.count()
+    c.unpersist()
+    out
+  }
+
+  /** Scale-derived PQ codebook size: ncent grows with the corpus so
+    * per-cell population (and with it ADC's within-cell rank error)
+    * stays roughly flat — n/16384 rounded up to a power of two,
+    * clamped to [32, 256]. Anchored to the measured 2M-vector curve
+    * (BENCH_scale_docs): 32 → recall@10 0.56, 128 → 0.94; 2M derives
+    * 128. 256 tops out the 8-bit code budget and still trains ~100
+    * points/centroid under the 25k sample cap.
+    */
+  private[graft] def derivePqNcent(n: Long): Int =
+    math.min(256, math.max(32, nextPow2(ceilDiv(n, 16384L))))
+
+  /** Scale-derived coarse-stage oversampling: k·oversample ADC
+    * survivors feed the exact re-rank, and the number of true
+    * neighbors displaced below rank k·oversample by ADC noise grows
+    * with corpus density — n/65536 rounded up to a power of two,
+    * clamped to [8, 32] (measured at 2M: 8 → 0.56, 32 → 0.87 at
+    * equal wall; re-rank cost stays ∝ k·oversample, corpus-free).
+    */
+  private[graft] def derivePqOversample(n: Long): Int =
+    math.min(32, math.max(8, nextPow2(ceilDiv(n, 65536L))))
+
+  /** Scale-derived SemDeDup cluster count: ~1k vectors per cluster
+    * (SURVEY's Σ n_c² contract — per-cluster pair work stays flat as
+    * the corpus grows), next power of two, clamped to [16, 65536].
+    * 200k vectors derive 256 — exactly the knob the committed scale
+    * run used by hand.
+    */
+  private[graft] def deriveSemanticNlist(n: Long): Int =
+    math.min(65536, math.max(16, nextPow2(ceilDiv(n, 1000L))))
+
+  private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+
+  private def nextPow2(x: Long): Int = {
+    var p = 1L
+    while (p < x) p <<= 1
+    math.min(p, Int.MaxValue.toLong).toInt
   }
 
   /** Per-subspace codebooks on a bounded content-hash sample: m
@@ -310,19 +369,24 @@ object Similarity {
     * rank shuffle carries (query_id, vec_id, approx) only.
     */
   def knnIvfPq(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 10,
-               nlist: Int = 8, nprobe: Int = 2, m: Int = 16, ncent: Int = 32,
-               oversample: Int = 8): DataFrame =
+               nlist: Int = 8, nprobe: Int = 2, m: Int = 16, ncent: Int = -1,
+               oversample: Int = -1): DataFrame =
     knnIvfPqOn(spark, corpus(spark, sfDir), nQueries, k, nlist, nprobe,
       m, ncent, oversample)
 
   /** Core over an injectable (vec_id, v, norm) corpus — spec /
-    * scale-bench entry.
+    * scale-bench entry. `ncent`/`oversample` ≤ 0 derive from the
+    * corpus count ([[derivePqNcent]]/[[derivePqOversample]], the
+    * [[knnPq]] contract).
     */
   private[graft] def knnIvfPqOn(spark: SparkSession, rawCorpus: DataFrame,
-      nQueries: Int, k: Int, nlist: Int, nprobe: Int, m: Int, ncent: Int,
-      oversample: Int): DataFrame = {
+      nQueries: Int, k: Int, nlist: Int, nprobe: Int, m: Int, ncent0: Int,
+      oversample0: Int): DataFrame = {
     import spark.implicits._
     val c = rawCorpus.withColumn("fv", array_to_vector(col("v"))).cache()
+    val n = c.count() // materializes the cache; knob-derivation input
+    val ncent = if (ncent0 > 0) ncent0 else derivePqNcent(n)
+    val oversample = if (oversample0 > 0) oversample0 else derivePqOversample(n)
     val train = c.filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit("40"))
     val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("fv")
       .setMaxIter(10).fit(train)
@@ -364,9 +428,15 @@ object Similarity {
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cos", round(expr(dot) / (col("norm") * col("qnorm")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    exact.withColumn("rn", row_number().over(w))
+    val out = exact.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
+      .cache()
+    // eager-materialize the tiny result, release the corpus cache
+    // (the knnPq convention — no GB-scale storage pinned post-query)
+    out.count()
+    c.unpersist()
+    out
   }
 
   /** IVF-style ANN: k-means coarse quantizer (MLlib, fixed seed),
@@ -552,6 +622,204 @@ object Similarity {
         col("cluster"))
   }
 
+  // ---------------------------------------------------------------
+  // IVF+PQ persisted index: PRE-ENCODED codes in the postings store.
+  //
+  // The round-10 measurement that motivates this: IN-QUERY IVF+PQ is
+  // NOT faster than flat PQ (266 s vs 264 s at 2M vectors) because
+  // both arms re-encode the full corpus inside the query. The
+  // composition's entire win — compute ∝ (nprobe/nlist) of the corpus
+  // at ~10 code-bytes/vector — only exists when the encode happens
+  // ONCE, at seed/tick time, and searches read codes at rest. That is
+  // the standard Faiss `IVFPQ` deployment shape, and the first thing
+  // a 100 TB ANN user reaches for.
+
+  /** Persist PQ codebooks as a tiny parquet artifact (s, cid, cv) —
+    * the index's second frozen quantizer (the coarse centroids are
+    * the first). m·ncent rows, driver/broadcast scale by
+    * construction.
+    */
+  private[graft] def saveCodebooks(spark: SparkSession,
+      books: Seq[(Int, Int, Seq[Double])], dir: String): Unit = {
+    import spark.implicits._
+    books.toDF("s", "cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  private[graft] def loadCodebooks(spark: SparkSession,
+      dir: String): Seq[(Int, Int, Seq[Double])] =
+    spark.read.parquet(dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .toSeq.sortBy(t => (t._1, t._2))
+
+  /** Map-side encode of (…, v, norm, …) postings rows: adds `code`
+    * (m small ints over the UNIT-normalized vector — the ADC cosine
+    * contract) while KEEPING the raw vector + norm. Codes and raw
+    * vectors live in the same parquet rows but different COLUMNS, so
+    * the coarse scan's (vec_id, cluster, code) projection never
+    * touches the vector bytes — the columnar-refine layout.
+    */
+  private def encodePostings(df: DataFrame, books: Seq[(Int, Int, Seq[Double])],
+      m: Int, sub: Int): DataFrame = {
+    val cols = df.columns
+    val enc = pqEncode(
+      df.withColumnRenamed("v", "rawv")
+        .withColumn("v", expr("transform(rawv, x -> x / norm)")),
+      books, m, sub)
+    enc.drop("v").withColumnRenamed("rawv", "v")
+      .select((cols :+ "code").map(col): _*)
+  }
+
+  /** Seed the IVF+PQ postings store — [[seedIvfStore]] plus the
+    * stored `code` column: assignment AND encoding are map-side
+    * against the two broadcast-literal quantizers, buckets are the
+    * inverted lists, and the corpus-scale encode leaves the query
+    * path for good.
+    */
+  private[graft] def seedIvfPqStore(spark: SparkSession, vectors: DataFrame,
+      storeDir: String, cents: Seq[(Int, Seq[Double])],
+      books: Seq[(Int, Int, Seq[Double])], nlist: Int): Unit = {
+    val m = books.map(_._1).max + 1
+    val sub = books.head._3.size
+    graft.streaming.BucketStore.seed(
+      encodePostings(assignClusters(vectors, cents), books, m, sub),
+      graft.streaming.BucketStore.longBucket(col("cluster"), nlist),
+      storeDir, nlist)
+  }
+
+  /** One IVF+PQ append tick: assign + ENCODE the batch map-side under
+    * both FROZEN quantizers, then the generation-publish apply —
+    * [[ivfAppendTick]]'s contract (including the CDC tombstone
+    * semantics: deletes carry the before-image embedding and are
+    * bucketed by re-derived cluster, never encoded).
+    */
+  private[graft] def ivfPqAppendTick(spark: SparkSession, storeDir: String,
+      cents: Seq[(Int, Seq[Double])], books: Seq[(Int, Int, Seq[Double])],
+      newVectors: DataFrame, batchId: Long, nlist: Int,
+      removedVectors: Option[DataFrame] = None): Unit = {
+    import graft.streaming.BucketStore
+    val m = books.map(_._1).max + 1
+    val sub = books.head._3.size
+    graft.streaming.BucketStore.applyTick(spark, storeDir,
+      encodePostings(assignClusters(newVectors, cents), books, m, sub)
+        .withColumn(BucketStore.BucketCol,
+          BucketStore.longBucket(col("cluster"), nlist)),
+      Seq("vec_id"), batchId = batchId, n = nlist,
+      removed = removedVectors.map(r => assignClusters(r, cents)
+        .withColumn(BucketStore.BucketCol,
+          BucketStore.longBucket(col("cluster"), nlist))
+        .select(col("vec_id"), col(BucketStore.BucketCol))))
+    ()
+  }
+
+  /** Search the persisted IVF+PQ index: probe lists map-side against
+    * the centroid literal, ONLY the probed clusters' buckets read,
+    * and the coarse stage projects ONLY (vec_id, cluster, code) —
+    * parquet column pruning leaves the raw vectors on disk
+    * (IvfStoreSpec pins the ReadSchema) — scoring by ADC table
+    * lookups over codes encoded at SEED time. The exact re-rank
+    * joins the k·oversample survivors back against the same pruned
+    * buckets' (vec_id, v, norm) columns. Per-query work:
+    * (nprobe/nlist)·corpus·m lookups + k·oversample exact dots — no
+    * encode anywhere.
+    */
+  private[graft] def searchIvfPqStore(spark: SparkSession, storeDir: String,
+      cents: Seq[(Int, Seq[Double])], books: Seq[(Int, Int, Seq[Double])],
+      queries: DataFrame, k: Int, nprobe: Int, nlist: Int,
+      oversample: Int): DataFrame = {
+    import graft.streaming.BucketStore
+    graft.functions.VectorFunctions.register(spark)
+    val m = books.map(_._1).max + 1
+    val ncent = books.count(_._1 == 0)
+    val sub = books.head._3.size
+    val probes = queries
+      .withColumn("cents", centsLit(cents))
+      .withColumn("norm2", expr("graft_dot(qv, qv)"))
+      .withColumn("v", col("qv"))
+      .withColumn("ps", expr(s"slice(array_sort($distArr), 1, $nprobe)"))
+      .select(col("query_id"), explode(col("ps.cluster")).as("cluster"))
+    val touched = BucketStore.touchedBuckets(
+      probes.select(col("cluster").as(BucketStore.BucketCol)))
+    val postings = BucketStore.readBuckets(spark, storeDir, touched, nlist)
+    val luts = pqLuts(spark, queries.select(col("query_id"),
+      expr("transform(qv, x -> x / qnorm)").as("qv")), books, sub)
+    // coarse: ADC over STORED codes in the probed lists only
+    val coarse = postings.select(col("vec_id"), col("cluster"), col("code"))
+      .join(broadcast(probes.join(luts, Seq("query_id"))), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx", adcExpr(m, ncent))
+      .select(col("query_id"), col("vec_id"), col("approx"))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val cands = coarse.withColumn("crn", row_number().over(wCoarse))
+      .filter(col("crn") <= k * oversample)
+      .select(col("query_id"), col("vec_id"))
+    // exact re-rank: survivors' raw vectors from the same pruned
+    // buckets (different parquet columns, same files)
+    val exact = cands
+      .join(postings.select(col("vec_id"), col("v"), col("norm")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qv"), col("qnorm"))),
+        Seq("query_id"))
+      .withColumn("cos", round(expr(dot) / (col("norm") * col("qnorm")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /** The IVF+PQ index LIFECYCLE as a registered query
+    * (`knn_ivfpq_store`): coarse quantizer + PQ codebooks trained on
+    * the base split (vec_id % 10 ≠ 7) and frozen to parquet
+    * artifacts, base postings (raw vector + norm + m-int code)
+    * seeded into the cluster-bucketed store, the held-out split
+    * appended as ONE tick (assign + encode map-side under both
+    * frozen quantizers), queries answered from the READ-BACK index.
+    * Rows-only (two k-means trainings — not SQL-expressible);
+    * IvfStoreSpec gates tick ≡ one-shot postings parity, the
+    * full-probe ≡ flat-PQ-ADC recall identity, and the coarse scan's
+    * column pruning. `ncent`/`oversample` ≤ 0 scale-derive from the
+    * corpus count (the [[knnPq]] contract).
+    */
+  def ivfPqStoreSearch(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+      k: Int = 10, nlist: Int = 8, nprobe: Int = 2, m: Int = 16,
+      ncent: Int = -1, oversample: Int = -1,
+      artifactDir: String = "target/graft-artifacts"): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest((sfDir + "#ivfpq").getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val storeDir = s"$artifactDir/ivfpq_store_$digest"
+    val centroidsDir = s"$artifactDir/ivfpq_cents_$digest"
+    val codebooksDir = s"$artifactDir/ivfpq_books_$digest"
+    val c = corpus(spark, sfDir).cache()
+    val n = c.count()
+    val nc = if (ncent > 0) ncent else derivePqNcent(n)
+    val os = if (oversample > 0) oversample else derivePqOversample(n)
+    val base = c.filter(col("vec_id") % 10 =!= 7).select("vec_id", "v", "norm")
+    val delta = c.filter(col("vec_id") % 10 === 7).select("vec_id", "v", "norm")
+    val (cents, books) = graft.PhaseTimer.timed("knn_ivfpq_store", "train") {
+      val ce = trainQuantizer(spark, base, centroidsDir, nlist)
+      val bo = trainPqCodebooks(spark, base, m, nc)
+      saveCodebooks(spark, bo, codebooksDir)
+      (ce, bo)
+    }
+    graft.PhaseTimer.timed("knn_ivfpq_store", "seed") {
+      seedIvfPqStore(spark, base, storeDir, cents, books, nlist)
+    }
+    graft.PhaseTimer.timed("knn_ivfpq_store", "tick") {
+      ivfPqAppendTick(spark, storeDir, loadCentroids(spark, centroidsDir),
+        loadCodebooks(spark, codebooksDir), delta, batchId = 0L, nlist = nlist)
+    }
+    val queries = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val out = graft.PhaseTimer.timed("knn_ivfpq_store", "search") {
+      val o = searchIvfPqStore(spark, storeDir, cents, books, queries,
+        k, nprobe, nlist, os).cache()
+      o.count()
+      o
+    }
+    c.unpersist()
+    out
+  }
+
   // ----- recall-drift probe: when to trigger the rebuild ----------
 
   /** One probe measurement: `sampledRecall` over `nQueries` sampled
@@ -665,7 +933,51 @@ object Similarity {
     */
   private[graft] def rebuildIvfIndex(spark: SparkSession, vectors: DataFrame,
       indexRoot: String, nlist: Int,
-      beforePublish: () => Unit = () => ()): Long = {
+      beforePublish: () => Unit = () => ()): Long =
+    publishIndexVersion(spark, indexRoot, vDir => {
+      val cents = trainQuantizer(spark, vectors, s"$vDir/centroids", nlist)
+      seedIvfStore(spark, vectors, s"$vDir/store", cents, nlist)
+    }, beforePublish)
+
+  /** [[rebuildIvfIndex]] for the IVF+PQ family: re-trains BOTH frozen
+    * quantizers on the current corpus and RE-ENCODES every posting
+    * under the new codebooks — the re-encode a quantizer rebuild
+    * REQUIRES (codes from the old codebooks are meaningless against
+    * LUTs built from the new ones; an index that kept stale codes
+    * would silently score garbage). Same fence / nonce'd version dir
+    * / atomic pointer cutover / retention as the plain family;
+    * resolve with [[resolveIvfPqIndex]].
+    */
+  private[graft] def rebuildIvfPqIndex(spark: SparkSession, vectors: DataFrame,
+      indexRoot: String, nlist: Int, m: Int = 16, ncent: Int = -1,
+      beforePublish: () => Unit = () => ()): Long =
+    publishIndexVersion(spark, indexRoot, vDir => {
+      val nc = if (ncent > 0) ncent else derivePqNcent(vectors.count())
+      val cents = trainQuantizer(spark, vectors, s"$vDir/centroids", nlist)
+      val books = trainPqCodebooks(spark, vectors, m, nc)
+      saveCodebooks(spark, books, s"$vDir/codebooks")
+      seedIvfPqStore(spark, vectors, s"$vDir/store", cents, books, nlist)
+    }, beforePublish)
+
+  /** Resolve the live IVF+PQ version's (storeDir, centroidsDir,
+    * codebooksDir).
+    */
+  private[graft] def resolveIvfPqIndex(spark: SparkSession,
+      indexRoot: String): (String, String, String) = {
+    val (store, cents) = resolveIvfIndex(spark, indexRoot)
+    (store, cents, store.stripSuffix("/store") + "/codebooks")
+  }
+
+  /** The versioned-root publish protocol shared by every rebuildable
+    * index family here (IVF, IVF+PQ, semantic-dedup): `build` writes
+    * a COMPLETE new version into the nonce'd dir it is handed, then
+    * the fence check + one-small-file pointer overwrite publishes it
+    * atomically; current + previous versions are retained, older
+    * ones (and loser orphans) reclaimed. See [[rebuildIvfIndex]]'s
+    * original commentary for the fence rationale.
+    */
+  private def publishIndexVersion(spark: SparkSession, indexRoot: String,
+      build: String => Unit, beforePublish: () => Unit): Long = {
     val (fs, root) = hadoopFs(spark, indexRoot)
     // fence: same loud-loser protocol as the BucketStore marker — a
     // rebuild snapshots the raw pointer at entry and requires it
@@ -683,8 +995,7 @@ object Similarity {
     val v = v0 + 1L
     val dirName = s"idx-$v-${java.util.UUID.randomUUID().toString.take(8)}"
     val vDir = s"$indexRoot/$dirName"
-    val cents = trainQuantizer(spark, vectors, s"$vDir/centroids", nlist)
-    seedIvfStore(spark, vectors, s"$vDir/store", cents, nlist)
+    build(vDir)
     beforePublish()
     val now = readPointerRaw(spark, indexRoot)
     if (now != fence0)
@@ -819,12 +1130,20 @@ object Similarity {
     val c = corpus(spark, sfDir).cache()
     val base = c.filter(col("vec_id") % 10 =!= 7).select("vec_id", "v", "norm")
     val delta = c.filter(col("vec_id") % 10 === 7).select("vec_id", "v", "norm")
-    val cents = trainQuantizer(spark, base, centroidsDir, nlist)
-    seedIvfStore(spark, base, storeDir, cents, nlist)
-    ivfAppendTick(spark, storeDir, cents, delta, batchId = 0L, nlist = nlist)
+    val cents = graft.PhaseTimer.timed("knn_ivf_drift", "train") {
+      trainQuantizer(spark, base, centroidsDir, nlist)
+    }
+    graft.PhaseTimer.timed("knn_ivf_drift", "seed") {
+      seedIvfStore(spark, base, storeDir, cents, nlist)
+    }
+    graft.PhaseTimer.timed("knn_ivf_drift", "tick") {
+      ivfAppendTick(spark, storeDir, cents, delta, batchId = 0L, nlist = nlist)
+    }
     val queries = delta.orderBy(md5(col("vec_id").cast("string"))).limit(8)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val r = ivfRecallProbe(spark, storeDir, cents, queries, k, nprobe, nlist, threshold)
+    val r = graft.PhaseTimer.timed("knn_ivf_drift", "probe") {
+      ivfRecallProbe(spark, storeDir, cents, queries, k, nprobe, nlist, threshold)
+    }
     c.unpersist()
     Seq((r.sampledRecall, r.nQueries, r.tripped))
       .toDF("sampled_recall", "n_queries", "tripped")
@@ -840,11 +1159,17 @@ object Similarity {
     val c = corpus(spark, sfDir).cache()
     val base = c.filter(col("vec_id") % 10 =!= 7)
     val delta = c.filter(col("vec_id") % 10 === 7)
-    val cents = trainQuantizer(spark, base, centroidsDir, nlist)
-    seedIvfStore(spark, base.select(col("vec_id"), col("v"), col("norm")),
-      storeDir, cents, nlist)
-    ivfAppendTick(spark, storeDir, loadCentroids(spark, centroidsDir),
-      delta.select(col("vec_id"), col("v"), col("norm")), batchId = 0L, nlist = nlist)
+    val cents = graft.PhaseTimer.timed("knn_ivf_store", "train") {
+      trainQuantizer(spark, base, centroidsDir, nlist)
+    }
+    graft.PhaseTimer.timed("knn_ivf_store", "seed") {
+      seedIvfStore(spark, base.select(col("vec_id"), col("v"), col("norm")),
+        storeDir, cents, nlist)
+    }
+    graft.PhaseTimer.timed("knn_ivf_store", "tick") {
+      ivfAppendTick(spark, storeDir, loadCentroids(spark, centroidsDir),
+        delta.select(col("vec_id"), col("v"), col("norm")), batchId = 0L, nlist = nlist)
+    }
     val queries = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val out = searchIvfStore(spark, storeDir, cents, queries, k, nprobe, nlist)
@@ -880,16 +1205,23 @@ object Similarity {
     * `q_quality_filter`'s first-fail column.
     */
   def semanticDedup(spark: SparkSession, sfDir: String, nPlant: Int = 50,
-                    threshold: Double = 0.92, nlist: Int = 16): DataFrame = {
+                    threshold: Double = 0.92, nlist: Int = -1): DataFrame = {
     val vecs = Dedup.plantedCorpus(spark, sfDir, nPlant)
       .select(col("vec_id"), col("embedding").as("v"))
     semanticDedupOn(spark, vecs, threshold, nlist)
   }
 
-  /** Core on an injectable (vec_id, v) frame — spec entry. */
+  /** Core on an injectable (vec_id, v) frame — spec entry. `nlist`
+    * ≤ 0 derives from the corpus count ([[deriveSemanticNlist]] —
+    * ~1k vectors/cluster, the Σ n_c² contract): the registered
+    * default stays test-SF-sized at test SF and grows to the scale
+    * run's hand-picked 256 at 200k vectors without operator
+    * intervention.
+    */
   private[graft] def semanticDedupOn(spark: SparkSession, vecs: DataFrame,
-      threshold: Double, nlist: Int): DataFrame = {
+      threshold: Double, nlist0: Int): DataFrame = {
     val c = withVecNorm(spark, vecs)
+    val nlist = if (nlist0 > 0) nlist0 else deriveSemanticNlist(c.count())
     // quantizer trained on the same content-hash sample regime as
     // [[trainQuantizer]] (sample >> centroids, never a full pass)
     val train = c.filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit("40"))
@@ -968,10 +1300,20 @@ object Similarity {
     * lower-id arrival — with id-ordered ingest (the registered
     * query's split) this is EXACTLY the batch rule, spec-pinned.
     * Returns the delta verdicts (vec_id, cluster, keep).
+    *
+    * `verdictsDir`, when set, lands the tick's verdicts at
+    * `verdictsDir/batch=<id>` BEFORE the store publishes — the pair-
+    * log ordering of [[graft.operators.Dedup.nearDupStoreTick]]: the
+    * marker is the LAST thing a tick moves, so "marker advanced" ⇒
+    * the verdicts landed too. A crash in between re-runs the tick on
+    * replay and the overwrite rewrites identical content (the log is
+    * idempotent); the inverse order (append after publish) would let
+    * a crash in the window permanently lose a batch's verdicts — the
+    * redelivery is skipped by the applied-batch guard.
     */
   private[graft] def semanticDedupTick(spark: SparkSession, storeDir: String,
       cents: Seq[(Int, Seq[Double])], delta: DataFrame, threshold: Double,
-      nlist: Int, batchId: Long): DataFrame = {
+      nlist: Int, batchId: Long, verdictsDir: Option[String] = None): DataFrame = {
     import graft.streaming.BucketStore
     val d = assignClusters(withVecNorm(spark, delta), cents)
       .select(col("vec_id"), col("v"), col("norm"), col("cluster")).cache()
@@ -999,6 +1341,8 @@ object Similarity {
         not(coalesce(col("dropFlag"), lit(false))).as("keep"))
       .cache()
     verdicts.count()
+    verdictsDir.foreach(dir =>
+      verdicts.write.mode("overwrite").parquet(s"$dir/batch=$batchId"))
     BucketStore.applyTick(spark, storeDir,
       d.join(verdicts.select(col("vec_id"), col("keep")), Seq("vec_id"))
         .withColumn(BucketStore.BucketCol,
@@ -1017,7 +1361,7 @@ object Similarity {
     * under the seed's frozen centroids.
     */
   def semanticDedupStore(spark: SparkSession, sfDir: String, nPlant: Int = 50,
-      threshold: Double = 0.92, nlist: Int = 16, baseFrac: Double = 0.8,
+      threshold: Double = 0.92, nlist: Int = -1, baseFrac: Double = 0.8,
       artifactDir: String = "target/graft-artifacts"): DataFrame = {
     val vecs = Dedup.plantedCorpus(spark, sfDir, nPlant)
       .select(col("vec_id"), col("embedding").as("v"))
@@ -1029,10 +1373,115 @@ object Similarity {
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val storeDir = s"$artifactDir/semdedup_store_$runId"
     val centroidsDir = s"$artifactDir/semdedup_cents_$runId"
-    val seedVerdicts = seedSemanticStore(spark, base, storeDir, centroidsDir,
-      threshold, nlist)
-    val tickVerdicts = semanticDedupTick(spark, storeDir,
-      loadCentroids(spark, centroidsDir), delta, threshold, nlist, batchId = 0L)
+    // nlist ≤ 0 derives from the BASE count — the seed freezes it
+    // into the store's bucket count, and every later tick recovers it
+    // as loadCentroids(..).size (the quantizer artifact IS the bucket
+    // contract), never re-derives from a grown corpus
+    val nl = if (nlist > 0) nlist else deriveSemanticNlist(base.count())
+    val seedVerdicts = graft.PhaseTimer.timed("dedup_semantic_store", "seed") {
+      seedSemanticStore(spark, base, storeDir, centroidsDir, threshold, nl)
+    }
+    val cents = loadCentroids(spark, centroidsDir)
+    val tickVerdicts = graft.PhaseTimer.timed("dedup_semantic_store", "tick") {
+      semanticDedupTick(spark, storeDir,
+        cents, delta, threshold, cents.size, batchId = 0L)
+    }
     seedVerdicts.unionByName(tickVerdicts)
   }
+
+  // ----- semantic dedup: quantizer-drift probe + versioned rebuild --
+
+  /** One keeper-recall probe measurement for the semantic store. */
+  case class SemanticProbeResult(keeperRecall: Double, nQueries: Int,
+      tripped: Boolean) {
+    override def toString: String =
+      f"semanticProbe[keeperRecall=$keeperRecall%.3f queries=$nQueries tripped=$tripped]"
+  }
+
+  /** Keeper-recall drift probe for the semantic store's FROZEN
+    * quantizer — the gap the IVF family closed with [[ivfRecallProbe]]
+    * and this family lacked: distribution shift against frozen
+    * centroids silently splits true duplicate pairs across cluster
+    * boundaries, and the cluster-bounded pair join then KEEPS both
+    * copies with no signal anywhere. The probe measures exactly that
+    * miss channel: for each probe query (a sampled tick vector), does
+    * any LOWER-id stored vector reach `threshold` cosine (a true
+    * duplicate the keeper rule should have dropped it for), and if
+    * so, does at least one such duplicate share the query's assigned
+    * cluster (the only ones [[semanticVerdicts]] can see)?
+    * keeperRecall = same-cluster-covered queries / queries with any
+    * qualifying duplicate; queries with no over-threshold neighbor
+    * contribute NO evidence, and an empty evidence set reports 1.0
+    * untripped (the [[ivfRecallProbe]] convention).
+    *
+    * Cost: one store scan broadcast-joined against the tiny query
+    * sample — no bucket reads, no window. At 100 TB hash-gate the
+    * truth side with `corpusFraction` (uniform-subcorpus recall is an
+    * unbiased drift signal) and probe every N ticks
+    * ([[SemanticProbeConfig]]).
+    */
+  private[graft] def semanticDriftProbe(spark: SparkSession, storeDir: String,
+      cents: Seq[(Int, Seq[Double])], queries: DataFrame, threshold: Double,
+      floor: Double, corpusFraction: Double = 1.0): SemanticProbeResult = {
+    graft.functions.VectorFunctions.register(spark)
+    val all = graft.streaming.BucketStore.readAll(spark, storeDir)
+    val stored =
+      if (corpusFraction >= 1.0) all
+      else {
+        val gate = f"${(corpusFraction * 256).toInt}%02x"
+        all.filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit(gate))
+      }
+    val q = assignClusters(withVecNorm(spark, queries), cents)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("cluster").as("qcluster"))
+    // qualifying duplicates: lower-id stored vectors at >= threshold
+    // cosine; hit = any of them in the query's own cluster
+    val perQuery = stored.join(broadcast(q), col("vec_id") < col("qid"))
+      .withColumn("cos",
+        round(expr("graft_dot(v, qv)") / (col("norm") * col("qnorm")), 4))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("qid"))
+      .agg(max(when(col("cluster") === col("qcluster"), 1).otherwise(0)).as("hit"))
+    val agg = perQuery.agg(
+      avg(col("hit").cast("double")).as("recall"),
+      count(lit(1)).as("nq")).collect()(0)
+    val recall = if (agg.isNullAt(0)) 1.0 else agg.getDouble(0)
+    SemanticProbeResult(recall, agg.getLong(1).toInt, tripped = recall < floor)
+  }
+
+  /** Probe policy for
+    * [[graft.streaming.DocStream.startSemanticDedupMaintain]] — the
+    * [[IvfProbeConfig]] shape: every `everyNTicks` ticks, `sample`
+    * hash-chosen vectors of the tick become probe queries (fresh data
+    * is where frozen-quantizer drift shows first), keeper recall is
+    * measured and logged with the tick stats; a reading below `floor`
+    * fires `onDrift` — the operator's signal to stop the maintainer,
+    * run [[rebuildSemanticIndex]] (versioned-root cutover, readers
+    * never block), and restart against the resolved dirs.
+    */
+  case class SemanticProbeConfig(sample: Int = 8, floor: Double = 0.9,
+      everyNTicks: Int = 1, corpusFraction: Double = 1.0,
+      onDrift: (Long, SemanticProbeResult) => Unit = (_, _) => ())
+
+  /** Versioned REBUILD for the semantic-dedup store — what the drift
+    * probe's `onDrift` schedules: re-train the quantizer on the full
+    * corpus handed in (typically the landed store rows ∪ backlog),
+    * recompute every verdict batch-style (id order = arrival order —
+    * a rebuild is allowed to revisit old keep decisions, that is its
+    * point), seed a complete new `idx-<v>/{centroids,store}` version,
+    * and cut over with the shared fence/pointer protocol
+    * ([[rebuildIvfIndex]]'s — resolve with [[resolveIvfIndex]]).
+    * `nlist` ≤ 0 re-derives from the CURRENT corpus count — the
+    * rebuild is exactly where the Σ n_c² contract gets re-trued as
+    * the corpus grows.
+    */
+  private[graft] def rebuildSemanticIndex(spark: SparkSession, vectors: DataFrame,
+      indexRoot: String, threshold: Double, nlist: Int = -1,
+      beforePublish: () => Unit = () => ()): Long =
+    publishIndexVersion(spark, indexRoot, vDir => {
+      val nl = if (nlist > 0) nlist else deriveSemanticNlist(vectors.count())
+      seedSemanticStore(spark, vectors, s"$vDir/store", s"$vDir/centroids",
+        threshold, nl)
+      ()
+    }, beforePublish)
 }

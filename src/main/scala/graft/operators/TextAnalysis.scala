@@ -418,17 +418,21 @@ object TextAnalysis {
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val storeDir = s"$artifactDir/line_store_${digest}_$runId"
-    lineCountsOf(base).write.mode("overwrite").parquet(storeDir)
-    val store = spark.read.parquet(storeDir)
-    val deltaCounts = lineCountsOf(delta).cache()
-    val untouched = store
-      .join(Hints.broadcastIfSmall(deltaCounts.select(col("k"))), Seq("k"), "left_anti")
-    val changes = store
-      .join(Hints.broadcastIfSmall(deltaCounts.select(col("k"))), Seq("k"), "left_semi")
-      .unionByName(deltaCounts)
-      .groupBy(col("k")).agg(sum(col("ndocs")).as("ndocs"))
-    untouched.unionByName(changes)
-      .write.mode("overwrite").parquet(storeDir + "_applied")
+    graft.PhaseTimer.timed("text_line_dedup_store", "seed") {
+      lineCountsOf(base).write.mode("overwrite").parquet(storeDir)
+    }
+    graft.PhaseTimer.timed("text_line_dedup_store", "tick") {
+      val store = spark.read.parquet(storeDir)
+      val deltaCounts = lineCountsOf(delta).cache()
+      val untouched = store
+        .join(Hints.broadcastIfSmall(deltaCounts.select(col("k"))), Seq("k"), "left_anti")
+      val changes = store
+        .join(Hints.broadcastIfSmall(deltaCounts.select(col("k"))), Seq("k"), "left_semi")
+        .unionByName(deltaCounts)
+        .groupBy(col("k")).agg(sum(col("ndocs")).as("ndocs"))
+      untouched.unionByName(changes)
+        .write.mode("overwrite").parquet(storeDir + "_applied")
+    }
     // the applied write consumed the seed — drop it; the applied dir
     // IS the store until the next run overwrites it
     val seedPath = new org.apache.hadoop.fs.Path(storeDir)

@@ -152,6 +152,24 @@ object DocStream {
     startBandedMaintain(clips, _ => graft.multimodal.Multimodal.audioFpDetector(maxDist),
       fpDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap)
 
+  /** The VIDEO rung — sixth family through the same generic tick:
+    * each micro-batch of (doc_id, payload) AVI rows is demuxed and
+    * luminance-sequenced map-side
+    * ([[graft.multimodal.Multimodal.videoFpDetector]] — only the
+    * per-frame level sequences, ≤ 32 B/clip, enter the stores),
+    * shifted-grid-banded against the landed corpus, and verified with
+    * the exact best-alignment luminance difference. Seed with
+    * [[graft.operators.Dedup.seedNearDupStores]] over the same
+    * detector; same crash/replay story as the other five.
+    */
+  def startVideoNearDupMaintain(clips: DataFrame, rowsDir: String, bandDir: String,
+                                pairsDir: String, checkpointDir: String,
+                                nBuckets: Int = BucketStore.DefaultBuckets,
+                                maxTrim: Int = 3, tol: Double = 8.0,
+                                bucketCap: Int = 10000): StreamingQuery =
+    startBandedMaintain(clips, _ => graft.multimodal.Multimodal.videoFpDetector(maxTrim, tol),
+      rowsDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap)
+
   /** The shared maintainer loop behind all three detectors. The band
     * store's marker is the LAST thing a tick moves, so "band store
     * caught up" ⇒ the whole tick (pairs included) landed; anything
@@ -342,10 +360,19 @@ object DocStream {
     *                      the threshold fires `onDrift`, the signal to
     *                      schedule a [[graft.operators.Similarity.rebuildIvfIndex]]
     *                      (see IvfProbeConfig for the 100 TB cost knobs)
+    * @param codebooksDir  set ⇒ the index is IVF+PQ: ticks ENCODE each
+    *                      batch map-side under the frozen PQ codebooks
+    *                      at this path and the postings carry `code`
+    *                      ([[graft.operators.Similarity.seedIvfPqStore]]
+    *                      seeds it; searches go through
+    *                      `searchIvfPqStore`); quantizer staleness then
+    *                      rebuilds via `rebuildIvfPqIndex`, which
+    *                      re-encodes everything
     */
   def startIvfMaintain(vecs: DataFrame, storeDir: String, centroidsDir: String,
                        checkpointDir: String, nlist: Int,
-                       probe: Option[graft.operators.Similarity.IvfProbeConfig] = None): StreamingQuery =
+                       probe: Option[graft.operators.Similarity.IvfProbeConfig] = None,
+                       codebooksDir: Option[String] = None): StreamingQuery =
     vecs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -367,10 +394,17 @@ object DocStream {
         if (b.count() > 0 && BucketStore.appliedBatchId(storeDir) < batchId) {
           val cents = graft.operators.Similarity.loadCentroids(spark, centroidsDir)
           val ups = b.filter(col("op") === "upsert").drop("op")
-          graft.operators.Similarity.ivfAppendTick(spark, storeDir, cents,
-            ups, batchId, nlist,
-            removedVectors =
-              if (hasOp) Some(b.filter(col("op") === "delete").drop("op")) else None)
+          val removed =
+            if (hasOp) Some(b.filter(col("op") === "delete").drop("op")) else None
+          codebooksDir match {
+            case Some(bd) =>
+              graft.operators.Similarity.ivfPqAppendTick(spark, storeDir, cents,
+                graft.operators.Similarity.loadCodebooks(spark, bd),
+                ups, batchId, nlist, removedVectors = removed)
+            case None =>
+              graft.operators.Similarity.ivfAppendTick(spark, storeDir, cents,
+                ups, batchId, nlist, removedVectors = removed)
+          }
           probe.filter(p => batchId % p.everyNTicks.max(1) == 0).foreach { p =>
             // probe queries = a deterministic hash-sample of THIS
             // tick's upserts: freshly landed vectors are where frozen-
@@ -422,17 +456,26 @@ object DocStream {
     * against the touched clusters of the seen-vector store (bucket
     * pruning — the landed corpus never re-pairs), appended through
     * the generation-publish protocol, and the per-batch verdicts
-    * (vec_id, cluster, keep) are appended to `verdictsDir` as the
-    * decision log. Seed with
+    * (vec_id, cluster, keep) land at `verdictsDir/batch=<id>` as the
+    * decision log (`spark.read.parquet(verdictsDir)` is the
+    * cumulative view). The verdict write happens INSIDE the tick,
+    * BEFORE the store marker moves — the pair-log convention:
+    * "marker advanced" ⇒ the whole tick, verdicts included, landed;
+    * a crash in between replays idempotently (the batch-named
+    * overwrite rewrites identical content). Seed with
     * [[graft.operators.Similarity.seedSemanticStore]]; quantizer
-    * staleness is the IVF family's problem shape — the drift probe /
-    * rebuild cutover applies unchanged. Replay guard: the store
-    * marker gates the tick, the verdict append rides the same guard
-    * (at-least-once redelivery skips both).
+    * staleness is the IVF family's problem shape — see
+    * `SemanticProbeConfig`: the `probe` policy measures keeper
+    * recall per tick and fires `onDrift` below the floor, the signal
+    * to run [[graft.operators.Similarity.rebuildSemanticIndex]]'s
+    * versioned-root cutover. Replay guard: the store marker gates
+    * the tick, and because the verdict write precedes the marker, a
+    * redelivered batch (marker ≥ id) skips both.
     */
   def startSemanticDedupMaintain(vecs: DataFrame, storeDir: String,
       centroidsDir: String, verdictsDir: String, checkpointDir: String,
-      threshold: Double = 0.92, nlist: Int = 16): StreamingQuery =
+      threshold: Double = 0.92, nlist: Int = -1,
+      probe: Option[graft.operators.Similarity.SemanticProbeConfig] = None): StreamingQuery =
     vecs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -444,9 +487,25 @@ object DocStream {
           .distinct().cache()
         if (b.count() > 0 && BucketStore.appliedBatchId(storeDir) < batchId) {
           val cents = graft.operators.Similarity.loadCentroids(spark, centroidsDir)
-          graft.operators.Similarity
-            .semanticDedupTick(spark, storeDir, cents, b, threshold, nlist, batchId)
-            .write.mode("append").parquet(verdictsDir)
+          // nlist ≤ 0: the quantizer artifact IS the bucket contract
+          val nl = if (nlist > 0) nlist else cents.size
+          graft.operators.Similarity.semanticDedupTick(spark, storeDir, cents,
+            b, threshold, nl, batchId, verdictsDir = Some(verdictsDir))
+          // keeper-recall drift probe over a hash-sample of THIS
+          // tick's vectors — fresh data is where frozen-quantizer
+          // drift shows first (the startIvfMaintain convention)
+          probe.filter(p => batchId % p.everyNTicks.max(1) == 0).foreach { p =>
+            val qs = b.orderBy(md5(col("vec_id").cast("string"))).limit(p.sample)
+              .select(col("vec_id"), col("v"))
+            val r = graft.operators.Similarity.semanticDriftProbe(spark,
+              storeDir, cents, qs, threshold, p.floor, p.corpusFraction)
+            log.info(s"$storeDir batch=$batchId $r")
+            if (r.tripped) {
+              log.warn(s"$storeDir batch=$batchId KEEPER-RECALL DRIFT: $r — " +
+                "schedule a rebuildSemanticIndex (versioned-root cutover)")
+              p.onDrift(batchId, r)
+            }
+          }
         }
         b.unpersist()
         ()

@@ -51,6 +51,22 @@ class BpeSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(4) > 0))
   }
 
+  test("artifact lifecycle: persisted merges load back exactly; stored encode ≡ in-query encode") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_art").toString
+    Bpe.buildBpeArtifact(spark, docs, s"$dir/merges")
+    // the loaded rank map is exactly the trained one
+    val loaded = Bpe.loadBpeArtifact(spark, s"$dir/merges")
+    val trained = Bpe.bpeTrain(spark, sf).collect()
+      .map(r => ((r.getString(1), r.getString(2)), r.getInt(0))).toMap
+    assert(loaded === trained)
+    // the registered store rung (build → persist → load → encode) is
+    // byte-identical to the in-query-retrain rung
+    val stored = Bpe.bpeEncodeStored(spark, sf).collect().map(_.toSeq).toSet
+    val direct = Bpe.bpeEncode(spark, sf).collect().map(_.toSeq).toSet
+    assert(stored === direct)
+  }
+
   test("registered text_bpe_encode covers every doc; trained tokens compress chars") {
     val docs = Tables.documents(spark, sf)
     val out = Bpe.bpeEncode(spark, sf)

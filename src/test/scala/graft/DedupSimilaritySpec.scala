@@ -505,7 +505,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val copies = (for (i <- 0 until 8) yield ((1000 + i).toLong, vec(0, 3 + i, 0.5))) :+
       (1100L, vec(1, 3 + 8, 0.6))
     val vecs = (blobs ++ copies).toDF("vec_id", "v")
-    val out = Similarity.semanticDedupOn(spark, vecs, threshold = 0.92, nlist = 3)
+    val out = Similarity.semanticDedupOn(spark, vecs, threshold = 0.92, nlist0 = 3)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(out.size === blobs.size + copies.size)
     // every original survives; every planted copy is dropped
@@ -569,5 +569,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // miss rate like the LSH family's recall gates
     val droppedPlants = out.filter(col("vec_id") >= 1000000L && !col("keep")).count()
     assert(droppedPlants >= 45, s"only $droppedPlants/50 planted copies dropped")
+  }
+
+  test("scale-derived ANN/semantic knobs pin the measured-curve anchors and clamps") {
+    // test-SF shape: small corpora keep the r10 hand-tuned knobs
+    assert(Similarity.derivePqNcent(6000) === 32)
+    assert(Similarity.derivePqOversample(6000) === 8)
+    assert(Similarity.deriveSemanticNlist(550) === 16)
+    // scale anchors: the BENCH_scale_docs recovery-curve points —
+    // 2M vectors derive ncent 128 (measured recall@10 0.94) and
+    // oversample 32 (0.87); 200k vectors derive the nlist 256 the
+    // committed semantic scale run used by hand
+    assert(Similarity.derivePqNcent(2000000L) === 128)
+    assert(Similarity.derivePqOversample(2000000L) === 32)
+    assert(Similarity.deriveSemanticNlist(200000L) === 256)
+    // clamps: the 8-bit code budget tops ncent at 256; oversample
+    // saturates at 32; semantic nlist keeps ~1k vectors/cluster
+    assert(Similarity.derivePqNcent(100000000L) === 256)
+    assert(Similarity.derivePqOversample(100000000L) === 32)
+    assert(Similarity.deriveSemanticNlist(2000000L) === 2048)
+    // derivations are monotone non-decreasing in corpus size
+    val ns = Seq(1L, 1000L, 100000L, 1000000L, 10000000L, 1000000000L)
+    assert(ns.map(Similarity.derivePqNcent) === ns.map(Similarity.derivePqNcent).sorted)
+    assert(ns.map(Similarity.deriveSemanticNlist) === ns.map(Similarity.deriveSemanticNlist).sorted)
   }
 }

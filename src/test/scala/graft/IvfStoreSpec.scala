@@ -299,6 +299,114 @@ class IvfStoreSpec extends AnyFunSuite {
     ()
   }
 
+  test("IVF+PQ store: tick ≡ one-shot postings; full-probe search ≡ flat PQ; coarse scan never reads vectors") {
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_store_spec").toString
+    val nlist = 8; val nQueries = 10; val k = 10; val m = 16; val ncent = 32
+    val oversample = 8
+    graft.functions.VectorFunctions.register(spark)
+    val c = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .cache()
+    val base = c.filter(col("vec_id") % 10 =!= 7).select("vec_id", "v", "norm")
+    val delta = c.filter(col("vec_id") % 10 === 7).select("vec_id", "v", "norm")
+    val queries = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val cents = Similarity.trainQuantizer(spark, base, s"$root/cents", nlist)
+    val books = Similarity.trainPqCodebooks(spark, base, m, ncent)
+    Similarity.saveCodebooks(spark, books, s"$root/books")
+    // the codebook artifact round-trips exactly
+    assert(Similarity.loadCodebooks(spark, s"$root/books") === books)
+
+    // incremental: seed base, tick the held-out split ENCODED at rest
+    val incDir = s"$root/inc"
+    Similarity.seedIvfPqStore(spark, base, incDir, cents, books, nlist)
+    Similarity.ivfPqAppendTick(spark, incDir, cents, books, delta,
+      batchId = 0L, nlist = nlist)
+    // one-shot: the full corpus seeded at once under the SAME quantizers
+    val fullDir = s"$root/full"
+    Similarity.seedIvfPqStore(spark, base.unionByName(delta), fullDir, cents, books, nlist)
+    def postings(dir: String) = graft.streaming.BucketStore.readAll(spark, dir)
+      .select(col("vec_id"), col("cluster"), col("code")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(postings(incDir) === postings(fullDir))
+
+    // search with nprobe = nlist (probe everything) over the stored
+    // codes ≡ the flat-PQ ADC result at equal codebooks/knobs — the
+    // recall contract: persisting the encode changes WHERE codes live,
+    // never what they score
+    val storeHits = Similarity.searchIvfPqStore(spark, incDir, cents, books,
+      queries, k, nprobe = nlist, nlist = nlist, oversample = oversample)
+    val flatHits = Similarity.knnPqOn(spark, c, books, nQueries, k, m, ncent, oversample)
+    def hitSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(hitSet(storeHits) === hitSet(flatHits))
+
+    // the coarse scan's parquet projection: codes, never the vectors —
+    // the reason the index reads ~10 bytes/posting while raw vectors
+    // stay on disk for the survivors-only re-rank
+    val p = Similarity.searchIvfPqStore(spark, incDir, cents, books,
+      queries, k, nprobe = 2, nlist = nlist, oversample = oversample)
+      .queryExecution.executedPlan.toString
+    val codeScans = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("code:array")).toSeq
+    assert(codeScans.nonEmpty, p.take(4000))
+    codeScans.foreach(l => assert(!l.contains("v:array"), l))
+    c.unpersist()
+    ()
+  }
+
+  test("IVF+PQ maintainer + rebuild: streamed encode-at-rest ticks ≡ one-shot; rebuild re-encodes under new codebooks") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_maintain_spec").toString
+    val storeDir = s"$root/store"; val centsDir = s"$root/cents"
+    val booksDir = s"$root/books"
+    val nlist = 8; val m = 16; val ncent = 32
+    graft.functions.VectorFunctions.register(spark)
+    val c = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .cache()
+    val base = c.filter(col("vec_id") % 10 =!= 7).select("vec_id", "v", "norm")
+    val cents = Similarity.trainQuantizer(spark, base, centsDir, nlist)
+    val books = Similarity.trainPqCodebooks(spark, base, m, ncent)
+    Similarity.saveCodebooks(spark, books, booksDir)
+    Similarity.seedIvfPqStore(spark, base, storeDir, cents, books, nlist)
+
+    val input = MemoryStream[VecIngest]
+    val q = streaming.DocStream.startIvfMaintain(
+      input.toDF(), storeDir, centsDir, s"$root/ckpt", nlist,
+      codebooksDir = Some(booksDir))
+    val ingest = c.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id"), col("v"))
+      .collect().map(r => VecIngest(r.getLong(0), r.getSeq[Double](1))).toSeq
+    input.addData(ingest: _*); q.processAllAvailable(); q.stop()
+
+    val fullDir = s"$root/full"
+    Similarity.seedIvfPqStore(spark, c.select("vec_id", "v", "norm"),
+      fullDir, cents, books, nlist)
+    def postings(dir: String) = graft.streaming.BucketStore.readAll(spark, dir)
+      .select(col("vec_id"), col("cluster"), col("code")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(postings(storeDir) === postings(fullDir))
+
+    // versioned rebuild: BOTH quantizers retrained on the full corpus,
+    // every posting re-encoded — stored codes must equal a fresh seed
+    // under the new version's own loaded artifacts
+    Similarity.rebuildIvfPqIndex(spark, c.select("vec_id", "v", "norm"),
+      s"$root/idx", nlist, m, ncent)
+    val (vStore, vCents, vBooks) = Similarity.resolveIvfPqIndex(spark, s"$root/idx")
+    val newBooks = Similarity.loadCodebooks(spark, vBooks)
+    val refDir = s"$root/ref"
+    Similarity.seedIvfPqStore(spark, c.select("vec_id", "v", "norm"), refDir,
+      Similarity.loadCentroids(spark, vCents), newBooks, nlist)
+    assert(postings(vStore) === postings(refDir))
+    c.unpersist()
+    ()
+  }
+
   test("index rebuild publishes by pointer cutover; reader snapshot survives; retention reclaims") {
     val root = java.nio.file.Files.createTempDirectory("ivf_rebuild_spec").toString + "/idx"
     val nlist = 8; val nQueries = 5; val k = 5; val nprobe = 2

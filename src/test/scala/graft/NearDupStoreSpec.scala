@@ -399,6 +399,77 @@ class NearDupStoreSpec extends AnyFunSuite {
     assert(streaming.BucketStore.appliedBatchId(root + "/store") === markerBefore)
     assert(ticked === Map(1000L -> false, 1001L -> true, 1002L -> false))
   }
+
+  test("semantic quantizer drift: boundary-split dup pair trips the keeper-recall probe; rebuild catches it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("semdedup_drift").toString
+    val d = 27
+    def vec(base: Int, noiseDim: Int, noiseAmp: Double): Seq[Double] =
+      Seq.tabulate(d)(j =>
+        (if (j == base) 1.0 else 0.0) + (if (j == noiseDim) noiseAmp else 0.0))
+    // seed: two blobs along e0/e1 — the frozen quantizer (nlist=2)
+    // learns exactly this boundary. 12 members each so the 25%
+    // content-hash training sample keeps >= k points at this scale.
+    val seed = (for (b <- 0 until 2; i <- 0 until 12)
+      yield ((b * 12 + i).toLong, vec(b, 3 + b * 12 + i, 0.5))).toSeq
+    Similarity.seedSemanticStore(spark, seed.toDF("vec_id", "v"),
+      root + "/store", root + "/cents", threshold = 0.92, nlist = 2)
+
+    // drift: a NEW region along e2 arrives, including a true dup pair
+    // (cos = 0.9608 ≥ 0.92) whose members carry tiny OPPOSITE e0/e1
+    // tilts — the stale boundary assigns them to DIFFERENT clusters,
+    // so the cluster-bounded keeper rule silently keeps both
+    val dl = 0.1
+    def boundary(tilt: Double): Seq[Double] =
+      Seq.tabulate(d)(j =>
+        if (j == 2) 1.0 else if (j == 0) tilt else if (j == 1) -tilt else 0.0)
+    val newBlob = (0 until 6).map(i => VecIngest((102 + i).toLong, vec(2, 20 + i, 0.5)))
+    val pair = Seq(VecIngest(100L, boundary(dl)), VecIngest(101L, boundary(-dl)))
+
+    val trips = scala.collection.mutable.ListBuffer.empty[(Long, Similarity.SemanticProbeResult)]
+    val input = MemoryStream[VecIngest]
+    val q = streaming.DocStream.startSemanticDedupMaintain(
+      input.toDF(), root + "/store", root + "/cents", root + "/verdicts",
+      root + "/ckpt", threshold = 0.92,
+      probe = Some(Similarity.SemanticProbeConfig(sample = 8, floor = 0.9,
+        onDrift = (b, r) => trips += ((b, r)))))
+    input.addData(pair ++ newBlob: _*)
+    q.processAllAvailable(); q.stop()
+
+    // the miss happened (both copies kept — the silent failure mode)…
+    val ticked = spark.read.parquet(root + "/verdicts")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(ticked(100L) && ticked(101L), s"expected the split pair kept, got $ticked")
+    // …and the probe caught exactly it
+    assert(trips.map(_._1) === Seq(0L), s"expected the batch-0 probe to trip, got $trips")
+    assert(trips.head._2.keeperRecall < 0.9)
+
+    // the data-driven response: versioned rebuild over the landed
+    // corpus with capacity for the new region — the re-trained
+    // quantizer clusters the pair together and the batch re-verdict
+    // drops the higher id; originals all survive
+    val corpus = streaming.BucketStore.readAll(spark, root + "/store")
+      .select("vec_id", "v")
+    Similarity.rebuildSemanticIndex(spark, corpus, root + "/idx",
+      threshold = 0.92, nlist = 3)
+    val (vStore, _) = Similarity.resolveIvfIndex(spark, root + "/idx")
+    val rebuilt = streaming.BucketStore.readAll(spark, vStore)
+      .select(col("vec_id"), col("keep")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(rebuilt(100L) && !rebuilt(101L),
+      s"rebuild must catch the boundary pair, got keep(100)=${rebuilt(100L)} keep(101)=${rebuilt(101L)}")
+    assert(seed.forall { case (id, _) => rebuilt(id) }, "an original was dropped")
+    // healthy-state probe over the rebuilt index reads green
+    val after = Similarity.semanticDriftProbe(spark, vStore,
+      Similarity.loadCentroids(spark,
+        vStore.stripSuffix("/store") + "/centroids"),
+      (pair.map(p => (p.vec_id, p.embedding)) ++
+        newBlob.map(p => (p.vec_id, p.embedding))).toDF("vec_id", "v"),
+      threshold = 0.92, floor = 0.9)
+    assert(!after.tripped, s"post-rebuild $after")
+    ()
+  }
 }
 
 case class VecIngest(vec_id: Long, embedding: Seq[Double])

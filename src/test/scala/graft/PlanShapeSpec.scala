@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, ItemCF, Relational}
+import graft.operators.{Analytics, Hints, ItemCF, Relational}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Regression guards for the PLAN properties that make these operators
@@ -320,17 +320,63 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p.take(3000))
   }
 
-  test("substring dedup: hot-window drop broadcasts; no cartesian product") {
-    val p = plan(graft.operators.Dedup.substringDedup(spark, sf))
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      p.take(3000))
+  test("substring dedup: no cartesian product; pair join keys on the 64-bit hash") {
+    val df = graft.operators.Dedup.substringDedup(spark, sf)
+    val p = plan(df)
     assert(!p.contains("CartesianProduct"), p.take(3000))
     // the pair join keys on the 64-bit window hash, never the string
-    assert(p.contains("xxhash64"), p.take(3000))
+    // (the hash lives in an aggregate's result projection, which the
+    // executed plan's toString elides — check the analyzed plan)
+    assert(df.queryExecution.analyzed.toString.contains("xxhash64"))
+  }
+
+  test("substring dedup: hot-window anti-join size-gates — broadcast under the cap, shuffled past it, identical rows") {
+    import spark.implicits._
+    // fixture: one 8-token window shared by ALL docs (df 30 > dfCap 10
+    // → the hot list is non-empty, so the anti-join survives
+    // optimization) plus a 9-token run shared by docs 0 and 1 only —
+    // the windows sliding across the 17-token common prefix give the
+    // pair 9 surviving shared windows (starts 1..9; start 0 is hot)
+    val docs = (0 until 30).map { i =>
+      val shared = if (i < 2) " p1 p2 p3 p4 p5 p6 p7 p8 p9" else ""
+      (i.toLong, s"c1 c2 c3 c4 c5 c6 c7 c8$shared u$i v$i w$i x$i y$i z$i t$i s$i")
+    }.toDF("doc_id", "text")
+    def run(gate: Long) = graft.operators.Dedup.substringDedupOf(
+      docs, k = 8, minShared = 2, dfCap = 10, hotMaxRows = gate)
+    def antiLine(p: String) = p.linesIterator.find(_.contains("LeftAnti"))
+      .getOrElse(fail(s"no LeftAnti join in plan:\n${p.take(3000)}"))
+    val under = run(Hints.DeltaBroadcastMaxRows)
+    // under the gate: the collected hot list broadcasts (local relation)
+    assert(antiLine(plan(under)).contains("Broadcast"), antiLine(plan(under)))
+    // past it the operator leaves the join UNHINTED — the optimizer
+    // decides. With auto-broadcast off (the 100 TB situation: a hot
+    // list past the size estimate), the plan degrades to a shuffled
+    // anti-join instead of an OOM.
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val over = run(0L)
+      assert(!antiLine(plan(over)).contains("Broadcast"), antiLine(plan(over)))
+      // both regimes produce the identical pair set
+      val a = under.collect().map(_.toSeq).toSet
+      val b = over.collect().map(_.toSeq).toSet
+      assert(a === b && a === Set(Seq(0L, 1L, 9L)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
   test("pq coarse stage carries only the score triple through the rank shuffle") {
-    val df = graft.operators.Similarity.knnPq(spark, sf, nQueries = 3, k = 5)
+    // the On-core keeps the lazy plan (the registered knnPq eagerly
+    // materializes + caches its tiny result, hiding the plan behind an
+    // InMemoryRelation)
+    graft.functions.VectorFunctions.register(spark)
+    val c = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", org.apache.spark.sql.functions.sqrt(
+        org.apache.spark.sql.functions.expr("graft_dot(v, v)")))
+    val books = graft.operators.Similarity.trainPqCodebooks(spark, c, 16, 32)
+    val df = graft.operators.Similarity.knnPqOn(spark, c, books,
+      nQueries = 3, k = 5, m = 16, ncent = 32, oversample = 8)
     val p = plan(df)
     // the window exchange on query_id must not carry the embedding
     // array or the code array — the r9 narrow-projection rule
