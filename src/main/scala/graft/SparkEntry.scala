@@ -172,6 +172,29 @@ object SparkEntry {
     // PII scrub over deterministically planted emails/phones; the full
     // redacted string is value-gated via md5
     "text_redact"      -> ((s, d) => TextAnalysis.redactPii(s, d)),
+    // Okapi BM25 top-k retrieval for a bounded pseudo-query set:
+    // per-term contributions rounded to the 1e-4 grid BEFORE the sum
+    // so the hash survives FP add order; corpus tf/df restricted to
+    // query terms before any shuffle
+    "text_bm25"       -> ((s, d) => Retrieval.bm25(s, d)),
+    // the index-at-rest lifecycle: postings bucket-partitioned by
+    // token hash, built once, searched with the read pruned to the
+    // query terms' buckets; same oracle (where the tf table lives
+    // changes, what it scores doesn't)
+    "text_bm25_store" -> ((s, d) => Retrieval.bm25Stored(s, d)),
+    // lexical × dense hybrid via reciprocal-rank fusion (k=60): two
+    // rank-capped arms full-outer-joined; fused score = sum of two
+    // IEEE-exact divisions — hash-gated end to end
+    "q_hybrid_rrf"    -> ((s, d) => Retrieval.hybridRrf(s, d)),
+    // DSIR importance resampling: hashed-unigram log-ratio weights +
+    // hash-Gumbel top-frac selection via an in-plan quantile cut;
+    // rows-only (hashed-LM weights have no SQL form), planted
+    // two-vocabulary preference spec-gated in DsirSpec
+    "q_dsir_sample"   -> ((s, d) => Dsir.dsirSample(s, d)),
+    // the λ-table artifact lifecycle: fit once, persist (≤4096 rows),
+    // load, score the batch map-side — rows-only, artifact≡in-query
+    // parity spec-gated
+    "q_dsir_store"    -> ((s, d) => Dsir.dsirStored(s, d)),
     "q_decontaminate"  -> ((s, d) => Decontamination.flagContaminated(s, d)),
     // bloom-prefiltered scale path; identical output (FPs removed by
     // the exact verify join) → gated by the same oracle
@@ -828,6 +851,44 @@ object SparkEntry {
   // batch line-dedup over the full corpus, restricted to the delta
   // slice (doc_id >= floor(0.8 * n)) — the IVM identity both tick
   // rungs must reproduce
+  // Shared BM25 CTE chain (toks → dl → stats → qt → tf → df → w → s):
+  // the q_hybrid_rrf oracle extends it with the dense arm and fusion.
+  // Arithmetic mirrors graft.operators.Retrieval.scoreBm25 operation-
+  // for-operation: (1.2 + 1) kept as an ADD (both engines fold the
+  // same parsed doubles), length normalization associated as
+  // (dl/avgdl * 0.75 + 0.25) * 1.2, per-term w rounded to 4 decimals
+  // BEFORE the per-doc sum, the sum re-rounded.
+  private val Bm25Ctes: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |qt AS (
+      |  SELECT DISTINCT doc_id AS q_id, token FROM (
+      |    SELECT doc_id, unnest((string_split(text, ' '))[1:6]) AS token
+      |    FROM documents WHERE doc_id % 100 = 7 AND doc_id < 5000)),
+      |tf AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM toks
+      |  WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |w AS (
+      |  SELECT qt.q_id, tf.doc_id,
+      |    round(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1) *
+      |      (tf.tf * (1.2 + 1)) /
+      |      (tf.tf + (dl.dl / stats.avgdl * 0.75 + (1 - 0.75)) * 1.2), 4) AS w
+      |  FROM qt JOIN tf ON qt.token = tf.token
+      |    JOIN df ON tf.token = df.token
+      |    JOIN dl ON tf.doc_id = dl.doc_id
+      |    CROSS JOIN stats),
+      |s AS (SELECT q_id, doc_id, round(sum(w), 4) AS score FROM w GROUP BY 1, 2)""".stripMargin
+
+  private val Bm25OracleSql: String =
+    s"""$Bm25Ctes
+       |SELECT q_id, doc_id, score, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score DESC, doc_id ASC) AS rn FROM s)
+       |WHERE rn <= 10""".stripMargin
+
   private val lineDedupDeltaOracle: String =
     """WITH lines AS (
       |  SELECT doc_id, l[i] AS line, i
@@ -1174,6 +1235,43 @@ object SparkEntry {
         |               tf.token ASC) AS rn
         |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
         |WHERE rn <= 3""".stripMargin,
+
+    // BM25: arithmetic mirrored operation-for-operation with the
+    // Spark side (same association, same literal folding — e.g.
+    // (1.2 + 1) stays an ADD so both engines fold the same parsed
+    // doubles); per-term w rounded to the 1e-4 grid BEFORE the sum
+    "text_bm25" -> Bm25OracleSql,
+    // persisting the postings changes where tf lives, not what it
+    // scores — the store rung shares the oracle (the
+    // q_decontaminate_store convention)
+    "text_bm25_store" -> Bm25OracleSql,
+
+    "q_hybrid_rrf" ->
+      s"""$Bm25Ctes,
+         |t AS (
+         |  SELECT q_id, doc_id, rn AS trn FROM (
+         |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, doc_id ASC) AS rn FROM s)
+         |  WHERE rn <= 20),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qv AS (SELECT vec_id AS q_id, v FROM e
+         |       WHERE vec_id % 100 = 7 AND vec_id < 5000),
+         |d AS (
+         |  SELECT q_id, vec_id AS doc_id, vrn FROM (
+         |    SELECT qv.q_id, e.vec_id, row_number() OVER (PARTITION BY qv.q_id
+         |      ORDER BY round(list_cosine_similarity(e.v, qv.v), 4) DESC,
+         |               e.vec_id ASC) AS vrn
+         |    FROM e CROSS JOIN qv)
+         |  WHERE vrn <= 20),
+         |f AS (
+         |  SELECT COALESCE(t.q_id, d.q_id) AS q_id,
+         |    COALESCE(t.doc_id, d.doc_id) AS doc_id,
+         |    COALESCE(1.0 / (60 + t.trn), 0) + COALESCE(1.0 / (60 + d.vrn), 0) AS rrf
+         |  FROM t FULL OUTER JOIN d ON t.q_id = d.q_id AND t.doc_id = d.doc_id)
+         |SELECT q_id, doc_id, round(rrf, 6) AS rrf, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY rrf DESC, doc_id ASC) AS rn FROM f)
+         |WHERE rn <= 10""".stripMargin,
 
     "q_asof_join" ->
       s"""$I, basket AS (

@@ -1,0 +1,247 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse-lexical retrieval over the `documents` corpus: Okapi BM25
+  * (Robertson–Spärck Jones probabilistic weighting, the Lucene/ES
+  * default scorer) plus reciprocal-rank fusion with the dense
+  * (embedding-cosine) arm — the retrieval layer a training-data
+  * pipeline uses for targeted corpus queries ("find documents about
+  * X"), hard-negative mining, and RAG-style context assembly.
+  *
+  * Everything is hash-gated against a DuckDB oracle: per-term BM25
+  * contributions are rounded to the 1e-4 grid BEFORE the per-document
+  * sum, so the (order-dependent) floating add can never flip the
+  * 4-decimal total — sums of ≤ a few dozen 1e-4-grid values carry
+  * ~1e-15 of representation error against a true value ON the grid.
+  * RRF goes further: each fused score is the sum of exactly TWO
+  * IEEE-exact divisions (1/(K+rank)), so it is bit-identical across
+  * engines with no rounding discipline needed at all.
+  *
+  * 100 TB shape: the corpus-scale work is ONE token explode feeding
+  * two aggregates (doc lengths; term frequencies restricted to the
+  * query vocabulary by a broadcast semi-join BEFORE the groupBy — df
+  * and tf are only ever materialized for terms a query mentions).
+  * Scoring then touches only the postings of query terms, and top-k
+  * is a per-query window over (q_id, doc_id, score) triples — the
+  * narrow-projection rule. The index-at-rest lifecycle (`text_bm25_
+  * store`) persists postings bucket-partitioned by token hash so a
+  * query's terms prune the read to their buckets (partition pruning,
+  * the IVF-postings discipline applied to lexical search).
+  */
+object Retrieval {
+
+  /** BM25 tunables — the standard defaults (k1 saturation, b length
+    * normalization) used by Lucene and virtually every IR paper.
+    */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Query-term prefix: a pseudo-query is its document's first
+    * QueryLen tokens (mirrored in the oracle's `[1:QueryLen]` slice).
+    */
+  val QueryLen = 6
+
+  /** Deterministic pseudo-query set: every 100th document (residue 7)
+    * under an absolute id cap, so the query COUNT stays bounded as
+    * the corpus grows — a retrieval workload is "fixed queries
+    * against a growing corpus", not "queries ∝ corpus". The query
+    * text is the doc's first [[QueryLen]] tokens.
+    */
+  def pseudoQueries(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(100)) === 7 && col("doc_id") < 5000)
+      .select(col("doc_id").as("q_id"),
+        slice(split(col("text"), " "), 1, QueryLen).as("qtok"))
+
+  /** (q_id, token) pairs, deduplicated — the query vocabulary. */
+  private def queryTerms(queries: DataFrame): DataFrame =
+    queries.select(col("q_id"), explode(col("qtok")).as("token")).distinct()
+
+  /** Okapi BM25 top-k retrieval — registered as `text_bm25`.
+    * Output: (q_id, doc_id, score, rn), rn the 1-based rank with ties
+    * broken by doc_id (the rounded score makes ranking deterministic
+    * across engines, the tfIdf discipline).
+    */
+  def bm25(spark: SparkSession, sfDir: String, topK: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    bm25Of(docs, pseudoQueries(docs), topK)
+  }
+
+  /** Core on an injectable corpus + query set — spec / bench entry.
+    * `queries` is (q_id, qtok: array<string>).
+    */
+  def bm25Of(docs: DataFrame, queries: DataFrame, topK: Int = 10,
+             k1: Double = K1, b: Double = B): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // corpus stats ride as a broadcast scalar row (no driver collect);
+    // avg over longs is sum/count with the sum exact in double
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qt = queryTerms(queries)
+    val qVocab = qt.select(col("token")).distinct()
+    // restrict the corpus-scale aggregate to query terms BEFORE it
+    // shuffles: tf and df exist only for tokens some query mentions
+    val tf = toks.join(broadcast(qVocab), Seq("token"), "left_semi")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    scoreBm25(tf, dfreq, dl, stats, qt, topK, k1, b)
+  }
+
+  /** The scoring tail shared by the in-query and index-at-rest paths:
+    * per-term Robertson-idf × saturated-tf contributions (rounded to
+    * the 1e-4 grid), summed per (query, doc), ranked per query.
+    */
+  private def scoreBm25(tf: DataFrame, dfreq: DataFrame, dl: DataFrame,
+      stats: DataFrame, qt: DataFrame, topK: Int, k1: Double, b: Double): DataFrame = {
+    val scored = tf
+      .join(broadcast(dfreq), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qt), Seq("token"))
+      // arithmetic shape mirrored OPERATION-FOR-OPERATION in the
+      // DuckDB oracle (same association, same literal folding), so
+      // both engines produce bit-identical doubles before the round
+      .withColumn("w", round(
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + (col("dl") / col("avgdl") * b + (1 - b)) * k1), 4))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(round(sum(col("w")), 4).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("q_id"), col("doc_id"), col("score"), col("rn"))
+  }
+
+  /** Postings-bucket count for the persisted index: query terms prune
+    * the postings read to their hash buckets via partition pruning.
+    */
+  val IndexBuckets = 256
+
+  private def tokenBucket(tok: Column): Column =
+    pmod(xxhash64(tok), lit(IndexBuckets))
+
+  /** Build the BM25 index at rest: postings (doc_id, token, tf)
+    * partitioned by token-hash bucket, doc lengths, and the scalar
+    * stats row — the one-time corpus pass that `bm25FromIndex` then
+    * amortizes across every query batch (the bloom / BPE / IVF
+    * artifact lifecycle applied to lexical retrieval). Unlike the
+    * in-query path the postings here cover the FULL vocabulary — the
+    * index serves arbitrary future queries, and a term's bucket is
+    * known before any read.
+    */
+  def buildBm25Index(docs: DataFrame, dir: String): Unit = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", tokenBucket(col("token")))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/postings")
+    dl.write.mode("overwrite").parquet(s"$dir/doclen")
+    dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Search the persisted index — registered as `text_bm25_store`
+    * (same oracle as `text_bm25`: persisting the postings changes
+    * where the tf table lives, never what it scores). The postings
+    * scan carries a bucket predicate, so only the query terms' hash
+    * partitions are read (pruned-partition spec-pinned); df derives
+    * from the pruned postings, identical to the in-query df by
+    * construction (a term's postings live entirely in one bucket).
+    */
+  def bm25FromIndex(spark: SparkSession, dir: String, queries: DataFrame,
+                    topK: Int = 10, k1: Double = K1, b: Double = B): DataFrame = {
+    val qt = queryTerms(queries)
+    val qVocab = qt.select(col("token")).distinct()
+    val postings = spark.read.parquet(s"$dir/postings")
+      // partition-prune FIRST on the bucket column, then exact-match
+      // tokens within the surviving buckets
+      .join(broadcast(qVocab.select(col("token"),
+        tokenBucket(col("token")).as("bucket"))), Seq("bucket", "token"), "left_semi")
+    val tf = postings.select(col("doc_id"), col("token"), col("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dl = spark.read.parquet(s"$dir/doclen")
+    val stats = spark.read.parquet(s"$dir/stats")
+    scoreBm25(tf, dfreq, dl, stats, qt, topK, k1, b)
+  }
+
+  /** text_bm25_store: build → search round trip on the corpus tables
+    * (the registered demo; production builds once and searches many).
+    * The build phase is PhaseTimer'd so the bench separates the
+    * one-off index cost from the steady-state search wall.
+    */
+  def bm25Stored(spark: SparkSession, sfDir: String, topK: Int = 10,
+                 artifactDir: String = "target/graft-artifacts"): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val dir = s"$artifactDir/bm25_index_$digest"
+    val docs = Tables.documents(spark, sfDir)
+    graft.PhaseTimer.timed("text_bm25_store", "build") {
+      buildBm25Index(docs, dir)
+    }
+    bm25FromIndex(spark, dir, pseudoQueries(docs), topK)
+  }
+
+  /** RRF constant — Cormack–Clarke–Buettcher 2009's k=60. */
+  val RrfK = 60
+
+  /** Per-arm rank depth fused by RRF. */
+  val RrfRankCap = 20
+
+  /** Hybrid retrieval via reciprocal-rank fusion — registered as
+    * `q_hybrid_rrf`: the BM25 (lexical) and embedding-cosine (dense)
+    * top-[[RrfRankCap]] lists for the same query set, fused by
+    * score = Σ_arms 1/(60 + rank). Rank fusion is the standard
+    * zero-tuning hybrid (no score normalization across incomparable
+    * scales — ranks are integers, so the fused score is a sum of two
+    * IEEE-exact divisions and the whole query is hash-gated). The
+    * dense arm keeps self-matches (a query IS its own best evidence
+    * in both arms; the oracle mirrors this). Missing-from-one-arm
+    * docs contribute only their present arm (full outer join).
+    *
+    * 100 TB: each arm is its own measured retrieval (BM25 postings
+    * scan / brute-or-ANN vector scan); the fusion itself joins two
+    * rank-capped lists — Q·RrfRankCap rows per arm regardless of
+    * corpus size.
+    */
+  def hybridRrf(spark: SparkSession, sfDir: String, topK: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+    hybridRrfOf(docs, pseudoQueries(docs), emb, topK)
+  }
+
+  /** Core on injectable corpora — spec / bench entry. `emb` must
+    * carry (vec_id, v: array<double>, norm); dense-arm queries are
+    * the embedding rows whose vec_id matches a q_id.
+    */
+  def hybridRrfOf(docs: DataFrame, queries: DataFrame, emb: DataFrame,
+                  topK: Int = 10): DataFrame = {
+    val text = bm25Of(docs, queries, RrfRankCap)
+      .select(col("q_id"), col("doc_id"), col("rn").as("trn"))
+    val qv = emb.join(broadcast(queries.select(col("q_id"))),
+        col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = emb.crossJoin(broadcast(qv))
+      .withColumn("cos", round(expr("graft_dot(qv, v)") / (col("norm") * col("qnorm")), 4))
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    val vw = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    val dense = scored.withColumn("vrn", row_number().over(vw))
+      .filter(col("vrn") <= RrfRankCap)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("vrn"))
+    val fused = text.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("trn")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK) + col("vrn")), lit(0.0)))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("q_id"), col("doc_id"), round(col("rrf"), 6).as("rrf"), col("rn"))
+  }
+}
