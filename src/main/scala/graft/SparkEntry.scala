@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Bpe, CorpusPrep, Decontamination, Dedup, ItemCF, Relational, Sampling, SeqPack, Serving, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Bpe, CorpusPrep, Decontamination, Dedup, Dsir, ItemCF, Relational, Retrieval, Sampling, SeqPack, Serving, Similarity, TextAnalysis}
 import graft.recommender.Als
 import graft.multimodal.Multimodal
 
