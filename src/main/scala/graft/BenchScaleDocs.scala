@@ -507,13 +507,20 @@ object BenchScaleDocs {
     // ----- video: temporal-fingerprint near-dup at 100k ----------
     // 100k synthetic MJPEG-AVIs (8-32 frames each) + a re-encoded AND
     // 2-frame-trimmed copy of every 10th — the mutation pair byte
-    // dedup and per-frame image dedup both miss. Demux+decode is
-    // map-side; the band shuffle moves 16 shifted-grid keys per
-    // 5-frame window (~2-3 KB/clip); recall is DETERMINISTIC by the
-    // grid construction, so planted_found must equal planted_total
-    // exactly. Precision evidence: the align-diff histograms (planted
-    // mass ≤ ~3, other mass near the random-clip floor ≈ 85 — far
-    // past tol = 8).
+    // dedup and per-frame image dedup both miss. Recall is
+    // DETERMINISTIC by the grid construction, so planted_found must
+    // equal planted_total exactly. Precision is GATED, not narrated
+    // (the r11 artifact's own histogram showed 16,243 of 26,243
+    // emitted pairs non-planted at tol = 8 / minShared = 1 — a 62%
+    // false-discovery rate the old "other mass near the ≈85 floor"
+    // comment talked past): the avalanche generator makes every
+    // non-planted pair a random collision by construction, so the
+    // run REQUIRES non-planted ≤ 5% of emissions under the r12 knobs
+    // (tol = 3 — the re-encode lemma bound, minShared = 2,
+    // minOverlap = 6). Wall-clock split: decode (the dominant,
+    // partition-local term) is PhaseTimer'd apart from the
+    // band/candidate/verify tail so the shuffle-side cost of the 16
+    // gridmasks is measured, not guessed.
     locally {
       import spark.implicits._
       val nVid = 100000L
@@ -525,10 +532,17 @@ object BenchScaleDocs {
       timedWrite("videofp_100k", s"$scaleDir/videofp")(
         graft.multimodal.Multimodal.videoDupsOn(spark, base.union(plants)))
       val pairs = spark.read.parquet(s"$scaleDir/videofp")
-      extras("videofp_pairs") = pairs.count()
-      extras("videofp_planted_found") = pairs
+      val nPairs = pairs.count()
+      val nPlanted = pairs
         .filter(col("doc_b") - col("doc_a") === 10000000L).count()
+      extras("videofp_pairs") = nPairs
+      extras("videofp_planted_found") = nPlanted
       extras("videofp_planted_total") = nVid / 10
+      extras("videofp_false") = nPairs - nPlanted
+      val decodeSec = graft.PhaseTimer.snapshot()
+        .getOrElse("mm_video_dedup", Map.empty)
+        .getOrElse("decode", 0.0)
+      extras("videofp_decode_sec") = math.round(decodeSec * 1000.0) / 1000.0
       val hist = pairs
         .withColumn("planted", col("doc_b") - col("doc_a") === 10000000L)
         .groupBy(col("planted"), ceil(col("align_diff")).as("d")).count()
@@ -537,6 +551,8 @@ object BenchScaleDocs {
         .map { case (_, d, n) => s"$d:$n" }.mkString("|")
       extras("videofp_hist_planted") = histStr(true)
       extras("videofp_hist_other") = histStr(false)
+      require(nPairs - nPlanted <= nPairs / 20,
+        s"videofp precision collapsed: ${nPairs - nPlanted} of $nPairs emitted pairs are non-planted")
     }
 
     // ----- report ------------------------------------------------

@@ -177,11 +177,16 @@ object SparkEntry {
     // so the hash survives FP add order; corpus tf/df restricted to
     // query terms before any shuffle
     "text_bm25"       -> ((s, d) => Retrieval.bm25(s, d)),
-    // the index-at-rest lifecycle: postings bucket-partitioned by
-    // token hash, built once, searched with the read pruned to the
+    // the index-at-rest lifecycle: postings in a token-hash-bucketed
+    // BucketStore, built once, searched with the read pruned to the
     // query terms' buckets; same oracle (where the tf table lives
     // changes, what it scores doesn't)
     "text_bm25_store" -> ((s, d) => Retrieval.bm25Stored(s, d)),
+    // the incremental rung: seed the first 80% id-ordered, tick-append
+    // the rest through applyTick's generation publish, search the
+    // merged index — value-identical to a one-shot build, so the SAME
+    // full-corpus oracle gates it
+    "text_bm25_inc"   -> ((s, d) => Retrieval.bm25Incremental(s, d)),
     // lexical × dense hybrid via reciprocal-rank fusion (k=60): two
     // rank-capped arms full-outer-joined; fused score = sum of two
     // IEEE-exact divisions — hash-gated end to end
@@ -1245,6 +1250,9 @@ object SparkEntry {
     // scores — the store rung shares the oracle (the
     // q_decontaminate_store convention)
     "text_bm25_store" -> Bm25OracleSql,
+    // seed ∪ tick covers every doc and merges to a value-identical
+    // index, so the inc rung shares the full-corpus oracle too
+    "text_bm25_inc" -> Bm25OracleSql,
 
     "q_hybrid_rrf" ->
       s"""$Bm25Ctes,

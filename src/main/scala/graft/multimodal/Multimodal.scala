@@ -878,17 +878,33 @@ object Multimodal extends Serializable {
   //    mm_phash, by construction instead of by band count. A copy
   //    missing leading frames still shares every surviving window
   //    (window offsets are not part of the key).
+  //  - candidates must share ≥ `minShared` DISTINCT (band, key)
+  //    entries (r12): one shared 5-frame window key is 4 cells from
+  //    a ~65k-value space — at 100k+ clips single-key collisions
+  //    explode the candidate set (the r11 scale run measured ~1e9
+  //    joined rows and a 62% false-discovery rate at tol = 8). A
+  //    true copy shares EVERY surviving window's key under the
+  //    aligned gridmask (≥ frames−6 ≥ 2 windows at the generator's
+  //    8-frame floor) and exact-level copies match under all 16
+  //    masks, so the ≥2 gate keeps recall deterministic while
+  //    cutting random-collision candidates quadratically.
   //  - verification is EXACT: best-alignment mean absolute luminance
   //    difference over the two stored sequences (offsets −maxTrim..
   //    maxTrim, builtin slice/zip_with/aggregate — no UDF), matched
-  //    at ≤ `tol`. Unrelated clips' levels are independent uniforms
-  //    (mean |Δ| ≈ 85), so the margin to tol = 8 is wide on both
-  //    sides (MmVideoSpec measures it).
+  //    at ≤ `tol` over ≥ `minOverlap` frames. tol defaults to 3 —
+  //    the re-encode lemma's own bound (±3/level ⇒ aligned mean ≤ 3;
+  //    planted copies measure 0.0), NOT a midpoint toward the ~85
+  //    random floor: at scale the floor's extreme tail is what
+  //    matters (r11 measured 6.9k random pairs inside tol = 8 but
+  //    only ~140 inside 3 over ~1e9 candidates), and minOverlap = 6
+  //    cuts the shortest-overlap alignments that dominate that tail.
   //
-  // 100 TB: decode is embarrassingly parallel and partition-local;
-  // the band shuffle moves 16 keys × (frames − 4) ≈ ~2-3 KB/clip;
-  // candidate work is clips × colliding buckets with the DF cap as
-  // the skew guard — never all-pairs.
+  // 100 TB: decode is embarrassingly parallel and partition-local
+  // (and the measured wall — see BENCH_scale_docs' per-phase split);
+  // the band emit is 16 masks × (frames − 4) windows ≈ 300-450 rows
+  // ≈ 6-8 KB/clip serialized, and the candidate join's output — the
+  // term that actually explodes — is bounded by the ≥ minShared
+  // prefilter before any level sequence is shuffled for verify.
 
   /** Decode a clip payload to its per-frame mean-luminance sequence
     * (ints 0..255) — the video detector's row store. Corrupt
@@ -973,7 +989,7 @@ object Multimodal extends Serializable {
     * shifted-grid construction; exact alignment verify.
     */
   def videoDups(spark: SparkSession, sfDir: String, maxTrim: Int = 3,
-                tol: Double = 8.0, bucketCap: Int = 10000): DataFrame = {
+                tol: Double = 3.0, bucketCap: Int = 10000): DataFrame = {
     import spark.implicits._
     val clips = Tables.documents(spark, sfDir)
       .select(col("doc_id"))
@@ -985,23 +1001,30 @@ object Multimodal extends Serializable {
     videoDupsOn(spark, clips.union(planted), maxTrim, tol, bucketCap)
   }
 
-  /** Core on an injectable asset set — spec / scale-bench entry. */
+  /** Core on an injectable asset set — spec / scale-bench entry. The
+    * decode phase is PhaseTimer'd (the wall-dominant term at scale —
+    * the bench splits it from the band/verify tail).
+    */
   private[graft] def videoDupsOn(spark: SparkSession,
       clipAssets: org.apache.spark.sql.Dataset[MmAsset],
-      maxTrim: Int = 3, tol: Double = 8.0, bucketCap: Int = 10000): DataFrame = {
+      maxTrim: Int = 3, tol: Double = 3.0, bucketCap: Int = 10000,
+      minShared: Int = 2, minOverlap: Int = 6): DataFrame = {
     // cached: decode dominates and three plan branches read the rows
     // (hot-bucket count, both verify sides) — ≤ 40 B/clip resident
     val rows = videoLevelRows(clipAssets.toDF()).cache()
+    graft.PhaseTimer.timed("mm_video_dedup", "decode") { rows.count() }
     val bands = graft.operators.Dedup.dropHotBuckets(videoBands(rows), bucketCap)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(countDistinct(col("a.band"), col("a.key")).as("nshared"))
+      .filter(col("nshared") >= minShared)
+      .select(col("doc_a"), col("doc_b"))
     cand
       .join(rows.select(col("doc_id").as("doc_a"), col("levels").as("la")), Seq("doc_a"))
       .join(rows.select(col("doc_id").as("doc_b"), col("levels").as("lb")), Seq("doc_b"))
-      .withColumn("align_diff", expr(alignDiffSql("la", "lb", maxTrim, 5)))
+      .withColumn("align_diff", expr(alignDiffSql("la", "lb", maxTrim, minOverlap)))
       .filter(col("align_diff") <= tol)
       .select(col("doc_a"), col("doc_b"), round(col("align_diff"), 2).as("align_diff"))
   }
@@ -1012,16 +1035,18 @@ object Multimodal extends Serializable {
     * continuous rung inherits the batch semantics through the same
     * seam as the other five.
     */
-  private[graft] def videoFpDetector(maxTrim: Int = 3,
-      tol: Double = 8.0): graft.operators.Dedup.NearDupDetector =
+  private[graft] def videoFpDetector(maxTrim: Int = 3, tol: Double = 3.0,
+      minShared: Int = 2,
+      minOverlap: Int = 6): graft.operators.Dedup.NearDupDetector =
     graft.operators.Dedup.NearDupDetector("video_fp", "doc_id", Seq("doc_id", "payload"),
       videoLevelRows(_),
       videoBands(_),
       (cand, rows) => cand
         .join(rows.select(col("doc_id").as("doc_a"), col("levels").as("la")), Seq("doc_a"))
         .join(rows.select(col("doc_id").as("doc_b"), col("levels").as("lb")), Seq("doc_b"))
-        .withColumn("align_diff", expr(alignDiffSql("la", "lb", maxTrim, 5)))
+        .withColumn("align_diff", expr(alignDiffSql("la", "lb", maxTrim, minOverlap)))
         .filter(col("align_diff") <= tol)
         .select(col("doc_a"), col("doc_b"),
-          round(col("align_diff"), 2).as("align_diff")))
+          round(col("align_diff"), 2).as("align_diff")),
+      minShared = minShared)
 }

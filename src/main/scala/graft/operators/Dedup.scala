@@ -400,13 +400,23 @@ object Dedup {
     * continuous maintainer ([[graft.streaming.DocStream
     * .startNearDupMaintain]]) is written once and plugged three times.
     */
+  /** `minShared` (default 1 — the classic any-band-collision rule):
+    * candidate pairs must share at least this many DISTINCT
+    * (band, key) entries. Detectors whose single band key carries
+    * little entropy relative to corpus size (video's 4-cell window
+    * keys) set it to 2, cutting random-collision candidates
+    * quadratically; tick ≡ batch is preserved because a shared key
+    * is by definition a delta-side key, so the tick's pruned store
+    * read sees every shared entry the batch join would.
+    */
   private[graft] final case class NearDupDetector(
       name: String,
       idCol: String,
       inputCols: Seq[String],
       rows: DataFrame => DataFrame,
       bands: DataFrame => DataFrame,
-      verify: (DataFrame, DataFrame) => DataFrame) {
+      verify: (DataFrame, DataFrame) => DataFrame,
+      minShared: Int = 1) {
     val aCol: String = idCol.stripSuffix("_id") + "_a"
     val bCol: String = idCol.stripSuffix("_id") + "_b"
   }
@@ -522,12 +532,18 @@ object Dedup {
     val dPruned = deltaBands.join(broadcast(hot), Seq("band", "key"), "left_anti")
     val probe = storeBands.unionByName(deltaBands)
       .join(broadcast(hot), Seq("band", "key"), "left_anti")
-    val cand = dPruned.as("a").join(probe.as("b"),
+    val joined = dPruned.as("a").join(probe.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col(s"a.$id") =!= col(s"b.$id"))
       .select(least(col(s"a.$id"), col(s"b.$id")).as(det.aCol),
-        greatest(col(s"a.$id"), col(s"b.$id")).as(det.bCol))
-      .distinct().cache()
+        greatest(col(s"a.$id"), col(s"b.$id")).as(det.bCol),
+        col("a.band").as("_sband"), col("a.key").as("_skey"))
+    val cand = (if (det.minShared > 1)
+        joined.groupBy(col(det.aCol), col(det.bCol))
+          .agg(countDistinct(col("_sband"), col("_skey")).as("_nshared"))
+          .filter(col("_nshared") >= det.minShared)
+          .select(col(det.aCol), col(det.bCol))
+      else joined.select(col(det.aCol), col(det.bCol)).distinct()).cache()
     val candBuckets = BucketStore.touchedBuckets(
       cand.select(explode(array(col(det.aCol), col(det.bCol))).as(id))
         .select(BucketStore.longBucket(col(id), nBuckets).as(BucketStore.BucketCol)))
@@ -1290,14 +1306,13 @@ object Dedup {
     * qualify), but at 100 TB corpus-wide boilerplate can grow it past
     * a broadcast — so the anti-join side is SIZE-GATED, the
     * [[TextAnalysis.cleanWithBoiler]] convention: a small list is
-    * collected into a broadcast local relation (and the cache
-    * released either way — no executor storage pinned between
-    * invocations), a huge one degrades to a shuffled anti-join
-    * instead of an OOM. PlanShapeSpec pins both regimes.
+    * broadcast straight from the executor-side cache (never pulled
+    * through the driver as boxed Rows), a huge one degrades to a
+    * shuffled anti-join instead of an OOM. PlanShapeSpec pins both
+    * regimes.
     */
   private def windowIndex(docs: DataFrame, k: Int, dfCap: Int,
       hotMaxRows: Long = Hints.DeltaBroadcastMaxRows): DataFrame = {
-    val spark = docs.sparkSession
     val wins = docs.withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), explode(TextAnalysis.wordGrams(k)).as("win"))
@@ -1307,13 +1322,17 @@ object Dedup {
       .filter(col("df") > dfCap)
       .select(col("h")).cache()
     val n = hot.count()
+    // below the gate: broadcast the CACHED frame — materialization
+    // stays on executors (a driver collect of up to ~4M boxed Rows is
+    // hundreds of MB of driver heap the executors' columnar cache
+    // holds in ~32 MB); the pinned cache is bounded by the same gate
+    // and released by the caller's session-wide clearCache (the
+    // Bench/Verify per-query convention). Above it, the anti-join
+    // degrades to a shuffle and the cache (which only served the
+    // count) is dropped now.
     val hotSide =
-      if (n <= hotMaxRows) {
-        val local = spark.createDataFrame(
-          java.util.Arrays.asList(hot.collect(): _*), hot.schema)
-        hot.unpersist()
-        broadcast(local)
-      } else { hot.unpersist(); hot }
+      if (n <= hotMaxRows) broadcast(hot)
+      else { hot.unpersist(); hot }
     hw.join(hotSide, Seq("h"), "left_anti")
   }
 

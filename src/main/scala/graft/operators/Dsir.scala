@@ -51,8 +51,15 @@ object Dsir {
 
   /** Fit the log-importance-ratio table λ: for each hash bucket,
     * ln((ct+1)/(Tt+NBuckets)) − ln((cr+1)/(Tr+NBuckets)) — add-one
-    * smoothed unigram log-likelihood ratio. Output (bucket, lambda),
-    * ≤ NBuckets rows.
+    * smoothed unigram log-likelihood ratio. Output (bucket, lambda,
+    * cr, tr), ≤ NBuckets rows: λ is ROUNDED to the 1e-6 grid before
+    * it ever enters a per-document sum (the BM25 rounding discipline
+    * — grid addends keep the order-dependent FP add ~1e-14 from a
+    * grid point, so [[scoreOf]]'s 4-decimal weight can never flip
+    * with partitioning; DsirSpec pins repartition-invariance), and
+    * the raw-side counts (cr, tr) ride along as the frozen ingest
+    * distribution the staleness probe ([[dsirDriftProbe]]) compares
+    * scored batches against.
     */
   def fitLogRatio(target: DataFrame, raw: DataFrame): DataFrame = {
     val ct = bucketCounts(target, "ct")
@@ -64,21 +71,31 @@ object Dsir {
     val totals = joined.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
     joined.crossJoin(broadcast(totals))
       .select(col("bucket"),
-        (log((col("ct") + 1) / (col("tt") + NBuckets)) -
-         log((col("cr") + 1) / (col("tr") + NBuckets))).as("lambda"))
+        round(log((col("ct") + 1) / (col("tt") + NBuckets)) -
+          log((col("cr") + 1) / (col("tr") + NBuckets)), 6).as("lambda"),
+        col("cr"), col("tt"), col("tr"))
   }
 
   /** Per-document log importance weight under a fitted λ table:
     * Σ_tokens λ(bucket(token)). The λ join is a broadcast on the
     * ≤-NBuckets-row table; the weight agg is the one doc-keyed
-    * shuffle.
+    * shuffle. Buckets the fit never observed score the add-one
+    * SMOOTHING FLOOR λ₀ = ln((Tr+B)/(Tt+B)) — the published model's
+    * unseen-event ratio, NOT zero: for a small target corpus λ₀ is
+    * positive, which is exactly how a frozen table comes to prefer
+    * out-of-distribution garbage (the staleness channel
+    * [[dsirDriftProbe]] watches; DsirSpec plants it).
     */
-  def scoreOf(docs: DataFrame, lambda: DataFrame): DataFrame =
+  def scoreOf(docs: DataFrame, lambda: DataFrame): DataFrame = {
+    val floor = lambda.agg(round(
+      log((max(col("tr")) + NBuckets) / (max(col("tt")) + NBuckets)), 6).as("lambda0"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .withColumn("bucket", bucketOf(col("token")))
-      .join(broadcast(lambda), Seq("bucket"))
+      .join(broadcast(lambda.select(col("bucket"), col("lambda"))), Seq("bucket"), "left")
+      .crossJoin(broadcast(floor))
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("lambda")), 4).as("weight"))
+      .agg(round(sum(coalesce(col("lambda"), col("lambda0"))), 4).as("weight"))
+  }
 
   /** Hash-derived standard Gumbel — deterministic, no RNG: resampling
     * with weight+Gumbel top-k draws without replacement proportional
@@ -94,6 +111,16 @@ object Dsir {
     * driver collect). Output: (doc_id, weight, key, selected) for
     * every scored doc — the audit shape (selection rate and weight
     * distribution are one filter away).
+    *
+    * The cut is a SKETCH quantile (`percentile_approx`): the selected
+    * FRACTION is ≈frac, exact only up to sketch accuracy, and the
+    * sketch's merge is partition-order-sensitive at the margin — keys
+    * within sketch error of the cut can flip selection across
+    * different parallelism. Per-doc weights and keys are fully
+    * deterministic (grid-rounded λ, hash-derived Gumbel); only the
+    * threshold is approximate. Callers needing a bit-stable SET
+    * across replans should persist the cut with the selection run
+    * (one scalar), not re-derive it.
     */
   def sampleOf(docs: DataFrame, lambda: DataFrame, frac: Double,
                seed: Long = 42L): DataFrame = {
@@ -144,6 +171,75 @@ object Dsir {
     graft.PhaseTimer.timed("q_dsir_store", "fit") {
       buildDsirArtifact(docs.filter(col("lang") === "es"), docs, dir)
     }
+    scoreWithArtifact(spark, dir, docs)
+  }
+
+  // ----- λ-table staleness probe (the semanticDriftProbe shape) ----
+
+  /** One staleness measurement of a scored batch against the frozen
+    * λ table's raw distribution.
+    */
+  case class DsirProbeResult(kl: Double, nTokens: Long, tripped: Boolean) {
+    override def toString: String =
+      f"dsirProbe[kl=$kl%.4f tokens=$nTokens tripped=$tripped]"
+  }
+
+  /** λ-staleness drift probe — the gap every other frozen-artifact
+    * family already closed (`ivfRecallProbe`, `semanticDriftProbe`):
+    * the λ table is fit ONCE on (target, raw-at-fit-time), and an
+    * ingest-distribution shift silently degrades selection with no
+    * signal anywhere — worst case, a vocabulary the fit never saw
+    * scores λ = ln((Tr+B)/(Tt+B)) per token (both smoothing floors),
+    * which for a small target corpus is POSITIVE: unseen garbage
+    * outscores genuine target-like text (DsirSpec plants exactly
+    * this). The probe measures the shift directly: add-one-smoothed
+    * KL(batch ‖ frozen-raw) over the hashed-bucket space, summed over
+    * the union of observed buckets (never-seen buckets contribute a
+    * sizes-only constant, identical for drifted and faithful batches
+    * — the probe is a drift SIGNAL with a calibrated ceiling, not an
+    * exact divergence). Cost: one batch token pass + a ≤-NBuckets
+    * join — probe every batch for free next to scoring. Above
+    * `ceiling` it trips: the operator's signal to refit
+    * ([[buildDsirArtifact]] on target + current raw) — the
+    * rebuildSemanticIndex analog, spec-pinned to restore selection
+    * preference after a planted shift.
+    */
+  def dsirDriftProbe(spark: SparkSession, dir: String, batch: DataFrame,
+                     ceiling: Double = 0.5): DsirProbeResult = {
+    val tab = spark.read.parquet(dir).select(col("bucket"), col("cr"), col("tr"))
+    val bc = bucketCounts(batch, "n")
+    val scal = tab.agg(max(col("tr")).as("tr"))
+      .crossJoin(bc.agg(coalesce(sum(col("n")), lit(0L)).as("nn")))
+    val joined = tab.select(col("bucket"), col("cr"))
+      .join(bc, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(scal))
+      .select(
+        ((coalesce(col("n"), lit(0L)) + 1) / (col("nn") + NBuckets)).as("pb"),
+        ((coalesce(col("cr"), lit(0L)) + 1) / (col("tr") + NBuckets)).as("pr"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val r = joined.agg(
+      sum(col("pb") * log(col("pb") / col("pr"))).as("kl"),
+      sum(col("n")).as("ntok")).collect()(0)
+    val kl = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    DsirProbeResult(kl, r.getLong(1), tripped = kl > ceiling)
+  }
+
+  /** Probe policy for [[scoreWithArtifactProbed]] — the
+    * SemanticProbeConfig shape: `onDrift` is the refit trigger.
+    */
+  case class DsirProbeConfig(ceiling: Double = 0.5,
+      onDrift: DsirProbeResult => Unit = _ => ())
+
+  /** Score a batch against the frozen artifact WITH the staleness
+    * probe riding along — the production ingest-scoring entry:
+    * stateless scoring plus the per-batch drift measurement, firing
+    * `onDrift` above the ceiling (refit + re-score is the operator's
+    * move; the probe never blocks the batch).
+    */
+  def scoreWithArtifactProbed(spark: SparkSession, dir: String, docs: DataFrame,
+      probe: DsirProbeConfig = DsirProbeConfig()): DataFrame = {
+    val r = dsirDriftProbe(spark, dir, docs, probe.ceiling)
+    if (r.tripped) probe.onDrift(r)
     scoreWithArtifact(spark, dir, docs)
   }
 }

@@ -28,9 +28,12 @@ import org.apache.spark.sql.functions._
   * Scoring then touches only the postings of query terms, and top-k
   * is a per-query window over (q_id, doc_id, score) triples — the
   * narrow-projection rule. The index-at-rest lifecycle (`text_bm25_
-  * store`) persists postings bucket-partitioned by token hash so a
-  * query's terms prune the read to their buckets (partition pruning,
-  * the IVF-postings discipline applied to lexical search).
+  * store`) persists postings in a token-hash-bucketed BucketStore so
+  * a query's terms prune the read to exactly their buckets' files
+  * (the IVF-postings discipline applied to lexical search), with the
+  * full batch → inc-tick → continuous-maintainer ladder every other
+  * store family has (`appendBm25Tick` /
+  * `DocStream.startBm25Maintain`).
   */
 object Retrieval {
 
@@ -118,55 +121,117 @@ object Retrieval {
   }
 
   /** Postings-bucket count for the persisted index: query terms prune
-    * the postings read to their hash buckets via partition pruning.
+    * the postings read to their hash buckets (a term's postings live
+    * entirely in one bucket, so df from a pruned read ≡ df in full).
     */
   val IndexBuckets = 256
 
   private def tokenBucket(tok: Column): Column =
-    pmod(xxhash64(tok), lit(IndexBuckets))
+    pmod(xxhash64(tok), lit(IndexBuckets)).cast("int")
 
-  /** Build the BM25 index at rest: postings (doc_id, token, tf)
-    * partitioned by token-hash bucket, doc lengths, and the scalar
-    * stats row — the one-time corpus pass that `bm25FromIndex` then
-    * amortizes across every query batch (the bloom / BPE / IVF
-    * artifact lifecycle applied to lexical retrieval). Unlike the
-    * in-query path the postings here cover the FULL vocabulary — the
-    * index serves arbitrary future queries, and a term's bucket is
-    * known before any read.
+  /** (doc_id, token, tf) — the postings rows of a corpus slice. */
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+
+  /** (doc_id, dl) — document lengths of a corpus slice. */
+  private def doclenOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+
+  /** Build the BM25 index at rest — full (re)build: postings
+    * (doc_id, token, tf) seeded into a token-hash-bucketed
+    * [[graft.streaming.BucketStore]] (generation-manifest protocol:
+    * crash-consistent ticks, snapshot-isolated readers, marker-gated
+    * replay — the IVF-postings store applied to lexical search), doc
+    * lengths under `doclen/batch=-1` (the seed's slice of the same
+    * batch-keyed log the ticks append to). Corpus stats (n_docs,
+    * avgdl) are NOT persisted: the searcher derives them from the
+    * doclen log it already scans for the dl join — one aggregate on
+    * an in-flight read, and one less artifact to keep crash-
+    * consistent. Unlike the in-query path the postings cover the
+    * FULL vocabulary — the index serves arbitrary future queries,
+    * and a term's bucket is known before any read.
     */
   def buildBm25Index(docs: DataFrame, dir: String): Unit = {
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", tokenBucket(col("token")))
-      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/postings")
-    dl.write.mode("overwrite").parquet(s"$dir/doclen")
-    dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
+    import graft.streaming.BucketStore
+    val spark = docs.sparkSession
+    val p = new org.apache.hadoop.fs.Path(dir)
+    // wipe any previous index layout under this root: build = rebuild
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    doclenOf(docs).write.mode("overwrite").parquet(s"$dir/doclen/batch=-1")
+    BucketStore.seed(postingsOf(docs), tokenBucket(col("token")),
+      s"$dir/postings", IndexBuckets)
+  }
+
+  /** Append one batch of NEW documents into the index — the
+    * incremental rung (registered `text_bm25_inc`; streamed by
+    * [[graft.streaming.DocStream.startBm25Maintain]]): the delta's
+    * postings merge into exactly their token-hash buckets through
+    * `applyTick`'s atomic generation publish, doc lengths land under
+    * `doclen/batch=<id>` BEFORE the marker moves (the verdict-log
+    * ordering: "marker advanced" ⇒ the whole tick, doclen included,
+    * landed; a crash in between replays idempotently — the batch-
+    * named overwrite rewrites identical content and the applied-
+    * batch guard skips the store half). Contract: delta doc_ids are
+    * NEW (corpus ingest is append-only; a re-ingested id would need
+    * tombstoned postings — that is the rebuild's job). Tick work is
+    * O(delta postings + touched buckets), never a corpus re-read;
+    * stats need no update step because the searcher derives them
+    * from the doclen log.
+    */
+  def appendBm25Tick(spark: SparkSession, dir: String, delta: DataFrame,
+                     batchId: Long): Unit = {
+    import graft.streaming.BucketStore
+    val store = s"$dir/postings"
+    BucketStore.recover(store)
+    if (BucketStore.appliedBatchId(store) < batchId) {
+      doclenOf(delta).write.mode("overwrite").parquet(s"$dir/doclen/batch=$batchId")
+      BucketStore.applyTick(spark, store,
+        postingsOf(delta).withColumn(BucketStore.BucketCol, tokenBucket(col("token"))),
+        Seq("doc_id", "token"), batchId = batchId, n = IndexBuckets)
+      ()
+    }
   }
 
   /** Search the persisted index — registered as `text_bm25_store`
     * (same oracle as `text_bm25`: persisting the postings changes
     * where the tf table lives, never what it scores). The postings
-    * scan carries a bucket predicate, so only the query terms' hash
-    * partitions are read (pruned-partition spec-pinned); df derives
-    * from the pruned postings, identical to the in-query df by
-    * construction (a term's postings live entirely in one bucket).
+    * read opens ONLY the query vocabulary's hash buckets
+    * (`readBuckets` resolves them to exact generation paths — the
+    * scan's file list IS the pruning; RetrievalSpec pins its size);
+    * df derives from the pruned postings, identical to the in-query
+    * df by construction (a term's postings live entirely in one
+    * bucket). Corpus stats are one aggregate over the doclen log the
+    * dl join reads anyway.
     */
   def bm25FromIndex(spark: SparkSession, dir: String, queries: DataFrame,
                     topK: Int = 10, k1: Double = K1, b: Double = B): DataFrame = {
+    import graft.streaming.BucketStore
     val qt = queryTerms(queries)
     val qVocab = qt.select(col("token")).distinct()
-    val postings = spark.read.parquet(s"$dir/postings")
-      // partition-prune FIRST on the bucket column, then exact-match
-      // tokens within the surviving buckets
-      .join(broadcast(qVocab.select(col("token"),
-        tokenBucket(col("token")).as("bucket"))), Seq("bucket", "token"), "left_semi")
-    val tf = postings.select(col("doc_id"), col("token"), col("tf"))
+    val touched = BucketStore.touchedBuckets(
+      qVocab.select(tokenBucket(col("token")).as(BucketStore.BucketCol)))
+    val tf = BucketStore.readBuckets(spark, s"$dir/postings", touched, IndexBuckets)
+      .join(broadcast(qVocab), Seq("token"), "left_semi")
+      .select(col("doc_id"), col("token"), col("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val dl = spark.read.parquet(s"$dir/doclen")
-    val stats = spark.read.parquet(s"$dir/stats")
+    val dl = spark.read.parquet(s"$dir/doclen").select(col("doc_id"), col("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     scoreBm25(tf, dfreq, dl, stats, qt, topK, k1, b)
+  }
+
+  /** Per-run unique index root — a deterministic shared path would
+    * let two concurrent invocations on the same sfDir (bench and the
+    * oracle harness) race each other's seed-delete; the values are
+    * path-independent, so uniqueness costs nothing (the
+    * lineDedupStore convention).
+    */
+  private def freshIndexDir(tag: String, sfDir: String, artifactDir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    s"$artifactDir/${tag}_${digest}_$runId"
   }
 
   /** text_bm25_store: build → search round trip on the corpus tables
@@ -176,13 +241,33 @@ object Retrieval {
     */
   def bm25Stored(spark: SparkSession, sfDir: String, topK: Int = 10,
                  artifactDir: String = "target/graft-artifacts"): DataFrame = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val dir = s"$artifactDir/bm25_index_$digest"
+    val dir = freshIndexDir("bm25_index", sfDir, artifactDir)
     val docs = Tables.documents(spark, sfDir)
     graft.PhaseTimer.timed("text_bm25_store", "build") {
       buildBm25Index(docs, dir)
     }
+    bm25FromIndex(spark, dir, pseudoQueries(docs), topK)
+  }
+
+  /** text_bm25_inc: the incremental rung's registered demo — seed
+    * the first `baseFrac` of the corpus (id-ordered split, the
+    * lineDedupStore convention), tick-append the rest, search the
+    * merged index. Oracle: the SAME full-corpus BM25 SQL as the
+    * batch query — seed ∪ tick covers every document and the merged
+    * postings/doclen are value-identical to a one-shot build, so
+    * "incremental" changes the write path, never a score.
+    */
+  def bm25Incremental(spark: SparkSession, sfDir: String, topK: Int = 10,
+                      baseFrac: Double = 0.8,
+                      artifactDir: String = "target/graft-artifacts"): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val cut = docs.agg(floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
+    val all = docs.crossJoin(broadcast(cut))
+    val base = all.filter(col("doc_id") < col("cut")).select(col("doc_id"), col("text"))
+    val delta = all.filter(col("doc_id") >= col("cut")).select(col("doc_id"), col("text"))
+    val dir = freshIndexDir("bm25_inc", sfDir, artifactDir)
+    graft.PhaseTimer.timed("text_bm25_inc", "seed") { buildBm25Index(base, dir) }
+    graft.PhaseTimer.timed("text_bm25_inc", "tick") { appendBm25Tick(spark, dir, delta, 0L) }
     bm25FromIndex(spark, dir, pseudoQueries(docs), topK)
   }
 

@@ -458,7 +458,13 @@ object DocStream {
     * the generation-publish protocol, and the per-batch verdicts
     * (vec_id, cluster, keep) land at `verdictsDir/batch=<id>` as the
     * decision log (`spark.read.parquet(verdictsDir)` is the
-    * cumulative view). The verdict write happens INSIDE the tick,
+    * cumulative view). BREAKING vs the pre-r11 flat-append layout:
+    * verdicts now land under `batch=<id>` subdirectories, and Spark's
+    * partition discovery rejects a dir mixing flat data files with
+    * partition dirs — point an upgraded maintainer at a FRESH
+    * verdictsDir (or move legacy flat files into a `batch=-1/`
+    * subdir, which reads as one more partition of the same log).
+    * The verdict write happens INSIDE the tick,
     * BEFORE the store marker moves — the pair-log convention:
     * "marker advanced" ⇒ the whole tick, verdicts included, landed;
     * a crash in between replays idempotently (the batch-named
@@ -472,6 +478,36 @@ object DocStream {
     * the tick, and because the verdict write precedes the marker, a
     * redelivered batch (marker ≥ id) skips both.
     */
+  /** Continuous maintainer for the PERSISTED BM25 index
+    * (`text_bm25_store`'s store) — the rung that completes the
+    * retrieval family's batch → inc → store → streaming ladder: each
+    * micro-batch of (doc_id, text) rows appends its postings into
+    * exactly their token-hash buckets and its doc lengths into the
+    * batch-keyed doclen log through
+    * [[graft.operators.Retrieval.appendBm25Tick]] (doclen BEFORE the
+    * marker — the verdict-log ordering; replay skips both via the
+    * applied-batch guard). Corpus ingest is append-only (new
+    * doc_ids); searches against the live index keep BucketStore's
+    * snapshot isolation while it grows. Seed with
+    * [[graft.operators.Retrieval.buildBm25Index]]; RetrievalSpec
+    * pins streamed ticks ≡ one-shot full-corpus build.
+    */
+  def startBm25Maintain(docs: DataFrame, indexDir: String,
+                        checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF().select(col("doc_id"), col("text")).distinct().cache()
+        if (b.count() > 0) {
+          graft.operators.Retrieval.appendBm25Tick(spark, indexDir, b, batchId)
+        }
+        b.unpersist()
+        ()
+      }
+      .start()
+
   def startSemanticDedupMaintain(vecs: DataFrame, storeDir: String,
       centroidsDir: String, verdictsDir: String, checkpointDir: String,
       threshold: Double = 0.92, nlist: Int = -1,

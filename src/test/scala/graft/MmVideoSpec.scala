@@ -10,13 +10,16 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - margins measured BOTH sides (the MmAudioSpec discipline): a
   *    re-encoded + trimmed copy's best-alignment mean |Δluminance|
   *    stays ≤ 3 over 60 seeds (JPEG requantization is ±3/255 per
-  *    uniform frame), while distinct clips' floor stays ≥ 15
-  *    (measured min 19.6 over 1770 pairs × 7 alignments — short
-  *    ≥5-frame overlaps pull the min well under the ~85 full-length
-  *    mean) — the default tol = 8 sits strictly between;
+  *    uniform frame — tol = 3 IS that lemma bound since r12; the r11
+  *    midpoint tol = 8 let the random floor's extreme tail through
+  *    at 100k-clip scale), while distinct clips' floor stays ≥ 15
+  *    (short ≥6-frame overlaps pull the min well under the ~85
+  *    full-length mean);
   *  - the DETERMINISTIC candidate guarantee: original and copy share
-  *    at least one (band, key) for every seed — the shifted-grid
-  *    lemma in action, not a banding probability;
+  *    at least minShared = 2 distinct (band, key) entries for every
+  *    seed — the shifted-grid lemma (every surviving window matches
+  *    under the aligned gridmask; exact-level copies under all 16),
+  *    not a banding probability;
   *  - corrupt containers drop out instead of throwing;
   *  - the registered query finds every planted trimmed re-encode;
   *  - maintainer ≡ batch with a cross-tick copy.
@@ -30,17 +33,17 @@ class MmVideoSpec extends AnyFunSuite {
       .map(f => math.round(Multimodal.frameBrightness(f) * 255f)).toArray
 
   /** Scala twin of the operator's alignDiff expression (offsets
-    * −3..3, overlap ≥ 5).
+    * −3..3, overlap ≥ 6 — the r12 minOverlap).
     */
   private def alignDiff(a: Array[Int], b: Array[Int]): Double =
     (-3 to 3).map { o =>
       val (xa, yb) = if (o >= 0) (a.drop(o), b) else (a, b.drop(-o))
       val n = math.min(xa.length, yb.length)
-      if (n < 5) 1.0e9
+      if (n < 6) 1.0e9
       else (0 until n).map(i => math.abs(xa(i) - yb(i))).sum.toDouble / n
     }.min
 
-  test("margins: re-encode+trim drift <= 3; distinct-clip floor >= 15; tol = 8 strictly between") {
+  test("margins: re-encode+trim drift <= 3 = tol (the lemma bound); distinct-clip floor >= 15") {
     val seeds = 0L until 60L
     val lv = seeds.map(s => s -> levelsOf(Multimodal.makeAvi(s))).toMap
     seeds.foreach { s =>
@@ -53,7 +56,7 @@ class MmVideoSpec extends AnyFunSuite {
     assert(cross.min >= 15.0, s"distinct floor ${cross.min}")
   }
 
-  test("deterministic candidates: original and trimmed re-encode share a band key for every seed") {
+  test("deterministic candidates: original and trimmed re-encode share >= 2 distinct band keys for every seed") {
     import spark.implicits._
     val seeds = 0L until 60L
     val rows = seeds.flatMap { s =>
@@ -65,7 +68,12 @@ class MmVideoSpec extends AnyFunSuite {
       .groupBy(_._1).map { case (id, ks) => id -> ks.map(_._2).toSet }
     seeds.foreach { s =>
       val shared = bands(s).intersect(bands(s + 10000000L))
-      assert(shared.nonEmpty, s"seed $s: no shared window key — the grid guarantee broke")
+      // the r12 candidate gate needs >= minShared = 2 distinct
+      // (band, key) entries; the shifted-grid lemma delivers far more
+      // (every surviving window under the aligned mask — and an
+      // exact-level re-encode matches under all 16 masks)
+      assert(shared.size >= 2,
+        s"seed $s: ${shared.size} shared window keys — the grid guarantee broke")
     }
   }
 

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Retrieval
+
+/** Hand-checked gates for the retrieval layer (the BpeSpec
+  * discipline): BM25 scores on a four-document fixture verified
+  * against hand-computed literals, RRF fusion on a known pair of
+  * rankings verified against the exact 1/(60+rank) sums, the
+  * index-at-rest path pinned output-identical to the in-query path
+  * with its postings read pruned to the query vocabulary's buckets
+  * (the IvfStoreSpec plan-pin convention), and the incremental rung:
+  * streamed maintainer ticks ≡ a one-shot full-corpus build.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // fixture: N=4, avgdl=3.0; df(apple)=2, df(banana)=2 →
+  // idf = ln((4−2+0.5)/(2+0.5)+1) = ln 2 for both query terms
+  private lazy val docs = Seq(
+    (1L, "apple banana apple"),          // dl=3
+    (2L, "apple cherry"),                // dl=2
+    (3L, "banana banana banana date"),   // dl=4
+    (4L, "elderberry fig grape")         // dl=3, no query terms
+  ).toDF("doc_id", "text")
+
+  private lazy val queries = Seq(
+    (1L, Seq("apple", "banana"))
+  ).toDF("q_id", "qtok")
+
+  test("BM25 fixture: scores match hand-computed literals, ranking deterministic") {
+    val got = Retrieval.bm25Of(docs, queries, topK = 10)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // hand math (k1=1.2, b=0.75, idf=ln2=0.693147…):
+    //  d1: apple tf=2,K=1.2 → ln2·4.4/3.2=0.9531; banana tf=1 → ln2=0.6931; Σ=1.6462
+    //  d3: banana tf=3,K=1.5 → ln2·6.6/4.5=1.0166
+    //  d2: apple tf=1,K=0.9 → ln2·2.2/1.9=0.8026
+    //  d4: no query terms → absent
+    assert(got === Set(
+      (1L, 1L, 1.6462, 1),
+      (1L, 3L, 1.0166, 2),
+      (1L, 2L, 0.8026, 3)))
+  }
+
+  test("RRF fusion: fused scores are the exact 1/(60+rank) sums over a known ranking pair") {
+    graft.functions.VectorFunctions.register(spark)
+    // dense arm: q1's vector [1,0]; cosines → vec1=1.0 (self),
+    // vec2=1.0, vec3≈0.9939, vec4=0.0 → vrn by (cos desc, id asc)
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(1.0, 0.0)),
+      (3L, Seq(0.9, 0.1)),
+      (4L, Seq(0.0, 1.0))
+    ).toDF("vec_id", "v")
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+    val got = Retrieval.hybridRrfOf(docs, queries, emb, topK = 10)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // text arm (the BM25 fixture): trn d1=1, d3=2, d2=3, d4 absent
+    //  doc1: 1/61+1/61=0.032787   doc2: 1/63+1/62=0.032002
+    //  doc3: 1/62+1/63=0.032002 (exact tie with doc2 → id asc)
+    //  doc4: dense only, 1/64=0.015625
+    assert(got === Set(
+      (1L, 1L, 0.032787, 1),
+      (1L, 2L, 0.032002, 2),
+      (1L, 3L, 0.032002, 3),
+      (1L, 4L, 0.015625, 4)))
+  }
+
+  test("index-at-rest ≡ in-query; postings read pruned to the query vocabulary's buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_spec").toString
+    val corpus = Tables.documents(spark, TestSpark.sf).select("doc_id", "text")
+    val qs = Retrieval.pseudoQueries(Tables.documents(spark, TestSpark.sf))
+    Retrieval.buildBm25Index(corpus, dir)
+
+    // value parity on the full pseudo-query set
+    val inQuery = Retrieval.bm25Of(corpus, qs)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val fromIndex = Retrieval.bm25FromIndex(spark, dir, qs)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(fromIndex === inQuery)
+
+    // pruning pin on a 2-query subset: the postings scan's file list
+    // is AT MOST one path per query-vocabulary bucket — far fewer
+    // than the store's bucket count
+    val qsSmall = qs.orderBy(col("q_id")).limit(2).cache()
+    val nb = qsSmall.select(explode(col("qtok")).as("token")).distinct()
+      .select(pmod(xxhash64(col("token")), lit(Retrieval.IndexBuckets)).cast("int"))
+      .distinct().count()
+    val pruned = Retrieval.bm25FromIndex(spark, dir, qsSmall)
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pathCounts = """InMemoryFileIndex\((\d+) paths\)""".r
+      .findAllMatchIn(plan.linesIterator.filter(_.contains("postings")).mkString("\n"))
+      .map(_.group(1).toInt).toSeq
+    assert(pathCounts.nonEmpty, plan.take(4000))
+    pathCounts.foreach { n =>
+      assert(n <= nb && n < Retrieval.IndexBuckets,
+        s"postings scan read $n paths; query vocabulary spans $nb buckets")
+    }
+    qsSmall.unpersist()
+    ()
+  }
+
+  test("incremental rung: streamed maintainer ticks ≡ one-shot full-corpus build") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files.createTempDirectory("bm25_maintain").toString
+    val corpus = Tables.documents(spark, TestSpark.sf).select("doc_id", "text")
+    val base = corpus.filter(col("doc_id") % 5 =!= 3)
+    val delta = corpus.filter(col("doc_id") % 5 === 3)
+      .as[(Long, String)].collect().toSeq
+
+    Retrieval.buildBm25Index(base, s"$root/idx")
+    val input = MemoryStream[(Long, String)]
+    val q = streaming.DocStream.startBm25Maintain(
+      input.toDF().toDF("doc_id", "text"), s"$root/idx", s"$root/ckpt")
+    val (d1, d2) = delta.splitAt(delta.size / 2)
+    input.addData(d1: _*); q.processAllAvailable()
+    input.addData(d2: _*); q.processAllAvailable()
+    q.stop()
+
+    Retrieval.buildBm25Index(corpus, s"$root/full")
+    val qs = Retrieval.pseudoQueries(Tables.documents(spark, TestSpark.sf))
+    def hits(dir: String) = Retrieval.bm25FromIndex(spark, dir, qs)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(hits(s"$root/idx") === hits(s"$root/full"))
+  }
+}
