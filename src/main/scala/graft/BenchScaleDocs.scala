@@ -517,10 +517,16 @@ object BenchScaleDocs {
     // non-planted pair a random collision by construction, so the
     // run REQUIRES non-planted ≤ 5% of emissions under the r12 knobs
     // (tol = 3 — the re-encode lemma bound, minShared = 2,
-    // minOverlap = 6). Wall-clock split: decode (the dominant,
-    // partition-local term) is PhaseTimer'd apart from the
-    // band/candidate/verify tail so the shuffle-side cost of the 16
-    // gridmasks is measured, not guessed.
+    // minOverlap = 6). Wall-clock split: decode is PhaseTimer'd apart
+    // from the band/candidate/verify tail so the shuffle-side cost of
+    // the 16 gridmasks is measured, not guessed — and the r12
+    // measurement settles it the OTHER way from the r11 narrative:
+    // decode of the (tiny synthetic) frames is 19.6 s of a 1692 s
+    // wall; the 16-gridmask band shuffle + candidate join + alignment
+    // verify are ~99% of the cost. (Real-codec decode would be orders
+    // of magnitude heavier per frame, but the shuffle tail is the
+    // term that scales with corpus size × masks — the knob that
+    // matters at 100 TB.)
     locally {
       import spark.implicits._
       val nVid = 100000L

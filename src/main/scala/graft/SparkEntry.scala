@@ -191,6 +191,12 @@ object SparkEntry {
     // rank-capped arms full-outer-joined; fused score = sum of two
     // IEEE-exact divisions — hash-gated end to end
     "q_hybrid_rrf"    -> ((s, d) => Retrieval.hybridRrf(s, d)),
+    // the hybrid's index-at-rest rung: lexical arm from the BM25
+    // postings store, dense arm from the IVF inverted lists — two
+    // pruned index reads + a constant-size fuse per query batch;
+    // rows-only (ANN arm approximate below full probe), RetrievalSpec
+    // pins full-probe ≡ in-query fusion
+    "q_hybrid_rrf_store" -> ((s, d) => Retrieval.hybridRrfStored(s, d)),
     // DSIR importance resampling: hashed-unigram log-ratio weights +
     // hash-Gumbel top-frac selection via an in-plan quantile cut;
     // rows-only (hashed-LM weights have no SQL form), planted

@@ -1013,12 +1013,19 @@ object Multimodal extends Serializable {
     // (hot-bucket count, both verify sides) — ≤ 40 B/clip resident
     val rows = videoLevelRows(clipAssets.toDF()).cache()
     graft.PhaseTimer.timed("mm_video_dedup", "decode") { rows.count() }
+    // per-doc-distinct band entries BEFORE the join, so each shared
+    // (band, key) contributes exactly ONE joined row per pair and the
+    // shared count is a plain SUM whose partial aggregates collapse
+    // map-side on pair keys — a per-pair countDistinct over the raw
+    // join output hash-aggregates ~#joined-rows near-unique tuples
+    // instead and OOMs at the 100k-clip scale bench
     val bands = graft.operators.Dedup.dropHotBuckets(videoBands(rows), bucketCap)
+      .distinct()
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(countDistinct(col("a.band"), col("a.key")).as("nshared"))
+      .agg(count(lit(1)).as("nshared"))
       .filter(col("nshared") >= minShared)
       .select(col("doc_a"), col("doc_b"))
     cand

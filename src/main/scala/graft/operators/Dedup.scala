@@ -532,18 +532,37 @@ object Dedup {
     val dPruned = deltaBands.join(broadcast(hot), Seq("band", "key"), "left_anti")
     val probe = storeBands.unionByName(deltaBands)
       .join(broadcast(hot), Seq("band", "key"), "left_anti")
-    val joined = dPruned.as("a").join(probe.as("b"),
+    // minShared > 1: per-doc-distinct band entries shrink the join,
+    // and the gate counts DEDUPED (pair, band, key) combos — a
+    // delta↔delta pair joins in both orientations (the a-side is
+    // delta, the b-side delta ∪ store) and the combo distinct
+    // collapses them, so each shared entry counts exactly once,
+    // matching the batch rule. Tick inputs are delta-sized, so the
+    // combo distinct is micro-batch-bounded (the 100k-clip BATCH path
+    // in videoDupsOn uses an a<b join + map-side-collapsing plain
+    // count instead).
+    val (aSide, bSide) =
+      if (det.minShared > 1)
+        (dPruned.select(col(id), col("band"), col("key")).distinct(),
+         probe.select(col(id), col("band"), col("key")).distinct())
+      else (dPruned, probe)
+    val joined = aSide.as("a").join(bSide.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col(s"a.$id") =!= col(s"b.$id"))
-      .select(least(col(s"a.$id"), col(s"b.$id")).as(det.aCol),
-        greatest(col(s"a.$id"), col(s"b.$id")).as(det.bCol),
-        col("a.band").as("_sband"), col("a.key").as("_skey"))
     val cand = (if (det.minShared > 1)
-        joined.groupBy(col(det.aCol), col(det.bCol))
-          .agg(countDistinct(col("_sband"), col("_skey")).as("_nshared"))
+        joined
+          .select(least(col(s"a.$id"), col(s"b.$id")).as(det.aCol),
+            greatest(col(s"a.$id"), col(s"b.$id")).as(det.bCol),
+            col("a.band"), col("a.key"))
+          .distinct()
+          .groupBy(col(det.aCol), col(det.bCol))
+          .agg(count(lit(1)).as("_nshared"))
           .filter(col("_nshared") >= det.minShared)
           .select(col(det.aCol), col(det.bCol))
-      else joined.select(col(det.aCol), col(det.bCol)).distinct()).cache()
+      else joined
+        .select(least(col(s"a.$id"), col(s"b.$id")).as(det.aCol),
+          greatest(col(s"a.$id"), col(s"b.$id")).as(det.bCol))
+        .distinct()).cache()
     val candBuckets = BucketStore.touchedBuckets(
       cand.select(explode(array(col(det.aCol), col(det.bCol))).as(id))
         .select(BucketStore.longBucket(col(id), nBuckets).as(BucketStore.BucketCol)))

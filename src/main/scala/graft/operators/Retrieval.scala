@@ -176,9 +176,19 @@ object Retrieval {
     * batch guard skips the store half). Contract: delta doc_ids are
     * NEW (corpus ingest is append-only; a re-ingested id would need
     * tombstoned postings — that is the rebuild's job). Tick work is
-    * O(delta postings + touched buckets), never a corpus re-read;
-    * stats need no update step because the searcher derives them
-    * from the doclen log.
+    * O(delta postings + touched-bucket bytes) — and the honest 100 TB
+    * reading of that bound: a TEXT delta's vocabulary spans common
+    * tokens, so it touches nearly every token-hash bucket and a tick
+    * re-merges ~the whole postings store (the generation-manifest
+    * protocol keeps one generation per bucket — carry-over is the
+    * price of atomic publish + snapshot isolation). Batch ticks
+    * accordingly: a daily tick is one amortized store merge — the
+    * Lucene segment-merge economics with crash consistency and live
+    * readers, NOT a per-document path. (Multi-generation bucket
+    * reads — true O(delta) appends with deferred compaction — are a
+    * BucketStore protocol extension, noted as future work.) Stats
+    * need no update step because the searcher derives them from the
+    * doclen log.
     */
   def appendBm25Tick(spark: SparkSession, dir: String, delta: DataFrame,
                      batchId: Long): Unit = {
@@ -304,22 +314,35 @@ object Retrieval {
 
   /** Core on injectable corpora — spec / bench entry. `emb` must
     * carry (vec_id, v: array<double>, norm); dense-arm queries are
-    * the embedding rows whose vec_id matches a q_id.
+    * the embedding rows whose vec_id matches a q_id. `includeSelf`
+    * keeps/drops the query's own corpus row in the dense arm —
+    * true is the registered query's (and oracle's) semantics; false
+    * mirrors an ANN index serving neighbors-of (the stored rung's
+    * parity reference).
     */
   def hybridRrfOf(docs: DataFrame, queries: DataFrame, emb: DataFrame,
-                  topK: Int = 10): DataFrame = {
+                  topK: Int = 10, includeSelf: Boolean = true): DataFrame = {
     val text = bm25Of(docs, queries, RrfRankCap)
       .select(col("q_id"), col("doc_id"), col("rn").as("trn"))
     val qv = emb.join(broadcast(queries.select(col("q_id"))),
         col("vec_id") === col("q_id"))
       .select(col("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val scored = emb.crossJoin(broadcast(qv))
+    val all = emb.crossJoin(broadcast(qv))
+    val scored = (if (includeSelf) all else all.filter(col("vec_id") =!= col("q_id")))
       .withColumn("cos", round(expr("graft_dot(qv, v)") / (col("norm") * col("qnorm")), 4))
       .select(col("q_id"), col("vec_id"), col("cos"))
     val vw = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
     val dense = scored.withColumn("vrn", row_number().over(vw))
       .filter(col("vrn") <= RrfRankCap)
       .select(col("q_id"), col("vec_id").as("doc_id"), col("vrn"))
+    fuse(text, dense, topK)
+  }
+
+  /** The rank-fusion tail shared by the in-query and index-at-rest
+    * hybrids: full-outer join of the two rank-capped arms,
+    * score = Σ 1/(60+rank), per-query window top-k.
+    */
+  private def fuse(text: DataFrame, dense: DataFrame, topK: Int): DataFrame = {
     val fused = text.join(dense, Seq("q_id", "doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(RrfK) + col("trn")), lit(0.0)) +
@@ -328,5 +351,69 @@ object Retrieval {
     fused.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)
       .select(col("q_id"), col("doc_id"), round(col("rrf"), 6).as("rrf"), col("rn"))
+  }
+
+  /** q_hybrid_rrf_store — the hybrid's index-at-rest rung: BOTH arms
+    * served from their persisted indexes. The lexical arm searches
+    * the token-hash-bucketed BM25 postings store ([[bm25FromIndex]] —
+    * read pruned to the query vocabulary's buckets); the dense arm
+    * searches the cluster-bucketed IVF inverted lists
+    * ([[Similarity.searchIvfStore]] — read pruned to nprobe lists).
+    * Fusion is unchanged, so the stored hybrid's per-query-batch cost
+    * is two pruned index reads plus a constant-size fuse — the
+    * deployment shape of hybrid retrieval: indexes built once,
+    * maintained by their families' ticks ([[appendBm25Tick]] /
+    * [[Similarity.ivfAppendTick]]).
+    *
+    * Rows-only (the ANN arm is approximate below full probe);
+    * RetrievalSpec pins nprobe = nlist (in-bucket scoring exact) ≡
+    * the in-query fusion under the index's self rule (an ANN index
+    * serves neighbors-of — it never returns the query row).
+    */
+  def hybridRrfStored(spark: SparkSession, sfDir: String, topK: Int = 10,
+                      nlist: Int = 8, nprobe: Int = 2,
+                      artifactDir: String = "target/graft-artifacts"): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val queries = pseudoQueries(docs)
+    val textDir = freshIndexDir("hybrid_bm25", sfDir, artifactDir)
+    graft.PhaseTimer.timed("q_hybrid_rrf_store", "text_build") {
+      buildBm25Index(docs.select(col("doc_id"), col("text")), textDir)
+    }
+    val denseRoot = freshIndexDir("hybrid_ivf", sfDir, artifactDir)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .cache()
+    val cents = graft.PhaseTimer.timed("q_hybrid_rrf_store", "dense_train") {
+      Similarity.trainQuantizer(spark, emb, s"$denseRoot/centroids", nlist)
+    }
+    graft.PhaseTimer.timed("q_hybrid_rrf_store", "dense_seed") {
+      Similarity.seedIvfStore(spark,
+        emb.select(col("vec_id"), col("v"), col("norm")),
+        s"$denseRoot/store", cents, nlist)
+    }
+    val qvecs = emb.join(broadcast(queries.select(col("q_id"))),
+        col("vec_id") === col("q_id"))
+      .select(col("q_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val out = fuseStored(spark, textDir, s"$denseRoot/store", cents,
+      queries, qvecs, topK, nprobe, nlist)
+    emb.unpersist()
+    out
+  }
+
+  /** The stored hybrid's search half — separated so the spec can
+    * search prebuilt indexes at full probe without rebuilding them.
+    */
+  private[graft] def fuseStored(spark: SparkSession, textDir: String,
+      ivfDir: String, cents: Seq[(Int, Seq[Double])], queries: DataFrame,
+      qvecs: DataFrame, topK: Int, nprobe: Int, nlist: Int): DataFrame = {
+    val text = bm25FromIndex(spark, textDir, queries, RrfRankCap)
+      .select(col("q_id"), col("doc_id"), col("rn").as("trn"))
+    val dense = Similarity.searchIvfStore(spark, ivfDir, cents, qvecs,
+        RrfRankCap, nprobe, nlist)
+      .select(col("query_id").as("q_id"), col("neighbor_id").as("doc_id"),
+        col("rn").as("vrn"))
+    fuse(text, dense, topK)
   }
 }

@@ -10,8 +10,10 @@ import graft.operators.Retrieval
   * rankings verified against the exact 1/(60+rank) sums, the
   * index-at-rest path pinned output-identical to the in-query path
   * with its postings read pruned to the query vocabulary's buckets
-  * (the IvfStoreSpec plan-pin convention), and the incremental rung:
-  * streamed maintainer ticks ≡ a one-shot full-corpus build.
+  * (the IvfStoreSpec plan-pin convention), the incremental rung
+  * (streamed maintainer ticks ≡ a one-shot full-corpus build), and
+  * the stored hybrid (both arms from their at-rest indexes) pinned ≡
+  * the in-query fusion at full probe under the index's self rule.
   */
 class RetrievalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -99,6 +101,39 @@ class RetrievalSpec extends AnyFunSuite {
         s"postings scan read $n paths; query vocabulary spans $nb buckets")
     }
     qsSmall.unpersist()
+    ()
+  }
+
+  test("stored hybrid at full probe ≡ in-query fusion under the index's self rule") {
+    graft.functions.VectorFunctions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("hybrid_store").toString
+    val corpus = Tables.documents(spark, TestSpark.sf)
+    val qs = Retrieval.pseudoQueries(corpus)
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .cache()
+    val nlist = 8
+    Retrieval.buildBm25Index(corpus.select("doc_id", "text"), s"$root/bm25")
+    val cents = graft.operators.Similarity.trainQuantizer(
+      spark, emb, s"$root/cents", nlist)
+    graft.operators.Similarity.seedIvfStore(
+      spark, emb.select(col("vec_id"), col("v"), col("norm")),
+      s"$root/ivf", cents, nlist)
+    val qvecs = emb.join(broadcast(qs.select(col("q_id"))),
+        col("vec_id") === col("q_id"))
+      .select(col("q_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    // full probe: in-bucket scoring is exact, so the stored dense arm
+    // ranks exactly like brute force minus the self row — which is
+    // what includeSelf = false reproduces on the in-query side
+    val got = Retrieval.fuseStored(spark, s"$root/bm25", s"$root/ivf",
+        cents, qs, qvecs, topK = 10, nprobe = nlist, nlist = nlist)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val expected = Retrieval.hybridRrfOf(corpus.select("doc_id", "text"), qs,
+        emb, topK = 10, includeSelf = false)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === expected)
+    emb.unpersist()
     ()
   }
 
