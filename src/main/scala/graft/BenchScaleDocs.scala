@@ -300,6 +300,24 @@ object BenchScaleDocs {
       extras("pq_recall_at10_os32") = recallOf(s"$scaleDir/pq_hits_os32")
     }
 
+    // ----- embeddings: in-query IVF+PQ after the r12 pruned encode --
+    // r10/r11 measured this composition a no-win vs flat PQ (266 s vs
+    // 264 s) because BOTH paid a full-corpus encode per query. r12
+    // moves the encode AFTER the probe-list semi-join, so only the
+    // probed lists' vectors are ever encoded (compute ∝ |probe
+    // union|/nlist) — this entry is the measurement of that fix; the
+    // store rung remains the deployment shape (encode once, at rest).
+    timedWrite("ivfpq_inquery_2m", s"$scaleDir/ivfpq_inq_hits")(
+      Similarity.knnIvfPqOn(spark, corpus(), nQueries = 64, k = 10,
+        nlist = nlist, nprobe = 8, m = 16, ncent0 = -1, oversample0 = -1))
+    locally {
+      val hits = spark.read.parquet(s"$scaleDir/ivfpq_inq_hits")
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      extras("ivfpq_inquery_recall_at10") =
+        f"${bruteHits.count(hits.contains).toDouble / math.max(1, bruteHits.size)}%.4f"
+    }
+
     // ----- embeddings: IVF+PQ with a PERSISTED, PRE-ENCODED store --
     // r10 measured the in-query composition honest: NOT faster than
     // flat PQ (266 s vs 264 s — both pay the full-corpus encode per

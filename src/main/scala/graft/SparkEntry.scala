@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Bpe, CorpusPrep, Decontamination, Dedup, Dsir, ItemCF, Relational, Retrieval, Sampling, SeqPack, Serving, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Bpe, CorpusPrep, Curation, Decontamination, Dedup, Dsir, ItemCF, Lm, Relational, Retrieval, Sampling, SeqPack, Serving, Similarity, TextAnalysis}
 import graft.recommender.Als
 import graft.multimodal.Multimodal
 
@@ -136,6 +136,12 @@ object SparkEntry {
     // copies give guaranteed true semantic dups at every SF
     "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "dedup_semantic_store" -> ((s, d) => Similarity.semanticDedupStore(s, d)),
+    // cluster-based prototypicality pruning (Sorscher et al. 2022;
+    // the D4 companion of SemDeDup): drop the floor(frac·n_c) most
+    // centroid-like vectors per cluster — map-side assignment +
+    // centroid cosine, one per-cluster window; rows-only (k-means fit
+    // is engine-specific), planted clump-vs-tail gate in CurationSpec
+    "q_proto_prune" -> ((s, d) => Curation.protoPrune(s, d)),
     // — text analysis —
     // BPE subword vocabulary: train = one distributed word count +
     // bounded-table merge loop; encode = map-side with broadcast
@@ -206,6 +212,20 @@ object SparkEntry {
     // load, score the batch map-side — rows-only, artifact≡in-query
     // parity spec-gated
     "q_dsir_store"    -> ((s, d) => Dsir.dsirStored(s, d)),
+    // DPR hard-negative mining with RocketQA-style denoising: BM25
+    // shortlist minus the positive minus semantic near-positives
+    // (embedding cosine >= floor), re-ranked — SQL-oracled end to end
+    "q_hard_negatives" -> ((s, d) => Retrieval.hardNegatives(s, d)),
+    // CCNet LM quality filter with Stupid Backoff over md5-prefix
+    // hash buckets: fit on the curated target slice, score the whole
+    // corpus, per-lang head/middle/tail terciles — per-token log
+    // scores on the 1e-4 grid before the doc sum, so the whole
+    // pipeline (counts, backoff, terciles) is SQL-oracled
+    "text_lm_score"   -> ((s, d) => Lm.lmScore(s, d)),
+    // the LM artifact lifecycle: counts persisted as one bounded
+    // (≤ 4096+65536 row) parquet table, loaded, batch scored against
+    // the frozen model — value-identical to in-query fit ⇒ same oracle
+    "text_lm_store"   -> ((s, d) => Lm.lmStored(s, d)),
     "q_decontaminate"  -> ((s, d) => Decontamination.flagContaminated(s, d)),
     // bloom-prefiltered scale path; identical output (FPs removed by
     // the exact verify join) → gated by the same oracle
@@ -221,6 +241,11 @@ object SparkEntry {
     // spec-gated in DecontaminationFuzzySpec
     "q_decontaminate_minhash" -> ((s, d) => Decontamination.flagContaminatedFuzzy(s, d)),
     "q_seq_pack"       -> ((s, d) => SeqPack.pack(s, d)),
+    // truncation-free packing via best-fit decreasing (Ding et al.
+    // 2024): whole docs bin-packed per bucket, only >budget docs ever
+    // chunked; rows-only (assignment is algorithm-specific), BFD
+    // hand-trace + invariants in TrainingPrepSpec
+    "q_seq_pack_bfd"   -> ((s, d) => SeqPack.packBestFit(s, d)),
     // — multimodal —
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
     "mm_resize"   -> ((s, d) => Multimodal.resizePlan(s, d)),
@@ -900,6 +925,48 @@ object SparkEntry {
        |    ORDER BY score DESC, doc_id ASC) AS rn FROM s)
        |WHERE rn <= 10""".stripMargin
 
+  // Stupid-Backoff hashed-bigram LM scoring (operators.Lm), mirrored
+  // operation-for-operation: md5-prefix buckets, backoff arm with the
+  // add-one floor, per-token round-to-1e-4 BEFORE the doc sum,
+  // per-lang terciles.
+  private val LmOracleSql: String =
+    """WITH tw AS (
+      |  SELECT string_split(text, ' ') AS w FROM documents
+      |  WHERE lang = 'en' AND doc_id % 10 = 0),
+      |uni AS (
+      |  SELECT substr(md5(token), 1, 3) AS ub, count(*) AS cu
+      |  FROM (SELECT unnest(w) AS token FROM tw) GROUP BY 1),
+      |bi AS (
+      |  SELECT substr(md5(w[i-1] || ' ' || w[i]), 1, 4) AS bb, count(*) AS cb
+      |  FROM (SELECT w, unnest(generate_series(2, len(w))) AS i
+      |        FROM tw WHERE len(w) >= 2) GROUP BY 1),
+      |tot AS (SELECT sum(cu) AS n_total FROM uni),
+      |toks AS (
+      |  SELECT doc_id, lang,
+      |    substr(md5(w[i]), 1, 3) AS ub,
+      |    CASE WHEN i >= 2 THEN substr(md5(w[i-1] || ' ' || w[i]), 1, 4) END AS bb,
+      |    CASE WHEN i >= 2 THEN substr(md5(w[i-1]), 1, 3) END AS pb
+      |  FROM (SELECT doc_id, lang, w, unnest(generate_series(1, len(w))) AS i
+      |        FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))),
+      |sc AS (
+      |  SELECT doc_id, lang,
+      |    round(ln(CASE WHEN b.cb IS NOT NULL AND pu.cu IS NOT NULL
+      |      THEN CAST(b.cb AS DOUBLE) / pu.cu
+      |      ELSE (CASE WHEN t.pb IS NULL THEN 1.0 ELSE 0.4 END) *
+      |           (coalesce(u.cu, 0) + 1) / (tot.n_total + 4096) END), 4) AS l
+      |  FROM toks t
+      |  LEFT JOIN bi b ON t.bb = b.bb
+      |  LEFT JOIN uni u ON t.ub = u.ub
+      |  LEFT JOIN uni pu ON t.pb = pu.ub
+      |  CROSS JOIN tot),
+      |d AS (
+      |  SELECT doc_id, lang, count(*) AS n_tok,
+      |    round(-sum(l) / count(*), 4) AS logsb
+      |  FROM sc GROUP BY 1, 2)
+      |SELECT doc_id, lang, n_tok, logsb,
+      |  ntile(3) OVER (PARTITION BY lang ORDER BY logsb ASC, doc_id ASC) AS tercile
+      |FROM d""".stripMargin
+
   private val lineDedupDeltaOracle: String =
     """WITH lines AS (
       |  SELECT doc_id, l[i] AS line, i
@@ -1259,6 +1326,33 @@ object SparkEntry {
     // seed ∪ tick covers every doc and merges to a value-identical
     // index, so the inc rung shares the full-corpus oracle too
     "text_bm25_inc" -> Bm25OracleSql,
+
+    "text_lm_score" -> LmOracleSql,
+    "text_lm_store" -> LmOracleSql,
+
+    // BM25 shortlist (the shared CTEs) → strike positive + semantic
+    // near-positives (cosine parity = the knn_brute discipline) →
+    // re-ranked top 5
+    "q_hard_negatives" ->
+      s"""$Bm25Ctes,
+         |cand AS (
+         |  SELECT q_id, doc_id, score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, doc_id ASC) AS rn FROM s)
+         |  WHERE rn <= 20),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (
+         |  SELECT c.q_id, c.doc_id, c.score,
+         |    round(list_cosine_similarity(de.v, qe.v), 4) AS cos
+         |  FROM cand c
+         |  LEFT JOIN e de ON de.vec_id = c.doc_id
+         |  LEFT JOIN e qe ON qe.vec_id = c.q_id)
+         |SELECT q_id, doc_id, score, rank FROM (
+         |  SELECT q_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM x WHERE doc_id <> q_id AND (cos IS NULL OR cos < 0.35))
+         |WHERE rank <= 5""".stripMargin,
 
     "q_hybrid_rrf" ->
       s"""$Bm25Ctes,

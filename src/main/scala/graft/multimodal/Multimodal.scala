@@ -867,14 +867,17 @@ object Multimodal extends Serializable {
   //    frame, 0..255) is the row-store row — ≤ 32 bytes/clip enters
   //    any shuffle, never pixels;
   //  - every 5-frame sliding window's 4 luminance DELTAS are
-  //    quantized on TWO interleaved grids (width 32, offset 16) and
-  //    emitted under all 16 grid combinations (band = combination,
-  //    key = hash of the 4 cells). The shifted-grid lemma makes
-  //    recall deterministic, not probabilistic: two deltas within
-  //    w/2 = 16 of each other share a cell in at least one grid, and
-  //    JPEG re-encode moves a uniform frame's level by ≤ ±3 (deltas
-  //    by ≤ 6), so a re-encoded copy shares EVERY window's key under
-  //    the gridmask that aligns — the pigeonhole discipline of
+  //    quantized on TWO interleaved grids (width 32, offset 16),
+  //    emitted under the BOUNDARY-AWARE mask subset (band =
+  //    combination, key = hash of the 4 cells; grid-B choices only
+  //    for deltas within the re-encode radius of a grid-A boundary —
+  //    see [[videoBands]]). The shifted-grid lemma makes recall
+  //    deterministic, not probabilistic: two deltas within w/2 = 16
+  //    of each other share a cell in at least one grid, and JPEG
+  //    re-encode moves a uniform frame's level by ≤ ±3 (deltas by
+  //    ≤ 6), so a re-encoded copy shares EVERY window's key under
+  //    the gridmask that aligns, and that mask is emitted by both
+  //    sides by the boundary rule — the pigeonhole discipline of
   //    mm_phash, by construction instead of by band count. A copy
   //    missing leading frames still shares every surviving window
   //    (window offsets are not part of the key).
@@ -885,9 +888,10 @@ object Multimodal extends Serializable {
   //    joined rows and a 62% false-discovery rate at tol = 8). A
   //    true copy shares EVERY surviving window's key under the
   //    aligned gridmask (≥ frames−6 ≥ 2 windows at the generator's
-  //    8-frame floor) and exact-level copies match under all 16
-  //    masks, so the ≥2 gate keeps recall deterministic while
-  //    cutting random-collision candidates quadratically.
+  //    8-frame floor) and exact-level copies match under every
+  //    emitted mask (identical deltas ⇒ identical emission), so the
+  //    ≥2 gate keeps recall deterministic while cutting
+  //    random-collision candidates quadratically.
   //  - verification is EXACT: best-alignment mean absolute luminance
   //    difference over the two stored sequences (offsets −maxTrim..
   //    maxTrim, builtin slice/zip_with/aggregate — no UDF), matched
@@ -899,11 +903,11 @@ object Multimodal extends Serializable {
   //    only ~140 inside 3 over ~1e9 candidates), and minOverlap = 6
   //    cuts the shortest-overlap alignments that dominate that tail.
   //
-  // 100 TB: decode is embarrassingly parallel and partition-local
-  // (and the measured wall — see BENCH_scale_docs' per-phase split);
-  // the band emit is 16 masks × (frames − 4) windows ≈ 300-450 rows
-  // ≈ 6-8 KB/clip serialized, and the candidate join's output — the
-  // term that actually explodes — is bounded by the ≥ minShared
+  // 100 TB: decode is embarrassingly parallel and partition-local;
+  // the band emit is ≈ 3.6 masks × (frames − 4) windows expected
+  // (boundary-aware subset of the 16 — worst case still 16) ≈ 70-100
+  // rows ≈ 1.5-2 KB/clip serialized, and the candidate join's output
+  // — the term that actually explodes — is bounded by the ≥ minShared
   // prefilter before any level sequence is shuffled for verify.
 
   /** Decode a clip payload to its per-frame mean-luminance sequence
@@ -924,20 +928,39 @@ object Multimodal extends Serializable {
       .filter(size(col("levels")) >= 5)
   }
 
-  /** Banded window keys: every 5-frame window's 4 deltas under all 16
-    * shifted-grid combinations. band = gridmask (0..15); key = hash
-    * of the 4 grid cells (window position deliberately excluded —
-    * trim shifts positions, content doesn't move).
+  /** Banded window keys: every 5-frame window's 4 deltas on the two
+    * interleaved grids. band = gridmask (bit i = which grid quantizes
+    * delta i); key = hash of the 4 grid cells (window position
+    * deliberately excluded — trim shifts positions, content doesn't
+    * move).
+    *
+    * BOUNDARY-AWARE emission (r12 — the band shuffle was measured at
+    * 25.9 GB / ~99% of the 100k-clip wall with decode at 19.6 s, so
+    * the 16-way mask blow-up was the scale cost term): a mask's
+    * grid-B choice for delta i is emitted ONLY when the delta sits
+    * within the re-encode radius (6 = 2·±3 levels) of a grid-A cell
+    * boundary — i.e. pmod(d, 32) < 6 or ≥ 26. Recall stays exactly
+    * the shifted-grid guarantee: if a copy's delta (moved ≤ 6) shares
+    * only the grid-B cell with the original, the pair straddles an
+    * A-boundary and BOTH sit within 6 of it, so both sides emit the
+    * B choice for that delta; if they share the grid-A cell, bit 0 is
+    * always emitted. The aligning mask is therefore always emitted by
+    * both sides — same lemma, ~4.5× fewer band rows (expected
+    * (1 + 12/32)^4 ≈ 3.6 masks/window vs 16; MmVideoSpec pins both
+    * the recall and the ≤-budget emission).
     */
   private[graft] def videoBands(rows: DataFrame): DataFrame = {
-    def cell(i: Int, bit: String) =
-      s"cast(floor((element_at(levels, w + ${i + 2}) - element_at(levels, w + ${i + 1}) " +
-      s"+ 256 + $bit * 16) / 32) as bigint)"
+    def d(i: Int) =
+      s"(element_at(levels, w + ${i + 2}) - element_at(levels, w + ${i + 1}) + 256)"
     val bits = Seq("pmod(g, 2)", "pmod(g div 2, 2)", "pmod(g div 4, 2)", "pmod(g div 8, 2)")
-    val combined = (0 until 4).map(i => cell(i, bits(i))).reduce((a, b) => s"($a * 64 + $b)")
+    def cell(i: Int) = s"cast(floor((${d(i)} + ${bits(i)} * 16) / 32) as bigint)"
+    def needB(i: Int) = s"(pmod(${d(i)}, 32) < 6 OR pmod(${d(i)}, 32) >= 26)"
+    val combined = (0 until 4).map(cell).reduce((a, b) => s"($a * 64 + $b)")
+    val allowed = (0 until 4).map(i => s"(${bits(i)} = 0 OR ${needB(i)})").mkString(" AND ")
     rows.select(col("doc_id"), explode(expr(
       "flatten(transform(sequence(0, size(levels) - 5), w -> " +
-      s"transform(sequence(0, 15), g -> named_struct('band', g, 'key', xxhash64($combined)))))"
+      s"transform(filter(sequence(0, 15), g -> $allowed), g -> " +
+      s"named_struct('band', g, 'key', xxhash64($combined)))))"
     )).as("e")).select(col("doc_id"), col("e.band"), col("e.key"))
   }
 

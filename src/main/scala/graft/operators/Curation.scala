@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cluster-based prototypicality pruning (Sorscher et al. 2022,
+  * "Beyond neural scaling laws: beating power law scaling via data
+  * pruning" — SSL prototypes; the method D4 (Tirumala et al. 2023)
+  * chains AFTER SemDeDup for its measured LLM-pretraining gains):
+  * k-means-cluster the embedding space, score every vector by cosine
+  * to its OWN centroid ("prototypicality"), and within each cluster
+  * drop the most prototypical `pruneFrac` — for large corpora the
+  * published result is that keeping the HARD, diverse examples and
+  * shedding the easy/redundant core beats random pruning.
+  *
+  * The curation triad this completes: `dedup_semantic` removes
+  * near-DUPLICATES (pairwise cosine within clusters), `q_dsir_sample`
+  * / `text_lm_score` select by target-LIKENESS, this prunes by
+  * within-cluster REDUNDANCY — no pairwise term at all, so it reaches
+  * the regime even Σ n_c² is too hot for.
+  *
+  * Spark shape (the established quantizer seam): centroids train on
+  * the content-hash sample and ride as a literal; assignment and the
+  * centroid-cosine are MAP-SIDE ([[Similarity.assignClusters]] —
+  * every vector scores nlist broadcast centroids, no shuffle); the
+  * only exchange is the cluster-keyed window that ranks
+  * prototypicality per cluster — per-CLUSTER windows parallelize, and
+  * `nlist` scale-derives (~1k vectors/cluster,
+  * [[Similarity.deriveSemanticNlist]]) so per-window work stays flat
+  * at any corpus size. Determinism: 4-decimal-rounded cosine (the
+  * knnBrute rule) + vec_id tie-break, so the pruned SET is
+  * partitioning/engine-independent given the trained centroids.
+  *
+  * Output: one row per vector — (vec_id, cluster, proto, keep) — the
+  * audit shape (`dedup_semantic`'s verdict convention).
+  */
+object Curation {
+
+  /** Per-cluster prototype pruning over an injectable (vec_id, v)
+    * frame. `nlist0` ≤ 0 scale-derives. Keep rule: within a cluster
+    * of n_c vectors, the floor(pruneFrac·n_c) most prototypical are
+    * dropped (rank by rounded cosine DESC, vec_id ASC).
+    */
+  private[graft] def protoPruneOn(spark: SparkSession, vecs: DataFrame,
+      pruneFrac: Double, nlist0: Int = -1): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = Similarity.withVecNorm(spark, vecs)
+    val nlist = if (nlist0 > 0) nlist0 else Similarity.deriveSemanticNlist(c.count())
+    val train = c.filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit("40"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("fv")
+      .setMaxIter(10).fit(train)
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (vec, i) => (i, vec.toArray.toSeq) }.toSeq
+    protoVerdicts(Similarity.assignClusters(c, cents), cents, pruneFrac)
+  }
+
+  /** Verdicts over an assigned (vec_id, v, norm, cluster[, cdist])
+    * frame under FROZEN centroids — separated from the fit so a
+    * stored/streaming rung can reuse it against a persisted quantizer.
+    */
+  private[graft] def protoVerdicts(assigned: DataFrame,
+      cents: Seq[(Int, Seq[Double])], pruneFrac: Double): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val centDf = cents.toDF("cluster", "cv")
+      .withColumn("cnorm", sqrt(expr("graft_dot(cv, cv)")))
+    // cosine to the OWN centroid — map-side (broadcast ≤ nlist rows)
+    val scored = assigned
+      .join(broadcast(centDf), Seq("cluster"))
+      .withColumn("proto",
+        round(expr("graft_dot(v, cv)") / (col("norm") * col("cnorm")), 4))
+      .select(col("vec_id"), col("cluster"), col("proto"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("proto").desc, col("vec_id").asc)
+    val wc = Window.partitionBy(col("cluster"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_c", count(lit(1)).over(wc))
+      .withColumn("keep", col("rn") > floor(lit(pruneFrac) * col("n_c")))
+      .select(col("vec_id"), col("cluster"), col("proto"), col("keep"))
+  }
+
+  /** Registered `q_proto_prune`: prune the most prototypical 25% per
+    * cluster over the embeddings table. Rows-only (the k-means fit is
+    * engine-specific); CurationSpec plants the structure — a dense
+    * clump of near-identical vectors must be pruned ahead of the
+    * spread-out tail, per-cluster keep counts must hit the exact
+    * floor rule, and the verdict set must be partitioning-invariant.
+    */
+  def protoPrune(spark: SparkSession, sfDir: String,
+                 pruneFrac: Double = 0.25): DataFrame = {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    protoPruneOn(spark, vecs, pruneFrac)
+  }
+}

@@ -416,4 +416,70 @@ object Retrieval {
         col("rn").as("vrn"))
     fuse(text, dense, topK)
   }
+
+  // ----- hard-negative mining ---------------------------------------
+
+  /** DPR-style hard-negative mining (Karpukhin et al. 2020 — "Dense
+    * Passage Retrieval": the strongest training signal for a dense
+    * retriever is the top BM25 retrievals that are NOT the positive),
+    * with the false-negative DENOISING refinement (RocketQA, Qu et
+    * al. 2021 — a "negative" that is semantically a near-positive
+    * poisons training): for every query, rank the BM25 top-RrfRankCap
+    * shortlist, strike (a) the positive itself (the pseudo-query's
+    * own source document) and (b) any candidate whose embedding
+    * cosine to the query's embedding reaches `simFloor`, and keep the
+    * `nNeg` strongest survivors re-ranked.
+    *
+    * 100 TB shape: the corpus-scale work is [[bm25Of]]'s (one token
+    * explode, query-vocab-restricted); everything after operates on
+    * the Q·RrfRankCap candidate SHORTLIST — the embedding side is
+    * pruned to the shortlist by a broadcast semi-join BEFORE any
+    * join (map-side against the embeddings scan), then candidates
+    * left-join that tiny pruned set broadcast. A candidate with no
+    * embedding row can't be denoised and is kept (DPR's fallback —
+    * mirrored by the oracle's IS NULL arm).
+    *
+    * Output: (q_id, doc_id, score, rank) — BM25 score, post-exclusion
+    * rank ≤ nNeg. SQL-oracled end to end (the BM25 grid discipline +
+    * the knn_brute cosine-rounding parity).
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String, nNeg: Int = 5,
+                    simFloor: Double = 0.35): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+    hardNegativesOf(docs, pseudoQueries(docs), emb, nNeg, simFloor)
+  }
+
+  /** Core on injectable corpora — spec entry. `emb` carries
+    * (vec_id, v, norm); the positive of query q_id is document q_id.
+    */
+  private[graft] def hardNegativesOf(docs: DataFrame, queries: DataFrame,
+      emb: DataFrame, nNeg: Int, simFloor: Double): DataFrame = {
+    val cand = bm25Of(docs, queries, RrfRankCap)
+      .select(col("q_id"), col("doc_id"), col("score"))
+    val docEmb = emb.select(col("vec_id").as("doc_id"), col("v"), col("norm"))
+      // prune the corpus-sized embedding scan to the shortlist FIRST
+      // (broadcast semi-join, map-side) so the left join below
+      // broadcasts a ≤ Q·RrfRankCap-row build side
+      .join(broadcast(cand.select(col("doc_id")).distinct()), Seq("doc_id"), "left_semi")
+    val qv = emb.join(broadcast(queries.select(col("q_id"))),
+        col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = cand
+      .join(broadcast(docEmb), Seq("doc_id"), "left")
+      .join(broadcast(qv), Seq("q_id"), "left")
+      .withColumn("cos",
+        round(expr("graft_dot(qv, v)") / (col("norm") * col("qnorm")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .filter(col("doc_id") =!= col("q_id"))
+      .filter(col("cos").isNull || col("cos") < simFloor)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= nNeg)
+      .select(col("q_id"), col("doc_id"), col("score"), col("rank"))
+  }
 }

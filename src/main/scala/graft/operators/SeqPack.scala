@@ -64,4 +64,79 @@ object SeqPack {
         expr(s"((cum - n_tokens) div $budget) != ((cum - 1) div $budget)").as("is_split"))
       .orderBy(col("doc_id"))
   }
+
+  // ----- truncation-free packing (best-fit decreasing) --------------
+
+  /** One placed piece of the best-fit packing: `piece` indexes a
+    * long document's budget-sized chunks (0 for whole docs), `seq_id`
+    * the training row it landed in, `seq_offset` its token offset
+    * there.
+    */
+  private[graft] case class Placed(doc_id: Long, piece: Int, n_tokens: Int,
+      seq_id: Long, seq_offset: Int)
+
+  /** Truncation-free sequence packing via BEST-FIT DECREASING —
+    * the published alternative to contiguous fill (Ding et al. 2024,
+    * "Fewer Truncations Improve Language Modeling": mid-document cuts
+    * measurably hurt the trained model; pack whole documents
+    * bin-packing style and pad the slack instead). Documents longer
+    * than the budget are first chunked into budget-sized pieces (the
+    * paper's rule — only a document that cannot fit any window is
+    * ever cut); every piece then lands WHOLE in some sequence:
+    * `is_split` by construction never happens below `budget`.
+    *
+    * Scale shape — bin packing is sequential, so it runs per BUCKET
+    * (the [[packOf]] deal): pieces deal into `buckets` deterministic
+    * groups and each group packs independently inside one
+    * `flatMapGroups` task (per-bucket state = its open bins — bounded
+    * by bucket size; `buckets` scales with the cluster exactly like
+    * [[packOf]]). Within a bucket: pieces sorted by length DESC
+    * (doc_id, piece tie-break), each placed into the bin with the
+    * SMALLEST sufficient remainder (a TreeSet ceiling query — O(n log
+    * n) per bucket, the classic BFD), new bin when none fits.
+    * Deterministic: ordering and tie-breaks are pure functions of
+    * (length, doc_id, piece), so the packing is layout- and
+    * parallelism-independent.
+    *
+    * Output: one row per PIECE — (doc_id, piece, n_tokens, seq_id,
+    * seq_offset); seq ids globally unique via the bucket stride.
+    */
+  def packBestFit(spark: SparkSession, sfDir: String, budget: Int = 512,
+                  buckets: Int = 16): DataFrame =
+    packBestFitOf(Tables.documents(spark, sfDir), budget, buckets)
+
+  /** Core on an injectable corpus — spec entry. */
+  def packBestFitOf(docs: DataFrame, budget: Int = 512,
+                    buckets: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pieces = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (n_tokens - 1) div $budget), p -> " +
+        s"named_struct('piece', cast(p as int), " +
+        s"'len', cast(least(n_tokens - p * $budget, $budget) as int)))")).as("e"))
+      .select(col("doc_id"), col("e.piece").as("piece"), col("e.len").as("len"))
+      .as[(Long, Int, Int)]
+    pieces
+      .groupByKey { case (docId, _, _) => (docId % buckets).toInt }
+      .flatMapGroups { (bucket: Int, it: Iterator[(Long, Int, Int)]) =>
+        val sorted = it.toArray.sortBy { case (id, p, len) => (-len, id, p) }
+        // open bins by (remaining, binId): ceiling query = best fit
+        val open = scala.collection.mutable.TreeSet.empty[(Int, Int)]
+        val fill = scala.collection.mutable.ArrayBuffer.empty[Int] // binId -> used
+        sorted.map { case (id, p, len) =>
+          val slot = open.minAfter((len, -1))
+          val bin = slot match {
+            case Some((rem, b)) => open.remove((rem, b)); b
+            case None => fill += 0; fill.length - 1
+          }
+          val off = fill(bin)
+          fill(bin) = off + len
+          if (budget - fill(bin) > 0) open.add((budget - fill(bin), bin))
+          Placed(id, p, len, bucket.toLong * SeqStride + bin, off)
+        }.iterator
+      }
+      .toDF()
+  }
 }

@@ -394,10 +394,6 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("norm"), col("cluster"))
     val books = trainPqCodebooks(spark, c, m, ncent)
     val sub = books.head._3.size
-    val codes = pqEncode(
-      assigned.select(col("vec_id"), col("cluster"),
-        expr("transform(v, x -> x / norm)").as("v")),
-      books, m, sub).select(col("vec_id"), col("cluster"), col("code"))
 
     val cents = model.clusterCenters.zipWithIndex
       .map { case (vec, i) => (i, vec.toArray) }.toSeq.toDF("cluster", "cv")
@@ -410,6 +406,17 @@ object Similarity {
     val wq = Window.partitionBy(col("query_id")).orderBy(col("cdist").asc, col("cluster").asc)
     val probes = qc.withColumn("pr", row_number().over(wq)).filter(col("pr") <= nprobe)
       .select(col("query_id"), col("cluster"))
+    // Encode ONLY the probed lists' vectors: the coarse stage joins codes
+    // on cluster ∈ probes, so codes outside the probe union were pure
+    // waste — this was the measured "no-win vs flat PQ" (r10/r11 verdicts:
+    // 266 s vs 264 s at 2M). Encode cost is now ∝ |probe union|/nlist of
+    // the corpus; output is unchanged (the cluster join already filtered).
+    val probedClusters = probes.select(col("cluster")).distinct()
+    val codes = pqEncode(
+      assigned.join(broadcast(probedClusters), Seq("cluster"), "leftsemi")
+        .select(col("vec_id"), col("cluster"),
+          expr("transform(v, x -> x / norm)").as("v")),
+      books, m, sub).select(col("vec_id"), col("cluster"), col("code"))
     val luts = pqLuts(spark, q.select(col("query_id"),
       expr("transform(qv, x -> x / qnorm)").as("qv")), books, sub)
     // coarse: ADC lookups over ONLY the probed lists' codes

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Curation, Similarity}
+
+/** Planted-structure gate for prototype pruning (`q_proto_prune` is
+  * rows-only — the k-means fit has no SQL oracle, so this spec is its
+  * correctness gate): two well-separated latent clusters, each built
+  * as a dense PROTOTYPICAL clump (near-identical to the cluster
+  * direction) plus a spread-out tail of varied small tilts (the tilts
+  * cancel in the mean, so the fitted centroid stays on the direction
+  * and the clump is unambiguously most prototypical — and every tail
+  * member stays far closer to its own cluster than to the other, so
+  * k=2 recovers the latent split). The clump must be pruned ahead of
+  * the tail, per-cluster keep counts must hit the exact
+  * floor(pruneFrac·n_c) rule, and — the operator's documented
+  * determinism contract — verdicts under FROZEN centroids must be
+  * partitioning-invariant (rounded-cosine + id tie-break ranking; the
+  * k-means FIT itself is partition-sensitive at init, which is why
+  * every stored rung in this codebase freezes its quantizer).
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two latent directions in R^4; per cluster: ids ..0-19 a clump at
+  // the direction, ids ..20-199 a tail tilted by ±{0.4,0.5,0.6} in a
+  // single off-axis dim (signs/magnitudes cycle, so the mean tilt ≈ 0)
+  private def vecOf(id: Long): Seq[Double] = {
+    val inB = id >= 200
+    val local = (id % 200).toInt
+    if (local < 20) {
+      val jitter = 0.001 * (local + 1)
+      if (inB) Seq(jitter, 0.0, 1.0, 0.0) else Seq(1.0, jitter, 0.0, 0.0)
+    } else {
+      val mag = 0.4 + 0.1 * (local % 3)
+      val tilt = (if (local % 2 == 0) mag else -mag)
+      if (inB) Seq(0.0, tilt, 1.0, 0.0) else Seq(1.0, 0.0, tilt, 0.0)
+    }
+  }
+
+  private lazy val vecs = (0L until 400L).map(id => (id, vecOf(id)))
+    .toDF("vec_id", "v")
+
+  test("prototypical clumps pruned first; exact per-cluster floor keep rule") {
+    val out = Curation.protoPruneOn(spark, vecs, pruneFrac = 0.25, nlist0 = 2)
+      .select("vec_id", "cluster", "keep")
+      .as[(Long, Int, Boolean)].collect()
+    assert(out.length === 400)
+    // ground-truth membership (not kmeans ids): 200 per latent cluster,
+    // floor(0.25·200) = 50 dropped each
+    val (a, b) = out.partition(_._1 < 200L)
+    assert(a.count(!_._3) === 50, s"cluster A dropped ${a.count(!_._3)}")
+    assert(b.count(!_._3) === 50, s"cluster B dropped ${b.count(!_._3)}")
+    // every clump vector (the 20 most prototypical of each cluster)
+    // is inside the dropped 50
+    val dropped = out.filter(!_._3).map(_._1).toSet
+    (0L until 20L).foreach(i => assert(dropped.contains(i), s"clump id $i kept"))
+    (200L until 220L).foreach(i => assert(dropped.contains(i), s"clump id $i kept"))
+    // kmeans must not have merged or crossed the latent clusters
+    assert(a.map(_._2).distinct.length === 1 && b.map(_._2).distinct.length === 1
+      && a.head._2 != b.head._2)
+  }
+
+  test("verdicts under frozen centroids are partitioning-invariant") {
+    val cents: Seq[(Int, Seq[Double])] = Seq(
+      (0, Seq(1.0, 0.0, 0.0, 0.0)), (1, Seq(0.0, 0.0, 1.0, 0.0)))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.protoVerdicts(
+        Similarity.assignClusters(Similarity.withVecNorm(spark, df), cents),
+        cents, 0.25)
+        .select("vec_id", "proto", "keep")
+        .as[(Long, Double, Boolean)].collect().toSet
+    assert(run(vecs.repartition(7)) === run(vecs))
+  }
+}

@@ -18,8 +18,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - the DETERMINISTIC candidate guarantee: original and copy share
   *    at least minShared = 2 distinct (band, key) entries for every
   *    seed — the shifted-grid lemma (every surviving window matches
-  *    under the aligned gridmask; exact-level copies under all 16),
-  *    not a banding probability;
+  *    under the aligned gridmask, and the r12 boundary-aware
+  *    emission always includes that mask on both sides), not a
+  *    banding probability; plus the emission budget itself (≈ 3.6
+  *    masks/window expected vs the old 16 — the 25.9 GB band shuffle
+  *    was ~99% of the 100k-clip wall);
   *  - corrupt containers drop out instead of throwing;
   *  - the registered query finds every planted trimmed re-encode;
   *  - maintainer ≡ batch with a cross-tick copy.
@@ -70,11 +73,27 @@ class MmVideoSpec extends AnyFunSuite {
       val shared = bands(s).intersect(bands(s + 10000000L))
       // the r12 candidate gate needs >= minShared = 2 distinct
       // (band, key) entries; the shifted-grid lemma delivers far more
-      // (every surviving window under the aligned mask — and an
-      // exact-level re-encode matches under all 16 masks)
+      // (every surviving window under the aligned mask — which the
+      // boundary-aware emission is guaranteed to include both sides)
       assert(shared.size >= 2,
         s"seed $s: ${shared.size} shared window keys — the grid guarantee broke")
     }
+  }
+
+  test("boundary-aware emission: band rows well under the 16-mask blow-up, never over it") {
+    import spark.implicits._
+    val seeds = 0L until 60L
+    val rows = seeds.map(s => (s, Multimodal.makeAvi(s))).toDF("doc_id", "payload")
+    val lv = Multimodal.videoLevelRows(rows)
+    val windows = lv.select(sum(size(col("levels")) - lit(4))).head.getLong(0)
+    val emitted = Multimodal.videoBands(lv).count()
+    // hard ceiling: never more masks than the full 16-way product
+    assert(emitted <= 16L * windows, s"$emitted band rows over $windows windows")
+    // the measured point of the optimization: expected (1+12/32)^4 ≈
+    // 3.6 masks/window on avalanche-uniform deltas — gate at ≤ 6 to
+    // leave margin while pinning the ~4.5× reduction
+    assert(emitted <= 6L * windows,
+      s"boundary-aware emission regressed: ${emitted.toDouble / windows} masks/window")
   }
 
   test("corrupt containers drop out of the row store, not the task") {

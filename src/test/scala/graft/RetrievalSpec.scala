@@ -70,6 +70,31 @@ class RetrievalSpec extends AnyFunSuite {
       (1L, 4L, 0.015625, 4)))
   }
 
+  test("hard negatives: positive struck, near-positive denoised, missing embedding kept") {
+    graft.functions.VectorFunctions.register(spark)
+    // BM25 shortlist for q1 (the fixture): d1 (the positive), d3, d2.
+    // Embeddings: d2 is a SEMANTIC near-positive of q1 (cos = 1.0),
+    // d3 sits at cos ≈ 0.9939 — floor 0.999 strikes d2, keeps d3.
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(1.0, 0.0)),
+      (3L, Seq(0.9, 0.1)),
+      (4L, Seq(0.0, 1.0))
+    ).toDF("vec_id", "v")
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+    val got = Retrieval.hardNegativesOf(docs, queries, emb, nNeg = 5, simFloor = 0.999)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === Set((1L, 3L, 1.0166, 1)))
+
+    // a shortlist doc with NO embedding row cannot be denoised and is
+    // KEPT (the oracle's IS NULL arm): drop d3's embedding → d3 kept
+    // with a tighter floor that also strikes d2
+    val embNo3 = emb.filter(col("vec_id") =!= 3L)
+    val got2 = Retrieval.hardNegativesOf(docs, queries, embNo3, nNeg = 5, simFloor = 0.5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got2 === Set((1L, 3L, 1.0166, 1)))
+  }
+
   test("index-at-rest ≡ in-query; postings read pruned to the query vocabulary's buckets") {
     val dir = java.nio.file.Files.createTempDirectory("bm25_spec").toString
     val corpus = Tables.documents(spark, TestSpark.sf).select("doc_id", "text")

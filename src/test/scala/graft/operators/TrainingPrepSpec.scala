@@ -163,4 +163,54 @@ class TrainingPrepSpec extends AnyFunSuite {
     val b = SeqPack.packOf(docs.repartition(13)).collect().toSeq
     assert(a === b)
   }
+
+  test("best-fit packing: hand-traced BFD placement, zero slack on the fixture") {
+    import spark.implicits._
+    def words(k: Int): String = Seq.fill(k)("w").mkString(" ")
+    // all bucket 0, budget 512; BFD trace: 300→bin0, 300→bin1 (bin0's
+    // 212 can't fit 300), 212→bin0 (exact), 200→bin1 (rem 12),
+    // 12→bin1 (exact) — two full bins, zero padding
+    val docs = Seq((0L, 300), (16L, 300), (32L, 212), (48L, 200), (64L, 12))
+      .map { case (id, k) => (id, words(k)) }.toDF("doc_id", "text")
+    val r = SeqPack.packBestFitOf(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(3), x.getInt(4)))).toMap
+    assert(r(0L) === ((0L, 0)))
+    assert(r(16L) === ((1L, 0)))
+    assert(r(32L) === ((0L, 300)))
+    assert(r(48L) === ((1L, 300)))
+    assert(r(64L) === ((1L, 500)))
+  }
+
+  test("best-fit packing: oversized docs chunk at the budget, pieces land whole") {
+    import spark.implicits._
+    def words(k: Int): String = Seq.fill(k)("w").mkString(" ")
+    val docs = Seq((1L, words(1100)), (17L, words(70))).toDF("doc_id", "text")
+    val r = SeqPack.packBestFitOf(docs).collect()
+      .map(x => ((x.getLong(0), x.getInt(1)), (x.getInt(2), x.getLong(3), x.getInt(4))))
+      .toMap
+    // 1100 = 512 + 512 + 76 (bucket 1); BFD desc: the two full chunks
+    // fill their own bins, 76 and 70 share the third
+    assert(r((1L, 0)) === ((512, SeqPack.SeqStride + 0L, 0)))
+    assert(r((1L, 1)) === ((512, SeqPack.SeqStride + 1L, 0)))
+    assert(r((1L, 2)) === ((76, SeqPack.SeqStride + 2L, 0)))
+    assert(r((17L, 0)) === ((70, SeqPack.SeqStride + 2L, 76)))
+  }
+
+  test("best-fit packing invariants: budget respected, tokens preserved, repartition-invariant") {
+    import spark.implicits._
+    val docs = (0L until 64L).map(i =>
+      (i, Seq.fill((i % 9 + 1).toInt * 71)("w").mkString(" "))).toDF("doc_id", "text")
+    val out = SeqPack.packBestFitOf(docs)
+    // no sequence over budget, no piece over budget
+    assert(out.groupBy("seq_id").agg(sum(col("n_tokens")).as("s"))
+      .filter(col("s") > 512).count() === 0)
+    // token mass preserved piece-by-piece
+    val perDoc = out.groupBy("doc_id").agg(sum(col("n_tokens")).as("t"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    (0L until 64L).foreach(i => assert(perDoc(i) === (i % 9 + 1) * 71))
+    // deterministic under repartition
+    val a = SeqPack.packBestFitOf(docs).collect().map(_.toSeq).toSet
+    val b = SeqPack.packBestFitOf(docs.repartition(13)).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
 }
