@@ -961,7 +961,7 @@ object SparkEntry {
       |  CROSS JOIN tot),
       |d AS (
       |  SELECT doc_id, lang, count(*) AS n_tok,
-      |    round(-sum(l) / count(*), 4) AS logsb
+      |    round(-sum(l), 4) / count(*) AS logsb
       |  FROM sc GROUP BY 1, 2)
       |SELECT doc_id, lang, n_tok, logsb,
       |  ntile(3) OVER (PARTITION BY lang ORDER BY logsb ASC, doc_id ASC) AS tercile

@@ -58,21 +58,31 @@ object Curation {
     protoVerdicts(Similarity.assignClusters(c, cents), cents, pruneFrac)
   }
 
-  /** Verdicts over an assigned (vec_id, v, norm, cluster[, cdist])
-    * frame under FROZEN centroids — separated from the fit so a
-    * stored/streaming rung can reuse it against a persisted quantizer.
+  /** Verdicts over an assigned (vec_id, v, norm, cluster) frame under
+    * FROZEN centroids — separated from the fit so a stored/streaming
+    * rung can reuse it against a persisted quantizer.
+    *
+    * The centroids ride as a LITERAL map keyed by cluster id (the
+    * [[Similarity.assignClusters]] centsLit pattern, bounded by
+    * nlist) — the centroid cosine is computed map-side on the scan
+    * with NO join at all. (The first cut joined a broadcast centroid
+    * frame and computed the cosine with a cross-side `expr`; on a
+    * cold session Catalyst bound the expression against the build
+    * side only — INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND. The literal
+    * form is both the bug-free and the cheaper plan.)
     */
   private[graft] def protoVerdicts(assigned: DataFrame,
       cents: Seq[(Int, Seq[Double])], pruneFrac: Double): DataFrame = {
-    val spark = assigned.sparkSession
-    import spark.implicits._
-    val centDf = cents.toDF("cluster", "cv")
-      .withColumn("cnorm", sqrt(expr("graft_dot(cv, cv)")))
-    // cosine to the OWN centroid — map-side (broadcast ≤ nlist rows)
+    graft.functions.VectorFunctions.register(assigned.sparkSession)
+    // (cluster-indexed) centroid vectors with driver-precomputed norms
+    val centsLit = typedLit(cents.map { case (i, cv) =>
+      (i, cv, math.sqrt(cv.map(x => x * x).sum))
+    })
     val scored = assigned
-      .join(broadcast(centDf), Seq("cluster"))
+      .withColumn("cents", centsLit)
+      .withColumn("ce", expr("filter(cents, c -> c._1 = cluster)[0]"))
       .withColumn("proto",
-        round(expr("graft_dot(v, cv)") / (col("norm") * col("cnorm")), 4))
+        round(expr("graft_dot(v, ce._2)") / (col("norm") * col("ce._3")), 4))
       .select(col("vec_id"), col("cluster"), col("proto"))
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("proto").desc, col("vec_id").asc)

@@ -86,12 +86,22 @@ object Lm {
   }
 
   /** Score docs under fitted count tables: per-doc (doc_id, lang,
-    * n_tok, logsb) where logsb = round(−Σ round(ln S, 4) / n_tok, 4)
+    * n_tok, logsb) where logsb = round(−Σ round(ln S, 4), 4) / n_tok
     * — mean negative log Stupid-Backoff score, the log-perplexity
     * analog (lower = more target-like). Token i ≥ 2 scores the
     * bigram arm cb/cpb when BOTH buckets were observed, else
     * α·(cu+1)/(N+B); the first token scores the (α-free) add-one
     * unigram arm.
+    *
+    * ROUND-THEN-DIVIDE, never round the quotient: the token sum is a
+    * (near-)exact multiple of 1e-4, so sum/n sits EXACTLY on a
+    * x.xxxx5 rounding boundary whenever n divides a half-grid
+    * rational — a true decimal TIE that each engine's ~1e-12
+    * summation noise flips at random (measured: 5/500 docs mismatched
+    * the oracle at sf0.01 under round-after-divide). Rounding the
+    * grid-exact sum first is noise-immune, and IEEE division of the
+    * identical rounded doubles by the identical count is bit-equal
+    * across engines with no further rounding.
     */
   def scoreOf(docs: DataFrame, uni: DataFrame, bi: DataFrame): DataFrame = {
     val totals = uni.agg(sum(col("cu")).as("n_total"))
@@ -120,7 +130,7 @@ object Lm {
       .withColumn("l", round(log(col("s")), 4))
     scored.groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tok"),
-        round(-sum(col("l")) / count(lit(1)), 4).as("logsb"))
+        (round(-sum(col("l")), 4) / count(lit(1))).as("logsb"))
   }
 
   /** Attach the CCNet head/middle/tail label: per-LANGUAGE terciles

@@ -36,7 +36,8 @@ class LmSpec extends AnyFunSuite {
     val l1 = r4(math.log(3.0 / 4100))
     val l2 = r4(math.log(1.0))
     val l3 = r4(math.log(0.4 / 4100))
-    val expected = r4(-(l1 + l2 + l3) / 3)
+    // round-then-divide (the operator's tie-immune discipline)
+    val expected = r4(-(l1 + l2 + l3)) / 3
 
     val doc = Seq((7L, "a b z", "en")).toDF("doc_id", "text", "lang")
     val row = Lm.scoreOf(doc, uni, bi).collect()(0)
@@ -50,7 +51,7 @@ class LmSpec extends AnyFunSuite {
     // "b b": bigram unseen, but "b" itself was trained → α·(2+1)/(4+B)
     val l1 = r4(math.log(3.0 / 4100))          // first "b", α-free
     val l2 = r4(math.log(0.4 * 3.0 / 4100))    // second "b", backoff arm
-    val expected = r4(-(l1 + l2) / 2)
+    val expected = r4(-(l1 + l2)) / 2
     val doc = Seq((9L, "b b", "en")).toDF("doc_id", "text", "lang")
     assert(Lm.scoreOf(doc, uni, bi).collect()(0).getAs[Double]("logsb") === expected)
   }

@@ -398,4 +398,32 @@ class PlanShapeSpec extends AnyFunSuite {
       .count(l => l.contains("hashpartitioning(user_id") && l.contains("item_id"))
     assert(windowExchanges === 1, p)
   }
+
+  test("lm score: every model-table join is broadcast — the corpus never sort-merge-joins") {
+    // the count tables are bounded (≤ 4096 + 65536 rows) by
+    // construction; if one ever reaches the corpus-side explode as a
+    // SortMergeJoin the 100 TB contract is gone
+    val p = plan(graft.operators.Lm.lmScore(spark, sf))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, p.take(4000))
+  }
+
+  test("hard negatives: embeddings prune via broadcast semi-join; no sort-merge join anywhere") {
+    val p = plan(graft.operators.Retrieval.hardNegatives(spark, sf))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    assert(p.contains("LeftSemi"), p.take(4000))
+  }
+
+  test("proto prune: map-side assignment — the one hash exchange is the per-cluster window") {
+    val p = plan(graft.operators.Curation.protoPrune(spark, sf))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 cluster-window shuffle, got $exchanges\n" + p.take(4000))
+    assert(p.contains("hashpartitioning(cluster"), p.take(4000))
+  }
+
+  test("best-fit pack: one bucket-keyed exchange feeds the per-bucket packer") {
+    val p = plan(graft.operators.SeqPack.packBestFit(spark, sf))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 bucket shuffle, got $exchanges\n" + p.take(4000))
+  }
 }
