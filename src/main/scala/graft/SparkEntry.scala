@@ -142,6 +142,11 @@ object SparkEntry {
     // centroid cosine, one per-cluster window; rows-only (k-means fit
     // is engine-specific), planted clump-vs-tail gate in CurationSpec
     "q_proto_prune" -> ((s, d) => Curation.protoPrune(s, d)),
+    // the family's frozen-quantizer rung: centroids trained + persisted
+    // once (the IVF artifact seam), loaded, batch verdicted map-side
+    // under the loaded literal — reproducible across batches/days;
+    // rows-only, artifact round-trip + parity spec-gated
+    "q_proto_prune_store" -> ((s, d) => Curation.protoPruneStored(s, d)),
     // — text analysis —
     // BPE subword vocabulary: train = one distributed word count +
     // bounded-table merge loop; encode = map-side with broadcast

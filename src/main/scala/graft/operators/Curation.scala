@@ -107,4 +107,34 @@ object Curation {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     protoPruneOn(spark, vecs, pruneFrac)
   }
+
+  /** Registered `q_proto_prune_store` — the family's frozen-quantizer
+    * rung (every clustering operator here freezes its fit: the
+    * k-means init is partition-sensitive, so reproducible production
+    * verdicts require centroids AT REST, not refit): train + persist
+    * the quantizer once ([[Similarity.trainQuantizer]]'s tiny
+    * (cluster, cv) parquet artifact, the IVF/semantic-dedup seam),
+    * load it back, verdict the batch map-side under the loaded
+    * literal. Given equal centroids the verdicts are byte-identical
+    * to the in-query fit (CurationSpec pins parity), so batches
+    * scored on different days under one artifact are mutually
+    * consistent — the property the in-query form cannot offer.
+    */
+  def protoPruneStored(spark: SparkSession, sfDir: String,
+      pruneFrac: Double = 0.25,
+      artifactDir: String = "target/graft-artifacts"): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val dir = s"$artifactDir/proto_cents_$digest"
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val c = Similarity.withVecNorm(spark, vecs)
+    val nlist = Similarity.deriveSemanticNlist(c.count())
+    val cents = graft.PhaseTimer.timed("q_proto_prune_store", "fit") {
+      Similarity.trainQuantizer(spark, c, dir, nlist)
+    }
+    val loaded = Similarity.loadCentroids(spark, dir)
+    require(loaded == cents, "centroid artifact round-trip changed the quantizer")
+    protoVerdicts(Similarity.assignClusters(c, loaded), loaded, pruneFrac)
+  }
 }

@@ -63,6 +63,23 @@ class CurationSpec extends AnyFunSuite {
       && a.head._2 != b.head._2)
   }
 
+  test("stored rung: persisted-quantizer verdicts equal the in-query fit at equal knobs") {
+    // same data, same seed, same hash-sample ⇒ the stored rung's
+    // persisted fit and the in-query fit converge to the same
+    // quantizer, and verdicts under the loaded artifact are
+    // byte-identical (the round-trip require inside the operator
+    // additionally pins artifact ≡ trained centroids)
+    val sf = TestSpark.sf
+    val n = graft.Tables.embeddings(spark, sf).count()
+    val nlist = Similarity.deriveSemanticNlist(n)
+    val stored = Curation.protoPruneStored(spark, sf)
+      .as[(Long, Int, Double, Boolean)].collect().toSet
+    val inQuery = Curation.protoPrune(spark, sf)
+      .as[(Long, Int, Double, Boolean)].collect().toSet
+    assert(stored === inQuery)
+    assert(stored.nonEmpty && nlist >= 16)
+  }
+
   test("verdicts under frozen centroids are partitioning-invariant") {
     val cents: Seq[(Int, Seq[Double])] = Seq(
       (0, Seq(1.0, 0.0, 0.0, 0.0)), (1, Seq(0.0, 0.0, 1.0, 0.0)))
