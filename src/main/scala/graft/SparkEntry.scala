@@ -147,6 +147,12 @@ object SparkEntry {
     // under the loaded literal — reproducible across batches/days;
     // rows-only, artifact round-trip + parity spec-gated
     "q_proto_prune_store" -> ((s, d) => Curation.protoPruneStored(s, d)),
+    // the D4-shaped end-to-end curation pipeline: semantic dedup →
+    // proto-prune → LM tercile selection → BFD pack, one shared
+    // k-means for the two embedding phases, each phase PhaseTimer'd;
+    // rows-only, composition ≡ sequential operators pinned in
+    // CurationSpec
+    "q_corpus_curate" -> ((s, d) => Curation.corpusCurate(s, d)),
     // — text analysis —
     // BPE subword vocabulary: train = one distributed word count +
     // bounded-table merge loop; encode = map-side with broadcast
@@ -198,6 +204,11 @@ object SparkEntry {
     // merged index — value-identical to a one-shot build, so the SAME
     // full-corpus oracle gates it
     "text_bm25_inc"   -> ((s, d) => Retrieval.bm25Incremental(s, d)),
+    // the delete/re-ingest rung: one CDC tick tombstones doc_id≡55's
+    // postings (before-image re-derives their buckets map-side) and
+    // re-ingests doc_id≡56 with doubled text; oracle = the same BM25
+    // SQL over the post-CDC corpus (tick ≡ rebuild on mutated corpus)
+    "text_bm25_cdc"   -> ((s, d) => Retrieval.bm25Cdc(s, d)),
     // lexical × dense hybrid via reciprocal-rank fusion (k=60): two
     // rank-capped arms full-outer-joined; fused score = sum of two
     // IEEE-exact divisions — hash-gated end to end
@@ -221,6 +232,11 @@ object SparkEntry {
     // shortlist minus the positive minus semantic near-positives
     // (embedding cosine >= floor), re-ranked — SQL-oracled end to end
     "q_hard_negatives" -> ((s, d) => Retrieval.hardNegatives(s, d)),
+    // the deployment shape: BM25 arm from the persisted postings
+    // store, denoise vectors from the IVF store's rows — mining runs
+    // against maintained indexes, no in-query corpus build; value-
+    // identical, so it shares the SQL oracle (hash-gated)
+    "q_hard_negatives_store" -> ((s, d) => Retrieval.hardNegativesStored(s, d)),
     // CCNet LM quality filter with Stupid Backoff over md5-prefix
     // hash buckets: fit on the curated target slice, score the whole
     // corpus, per-lang head/middle/tail terciles — per-token log
@@ -231,6 +247,11 @@ object SparkEntry {
     // (≤ 4096+65536 row) parquet table, loaded, batch scored against
     // the frozen model — value-identical to in-query fit ⇒ same oracle
     "text_lm_store"   -> ((s, d) => Lm.lmStored(s, d)),
+    // the frozen-cutpoint rung: per-lang approx-quantile tercile cuts
+    // persisted as the artifact's third table; batches label against
+    // the frozen cuts (broadcast join, no window) — rows-only, ≥95%
+    // agreement with the exact window pinned in LmSpec
+    "text_lm_frozen"  -> ((s, d) => Lm.lmFrozen(s, d)),
     "q_decontaminate"  -> ((s, d) => Decontamination.flagContaminated(s, d)),
     // bloom-prefiltered scale path; identical output (FPs removed by
     // the exact verify join) → gated by the same oracle
@@ -930,6 +951,67 @@ object SparkEntry {
        |    ORDER BY score DESC, doc_id ASC) AS rn FROM s)
        |WHERE rn <= 10""".stripMargin
 
+  // DPR hard-negative mining: BM25 shortlist (the shared CTEs) →
+  // strike positive + semantic near-positives → re-ranked top 5.
+  // Shared by the in-query and index-at-rest rungs (value-identical).
+  private val HardNegOracleSql: String =
+    s"""$Bm25Ctes,
+       |cand AS (
+       |  SELECT q_id, doc_id, score FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, doc_id ASC) AS rn FROM s)
+       |  WHERE rn <= 20),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |x AS (
+       |  SELECT c.q_id, c.doc_id, c.score,
+       |    round(list_cosine_similarity(de.v, qe.v), 4) AS cos
+       |  FROM cand c
+       |  LEFT JOIN e de ON de.vec_id = c.doc_id
+       |  LEFT JOIN e qe ON qe.vec_id = c.q_id)
+       |SELECT q_id, doc_id, score, rank FROM (
+       |  SELECT q_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, doc_id ASC) AS rank
+       |  FROM x WHERE doc_id <> q_id AND (cos IS NULL OR cos < 0.35))
+       |WHERE rank <= 5""".stripMargin
+
+  // the CDC rung's oracle: the SAME BM25 pipeline over the POST-CDC
+  // corpus (doc_id≡55 deleted, doc_id≡56 re-ingested with doubled
+  // text) — a delete+re-ingest tick must be value-identical to a
+  // rebuild on the mutated corpus. The query residue (≡7) is disjoint
+  // from the mutated ones, so qt over the corpus ≡ qt over documents.
+  private val Bm25CdcOracleSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 100 = 56 THEN text || ' ' || text ELSE text END AS text
+      |  FROM documents WHERE doc_id % 100 <> 55),
+      |toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM corpus),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |qt AS (
+      |  SELECT DISTINCT doc_id AS q_id, token FROM (
+      |    SELECT doc_id, unnest((string_split(text, ' '))[1:6]) AS token
+      |    FROM corpus WHERE doc_id % 100 = 7 AND doc_id < 5000)),
+      |tf AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM toks
+      |  WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |w AS (
+      |  SELECT qt.q_id, tf.doc_id,
+      |    round(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1) *
+      |      (tf.tf * (1.2 + 1)) /
+      |      (tf.tf + (dl.dl / stats.avgdl * 0.75 + (1 - 0.75)) * 1.2), 4) AS w
+      |  FROM qt JOIN tf ON qt.token = tf.token
+      |    JOIN df ON tf.token = df.token
+      |    JOIN dl ON tf.doc_id = dl.doc_id
+      |    CROSS JOIN stats),
+      |s AS (SELECT q_id, doc_id, round(sum(w), 4) AS score FROM w GROUP BY 1, 2)
+      |SELECT q_id, doc_id, score, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY score DESC, doc_id ASC) AS rn FROM s)
+      |WHERE rn <= 10""".stripMargin
+
   // Stupid-Backoff hashed-bigram LM scoring (operators.Lm), mirrored
   // operation-for-operation: md5-prefix buckets, backoff arm with the
   // add-one floor, per-token round-to-1e-4 BEFORE the doc sum,
@@ -1331,6 +1413,7 @@ object SparkEntry {
     // seed ∪ tick covers every doc and merges to a value-identical
     // index, so the inc rung shares the full-corpus oracle too
     "text_bm25_inc" -> Bm25OracleSql,
+    "text_bm25_cdc" -> Bm25CdcOracleSql,
 
     "text_lm_score" -> LmOracleSql,
     "text_lm_store" -> LmOracleSql,
@@ -1338,26 +1421,10 @@ object SparkEntry {
     // BM25 shortlist (the shared CTEs) → strike positive + semantic
     // near-positives (cosine parity = the knn_brute discipline) →
     // re-ranked top 5
-    "q_hard_negatives" ->
-      s"""$Bm25Ctes,
-         |cand AS (
-         |  SELECT q_id, doc_id, score FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY q_id
-         |      ORDER BY score DESC, doc_id ASC) AS rn FROM s)
-         |  WHERE rn <= 20),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |x AS (
-         |  SELECT c.q_id, c.doc_id, c.score,
-         |    round(list_cosine_similarity(de.v, qe.v), 4) AS cos
-         |  FROM cand c
-         |  LEFT JOIN e de ON de.vec_id = c.doc_id
-         |  LEFT JOIN e qe ON qe.vec_id = c.q_id)
-         |SELECT q_id, doc_id, score, rank FROM (
-         |  SELECT q_id, doc_id, score,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY score DESC, doc_id ASC) AS rank
-         |  FROM x WHERE doc_id <> q_id AND (cos IS NULL OR cos < 0.35))
-         |WHERE rank <= 5""".stripMargin,
+    "q_hard_negatives" -> HardNegOracleSql,
+    // mining from the at-rest indexes is value-identical (stored BM25
+    // ≡ in-query; IVF store rows are the exact vectors) — same oracle
+    "q_hard_negatives_store" -> HardNegOracleSql,
 
     "q_hybrid_rrf" ->
       s"""$Bm25Ctes,

@@ -74,15 +74,16 @@ object Curation {
   private[graft] def protoVerdicts(assigned: DataFrame,
       cents: Seq[(Int, Seq[Double])], pruneFrac: Double): DataFrame = {
     graft.functions.VectorFunctions.register(assigned.sparkSession)
-    // (cluster-indexed) centroid vectors with driver-precomputed norms
+    // cluster-KEYED map literal (vector, driver-precomputed norm):
+    // centroid lookup is an O(1)-ish element_at instead of a linear
+    // filter over the nlist-sized array per row
     val centsLit = typedLit(cents.map { case (i, cv) =>
-      (i, cv, math.sqrt(cv.map(x => x * x).sum))
-    })
+      i -> (cv, math.sqrt(cv.map(x => x * x).sum))
+    }.toMap)
     val scored = assigned
-      .withColumn("cents", centsLit)
-      .withColumn("ce", expr("filter(cents, c -> c._1 = cluster)[0]"))
+      .withColumn("ce", element_at(centsLit, col("cluster")))
       .withColumn("proto",
-        round(expr("graft_dot(v, ce._2)") / (col("norm") * col("ce._3")), 4))
+        round(expr("graft_dot(v, ce._1)") / (col("norm") * col("ce._2")), 4))
       .select(col("vec_id"), col("cluster"), col("proto"))
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("proto").desc, col("vec_id").asc)
@@ -90,7 +91,12 @@ object Curation {
     scored
       .withColumn("rn", row_number().over(w))
       .withColumn("n_c", count(lit(1)).over(wc))
-      .withColumn("keep", col("rn") > floor(lit(pruneFrac) * col("n_c")))
+      // snap the product to a 1e-6 grid BEFORE floor: in pure double
+      // arithmetic a non-dyadic fraction can land a hair below the
+      // exact rational (0.29·100 = 28.999999999999996 → floor 28 where
+      // the documented exact floor(frac·n_c) rule says 29)
+      .withColumn("keep",
+        col("rn") > floor(round(lit(pruneFrac) * col("n_c"), 6)))
       .select(col("vec_id"), col("cluster"), col("proto"), col("keep"))
   }
 
@@ -106,6 +112,97 @@ object Curation {
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     protoPruneOn(spark, vecs, pruneFrac)
+  }
+
+  /** Registered `q_corpus_curate` — the curation triad composed at
+    * its deployment shape (the D4 recipe, Tirumala et al. 2023:
+    * SemDeDup then SSL-prototype pruning over ONE shared clustering,
+    * then selection, then packing — the pieces every r11/r12 rung was
+    * built for, now one registered pipeline):
+    *
+    *  1. '''semantic dedup''' (Abbas et al.) — drop near-duplicate
+    *     documents by within-cluster pairwise cosine;
+    *  2. '''prototype pruning''' (Sorscher et al.) — among the
+    *     survivors, shed the most prototypical `pruneFrac` of each
+    *     cluster (the easy, redundant core);
+    *  3. '''LM selection''' (CCNet) — score survivors under the
+    *     target-corpus LM (fit on the FULL corpus's target slice:
+    *     production fits the reference LM independently of the batch
+    *     being curated) and keep the head+middle terciles;
+    *  4. '''packing''' (Ding et al. BFD) — lay the kept documents
+    *     into fixed-budget training rows, truncation-free.
+    *
+    * ONE k-means fit serves phases 1–2 (D4's own economy — both need
+    * the same cluster geometry, so assignment happens once); each
+    * phase runs under a PhaseTimer with its survivor count logged.
+    * Rows-only (k-means + the composition have no SQL form);
+    * CurationSpec pins composition ≡ running the published operators
+    * in sequence on the same frozen centroids.
+    */
+  def corpusCurate(spark: SparkSession, sfDir: String,
+                   threshold: Double = 0.92,
+                   pruneFrac: Double = 0.25): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val docs = Tables.documents(spark, sfDir)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val c = Similarity.withVecNorm(spark, vecs)
+    val nlist = Similarity.deriveSemanticNlist(c.count())
+    val train = c.filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit("40"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("fv")
+      .setMaxIter(10).fit(train)
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (vec, i) => (i, vec.toArray.toSeq) }.toSeq
+    curateFrom(spark, docs, Similarity.assignClusters(c, cents)
+        .select(col("vec_id"), col("v"), col("norm"), col("cluster")),
+      cents, threshold, pruneFrac,
+      target = docs.filter(col("lang") === "en" && col("doc_id") % 10 === 0))
+  }
+
+  /** The pipeline under FROZEN centroids — separated so the spec can
+    * pin composition against the standalone operators on equal
+    * quantizers. Each phase's keep set is materialized (cache +
+    * count) so the PhaseTimer numbers measure real work and the
+    * funnel counts land in the log.
+    */
+  private[graft] def curateFrom(spark: SparkSession, docs: DataFrame,
+      assigned0: DataFrame, cents: Seq[(Int, Seq[Double])],
+      threshold: Double, pruneFrac: Double, target: DataFrame): DataFrame = {
+    val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Curation")
+    val assigned = assigned0.cache()
+    val keep1 = graft.PhaseTimer.timed("q_corpus_curate", "semantic") {
+      val k = Similarity.semanticVerdicts(assigned, threshold)
+        .filter(col("keep")).select(col("vec_id")).cache()
+      log.info(s"q_corpus_curate semantic: ${k.count()} of ${assigned.count()} kept")
+      k
+    }
+    val keep2 = graft.PhaseTimer.timed("q_corpus_curate", "proto") {
+      val k = protoVerdicts(assigned.join(keep1, Seq("vec_id"), "left_semi"),
+          cents, pruneFrac)
+        .filter(col("keep")).select(col("vec_id")).cache()
+      log.info(s"q_corpus_curate proto: ${k.count()} kept")
+      k
+    }
+    val kept = docs.join(keep2.withColumnRenamed("vec_id", "doc_id"),
+      Seq("doc_id"), "left_semi")
+    val selected = graft.PhaseTimer.timed("q_corpus_curate", "select") {
+      val (uni, bi) = Lm.fitCounts(target)
+      val s = Lm.withTerciles(Lm.scoreOf(kept, uni, bi))
+        .filter(col("tercile") <= 2).select(col("doc_id")).cache()
+      log.info(s"q_corpus_curate select: ${s.count()} kept")
+      s
+    }
+    val finalDocs = kept.join(selected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    graft.PhaseTimer.timed("q_corpus_curate", "pack") {
+      val nPieces = finalDocs
+        .select(size(split(col("text"), " ")).cast("long").as("n"))
+        .agg(coalesce(sum(expr("(n + 511) div 512")), lit(0L)))
+        .head.getLong(0)
+      SeqPack.packBestFitOf(finalDocs, 512, SeqPack.deriveBfdBuckets(nPieces))
+    }
   }
 
   /** Registered `q_proto_prune_store` — the family's frozen-quantizer

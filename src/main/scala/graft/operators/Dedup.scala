@@ -586,6 +586,101 @@ object Dedup {
     ()
   }
 
+  /** Planted-recall drift probe for the six banded near-dup store
+    * families (r12 verdict task #8 — IVF, semantic, and DSIR have
+    * staleness probes; the banded detector stores had none, yet their
+    * hot-bucket freeze ([[hotBucketList]]) can silently go stale as
+    * the corpus grows: once a (band, key) bucket crosses `bucketCap`
+    * it is excluded from candidate generation FOREVER, and a genuine
+    * near-dup whose shared keys are all hot is missed with no
+    * signal).
+    *
+    * The probe is detector-GENERIC by planting EXACT COPIES: a copy
+    * has the identical signature, hence identical band keys, for
+    * every family (MinHash, SimHash, embed-LSH ×2, image, audio,
+    * video alike) — so its recall through the candidate + verify path
+    * is 100% BY CONSTRUCTION unless something in the path is
+    * degraded. Every miss therefore isolates real staleness (in
+    * practice: the sampled row's band keys have all gone hot). The
+    * plants live under reserved NEGATIVE ids (`-id - 1` — corpus ids
+    * are non-negative) and are never written to any store: the probe
+    * runs the same pruned band read, hot-list anti-join, minShared
+    * gate, and exact verification a real tick runs, then measures
+    * which plants paired with their sources.
+    *
+    * Cost ∝ `sample`: one pruned band-store read (the plants' keys'
+    * buckets), one pruned row-store read (candidate ids), tiny joins.
+    */
+  case class BandedProbeResult(planted: Long, found: Long,
+                               recall: Double, tripped: Boolean) {
+    override def toString: String =
+      f"bandedProbe[planted=$planted found=$found recall=$recall%.3f tripped=$tripped]"
+  }
+
+  /** Probe policy for [[graft.streaming.DocStream]]'s banded
+    * maintainers: every `everyNTicks` ticks, `sample` hash-selected
+    * rows of THAT tick are planted and their recall measured; below
+    * `floor` the result is `tripped` and `onDrift` fires — the
+    * operator signal to raise `bucketCap`, re-band, or rebuild
+    * (exact-copy recall has no approximation slack, so the default
+    * floor is 1.0).
+    */
+  case class BandedProbeConfig(sample: Int = 8, floor: Double = 1.0,
+      everyNTicks: Int = 1,
+      onDrift: (Long, BandedProbeResult) => Unit = (_, _) => ())
+
+  private[graft] def bandedDriftProbe(spark: SparkSession, det: NearDupDetector,
+      rowsDir: String, bandDir: String, sampleRows: DataFrame,
+      nBuckets: Int, bucketCap: Int, floor: Double): BandedProbeResult = {
+    import graft.streaming.BucketStore
+    graft.functions.VectorFunctions.register(spark)
+    val id = det.idCol
+    // exact copies under the reserved negative id range
+    val plants = sampleRows.withColumn(id, -col(id) - lit(1)).cache()
+    val nPlanted = plants.count()
+    if (nPlanted == 0)
+      return BandedProbeResult(0, 0, 1.0, tripped = false)
+    val pRows = det.rows(plants).cache()
+    val pBands = det.bands(pRows)
+    val probeBuckets = BucketStore.touchedBuckets(pBands.select(
+      BucketStore.longBucket(col("key"), nBuckets).as(BucketStore.BucketCol)))
+    val storeBands = BucketStore.readBuckets(spark, bandDir, probeBuckets, nBuckets)
+    val hot = hotBucketList(storeBands, bucketCap)
+    // the REAL candidate path: plant bands × stored bands, hot list
+    // applied to both sides, minShared gate, exact verification
+    val aSide = pBands.join(broadcast(hot), Seq("band", "key"), "left_anti")
+      .select(col(id), col("band"), col("key")).distinct()
+    val bSide = storeBands.join(broadcast(hot), Seq("band", "key"), "left_anti")
+      .select(col(id), col("band"), col("key")).distinct()
+    val cand = aSide.as("a").join(bSide.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col(s"a.$id") =!= col(s"b.$id"))
+      .select(least(col(s"a.$id"), col(s"b.$id")).as(det.aCol),
+        greatest(col(s"a.$id"), col(s"b.$id")).as(det.bCol),
+        col("a.band"), col("a.key"))
+      .distinct()
+      .groupBy(col(det.aCol), col(det.bCol))
+      .agg(count(lit(1)).as("_nshared"))
+      .filter(col("_nshared") >= det.minShared)
+      .select(col(det.aCol), col(det.bCol))
+      .cache()
+    val candBuckets = BucketStore.touchedBuckets(
+      cand.select(explode(array(col(det.aCol), col(det.bCol))).as(id))
+        .filter(col(id) >= 0)
+        .select(BucketStore.longBucket(col(id), nBuckets).as(BucketStore.BucketCol)))
+    val storeRows = BucketStore.readBuckets(spark, rowsDir, candBuckets, nBuckets)
+    val verified = det.verify(cand, storeRows.unionByName(pRows).dropDuplicates(id))
+    // a plant found ⇔ a verified pair joins it (plant id, negative =
+    // the a-side of the canonical (min, max) projection) to its
+    // source (-plant - 1)
+    val found = verified
+      .filter(col(det.aCol) < 0 && col(det.bCol) === -col(det.aCol) - lit(1))
+      .select(col(det.aCol)).distinct().count()
+    Seq(plants, pRows, cand).foreach(_.unpersist())
+    val recall = found.toDouble / nPlanted
+    BandedProbeResult(nPlanted, found, recall, tripped = recall < floor)
+  }
+
   /** Canonical reader of a maintainer's pair log: `batch=<id>` dirs
     * plus `compact-<id>` fold dirs that finished writing (`_SUCCESS`
     * present — a fold that crashed mid-write is skipped; its rows are

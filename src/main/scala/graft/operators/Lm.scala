@@ -104,6 +104,14 @@ object Lm {
     * across engines with no further rounding.
     */
   def scoreOf(docs: DataFrame, uni: DataFrame, bi: DataFrame): DataFrame = {
+    // an EMPTY unigram table (target slice selected no documents —
+    // possible at tiny SFs or on a foreign corpus) would make n_total
+    // NULL and every score silently NULL on BOTH engines, so the SQL
+    // oracle gate would pass on fully degenerate output; fail fast
+    // instead (the check is one scan of a ≤ 4096-row frame)
+    require(!uni.isEmpty,
+      "LM unigram counts are empty — the target corpus slice selected no " +
+        "documents; scoring would emit all-NULL scores")
     val totals = uni.agg(sum(col("cu")).as("n_total"))
     val toks = docs
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
@@ -197,6 +205,70 @@ object Lm {
       buildLmArtifact(docs.filter(col("lang") === "en" && col("doc_id") % 10 === 0), dir)
     }
     withTerciles(scoreWithArtifact(spark, dir, docs))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("logsb"), col("tercile"))
+  }
+
+  // ----- frozen tercile cutpoints (r12 verdict task #7) -------------
+
+  /** Persist per-language APPROX-QUANTILE tercile cutpoints of logsb
+    * as the artifact's third table — the production form of the
+    * head/middle/tail cut: the exact `ntile(3)` window re-sorts every
+    * scored batch AND moves the boundary as the batch mix drifts,
+    * whereas CCNet's deployment freezes the cut once (on a reference
+    * scoring of the seed corpus) so batches labeled on different days
+    * are mutually consistent — the `q_sample_curriculum_approx`
+    * lifecycle applied to the LM filter. One bounded row per
+    * language: (lang, c1, c2).
+    */
+  def buildLmCutpoints(scores: DataFrame, dir: String): Unit = {
+    scores.groupBy(col("lang"))
+      .agg(percentile_approx(col("logsb"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("cuts"))
+      .select(col("lang"), col("cuts")(0).as("c1"), col("cuts")(1).as("c2"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Label a scored batch against the FROZEN cutpoints — a broadcast
+    * join + two comparisons per row, no window, no sort: the 100 TB
+    * shape (the exact window stays as the oracle-able contract the
+    * spec measures agreement against). A language absent from the
+    * cutpoint table labels tercile 3 — an unknown language is maximal
+    * "far from the target LM", the conservative tail.
+    */
+  def withStoredTerciles(spark: SparkSession, scores: DataFrame,
+                         dir: String): DataFrame = {
+    val cuts = spark.read.parquet(dir)
+    scores.join(broadcast(cuts), Seq("lang"), "left")
+      .withColumn("tercile",
+        when(col("c1").isNull, lit(3))
+          .when(col("logsb") <= col("c1"), lit(1))
+          .when(col("logsb") <= col("c2"), lit(2))
+          .otherwise(lit(3)))
+      .drop("c1", "c2")
+  }
+
+  /** Registered `text_lm_frozen`: the full frozen lifecycle — counts
+    * artifact + cutpoint artifact fit once (PhaseTimer'd), the batch
+    * scored map-side and labeled against the frozen cuts. Rows-only
+    * (approx-quantile cuts are engine-specific); LmSpec pins ≥95%
+    * tercile agreement with the exact window plus exact agreement of
+    * everything BELOW the tercile column (same scoring path as the
+    * oracle-gated rungs).
+    */
+  def lmFrozen(spark: SparkSession, sfDir: String,
+               artifactDir: String = "target/graft-artifacts"): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val countsDir = s"$artifactDir/lm_counts_$digest"
+    val cutsDir = s"$artifactDir/lm_cuts_$digest"
+    val docs = Tables.documents(spark, sfDir)
+    graft.PhaseTimer.timed("text_lm_frozen", "fit") {
+      buildLmArtifact(docs.filter(col("lang") === "en" && col("doc_id") % 10 === 0),
+        countsDir)
+      buildLmCutpoints(scoreWithArtifact(spark, countsDir, docs), cutsDir)
+    }
+    withStoredTerciles(spark, scoreWithArtifact(spark, countsDir, docs), cutsDir)
       .select(col("doc_id"), col("lang"), col("n_tok"), col("logsb"), col("tercile"))
   }
 }

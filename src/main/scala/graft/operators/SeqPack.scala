@@ -88,9 +88,16 @@ object SeqPack {
     * Scale shape — bin packing is sequential, so it runs per BUCKET
     * (the [[packOf]] deal): pieces deal into `buckets` deterministic
     * groups and each group packs independently inside one
-    * `flatMapGroups` task (per-bucket state = its open bins — bounded
-    * by bucket size; `buckets` scales with the cluster exactly like
-    * [[packOf]]). Within a bucket: pieces sorted by length DESC
+    * `flatMapGroups` task. The HONEST per-task memory bound is the
+    * whole bucket's piece list, not just its open bins: the
+    * length-DESC sort materializes ~`pieces/buckets` 16-byte structs
+    * in one array before packing begins (inherent to sequential bin
+    * packing — BFD must see its longest piece first). That is why
+    * `buckets` must scale with the CORPUS, not stay a constant: the
+    * registered entry derives it from the exact piece count
+    * ([[deriveBfdBuckets]], ~[[PiecesPerBucket]] pieces → a few MB of
+    * sort buffer per task), the [[Similarity.deriveSemanticNlist]]
+    * precedent. Within a bucket: pieces sorted by length DESC
     * (doc_id, piece tie-break), each placed into the bin with the
     * SMALLEST sufficient remainder (a TreeSet ceiling query — O(n log
     * n) per bucket, the classic BFD), new bin when none fits.
@@ -101,9 +108,43 @@ object SeqPack {
     * Output: one row per PIECE — (doc_id, piece, n_tokens, seq_id,
     * seq_offset); seq ids globally unique via the bucket stride.
     */
+  /** Target pieces per BFD bucket — sized so one task's sort buffer
+    * (16-byte piece structs) stays a few MB and its bin count stays
+    * far under [[SeqStride]].
+    */
+  val PiecesPerBucket = 262144L
+
+  /** Scale-derived BFD bucket count: ~[[PiecesPerBucket]] pieces per
+    * bucket, next power of two, clamped to [16, 2^20]. 4.2M pieces
+    * derive 16 (the old constant); 1e10 pieces (a ~100 TB corpus at
+    * 512-token docs) derive 65536 — per-task state flat either way.
+    */
+  private[graft] def deriveBfdBuckets(nPieces: Long): Int = {
+    val want = (nPieces + PiecesPerBucket - 1) / PiecesPerBucket
+    var p = 1L
+    while (p < want) p <<= 1
+    math.min(1 << 20, math.max(16, p)).toInt
+  }
+
+  /** Registered entry: `buckets` ≤ 0 derives from the EXACT piece
+    * count (one narrow aggregate over token counts — the only scan
+    * added by the derivation, and the honest input: a long-document
+    * corpus has many more pieces than documents).
+    */
   def packBestFit(spark: SparkSession, sfDir: String, budget: Int = 512,
-                  buckets: Int = 16): DataFrame =
-    packBestFitOf(Tables.documents(spark, sfDir), budget, buckets)
+                  buckets: Int = -1): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val b =
+      if (buckets > 0) buckets
+      else {
+        val nPieces = docs
+          .select(size(split(col("text"), " ")).cast("long").as("n"))
+          .agg(coalesce(sum(expr(s"(n + $budget - 1) div $budget")), lit(0L)))
+          .head.getLong(0)
+        deriveBfdBuckets(nPieces)
+      }
+    packBestFitOf(docs, budget, b)
+  }
 
   /** Core on an injectable corpus — spec entry. */
   def packBestFitOf(docs: DataFrame, budget: Int = 512,

@@ -11,21 +11,40 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *
   * Data lives in per-tick GENERATION directories,
   * `gen-<batchId>/bucket=<i>/part-*.parquet`, and the live state is a
-  * MANIFEST mapping each bucket to the generation that last wrote it.
-  * The current manifest is named by the applied-batch marker, so a
-  * reader resolves (marker → manifest → exact file paths) one
-  * consistent snapshot. Because the bucket is a pure function of the
-  * key (`pmod(pk, n)` for long keys, an md5-prefix mod for hash
-  * keys), a tick knows — from its changed rows alone — exactly which
-  * buckets it touches, and:
+  * MANIFEST mapping each bucket to the generationS that hold its live
+  * rows (oldest first; a MERGE tick collapses a bucket to one
+  * generation, an APPEND tick stacks one more — see [[applyTick]] /
+  * [[applyAppendTick]]). The current manifest is named by the
+  * applied-batch marker, so a reader resolves (marker → manifest →
+  * exact file paths) one consistent snapshot. Because the bucket is a
+  * pure function of the key (`pmod(pk, n)` for long keys, an
+  * md5-prefix mod for hash keys), a tick knows — from its changed
+  * rows alone — exactly which buckets it touches, and:
   *
   *  - the merge READ resolves only those buckets' paths from the
   *    manifest (untouched buckets are never opened),
   *  - the WRITE produces one new generation holding ONLY the touched
   *    buckets' merged rows; untouched buckets keep their existing
-  *    files, byte-identical, in whatever generation last wrote them,
+  *    files, byte-identical, in whatever generation(s) last wrote
+  *    them,
   *  - a bucket the tick EMPTIES simply drops out of the new manifest —
   *    tombstones need no directory deletion at publish time.
+  *
+  * '''Append ticks — true O(delta) writes.''' [[applyTick]]'s merge
+  * semantics must READ every touched bucket to carry unchanged rows
+  * over, so a delta whose keys spread across all buckets (a text
+  * delta's token vocabulary, the r12 BM25 finding) degenerates to an
+  * amortized full-store rewrite per tick. [[applyAppendTick]] is the
+  * LSM answer for stores whose keys are append-only (new keys per
+  * tick by contract): it writes the delta rows as one generation and
+  * publishes a manifest where each touched bucket gains that
+  * generation ON TOP of its existing ones — zero reads, zero
+  * carry-over, tick bytes ∝ delta. Readers union a bucket's
+  * generations (disjoint keys by the append-only contract, so union
+  * IS the merge); the live-generation bound then triggers the
+  * existing fold, which becomes exactly the deferred COMPACTOR the
+  * LSM analogy named: one amortized full rewrite every
+  * ~`maxLiveGenerations` ticks, instead of one per tick.
   *
   * This is the plain-parquet equivalent of a Delta/Iceberg MERGE into
   * a bucketed table: at 100 TB a 15-minute tick cadence must not
@@ -271,7 +290,7 @@ private[graft] object BucketStore {
     // schema to serve — see selectOrEmpty
     writeSmall(fs, new HPath(p, SchemaFile), bucketed.schema.json)
     writeManifest(fs, p, -1L,
-      presentBuckets(s"$dir/$SeedGen").toSeq.sorted.map(_ -> SeedGen))
+      presentBuckets(s"$dir/$SeedGen").toSeq.sorted.map(_ -> Seq(SeedGen)))
   }
 
   /** Full store read at the CURRENT snapshot, bucket column dropped
@@ -377,7 +396,7 @@ private[graft] object BucketStore {
     val changed = touchedBuckets(
       rm.map(r => ch.select(col(BucketCol)).unionByName(r.select(col(BucketCol))))
         .getOrElse(ch.select(col(BucketCol))))
-    val compacting = prevManifest.values.toSet.size >= maxLiveGenerations
+    val compacting = liveGenCount(prevManifest) >= maxLiveGenerations
     if (changed.isEmpty && !compacting) {
       // an all-duplicate tick changes nothing but must still advance
       // the marker, or the replay guard would re-run it forever
@@ -387,12 +406,15 @@ private[graft] object BucketStore {
       writeMarker(dir, batchId)
       gc(fs, p, dir, batchId)
       val st = TickStats(batchId, applied = true, touchedBuckets = 0,
-        compacted = false, liveGenerations = prevManifest.values.toSet.size)
+        compacted = false, liveGenerations = liveGenCount(prevManifest))
       log.info(s"$dir $st")
       return st
     }
     val touched =
       if (compacting) (prevManifest.keySet ++ changed).toSeq else changed
+    // the merge read unions ALL of a touched bucket's generations
+    // (append ticks may have stacked several) — the merged write then
+    // collapses those buckets back to one
     val old = selectOrEmpty(spark, dir, prevManifest,
       prevManifest.filter { case (b, _) => touched.contains(b) })
     // carry-over: touched-bucket rows the tick neither changed nor
@@ -415,11 +437,12 @@ private[graft] object BucketStore {
     checkFence(dir, fence0, batchId)
     merged.repartition(col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$dir/$gen")
-    // new manifest: touched buckets move to this generation iff the
-    // write produced rows for them (emptied buckets drop out);
-    // untouched buckets keep their previous generation
+    // new manifest: touched buckets move (collapse) to this single
+    // generation iff the write produced rows for them (emptied
+    // buckets drop out); untouched buckets keep their previous
+    // generation list
     val newManifest = (prevManifest -- touched) ++
-      presentBuckets(s"$dir/$gen").map(_ -> gen)
+      presentBuckets(s"$dir/$gen").map(_ -> Seq(gen))
     beforePublish()
     checkFence(dir, fence0, batchId)
     writeManifest(fs, p, batchId, newManifest.toSeq.sortBy(_._1))
@@ -428,12 +451,94 @@ private[graft] object BucketStore {
     writeMarker(dir, batchId)
     gc(fs, p, dir, batchId)
     val st = TickStats(batchId, applied = true, touchedBuckets = touched.size,
-      compacted = compacting, liveGenerations = newManifest.values.toSet.size)
+      compacted = compacting, liveGenerations = liveGenCount(newManifest))
     log.info(s"$dir $st")
     st
     } finally { ch.unpersist(); rm.foreach(_.unpersist()) }
     } finally lease.foreach(releaseLease(dir, _))
   }
+
+  /** Apply one APPEND-ONLY tick: `appended` (bucket column included)
+    * holds rows whose keys are NEW to the store — the caller's
+    * contract; an existing key appended again would simply coexist
+    * with its old row, exactly like inserting it twice. Under that
+    * contract the tick needs NO carry-over read at all: the delta
+    * rows are written as generation `gen-<batchId>` and the manifest
+    * STACKS that generation onto each touched bucket's existing
+    * list — tick I/O is O(delta rows), independent of store size
+    * (the r12 verdict's top task: a text delta's vocabulary touches
+    * ~every token bucket, so merge-tick carry-over degenerated to a
+    * full-store rewrite per tick).
+    *
+    * Read-time cost is bounded by the SAME `maxLiveGenerations` knob:
+    * once the live state spans that many generations, the next append
+    * tick compacts — reads everything, folds delta + store into one
+    * generation (the amortized LSM rewrite, now deferred instead of
+    * per-tick). Publish protocol (fence, lease, marker, manifest,
+    * recovery, gc, replay guard) is [[applyTick]]'s, unchanged.
+    */
+  def applyAppendTick(spark: SparkSession, dir: String, appended: DataFrame,
+                      batchId: Long, n: Int,
+                      maxLiveGenerations: Int = DefaultMaxLiveGenerations,
+                      beforePublish: () => Unit = () => (),
+                      lease: Option[WriterLease] = None): TickStats = {
+    val (prevId, fence0) = markerSnapshot(dir)
+    if (prevId >= batchId)
+      return TickStats(batchId, applied = false, touchedBuckets = 0,
+        compacted = false, liveGenerations = 0)
+    requireBucketCount(dir, n)
+    lease.foreach(acquireLease(dir, _))
+    try {
+      val (fs, p) = fsFor(dir)
+      val prevManifest = readManifest(fs, p, prevId)
+      val app = appended.cache()
+      try {
+        val changed = touchedBuckets(app.select(col(BucketCol)))
+        val compacting = liveGenCount(prevManifest) >= maxLiveGenerations
+        if (changed.isEmpty && !compacting) {
+          beforePublish()
+          checkFence(dir, fence0, batchId)
+          writeManifest(fs, p, batchId, prevManifest.toSeq.sortBy(_._1))
+          writeMarker(dir, batchId)
+          gc(fs, p, dir, batchId)
+          val st = TickStats(batchId, applied = true, touchedBuckets = 0,
+            compacted = false, liveGenerations = liveGenCount(prevManifest))
+          log.info(s"$dir $st")
+          return st
+        }
+        val gen = GenPrefix + batchId
+        val out =
+          if (compacting) selectOrEmpty(spark, dir, prevManifest, prevManifest)
+            .unionByName(app)
+          else app
+        checkFence(dir, fence0, batchId)
+        out.repartition(col(BucketCol))
+          .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$dir/$gen")
+        val written = presentBuckets(s"$dir/$gen")
+        val newManifest =
+          if (compacting) written.map(_ -> Seq(gen)).toMap
+          else prevManifest ++ written.map(b =>
+            b -> (prevManifest.getOrElse(b, Seq.empty) :+ gen))
+        beforePublish()
+        checkFence(dir, fence0, batchId)
+        writeManifest(fs, p, batchId, newManifest.toSeq.sortBy(_._1))
+        writeMarker(dir, batchId)
+        gc(fs, p, dir, batchId)
+        val st = TickStats(batchId, applied = true, touchedBuckets = changed.size,
+          compacted = compacting, liveGenerations = liveGenCount(newManifest))
+        log.info(s"$dir $st")
+        st
+      } finally app.unpersist()
+    } finally lease.foreach(releaseLease(dir, _))
+  }
+
+  /** Distinct generations the manifest's live state spans — the
+    * compaction trigger and the bound on both read-plan width and a
+    * bucket's generation-stack depth (a bucket's list is a subset of
+    * the distinct set).
+    */
+  private def liveGenCount(m: Map[Int, Seq[String]]): Int =
+    m.values.flatten.toSet.size
 
   /** Roll an interrupted tick BACK: generations and manifests newer
     * than the marker are leftovers of a crash before publish — the
@@ -523,14 +628,14 @@ private[graft] object BucketStore {
   // ---------------------------------------------------------------
   // snapshot resolution
 
-  /** The current snapshot's bucket → generation map (marker read
+  /** The current snapshot's bucket → generation-list map (marker read
     * once; the map references only immutable files). A published
     * marker whose manifest FILE is missing is a protocol violation
     * (torn store, or a reader lagging past the retention window) and
     * fails loudly — returning an empty map there would silently
     * present an empty store.
     */
-  private def currentManifest(dir: String): Map[Int, String] = {
+  private def currentManifest(dir: String): Map[Int, Seq[String]] = {
     val (fs, p) = fsFor(dir)
     val id = appliedBatchId(dir)
     val m = readManifest(fs, p, id)
@@ -564,7 +669,7 @@ private[graft] object BucketStore {
     * existed fall back to the seed generation's footer.
     */
   private def selectOrEmpty(spark: SparkSession, dir: String,
-                            m: Map[Int, String], sel: Map[Int, String]): DataFrame =
+                            m: Map[Int, Seq[String]], sel: Map[Int, Seq[String]]): DataFrame =
     if (sel.nonEmpty) selectPaths(spark, dir, sel)
     else if (m.nonEmpty) selectPaths(spark, dir, m.take(1)).limit(0)
     else storedSchema(dir) match {
@@ -585,18 +690,23 @@ private[graft] object BucketStore {
 
   /** One DataFrame over exact bucket paths, grouped per generation so
     * Spark's partition discovery (basePath = the generation dir)
-    * restores the bucket column. Plan width is bounded by the number
-    * of DISTINCT generations among the selected buckets — at most
-    * min(selected, retained-tick count), and a re-seed collapses it
-    * to one.
+    * restores the bucket column. A bucket with several live
+    * generations (append ticks) contributes one path per generation —
+    * its rows are the UNION across them (disjoint keys by the
+    * append-only contract). Plan width is bounded by the number of
+    * DISTINCT generations among the selected buckets — at most
+    * `maxLiveGenerations` (the compaction bound), and a re-seed or
+    * fold collapses it to one.
     */
   private def selectPaths(spark: SparkSession, dir: String,
-                          sel: Map[Int, String]): DataFrame =
-    sel.groupBy(_._2).map { case (gen, bs) =>
-      spark.read
-        .option("basePath", s"$dir/$gen")
-        .parquet(bs.keys.toSeq.sorted.map(b => s"$dir/$gen/$BucketCol=$b"): _*)
-    }.reduce(_ unionByName _)
+                          sel: Map[Int, Seq[String]]): DataFrame =
+    sel.toSeq.flatMap { case (b, gens) => gens.map(g => (g, b)) }
+      .groupBy(_._1).map { case (gen, pairs) =>
+        spark.read
+          .option("basePath", s"$dir/$gen")
+          .parquet(pairs.map(_._2).distinct.sorted
+            .map(b => s"$dir/$gen/$BucketCol=$b"): _*)
+      }.reduce(_ unionByName _)
 
   // ---------------------------------------------------------------
   // metadata I/O (all through the Hadoop FileSystem of the store path)
@@ -668,18 +778,24 @@ private[graft] object BucketStore {
       s"$batchId\n${java.util.UUID.randomUUID()}")
   }
 
-  private def readManifest(fs: FileSystem, p: HPath, id: Long): Map[Int, String] =
+  /** Manifest line format: `bucket\tgen1,gen2,…` — the generation
+    * list oldest-first (append ticks push onto the tail; merge and
+    * compaction collapse to one element). Single-generation lines are
+    * exactly the pre-multi-gen format, so old manifests parse
+    * unchanged.
+    */
+  private def readManifest(fs: FileSystem, p: HPath, id: Long): Map[Int, Seq[String]] =
     readSmall(fs, new HPath(p, ManifestPrefix + id))
       .map(_.split("\n").filter(_.nonEmpty).map { line =>
         val Array(b, g) = line.split("\t", 2)
-        b.toInt -> g
+        b.toInt -> g.split(",").toSeq
       }.toMap)
       .getOrElse(Map.empty)
 
   private def writeManifest(fs: FileSystem, p: HPath, id: Long,
-                            entries: Seq[(Int, String)]): Unit =
+                            entries: Seq[(Int, Seq[String])]): Unit =
     writeSmall(fs, new HPath(p, ManifestPrefix + id),
-      entries.map { case (b, g) => s"$b\t$g" }.mkString("\n"))
+      entries.map { case (b, gs) => s"$b\t${gs.mkString(",")}" }.mkString("\n"))
 
   /** Drop generations and manifests outside the retention window:
     * keep the [[RetainManifests]] newest manifests and every
@@ -695,8 +811,8 @@ private[graft] object BucketStore {
       .flatMap(n => scala.util.Try(n.stripPrefix(ManifestPrefix).toLong).toOption)
       .sorted(Ordering[Long].reverse)
       .take(RetainManifests)
-    val referenced = keepIds.flatMap(id => readManifest(fs, p, id).values).toSet +
-      (GenPrefix + currentId)
+    val referenced = keepIds.flatMap(id =>
+      readManifest(fs, p, id).values.flatten).toSet + (GenPrefix + currentId)
     val keepManifests = keepIds.map(ManifestPrefix + _).toSet
     fs.listStatus(p).foreach { st =>
       val name = st.getPath.getName

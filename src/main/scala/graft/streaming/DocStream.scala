@@ -68,9 +68,10 @@ object DocStream {
                            pairsDir: String, checkpointDir: String,
                            nBuckets: Int = BucketStore.DefaultBuckets,
                            threshold: Double = 0.5,
-                           bucketCap: Int = 10000): StreamingQuery =
+                           bucketCap: Int = 10000,
+                           probe: Option[graft.operators.Dedup.BandedProbeConfig] = None): StreamingQuery =
     startBandedMaintain(docs, s => graft.operators.Dedup.minhashDetector(s, threshold),
-      sigDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap)
+      sigDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe)
 
   /** [[startNearDupMaintain]] with the SimHash detector: fingerprint +
     * band BucketStores, Hamming-verified pairs. Seed with
@@ -81,9 +82,10 @@ object DocStream {
                            pairsDir: String, checkpointDir: String,
                            nBuckets: Int = BucketStore.DefaultBuckets,
                            maxHamming: Int = 6,
-                           bucketCap: Int = 10000): StreamingQuery =
+                           bucketCap: Int = 10000,
+                           probe: Option[graft.operators.Dedup.BandedProbeConfig] = None): StreamingQuery =
     startBandedMaintain(docs, _ => graft.operators.Dedup.simhashDetector(maxHamming),
-      fpDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap)
+      fpDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe)
 
   /** [[startNearDupMaintain]] with the embedding-LSH detector over a
     * stream of (vec_id, embedding) rows: (vector, norm, hyperplane
@@ -95,9 +97,10 @@ object DocStream {
                                 pairsDir: String, checkpointDir: String,
                                 nBuckets: Int = BucketStore.DefaultBuckets,
                                 threshold: Double = 0.9,
-                                bucketCap: Int = 10000): StreamingQuery =
+                                bucketCap: Int = 10000,
+                           probe: Option[graft.operators.Dedup.BandedProbeConfig] = None): StreamingQuery =
     startBandedMaintain(vecs, _ => graft.operators.Dedup.embedLshDetector(threshold),
-      vecDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap)
+      vecDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe)
 
   /** [[startEmbedNearDupMaintain]] with the WIDE-signature detector
     * ([[graft.operators.Dedup.embedLshWideDetector]]) — the
@@ -110,9 +113,10 @@ object DocStream {
                                     pairsDir: String, checkpointDir: String,
                                     nBuckets: Int = BucketStore.DefaultBuckets,
                                     threshold: Double = 0.9,
-                                    bucketCap: Int = 10000): StreamingQuery =
+                                    bucketCap: Int = 10000,
+                           probe: Option[graft.operators.Dedup.BandedProbeConfig] = None): StreamingQuery =
     startBandedMaintain(vecs, _ => graft.operators.Dedup.embedLshWideDetector(threshold),
-      vecDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap)
+      vecDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe)
 
   /** [[startNearDupMaintain]] with the perceptual-hash IMAGE detector
     * ([[graft.multimodal.Multimodal.imagePhashDetector]]) over a
@@ -130,9 +134,10 @@ object DocStream {
                                 pairsDir: String, checkpointDir: String,
                                 nBuckets: Int = BucketStore.DefaultBuckets,
                                 maxDist: Int = 7,
-                                bucketCap: Int = 10000): StreamingQuery =
+                                bucketCap: Int = 10000,
+                           probe: Option[graft.operators.Dedup.BandedProbeConfig] = None): StreamingQuery =
     startBandedMaintain(imgs, _ => graft.multimodal.Multimodal.imagePhashDetector(maxDist),
-      fpDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap)
+      fpDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe)
 
   /** [[startImageNearDupMaintain]]'s AUDIO twin: each micro-batch of
     * (doc_id, payload) WAV rows is decoded and spectrally
@@ -148,9 +153,10 @@ object DocStream {
                                 pairsDir: String, checkpointDir: String,
                                 nBuckets: Int = BucketStore.DefaultBuckets,
                                 maxDist: Int = 3,
-                                bucketCap: Int = 10000): StreamingQuery =
+                                bucketCap: Int = 10000,
+                           probe: Option[graft.operators.Dedup.BandedProbeConfig] = None): StreamingQuery =
     startBandedMaintain(clips, _ => graft.multimodal.Multimodal.audioFpDetector(maxDist),
-      fpDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap)
+      fpDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe)
 
   /** The VIDEO rung — sixth family through the same generic tick:
     * each micro-batch of (doc_id, payload) AVI rows is demuxed and
@@ -166,9 +172,10 @@ object DocStream {
                                 pairsDir: String, checkpointDir: String,
                                 nBuckets: Int = BucketStore.DefaultBuckets,
                                 maxTrim: Int = 3, tol: Double = 8.0,
-                                bucketCap: Int = 10000): StreamingQuery =
+                                bucketCap: Int = 10000,
+                           probe: Option[graft.operators.Dedup.BandedProbeConfig] = None): StreamingQuery =
     startBandedMaintain(clips, _ => graft.multimodal.Multimodal.videoFpDetector(maxTrim, tol),
-      rowsDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap)
+      rowsDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe)
 
   /** The shared maintainer loop behind all three detectors. The band
     * store's marker is the LAST thing a tick moves, so "band store
@@ -178,7 +185,8 @@ object DocStream {
   private def startBandedMaintain(input: DataFrame,
       det: org.apache.spark.sql.SparkSession => graft.operators.Dedup.NearDupDetector,
       rowsDir: String, bandDir: String, pairsDir: String, checkpointDir: String,
-      nBuckets: Int, bucketCap: Int): StreamingQuery =
+      nBuckets: Int, bucketCap: Int,
+      probe: Option[graft.operators.Dedup.BandedProbeConfig] = None): StreamingQuery =
     input.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -187,9 +195,27 @@ object DocStream {
         val d = det(spark)
         BucketStore.recover(rowsDir); BucketStore.recover(bandDir)
         val b = batch.toDF().select(d.inputCols.map(col): _*).distinct().cache()
-        if (b.count() > 0 && BucketStore.appliedBatchId(bandDir) < batchId)
+        if (b.count() > 0 && BucketStore.appliedBatchId(bandDir) < batchId) {
           graft.operators.Dedup.nearDupStoreTick(spark, d, rowsDir, bandDir,
             pairsDir, b, batchId, nBuckets, bucketCap)
+          // planted-recall drift probe over a hash-sample of THIS
+          // tick's rows (the startIvfMaintain convention): exact-copy
+          // plants must pair with their just-ticked sources, so every
+          // miss isolates a stale hot-bucket freeze — the banded
+          // families' staleness signal
+          probe.filter(p => batchId % p.everyNTicks.max(1) == 0).foreach { p =>
+            val qs = b.orderBy(md5(col(d.idCol).cast("string"))).limit(p.sample)
+            val r = graft.operators.Dedup.bandedDriftProbe(spark, d,
+              rowsDir, bandDir, qs, nBuckets, bucketCap, p.floor)
+            log.info(s"$bandDir batch=$batchId $r")
+            if (r.tripped) {
+              log.warn(s"$bandDir batch=$batchId PLANTED-RECALL DRIFT: $r — " +
+                "the sampled rows' band keys are hot-frozen; raise bucketCap " +
+                "or re-band/rebuild the store")
+              p.onDrift(batchId, r)
+            }
+          }
+        }
         b.unpersist()
         ()
       }
@@ -481,12 +507,14 @@ object DocStream {
   /** Continuous maintainer for the PERSISTED BM25 index
     * (`text_bm25_store`'s store) — the rung that completes the
     * retrieval family's batch → inc → store → streaming ladder: each
-    * micro-batch of (doc_id, text) rows appends its postings into
-    * exactly their token-hash buckets and its doc lengths into the
-    * batch-keyed doclen log through
-    * [[graft.operators.Retrieval.appendBm25Tick]] (doclen BEFORE the
-    * marker — the verdict-log ordering; replay skips both via the
-    * applied-batch guard). Corpus ingest is append-only (new
+    * micro-batch of (doc_id, text) rows appends its postings and doc
+    * lengths as stacked O(delta) generations in their two
+    * BucketStores through
+    * [[graft.operators.Retrieval.appendBm25Tick]] (doclen tick
+    * BEFORE the postings marker — the verdict-log ordering; replay
+    * skips both via the applied-batch guards; the store's
+    * `maxLiveGenerations` fold amortizes compaction across ticks).
+    * Corpus ingest is append-only (new
     * doc_ids); searches against the live index keep BucketStore's
     * snapshot isolation while it grows. Seed with
     * [[graft.operators.Retrieval.buildBm25Index]]; RetrievalSpec

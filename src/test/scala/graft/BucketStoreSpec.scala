@@ -269,6 +269,89 @@ class BucketStoreSpec extends AnyFunSuite {
     assert(BucketStore.appliedBatchId(dir) === 19L)
   }
 
+  test("append ticks stack generations O(delta): no carry-over write, merge collapses, fold compacts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bucket_store_append").toString + "/store"
+    def appended(rows: (Long, Long)*) = rows.toDF("k", "v")
+      .withColumn("bucket", BucketStore.longBucket(col("k"), 64))
+    def gensOf(bucket: Int): Set[String] =
+      BucketStore.readBuckets(spark, dir, Seq(bucket), n = 64).inputFiles
+        .map(_.split("/").find(_.startsWith("gen-")).get).toSet
+    BucketStore.seed(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      BucketStore.longBucket(col("k"), 64), dir, n = 64)
+
+    // append tick 0: NEW keys 65 (bucket 1 — shared with key 1) and 3
+    val s0 = BucketStore.applyAppendTick(spark, dir,
+      appended((65L, 650L), (3L, 30L)), batchId = 0L, n = 64)
+    assert(s0 === BucketStore.TickStats(0L, applied = true, touchedBuckets = 2,
+      compacted = false, liveGenerations = 2))
+    assert(storeRows(dir) === Set((1L, 10L), (2L, 20L), (65L, 650L), (3L, 30L)))
+    // THE O(delta) pin: the tick's generation holds ONLY the delta's
+    // rows — bucket 1's pre-existing row was NOT rewritten
+    assert(spark.read.parquet(s"$dir/gen-0").count() === 2L)
+    // bucket 1 now spans TWO stacked generations; readers union them
+    assert(gensOf(1) === Set("gen-base", "gen-0"))
+
+    // append tick 1 stacks a third generation onto bucket 1
+    BucketStore.applyAppendTick(spark, dir, appended((129L, 1290L)),
+      batchId = 1L, n = 64)
+    assert(gensOf(1) === Set("gen-base", "gen-0", "gen-1"))
+    assert(storeRows(dir).size === 5)
+
+    // a MERGE tick touching bucket 1 reads all three generations and
+    // collapses the bucket to its own single generation; untouched
+    // buckets keep their stacks
+    BucketStore.applyTick(spark, dir, appended((1L, 11L)), Seq("k"),
+      batchId = 2L, n = 64)
+    assert(gensOf(1) === Set("gen-2"))
+    assert(storeRows(dir) ===
+      Set((1L, 11L), (2L, 20L), (65L, 650L), (3L, 30L), (129L, 1290L)))
+
+    // the live-generation bound still folds: maxLive=3 with gens
+    // {base, 2} + this tick's would-be stack → next append compacts
+    // everything (its own rows included) into ONE generation
+    BucketStore.applyAppendTick(spark, dir, appended((4L, 40L)),
+      batchId = 3L, n = 64)
+    val s4 = BucketStore.applyAppendTick(spark, dir, appended((5L, 50L)),
+      batchId = 4L, n = 64, maxLiveGenerations = 3)
+    assert(s4.compacted && s4.liveGenerations === 1)
+    assert(storeRows(dir) === Set((1L, 11L), (2L, 20L), (65L, 650L),
+      (3L, 30L), (129L, 1290L), (4L, 40L), (5L, 50L)))
+    assert(BucketStore.readAll(spark, dir).inputFiles
+      .forall(_.contains("gen-4")), "fold must collapse to the tick's generation")
+  }
+
+  test("append-tick crash window: unpublished generation rolls back; replay is idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bucket_store_append_crash").toString + "/store"
+    def appended(rows: (Long, Long)*) = rows.toDF("k", "v")
+      .withColumn("bucket", BucketStore.longBucket(col("k"), 64))
+    BucketStore.seed(Seq((1L, 10L)).toDF("k", "v"),
+      BucketStore.longBucket(col("k"), 64), dir, n = 64)
+    // crash AFTER the generation write, BEFORE manifest + marker
+    val boom = new RuntimeException("crash before publish")
+    val e = intercept[RuntimeException] {
+      BucketStore.applyAppendTick(spark, dir, appended((2L, 20L)),
+        batchId = 0L, n = 64, beforePublish = () => throw boom)
+    }
+    assert(e eq boom)
+    // unpublished = invisible; recover sweeps the orphans
+    assert(storeRows(dir) === Set((1L, 10L)))
+    assert(BucketStore.appliedBatchId(dir) === -1L)
+    BucketStore.recover(dir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "gen-0")))
+    // the at-least-once replay then lands the same batch for real
+    val st = BucketStore.applyAppendTick(spark, dir, appended((2L, 20L)),
+      batchId = 0L, n = 64)
+    assert(st.applied)
+    assert(storeRows(dir) === Set((1L, 10L), (2L, 20L)))
+    // and a replayed (already-applied) batch no-ops
+    val replay = BucketStore.applyAppendTick(spark, dir, appended((3L, 30L)),
+      batchId = 0L, n = 64)
+    assert(!replay.applied)
+    assert(storeRows(dir) === Set((1L, 10L), (2L, 20L)))
+  }
+
   test("writer fencing: of two interleaved appliers exactly one wins and the loser fails loudly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bucket_store_fence").toString + "/store"

@@ -80,6 +80,55 @@ class CurationSpec extends AnyFunSuite {
     assert(stored.nonEmpty && nlist >= 16)
   }
 
+  test("q_corpus_curate composition ≡ the standalone operators chained on the same centroids") {
+    import graft.operators.{Lm, SeqPack}
+    // real tables + a frozen 2-centroid quantizer over the fixture
+    // geometry is too small to exercise the LM phase, so run on the
+    // test-SF corpus with a derived-nlist frozen quantizer
+    val sf = TestSpark.sf
+    val docs = graft.Tables.documents(spark, sf)
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val c = Similarity.withVecNorm(spark, vecs)
+    val dir = java.nio.file.Files.createTempDirectory("curate_cents").toString
+    val cents = Similarity.trainQuantizer(spark, c,
+      dir, Similarity.deriveSemanticNlist(c.count()))
+    val assigned = Similarity.assignClusters(c, cents)
+      .select(col("vec_id"), col("v"), col("norm"), col("cluster")).cache()
+    val target = docs.filter(col("lang") === "en" && col("doc_id") % 10 === 0)
+
+    val got = Curation.curateFrom(spark, docs, assigned, cents,
+        threshold = 0.92, pruneFrac = 0.25, target = target)
+      .as[(Long, Int, Int, Long, Int)].collect().toSet
+
+    // the same funnel, built by the spec from the PUBLIC operators
+    val keep1 = Similarity.semanticVerdicts(assigned, 0.92)
+      .filter(col("keep")).select("vec_id")
+    val keep2 = Curation.protoVerdicts(
+        assigned.join(keep1, Seq("vec_id"), "left_semi"), cents, 0.25)
+      .filter(col("keep")).select("vec_id")
+    val kept = docs.join(keep2.withColumnRenamed("vec_id", "doc_id"),
+      Seq("doc_id"), "left_semi")
+    val (uni, bi) = Lm.fitCounts(target)
+    val sel = Lm.withTerciles(Lm.scoreOf(kept, uni, bi))
+      .filter(col("tercile") <= 2).select("doc_id")
+    val finalDocs = kept.join(sel, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    val nPieces = finalDocs
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(coalesce(sum(expr("(n + 511) div 512")), lit(0L))).head.getLong(0)
+    val expected = SeqPack.packBestFitOf(finalDocs, 512,
+        SeqPack.deriveBfdBuckets(nPieces))
+      .as[(Long, Int, Int, Long, Int)].collect().toSet
+
+    assert(got.nonEmpty)
+    assert(got === expected)
+    // the funnel really narrows: packed docs ⊂ corpus
+    assert(got.map(_._1).size < docs.count())
+    assigned.unpersist()
+    ()
+  }
+
   test("verdicts under frozen centroids are partitioning-invariant") {
     val cents: Seq[(Int, Seq[Double])] = Seq(
       (0, Seq(1.0, 0.0, 0.0, 0.0)), (1, Seq(0.0, 0.0, 1.0, 0.0)))

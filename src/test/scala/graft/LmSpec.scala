@@ -113,4 +113,42 @@ class LmSpec extends AnyFunSuite {
       .as[(Long, String, Long, Double)].collect().toSet
     assert(repart === base)
   }
+
+  test("frozen cutpoints: stored-cut labels agree >=95% with the exact window; scores untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("lm_cuts").toString
+    // a corpus with per-doc-DISTINCT scores (m trained tokens + one
+    // unseen, m unique per doc within a lang): the shared two-vocab
+    // fixture has only 6 distinct texts per lang, and a value-based
+    // cut legitimately disagrees with a rank-based ntile on massive
+    // tie blocks — real corpora score near-continuously, which is the
+    // regime the frozen-cut contract is stated for
+    val target = Seq((0L, "a a a a", "en")).toDF("doc_id", "text", "lang")
+    val (uni, bi) = Lm.fitCounts(target)
+    val docs = (0 until 200).map { i =>
+      val m = 1 + (i % 100)
+      ((i.toLong, (Seq.fill(m)("a") :+ s"novel$i").mkString(" "),
+        if (i < 100) "aa" else "bb"))
+    }.toDF("doc_id", "text", "lang")
+    val scores = Lm.scoreOf(docs, uni, bi).cache()
+    Lm.buildLmCutpoints(scores, dir)
+    val exact = Lm.withTerciles(scores)
+      .select("doc_id", "tercile").as[(Long, Int)].collect().toMap
+    val frozen = Lm.withStoredTerciles(spark, scores, dir)
+      .select("doc_id", "tercile").as[(Long, Int)].collect().toMap
+    assert(frozen.keySet === exact.keySet)
+    val agree = exact.count { case (id, t) => frozen(id) == t }
+    assert(agree >= (exact.size * 0.95).toInt,
+      s"only $agree/${exact.size} tercile labels agree with the exact window")
+    // the cutpoint artifact is one bounded row per language
+    assert(spark.read.parquet(dir).count() === 2L)
+    // an unknown language (no cutpoint row) labels the conservative
+    // tail, never NULL
+    import spark.implicits._
+    val foreign = Seq((9999L, "zz", 3L, 5.0)).toDF("doc_id", "lang", "n_tok", "logsb")
+    val t = Lm.withStoredTerciles(spark, foreign, dir)
+      .select("tercile").as[Int].collect().toSeq
+    assert(t === Seq(3))
+    scores.unpersist()
+    ()
+  }
 }

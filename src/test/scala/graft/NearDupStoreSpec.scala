@@ -288,6 +288,50 @@ class NearDupStoreSpec extends AnyFunSuite {
     assert(maintained.exists(p => p._1 == 10L && p._2 == 13L))
   }
 
+  test("banded drift probe: healthy store reads recall 1.0; hot-frozen keys trip it and fire onDrift") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("banded_probe").toString
+    val fpDir = root + "/fp"; val bandDir = root + "/bands"
+    val det = graft.operators.Dedup.simhashDetector(6)
+    val seed = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog by the river tonight",
+      2L -> "completely unrelated text about cooking pasta with garlic and olive oil",
+      3L -> "another distinct document covering mountain hiking trails in early spring")
+    graft.operators.Dedup.seedNearDupStores(spark, seed.toDF("doc_id", "text"),
+      det, fpDir, bandDir, nBuckets = 64)
+
+    // healthy: exact-copy plants of stored rows pair with their
+    // sources through the real candidate + verify path — recall 1.0
+    val r = graft.operators.Dedup.bandedDriftProbe(spark, det, fpDir, bandDir,
+      seed.toDF("doc_id", "text"), nBuckets = 64, bucketCap = 10000, floor = 1.0)
+    assert(r === graft.operators.Dedup.BandedProbeResult(3, 3, 1.0, tripped = false))
+
+    // stale: cap 0 freezes EVERY stored (band, key) — the plants'
+    // collisions are all suppressed, recall 0, probe trips. This is
+    // the silent-miss regime the probe exists to surface: the store
+    // still ticks "successfully" while finding nothing.
+    val r2 = graft.operators.Dedup.bandedDriftProbe(spark, det, fpDir, bandDir,
+      seed.toDF("doc_id", "text"), nBuckets = 64, bucketCap = 0, floor = 1.0)
+    assert(r2.found === 0L && r2.tripped)
+
+    // through the maintainer: a tick under a hot-frozen store fires
+    // onDrift with the measured result
+    val fired = new java.util.concurrent.atomic.AtomicReference[
+      Option[(Long, graft.operators.Dedup.BandedProbeResult)]](None)
+    val input = MemoryStream[DocIngest]
+    val q = DocStream.startSimhashMaintain(
+      input.toDF(), fpDir, bandDir, root + "/pairs", root + "/ckpt",
+      bucketCap = 0,
+      probe = Some(graft.operators.Dedup.BandedProbeConfig(sample = 2,
+        onDrift = (id, res) => fired.set(Some((id, res))))))
+    input.addData(DocIngest(10L, "fresh tick document with its own new vocabulary entirely"))
+    q.processAllAvailable()
+    q.stop()
+    assert(fired.get().exists { case (_, res) => res.tripped && res.planted > 0 },
+      s"onDrift did not fire with a tripped result: ${fired.get()}")
+  }
+
   test("pair log compaction folds batch dirs; every crash window still reads exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("pairlog_spec").toString + "/pairs"

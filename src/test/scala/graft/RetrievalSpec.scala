@@ -162,6 +162,111 @@ class RetrievalSpec extends AnyFunSuite {
     ()
   }
 
+  test("stored hard negatives ≡ in-query mining (both arms from at-rest indexes)") {
+    graft.functions.VectorFunctions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("hn_store").toString
+    val corpus = Tables.documents(spark, TestSpark.sf)
+    val qs = Retrieval.pseudoQueries(corpus)
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .cache()
+    Retrieval.buildBm25Index(corpus.select("doc_id", "text"), s"$root/bm25")
+    val cents = graft.operators.Similarity.trainQuantizer(
+      spark, emb, s"$root/cents", 8)
+    graft.operators.Similarity.seedIvfStore(
+      spark, emb.select(col("vec_id"), col("v"), col("norm")),
+      s"$root/ivf", cents, 8)
+    val got = Retrieval.hardNegativesFromIndexes(spark, s"$root/bm25",
+        s"$root/ivf", qs, nNeg = 5, simFloor = 0.35)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val expected = Retrieval.hardNegativesOf(corpus.select("doc_id", "text"),
+        qs, emb, nNeg = 5, simFloor = 0.35)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got.nonEmpty)
+    assert(got === expected)
+    emb.unpersist()
+    ()
+  }
+
+  test("append tick is O(delta): new generation holds only delta rows, old files untouched byte-for-byte") {
+    val root = java.nio.file.Files.createTempDirectory("bm25_odelta").toString
+    val corpus = Tables.documents(spark, TestSpark.sf).select("doc_id", "text")
+    val base = corpus.filter(col("doc_id") % 5 =!= 3)
+    val delta = corpus.filter(col("doc_id") % 5 === 3)
+    Retrieval.buildBm25Index(base, s"$root/idx")
+    def files(sub: String): Map[String, Long] = {
+      val d = java.nio.file.Paths.get(s"$root/idx/$sub")
+      val out = scala.collection.mutable.Map[String, Long]()
+      java.nio.file.Files.walk(d).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p) &&
+            p.toString.contains("gen-base") && p.toString.endsWith(".parquet"))
+          out(p.toString) = java.nio.file.Files.size(p)
+      }
+      out.toMap
+    }
+    val postingsBefore = files("postings")
+    val doclenBefore = files("doclen")
+    assert(postingsBefore.nonEmpty && doclenBefore.nonEmpty)
+
+    Retrieval.appendBm25Tick(spark, s"$root/idx", delta, 0L)
+
+    // the tick's generations hold EXACTLY the delta's rows — tick
+    // write bytes ∝ delta, not store size (the r12 verdict's bound,
+    // closed by applyAppendTick's stacked generations)
+    val deltaPostings = delta
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").count().count()
+    assert(spark.read.parquet(s"$root/idx/postings/gen-0").count() === deltaPostings)
+    assert(spark.read.parquet(s"$root/idx/doclen/gen-0").count() === delta.count())
+    // and the seed generation's files were not rewritten at all
+    assert(files("postings") === postingsBefore)
+    assert(files("doclen") === doclenBefore)
+    // searches over the stacked store still score the merged corpus
+    val qs = Retrieval.pseudoQueries(Tables.documents(spark, TestSpark.sf))
+    Retrieval.buildBm25Index(corpus, s"$root/full")
+    def hits(dir: String) = Retrieval.bm25FromIndex(spark, dir, qs)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(hits(s"$root/idx") === hits(s"$root/full"))
+  }
+
+  test("CDC tick: delete + re-ingest ≡ a rebuild on the mutated corpus") {
+    val root = java.nio.file.Files.createTempDirectory("bm25_cdc_spec").toString
+    val corpus = Tables.documents(spark, TestSpark.sf).select("doc_id", "text")
+    Retrieval.buildBm25Index(corpus, s"$root/idx")
+    // delete residue 3 (mod 5 — dense enough at sf0.001 to matter),
+    // re-ingest residue 4 with doubled text
+    val cdc = corpus.filter(col("doc_id") % 5 === 3)
+      .select(lit("d").as("op"), col("doc_id"),
+        lit(null).cast("string").as("text"), col("text").as("text_before"))
+      .unionByName(corpus.filter(col("doc_id") % 5 === 4)
+        .select(lit("u").as("op"), col("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text"),
+          col("text").as("text_before")))
+    Retrieval.cdcBm25Tick(spark, s"$root/idx", cdc, 0L)
+
+    val mutated = corpus.filter(col("doc_id") % 5 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 4, concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+    Retrieval.buildBm25Index(mutated, s"$root/rebuild")
+    val qs = Retrieval.pseudoQueries(Tables.documents(spark, TestSpark.sf))
+    def hits(dir: String) = Retrieval.bm25FromIndex(spark, dir, qs)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val got = hits(s"$root/idx")
+    assert(got === hits(s"$root/rebuild"))
+    // tombstones really came OUT of their buckets: no deleted doc in
+    // any result, and its postings are gone from the store itself
+    assert(!got.exists(_._2 % 5 == 3))
+    assert(graft.streaming.BucketStore.readAll(spark, s"$root/idx/postings")
+      .filter(col("doc_id") % 5 === 3).count() === 0L)
+    assert(graft.streaming.BucketStore.readAll(spark, s"$root/idx/doclen")
+      .filter(col("doc_id") % 5 === 3).count() === 0L)
+    // replay guard: the same batch re-applied is a no-op
+    Retrieval.cdcBm25Tick(spark, s"$root/idx", cdc, 0L)
+    assert(hits(s"$root/idx") === got)
+  }
+
   test("incremental rung: streamed maintainer ticks ≡ one-shot full-corpus build") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

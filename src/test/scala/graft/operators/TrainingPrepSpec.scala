@@ -213,4 +213,22 @@ class TrainingPrepSpec extends AnyFunSuite {
     val b = SeqPack.packBestFitOf(docs.repartition(13)).collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("BFD bucket count scale-derives from the piece count") {
+    // ~PiecesPerBucket pieces per bucket, pow2, clamped [16, 2^20]:
+    // per-task sort buffer stays a few MB at ANY corpus size
+    assert(SeqPack.deriveBfdBuckets(0L) === 16)
+    assert(SeqPack.deriveBfdBuckets(4L * 1000 * 1000) === 16)
+    assert(SeqPack.deriveBfdBuckets(10L * 1000 * 1000) === 64)
+    assert(SeqPack.deriveBfdBuckets(10L * 1000 * 1000 * 1000) === 65536)
+    assert(SeqPack.deriveBfdBuckets(Long.MaxValue / 4) === (1 << 20))
+    // the registered entry's exact piece-count aggregate: a 1100-token
+    // doc at budget 512 is 3 pieces, a 70-token doc 1 — and the
+    // derived knob at this size is the floor clamp
+    import spark.implicits._
+    def words(k: Int): String = Seq.fill(k)("w").mkString(" ")
+    val docs = Seq((1L, words(1100)), (17L, words(70))).toDF("doc_id", "text")
+    assert(SeqPack.packBestFitOf(docs, 512, SeqPack.deriveBfdBuckets(4))
+      .count() === 4)
+  }
 }

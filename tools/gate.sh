@@ -8,6 +8,18 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.001}"
+# step 0 (r12 verdict #2): the compile-on-commit guard must actually be
+# installed — a fresh clone has no hooks, and the r7/r11 "snapshot
+# commit doesn't compile" class recurs the moment it is missing. The
+# install is idempotent; fail LOUDLY if it can't land.
+if [ -d .git ]; then
+  ln -sf ../../tools/precommit.sh .git/hooks/pre-commit
+  if [ ! -e .git/hooks/pre-commit ]; then
+    echo "== gate: FATAL — pre-commit hook could not be installed" >&2
+    exit 1
+  fi
+  echo "== gate: pre-commit hook installed ($(readlink .git/hooks/pre-commit))"
+fi
 OUT="$(mktemp -d /tmp/graft_gate.XXXXXX)"
 echo "== gate: Verify at $SF -> $OUT"
 sbt -batch "runMain graft.Verify $SF $OUT" > "$OUT/verify.log" 2>&1
