@@ -196,6 +196,18 @@ object BenchScaleDocs {
         batchId = 1L, nBuckets = 256, bucketCap = 10000)
     }
     extras("mh_tick_pairs") = Dedup.readPairLog(spark, s"$storeRoot/pairs").count()
+    // O(delta) write evidence (r13 applyAppendTick conversion): the
+    // tick's stacked generations on disk vs the whole store pair
+    locally {
+      def du(p: String): Long = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+      }
+      extras("mh_store_bytes") = du(s"$storeRoot/sig") + du(s"$storeRoot/band")
+      extras("mh_tick_gen_bytes") =
+        du(s"$storeRoot/sig/gen-1") + du(s"$storeRoot/band/gen-1")
+    }
 
     // ----- embeddings: the 64-bit banding wall, then the wide path
     val half = 500000L
@@ -400,6 +412,16 @@ object BenchScaleDocs {
       // corpus n-gram audit: ~110M grams, two-phase distinct agg
       timed("ngram_topk_1m")(TextAnalysis.ngramTopKOf(docs, n = 3, topK = 100))
 
+      // the MG two-pass exact form: shuffle bounded by capacity·P
+      // candidates + the candidates' occurrence mass, vs the exact
+      // plan's distinct-gram exchange. topK=10 is the HEAVY-HITTER
+      // regime the certificate serves (the 10 planted-preamble grams
+      // at ~200k ≫ the N/(cap+1)≈1.7k bound); rank-100 here is
+      // freq≈3 noise no bounded-memory sketch can certify — that tail
+      // is q_ngram_topk's exact-plan territory by construction
+      timed("ngram_topk_mg_1m")(
+        TextAnalysis.ngramTopKApproxOf(spark, docs, n = 3, topK = 10))
+
       // map-only rule cascade
       timedWrite("quality_filter_1m", s"$scaleDir/qf")(
         TextAnalysis.qualityFilterOf(docs))
@@ -577,6 +599,79 @@ object BenchScaleDocs {
       extras("videofp_hist_other") = histStr(false)
       require(nPairs - nPlanted <= nPairs / 20,
         s"videofp precision collapsed: ${nPairs - nPlanted} of $nPairs emitted pairs are non-planted")
+    }
+
+    // ----- text: BM25 index at rest — build / O(delta) append tick /
+    // CDC tick / pruned search. The r12 verdict's top task was making
+    // the append tick write bytes ∝ delta instead of re-merging ~the
+    // whole postings store; the extras below are that claim MEASURED:
+    // the tick's stacked generations on disk vs the whole store.
+    locally {
+      import graft.operators.Retrieval
+      val idxDir = s"$scaleDir/bm25_idx"
+      val base = docs.filter(pmod(col("doc_id"), lit(100)) =!= 0)
+      val delta = docs.filter(pmod(col("doc_id"), lit(100)) === 0) // 1%
+      timedUnit("bm25_build_1m") { Retrieval.buildBm25Index(base, idxDir) }
+      timedUnit("bm25_tick_1pct") { Retrieval.appendBm25Tick(spark, idxDir, delta, 0L) }
+      def du(p: String): Long = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+      }
+      extras("bm25_store_bytes") = du(idxDir)
+      extras("bm25_tick_gen_bytes") =
+        du(s"$idxDir/postings/gen-0") + du(s"$idxDir/doclen/gen-0")
+      // pruned search over the stacked (multi-generation) store
+      for (_ <- 0 until 2)
+        timedWrite("bm25_search_1m", s"$scaleDir/bm25_hits")(
+          Retrieval.bm25FromIndex(spark, idxDir, Retrieval.pseudoQueries(docs)))
+      extras("bm25_hits") = spark.read.parquet(s"$scaleDir/bm25_hits").count()
+      // the honest expensive path: one CDC tick deleting 0.1% and
+      // re-ingesting 0.1% with doubled text — deletes re-merge their
+      // touched token buckets (they must; rows have to come OUT)
+      val cdc = docs.filter(pmod(col("doc_id"), lit(1000)) === 1)
+        .select(lit("d").as("op"), col("doc_id"),
+          lit(null).cast("string").as("text"), col("text").as("text_before"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(1000)) === 2)
+          .select(lit("u").as("op"), col("doc_id"),
+            concat(col("text"), lit(" "), col("text")).as("text"),
+            col("text").as("text_before")))
+      timedUnit("bm25_cdc_tick") { Retrieval.cdcBm25Tick(spark, idxDir, cdc, 1L) }
+    }
+
+    // ----- curation pipeline end-to-end at 200k docs/vectors ------
+    // q_corpus_curate's deployment shape on the planted corpus: the
+    // 200k-vector subset (the semdedup block's regime) joined to the
+    // 200k-doc slice; one shared quantizer fit, then semantic →
+    // proto-prune → LM tercile selection → BFD pack. Phase wall times
+    // land in extras from the PhaseTimer the operator already runs.
+    locally {
+      import graft.operators.{Curation, Similarity}
+      val sub = vecs().filter(col("vec_id") < 200000L)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val c = Similarity.withVecNorm(spark, sub)
+      var cents: Seq[(Int, Seq[Double])] = Seq.empty
+      timedUnit("curate_fit_200k") {
+        cents = Similarity.trainQuantizer(spark, c, s"$scaleDir/curate_cents",
+          Similarity.deriveSemanticNlist(200000L))
+      }
+      // the scale docs table has no lang column: hash-split one (9:1
+      // en/other) so the LM phase exercises its per-language windows
+      val docsSub = docs.filter(col("doc_id") < 200000L)
+        .withColumn("lang",
+          when(pmod(xxhash64(col("doc_id")), lit(10)) < 9, "en").otherwise("xx"))
+      val target = docsSub.filter(col("lang") === "en" && col("doc_id") % 10 === 0)
+      timedWrite("corpus_curate_200k", s"$scaleDir/curate")(
+        Curation.curateFrom(spark, docsSub,
+          Similarity.assignClusters(c, cents)
+            .select(col("vec_id"), col("v"), col("norm"), col("cluster")),
+          cents, threshold = 0.9, pruneFrac = 0.25, target = target))
+      extras("curate_pieces") = spark.read.parquet(s"$scaleDir/curate").count()
+      val ph = graft.PhaseTimer.snapshot().getOrElse("q_corpus_curate", Map.empty)
+      Seq("semantic", "proto", "select", "pack").foreach { k =>
+        extras(s"curate_${k}_sec") =
+          math.round(ph.getOrElse(k, 0.0) * 1000.0) / 1000.0
+      }
     }
 
     // ----- report ------------------------------------------------

@@ -173,6 +173,11 @@ object SparkEntry {
     // corpus n-gram frequency table (contamination audits / tokenizer
     // seeding): gram explode -> two-phase agg -> TakeOrdered top-k
     "q_ngram_topk"     -> ((s, d) => TextAnalysis.ngramTopK(s, d)),
+    // the 100 TB shape of the same answer: two-pass Misra-Gries exact
+    // heavy hitters — per-partition bounded summaries name candidates
+    // (shuffle <= capacity keys/partition, corpus-size-independent),
+    // exact recount of candidates only, certificate require()d
+    "q_ngram_topk_approx" -> ((s, d) => TextAnalysis.ngramTopKApprox(s, d)),
     // C4/Gopher rule cascade with a first-failing-rule audit column;
     // pure map-side column work
     "q_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
@@ -680,6 +685,18 @@ object SparkEntry {
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_ngram_topk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (SELECT doc_id, array_to_string(l[i:i+2], ' ') AS ngram
+        |      FROM t, UNNEST(generate_series(1, len(l) - 2)) AS u(i))
+        |SELECT ngram, count(*) AS freq,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |FROM g GROUP BY ngram ORDER BY freq DESC, ngram ASC LIMIT 100""".stripMargin,
+
+    // the Misra-Gries two-pass form returns the PROVABLY IDENTICAL
+    // top-k (certificate require()d in-operator), so it shares the
+    // exact oracle — the strongest gate an "approx" plan can face
+    "q_ngram_topk_approx" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
         |           WHERE len(string_split(text, ' ')) >= 3),
         |g AS (SELECT doc_id, array_to_string(l[i:i+2], ' ') AS ngram

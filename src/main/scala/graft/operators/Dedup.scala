@@ -504,10 +504,14 @@ object Dedup {
     *     overwrite BEFORE either store mutates — replays rewrite the
     *     same content, so the pair log is idempotent;
     *  6. each store takes the delta through
-    *     [[graft.streaming.BucketStore.applyTick]] under the SAME
-    *     batch id — generation write, manifest, then the marker as
-    *     the atomic publish; a crash between the two applies heals on
-    *     replay (the applied store skips, the other catches up).
+    *     [[graft.streaming.BucketStore.applyAppendTick]] under the
+    *     SAME batch id — the delta stacks as ONE generation with zero
+    *     carry-over reads (valid because ingest is append-only: new
+    *     ids ⇒ disjoint keys ⇒ reader union IS the merge), so tick
+    *     WRITE I/O is ∝ the delta even though its band keys touch
+    *     ~every bucket; generation write, manifest, then the marker
+    *     as the atomic publish; a crash between the two applies heals
+    *     on replay (the applied store skips, the other catches up).
     *
     * Ingest is append-only (a revised document must arrive as a new
     * id): the band store is keyed by (id, band), and a re-keyed text
@@ -574,14 +578,21 @@ object Dedup {
     // the stores advanced must not lose the batch's pairs
     out.count()
     out.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-    BucketStore.applyTick(spark, rowsDir,
+    // append-only ingest (new ids by contract) → both stores stack
+    // the delta as one generation with ZERO carry-over reads. This
+    // matters most for the BAND store: a text delta's band keys are
+    // hash-distributed across ~every bucket, so the old merge tick
+    // re-read and rewrote ~the whole band store per tick (the BM25
+    // postings problem); the append tick's write I/O is ∝ delta
+    // bands, and the maxLiveGenerations fold amortizes compaction.
+    BucketStore.applyAppendTick(spark, rowsDir,
       deltaRows.withColumn(BucketStore.BucketCol,
         BucketStore.longBucket(col(id), nBuckets)),
-      Seq(id), batchId, n = nBuckets)
-    BucketStore.applyTick(spark, bandDir,
+      batchId, n = nBuckets)
+    BucketStore.applyAppendTick(spark, bandDir,
       deltaBands.withColumn(BucketStore.BucketCol,
         BucketStore.longBucket(col("key"), nBuckets)),
-      Seq(id, "band"), batchId, n = nBuckets)
+      batchId, n = nBuckets)
     Seq(deltaRows, deltaBands, cand, out).foreach(_.unpersist())
     ()
   }

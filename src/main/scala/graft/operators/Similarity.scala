@@ -581,6 +581,14 @@ object Similarity {
     * the frozen quantizer. A re-embedded vector is delete(old image) +
     * upsert(new image) in the same batch; the upsert wins on key
     * collision (applyTick merges changes after the drop).
+    *
+    * A tombstone-free tick (new vec_ids only — the common ingest
+    * shape) takes [[graft.streaming.BucketStore.applyAppendTick]]:
+    * the delta stacks as one generation with ZERO carry-over reads,
+    * so tick write I/O ∝ the batch — the `appendBm25Tick` protocol.
+    * CDC batches must merge (rows have to come OUT of a bucket), so
+    * they stay on `applyTick`, which collapses a touched bucket's
+    * generation stack back to one.
     */
   private[graft] def ivfAppendTick(spark: SparkSession, storeDir: String,
       cents: Seq[(Int, Seq[Double])], newVectors: DataFrame,
@@ -589,11 +597,18 @@ object Similarity {
     def bucketed(df: DataFrame) = assignClusters(df, cents)
       .withColumn(graft.streaming.BucketStore.BucketCol,
         graft.streaming.BucketStore.longBucket(col("cluster"), nlist))
-    graft.streaming.BucketStore.applyTick(spark, storeDir,
-      bucketed(newVectors),
-      Seq("vec_id"), batchId = batchId, n = nlist,
-      removed = removedVectors.map(r => bucketed(r)
-        .select(col("vec_id"), col(graft.streaming.BucketStore.BucketCol))))
+    removedVectors match {
+      case Some(removed) =>
+        graft.streaming.BucketStore.applyTick(spark, storeDir,
+          bucketed(newVectors),
+          Seq("vec_id"), batchId = batchId, n = nlist,
+          removed = Some(bucketed(removed)
+            .select(col("vec_id"), col(graft.streaming.BucketStore.BucketCol))))
+      case None =>
+        graft.streaming.BucketStore.applyAppendTick(spark, storeDir,
+          bucketed(newVectors), batchId = batchId, n = nlist)
+    }
+    ()
   }
 
   /** Search the persisted index: probe lists are computed map-side
@@ -698,7 +713,8 @@ object Similarity {
     * both FROZEN quantizers, then the generation-publish apply —
     * [[ivfAppendTick]]'s contract (including the CDC tombstone
     * semantics: deletes carry the before-image embedding and are
-    * bucketed by re-derived cluster, never encoded).
+    * bucketed by re-derived cluster, never encoded; tombstone-free
+    * ticks stack an O(delta) append generation, CDC ticks merge).
     */
   private[graft] def ivfPqAppendTick(spark: SparkSession, storeDir: String,
       cents: Seq[(Int, Seq[Double])], books: Seq[(Int, Int, Seq[Double])],
@@ -707,15 +723,21 @@ object Similarity {
     import graft.streaming.BucketStore
     val m = books.map(_._1).max + 1
     val sub = books.head._3.size
-    graft.streaming.BucketStore.applyTick(spark, storeDir,
-      encodePostings(assignClusters(newVectors, cents), books, m, sub)
-        .withColumn(BucketStore.BucketCol,
-          BucketStore.longBucket(col("cluster"), nlist)),
-      Seq("vec_id"), batchId = batchId, n = nlist,
-      removed = removedVectors.map(r => assignClusters(r, cents)
-        .withColumn(BucketStore.BucketCol,
-          BucketStore.longBucket(col("cluster"), nlist))
-        .select(col("vec_id"), col(BucketStore.BucketCol))))
+    val appended = encodePostings(assignClusters(newVectors, cents), books, m, sub)
+      .withColumn(BucketStore.BucketCol,
+        BucketStore.longBucket(col("cluster"), nlist))
+    removedVectors match {
+      case Some(removed) =>
+        graft.streaming.BucketStore.applyTick(spark, storeDir, appended,
+          Seq("vec_id"), batchId = batchId, n = nlist,
+          removed = Some(assignClusters(removed, cents)
+            .withColumn(BucketStore.BucketCol,
+              BucketStore.longBucket(col("cluster"), nlist))
+            .select(col("vec_id"), col(BucketStore.BucketCol))))
+      case None =>
+        graft.streaming.BucketStore.applyAppendTick(spark, storeDir, appended,
+          batchId = batchId, n = nlist)
+    }
     ()
   }
 
@@ -1350,11 +1372,14 @@ object Similarity {
     verdicts.count()
     verdictsDir.foreach(dir =>
       verdicts.write.mode("overwrite").parquet(s"$dir/batch=$batchId"))
-    BucketStore.applyTick(spark, storeDir,
+    // new vec_ids by the append-only ingest contract → the delta
+    // stacks as one generation with zero carry-over reads (tick
+    // write I/O ∝ delta, not the touched clusters' store size)
+    BucketStore.applyAppendTick(spark, storeDir,
       d.join(verdicts.select(col("vec_id"), col("keep")), Seq("vec_id"))
         .withColumn(BucketStore.BucketCol,
           BucketStore.longBucket(col("cluster"), nlist)),
-      Seq("vec_id"), batchId = batchId, n = nlist)
+      batchId = batchId, n = nlist)
     d.unpersist()
     verdicts
   }

@@ -229,6 +229,110 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("ngram").asc)
       .limit(topK)
 
+  /** Two-pass EXACT heavy-hitters top-k (Misra–Gries 1982) — the
+    * 100 TB shape of [[ngramTopK]]: the plain plan's gram-keyed
+    * shuffle carries every DISTINCT gram (and its doc_freq phase every
+    * distinct (gram, doc) pair — at 1M docs that is the q_ngram_topk
+    * 4.2 GB exchange, and the distinct-gram count grows with corpus
+    * where the top-k answer does not).
+    *
+    * Pass 1 (candidates): each partition folds its gram stream through
+    * a CAPACITY-bounded Misra–Gries summary (mapPartitions — the
+    * decrement-sweep loop has no Catalyst form; the [[graft.operators
+    * .Bpe]] codec precedent). MG's guarantee: an item absent from a
+    * partition's final summary was decremented away every time, so its
+    * true partition count ≤ that partition's decrement-event count
+    * d_p; summing, ANY non-candidate's global frequency ≤ Σ d_p. The
+    * shuffle carries only ≤ capacity keys + one d_p scalar per
+    * partition — corpus-size-independent.
+    *
+    * Pass 2 (exact recount): re-scan the corpus, semi-join against the
+    * candidate set (size-gated broadcast — the `cleanWithBoiler`
+    * convention), aggregate freq + doc_freq for CANDIDATES only, take
+    * top-k. The shuffle is ∝ the candidates' occurrence mass, not the
+    * distinct-gram universe.
+    *
+    * The result is certified EXACT — not approximate — whenever the
+    * k-th recounted frequency exceeds Σ d_p (no non-candidate can
+    * displace it); the operator `require`s the certificate and fails
+    * loudly with the capacity to raise, instead of silently returning
+    * a plausible-but-unprovable list. At any capacity ≥ a partition's
+    * distinct grams the summary never decrements (Σ d_p = 0) and the
+    * certificate is unconditional. Hence the SAME hash-gated oracle as
+    * `q_ngram_topk`: two scans buy a provably identical answer with a
+    * bounded exchange.
+    */
+  def ngramTopKApprox(spark: SparkSession, sfDir: String, n: Int = 3,
+                      topK: Int = 100, capacity: Int = 1 << 16): DataFrame =
+    ngramTopKApproxOf(spark, Tables.documents(spark, sfDir), n, topK, capacity)
+
+  /** Core on an injectable corpus — spec entry. */
+  private[graft] def ngramTopKApproxOf(spark: SparkSession, docs: DataFrame,
+      n: Int = 3, topK: Int = 100, capacity: Int = 1 << 16): DataFrame = {
+    import spark.implicits._
+    require(capacity > 0, "capacity must be positive")
+    def grams = docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(wordGrams(n)).as("ngram"))
+    // pass 1: per-partition MG summaries — emit (key, null-sentinel)
+    // candidate rows plus ONE (null, d_p) decrement-count row each
+    val summaries = grams.select(col("ngram")).as[String]
+      .mapPartitions { it =>
+        val counts = new java.util.HashMap[String, java.lang.Long](capacity * 2)
+        var decEvents = 0L
+        while (it.hasNext) {
+          val g = it.next()
+          val cur = counts.get(g)
+          if (cur != null) counts.put(g, cur + 1L)
+          else if (counts.size < capacity) counts.put(g, 1L)
+          else {
+            // decrement-all-by-one sweep, drop zeros (classic MG);
+            // each event cancels `capacity` prior increments, so the
+            // total sweep work is O(stream) amortized and
+            // d_p ≤ n_p / (capacity + 1)
+            decEvents += 1L
+            val es = counts.entrySet.iterator
+            while (es.hasNext) {
+              val e = es.next()
+              if (e.getValue == 1L) es.remove() else e.setValue(e.getValue - 1L)
+            }
+          }
+        }
+        val keys = new scala.collection.mutable.ArrayBuffer[(String, Long)](counts.size + 1)
+        counts.keySet.forEach(k => keys += ((k, 0L)))
+        keys += ((null, decEvents))
+        keys.iterator
+      }.toDF("ngram", "dec").cache()
+    val maxMiss = summaries.filter(col("ngram").isNull)
+      .agg(coalesce(sum(col("dec")), lit(0L))).head().getLong(0)
+    val cands = summaries.filter(col("ngram").isNotNull)
+      .select(col("ngram")).distinct()
+    // pass 2: exact recount of candidates only
+    val top = grams
+      .join(Hints.broadcastIfSmall(cands), Seq("ngram"), "left_semi")
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("freq").desc, col("ngram").asc)
+      .limit(topK)
+      .cache()
+    val rows = top.count()
+    val kth = if (rows == 0) 0L else top.agg(min(col("freq"))).head().getLong(0)
+    summaries.unpersist()
+    // certificate: with maxMiss = 0 the summaries were exact (candidates
+    // = every gram) and any result — even one shorter than topK — is
+    // unconditionally the true list. With maxMiss > 0, exactness needs
+    // BOTH a full k rows (a short list means unseen grams could fill
+    // it) AND the k-th frequency clearing the bound no non-candidate
+    // can exceed.
+    require(maxMiss == 0L || (rows == topK && kth > maxMiss),
+      s"top-$topK not certifiable at capacity=$capacity: a non-candidate " +
+      s"gram could hold up to $maxMiss occurrences vs the k-th candidate's " +
+      s"$kth over $rows returned rows — raise capacity (certificate: full " +
+      "k rows with kth > sum of per-partition MG decrement events)")
+    top
+  }
+
   /** C4/Gopher-style quality-filter CASCADE with an audit column: the
     * keep/drop decision plus the FIRST failing rule, so a pipeline can
     * report per-rule drop rates (the number every dataset card quotes)

@@ -476,12 +476,26 @@ private[graft] object BucketStore {
     * generation (the amortized LSM rewrite, now deferred instead of
     * per-tick). Publish protocol (fence, lease, marker, manifest,
     * recovery, gc, replay guard) is [[applyTick]]'s, unchanged.
+    *
+    * `onCompact` generalizes the contract from disjoint-key appends
+    * to MERGE-ON-READ reductions (the LSM memtable-flush shape): a
+    * store may stack PARTIAL rows for one key (e.g. per-tick line
+    * counts) as long as readers aggregate after reading and
+    * `onCompact` applies the SAME reduction when the fold fires —
+    * without it a hot key's partial rows would survive every
+    * compaction and the store would grow with tick count, not key
+    * count. The reduction must preserve the bucket column (group by
+    * key AND bucket — keys hash to one bucket, so this adds nothing)
+    * and must be associative/commutative over row groups (the fold
+    * sees arbitrary generation boundaries). Identity (the default)
+    * is the plain disjoint-key append.
     */
   def applyAppendTick(spark: SparkSession, dir: String, appended: DataFrame,
                       batchId: Long, n: Int,
                       maxLiveGenerations: Int = DefaultMaxLiveGenerations,
                       beforePublish: () => Unit = () => (),
-                      lease: Option[WriterLease] = None): TickStats = {
+                      lease: Option[WriterLease] = None,
+                      onCompact: DataFrame => DataFrame = identity): TickStats = {
     val (prevId, fence0) = markerSnapshot(dir)
     if (prevId >= batchId)
       return TickStats(batchId, applied = false, touchedBuckets = 0,
@@ -508,8 +522,8 @@ private[graft] object BucketStore {
         }
         val gen = GenPrefix + batchId
         val out =
-          if (compacting) selectOrEmpty(spark, dir, prevManifest, prevManifest)
-            .unionByName(app)
+          if (compacting) onCompact(selectOrEmpty(spark, dir, prevManifest, prevManifest)
+            .unionByName(app))
           else app
         checkFence(dir, fence0, batchId)
         out.repartition(col(BucketCol))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
@@ -286,19 +286,24 @@ object DocStream {
   /** Streaming materialized view of the boilerplate LINE-COUNT store —
     * the continuous rung of the [[graft.operators.TextAnalysis
     * .lineDedup]] family (batch → inc → parquet store → this): each
-    * micro-batch's distinct (line-key, doc) counts merge into a
-    * bucket-partitioned store of (k, ndocs), and the tick is O(delta)
-    * in I/O as well as compute — the touched buckets are a pure
-    * function of the batch's own line keys (a delta line can only
-    * move a count it carries), so the merge reads and rewrites only
-    * those bucket directories, exactly the [[startDedupMaintain]]
-    * contract over a different reduction (sum of doc counts instead
-    * of min-keeper/count). The store IS the scrub decision surface:
-    * `ndocs >= minDocs` keys are the boilerplate set
-    * [[graft.operators.TextAnalysis.cleanWithBoiler]] strikes at
-    * ingest. Replay guard identical to the other maintainers
-    * (applied-batch marker; redelivered ticks no-op instead of
-    * double-counting).
+    * micro-batch's distinct (line-key, doc) counts land as PARTIAL
+    * (k, ndocs) rows through the MERGE-ON-READ append protocol
+    * (r13): the tick writes its own counts as one stacked generation
+    * with ZERO carry-over reads — a text batch's line keys hash
+    * across ~every bucket, so the old merge tick re-read and rewrote
+    * ~the whole store per tick (the BM25 postings bound) — and the
+    * SUM reduction moves to the two places it belongs: readers
+    * aggregate after reading ([[readLineCounts]] — sum is
+    * associative, so partial rows from any generation split are
+    * exact), and the `maxLiveGenerations` compaction fold applies the
+    * same reduction via `onCompact`, so a hot boilerplate key's
+    * partials collapse every ~maxLive ticks instead of growing with
+    * tick count. The store IS the scrub decision surface:
+    * `readLineCounts(...).filter(ndocs >= minDocs)` keys are the
+    * boilerplate set [[graft.operators.TextAnalysis.cleanWithBoiler]]
+    * strikes at ingest. Replay guard identical to the other
+    * maintainers (applied-batch marker; redelivered ticks no-op
+    * instead of double-counting).
     */
   def startLineCountMaintain(docs: DataFrame, storeDir: String, checkpointDir: String,
                              nBuckets: Int = BucketStore.DefaultBuckets): StreamingQuery =
@@ -310,25 +315,27 @@ object DocStream {
         BucketStore.recover(storeDir)
         val b = batch.toDF().select(col("doc_id"), col("text")).cache()
         if (b.count() > 0 && BucketStore.appliedBatchId(storeDir) < batchId) {
-          val deltaCounts = graft.operators.TextAnalysis.lineCountsOf(b).cache()
-          val touched = BucketStore.touchedBuckets(deltaCounts.select(
-            BucketStore.md5Bucket(md5(col("k")), nBuckets).as(BucketStore.BucketCol)))
-          val store = BucketStore.readBuckets(spark, storeDir, touched, nBuckets)
-          val changes = store
-            .join(graft.operators.Hints.broadcastIfSmall(deltaCounts.select(col("k"))),
-              Seq("k"), "left_semi")
-            .unionByName(deltaCounts)
-            .groupBy(col("k")).agg(sum(col("ndocs")).as("ndocs"))
-          BucketStore.applyTick(spark, storeDir,
-            changes.withColumn(BucketStore.BucketCol,
+          val deltaCounts = graft.operators.TextAnalysis.lineCountsOf(b)
+          BucketStore.applyAppendTick(spark, storeDir,
+            deltaCounts.withColumn(BucketStore.BucketCol,
               BucketStore.md5Bucket(md5(col("k")), nBuckets)),
-            Seq("k"), batchId, n = nBuckets)
-          deltaCounts.unpersist()
+            batchId, n = nBuckets,
+            onCompact = _.groupBy(col("k"), col(BucketStore.BucketCol))
+              .agg(sum(col("ndocs")).as("ndocs")))
         }
         b.unpersist()
         ()
       }
       .start()
+
+  /** Canonical reader of the line-count store: generations hold
+    * PARTIAL per-tick counts (see [[startLineCountMaintain]]), so
+    * every read aggregates — this is the merge-on-read half of the
+    * LSM contract, and the only correct way to consume the store.
+    */
+  def readLineCounts(spark: SparkSession, storeDir: String): DataFrame =
+    BucketStore.readAll(spark, storeDir)
+      .groupBy(col("k")).agg(sum(col("ndocs")).as("ndocs"))
 
   /** Continuous decontamination at ingest: flag incoming documents
     * whose word n-grams hit the PERSISTED eval-suite bloom artifact
@@ -514,9 +521,16 @@ object DocStream {
     * BEFORE the postings marker — the verdict-log ordering; replay
     * skips both via the applied-batch guards; the store's
     * `maxLiveGenerations` fold amortizes compaction across ticks).
-    * Corpus ingest is append-only (new
-    * doc_ids); searches against the live index keep BucketStore's
-    * snapshot isolation while it grows. Seed with
+    * Streams WITHOUT an `op` column are append-only ingest (new
+    * doc_ids — the O(delta) fast path); a stream WITH (op, doc_id,
+    * text, text_before) columns is a CDC feed and every batch routes
+    * through [[graft.operators.Retrieval.cdcBm25Tick]] — deletes and
+    * re-ingests tombstone their before-image postings through one
+    * merge tick (the `startIvfMaintain` op-column convention). Don't
+    * put an op column on a pure-insert stream: CDC batches pay the
+    * merge tick's touched-bucket re-merge. Searches against the live
+    * index keep BucketStore's snapshot isolation while it grows.
+    * Seed with
     * [[graft.operators.Retrieval.buildBm25Index]]; RetrievalSpec
     * pins streamed ticks ≡ one-shot full-corpus build.
     */
@@ -527,11 +541,21 @@ object DocStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val b = batch.toDF().select(col("doc_id"), col("text")).distinct().cache()
-        if (b.count() > 0) {
-          graft.operators.Retrieval.appendBm25Tick(spark, indexDir, b, batchId)
+        if (batch.columns.contains("op")) {
+          val b = batch.toDF()
+            .select(col("op"), col("doc_id"), col("text"), col("text_before"))
+            .distinct().cache()
+          if (b.count() > 0) {
+            graft.operators.Retrieval.cdcBm25Tick(spark, indexDir, b, batchId)
+          }
+          b.unpersist()
+        } else {
+          val b = batch.toDF().select(col("doc_id"), col("text")).distinct().cache()
+          if (b.count() > 0) {
+            graft.operators.Retrieval.appendBm25Tick(spark, indexDir, b, batchId)
+          }
+          b.unpersist()
         }
-        b.unpersist()
         ()
       }
       .start()

@@ -321,6 +321,41 @@ class BucketStoreSpec extends AnyFunSuite {
       .forall(_.contains("gen-4")), "fold must collapse to the tick's generation")
   }
 
+  test("merge-on-read appends: partial rows aggregate on read; onCompact folds them at compaction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bucket_store_mor").toString + "/store"
+    def partial(rows: (String, Long)*) = rows.toDF("k", "n")
+      .withColumn("bucket", BucketStore.md5Bucket(md5(col("k")), 64))
+    def summed: Map[String, Long] = BucketStore.readAll(spark, dir)
+      .groupBy(col("k")).agg(sum(col("n")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val reduce: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.groupBy(col("k"), col("bucket")).agg(sum(col("n")).as("n"))
+    BucketStore.seed(partial(("hot", 1L), ("cold", 1L)).select("k", "n"),
+      BucketStore.md5Bucket(md5(col("k")), 64), dir, n = 64,
+      kind = BucketStore.KindMd5)
+
+    // three append ticks each add a PARTIAL count for the hot key —
+    // zero carry-over writes (each generation holds exactly 1 row)
+    (0L to 2L).foreach { b =>
+      BucketStore.applyAppendTick(spark, dir, partial(("hot", 1L)),
+        batchId = b, n = 64, onCompact = reduce)
+      assert(spark.read.parquet(s"$dir/gen-$b").count() === 1L)
+    }
+    // merge-on-read: the aggregated view is exact at every point
+    assert(summed === Map("hot" -> 4L, "cold" -> 1L))
+
+    // the compaction fold applies the SAME reduction: after it fires,
+    // the hot key's partials collapse to ONE physical row
+    val st = BucketStore.applyAppendTick(spark, dir, partial(("hot", 1L)),
+      batchId = 3L, n = 64, maxLiveGenerations = 3, onCompact = reduce)
+    assert(st.compacted && st.liveGenerations === 1)
+    assert(summed === Map("hot" -> 5L, "cold" -> 1L))
+    assert(spark.read.parquet(s"$dir/gen-3")
+      .filter(col("k") === "hot").count() === 1L,
+      "compaction must reduce partial rows, not just concatenate them")
+  }
+
   test("append-tick crash window: unpublished generation rolls back; replay is idempotent") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bucket_store_append_crash").toString + "/store"

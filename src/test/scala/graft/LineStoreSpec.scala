@@ -37,8 +37,7 @@ class LineStoreSpec extends AnyFunSuite {
     val input = MemoryStream[DocIngest]
     val q = DocStream.startLineCountMaintain(input.toDF(), storeDir, root + "/ckpt")
 
-    def storeNow = BucketStore.readAll(spark, storeDir)
-      .select("k", "ndocs")
+    def storeNow = DocStream.readLineCounts(spark, storeDir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     def batchNow = TextAnalysis.lineCountsOf(corpus.toDF("doc_id", "text"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
@@ -72,12 +71,16 @@ class LineStoreSpec extends AnyFunSuite {
     untouched.foreach { case (path, h) =>
       assert(after.get(path).contains(h), s"untouched $path was rewritten")
     }
+    // O(delta) write pin (merge-on-read append protocol): tick 2's
+    // stacked generation holds exactly the delta's ONE partial row —
+    // the seed's counts were never re-read or rewritten
+    assert(spark.read.parquet(s"$storeDir/gen-1").count() === 1L)
     q.stop()
 
     // the store cleans a fresh delta exactly like the batch scrub
     val delta = Seq((20L, "Cookie notice\nnew content")).toDF("doc_id", "text")
     val viaStore = TextAnalysis.cleanWithBoiler(delta,
-      BucketStore.readAll(spark, storeDir).filter(col("ndocs") >= 2).select(col("k")))
+      DocStream.readLineCounts(spark, storeDir).filter(col("ndocs") >= 2).select(col("k")))
       .collect().head
     assert(viaStore.getAs[String]("clean_text") === "new content")
     assert(viaStore.getAs[Long]("n_removed") === 1L)
@@ -101,7 +104,7 @@ class LineStoreSpec extends AnyFunSuite {
     val q2 = DocStream.startLineCountMaintain(input.toDF(), storeDir, root + "/ckpt")
     q2.processAllAvailable()
     q2.stop()
-    val counts = BucketStore.readAll(spark, storeDir)
+    val counts = DocStream.readLineCounts(spark, storeDir)
       .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("ndocs"))).toMap
     assert(counts("base line") === 2L)
   }

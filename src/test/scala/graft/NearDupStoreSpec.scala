@@ -96,6 +96,12 @@ class NearDupStoreSpec extends AnyFunSuite {
     val bandAfter = TestFiles.bucketFileHashes(spark, bandDir)
     val bandUnchanged = bandBefore.filter { case (p, h) => bandAfter.get(p).contains(h) }
     assert(bandUnchanged.nonEmpty, "band store was fully rewritten by the tick")
+
+    // O(delta) write pin (the applyAppendTick contract): tick 2's
+    // stacked generation holds EXACTLY the delta — 2 signature rows
+    // and 2×16 band rows — zero carry-over from the landed corpus
+    assert(spark.read.parquet(s"$sigDir/gen-1").count() === 2L)
+    assert(spark.read.parquet(s"$bandDir/gen-1").count() === 32L)
   }
 
   test("simhash maintainer: stores ∪ ticks ≡ batch, cross-tick copies found") {

@@ -267,6 +267,38 @@ class RetrievalSpec extends AnyFunSuite {
     assert(hits(s"$root/idx") === got)
   }
 
+  test("maintainer CDC stream: delete + re-ingest batches ≡ rebuild on the mutated corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files.createTempDirectory("bm25_cdc_stream").toString
+    val corpus = Tables.documents(spark, TestSpark.sf).select("doc_id", "text")
+    Retrieval.buildBm25Index(corpus, s"$root/idx")
+
+    val dels = corpus.filter(col("doc_id") % 5 === 3)
+      .as[(Long, String)].collect().toSeq
+      .map { case (id, t) => ("d", id, null: String, t) }
+    val ups = corpus.filter(col("doc_id") % 5 === 4)
+      .as[(Long, String)].collect().toSeq
+      .map { case (id, t) => ("u", id, s"$t $t", t) }
+    val input = MemoryStream[(String, Long, String, String)]
+    val q = streaming.DocStream.startBm25Maintain(
+      input.toDF().toDF("op", "doc_id", "text", "text_before"),
+      s"$root/idx", s"$root/ckpt")
+    input.addData(dels: _*); q.processAllAvailable()
+    input.addData(ups: _*); q.processAllAvailable()
+    q.stop()
+
+    val mutated = corpus.filter(col("doc_id") % 5 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 4, concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+    Retrieval.buildBm25Index(mutated, s"$root/rebuild")
+    val qs = Retrieval.pseudoQueries(Tables.documents(spark, TestSpark.sf))
+    def hits(dir: String) = Retrieval.bm25FromIndex(spark, dir, qs)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(hits(s"$root/idx") === hits(s"$root/rebuild"))
+  }
+
   test("incremental rung: streamed maintainer ticks ≡ one-shot full-corpus build") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -175,4 +175,58 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
     assert(out.forall(r => r.getLong(2) <= r.getLong(1) && r.getLong(2) >= 1L))
   }
+
+  // ---- q_ngram_topk_approx (Misra-Gries two-pass exact) --------------
+
+  test("MG two-pass heavy hitters ≡ the exact plan on the gate corpus, at full and tight capacity") {
+    def asTuples(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = asTuples(TextAnalysis.ngramTopK(spark, sf, n = 3, topK = 50).collect())
+    // default capacity: never decrements at this SF (certificate = 0)
+    val mg = asTuples(TextAnalysis.ngramTopKApprox(spark, sf, n = 3, topK = 50).collect())
+    assert(mg === exact)
+    // a capacity small enough to force decrement sweeps must still
+    // return the identical certified list or throw — never a silently
+    // different one. k=5 keeps the certificate satisfiable.
+    val tight = try {
+      Some(asTuples(TextAnalysis.ngramTopKApprox(spark, sf, n = 3, topK = 5,
+        capacity = 512).collect()))
+    } catch { case e: IllegalArgumentException =>
+      assert(e.getMessage.contains("not certifiable")); None }
+    tight.foreach(t => assert(t === exact.take(5)))
+  }
+
+  test("MG certificate: uncertifiable capacity fails loudly instead of returning a plausible list") {
+    // 40 distinct grams of equal weight, INTERLEAVED so every summary
+    // of capacity 2 churns (adjacent copies would let tiny partitions
+    // count exactly): the k-th candidate's freq (3) cannot clear the
+    // accumulated decrement bound
+    val rows = (0 until 3).flatMap { rep =>
+      (0 until 40).map(i => s"g$i a$i b$i") }.zipWithIndex
+      .map { case (t, id) => (id.toLong, t) }
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.ngramTopKApproxOf(spark, docs(rows: _*), n = 3, topK = 10,
+        capacity = 2).collect()
+    }
+    assert(ex.getMessage.contains("raise capacity"))
+  }
+
+  test("MG result is partitioning-invariant when certified, even under forced decrement sweeps") {
+    // every 4th doc repeats one hot 5-word sentence (3 distinct hot
+    // 3-grams, 100 occurrences each); the rest are unique-cold. With
+    // capacity 16 the summaries decrement (cold churn) but the bound
+    // N/(cap+1) ≈ 53 stays under the hot count, so the top-3 is
+    // certified exact regardless of how the stream was partitioned.
+    val fix = (1L to 400L).map { i =>
+      val t = if (i % 4 == 0) "the hot gram here now" else s"cold one $i x"
+      (i, t) }
+    val expected = Seq(
+      ("gram here now", 100L), ("hot gram here", 100L), ("the hot gram", 100L))
+    Seq(1, 7, 32).foreach { p =>
+      val out = TextAnalysis.ngramTopKApproxOf(spark,
+        docs(fix: _*).repartition(p), n = 3, topK = 3, capacity = 16)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(out === expected, s"partitioning p=$p changed the certified answer")
+    }
+  }
 }
