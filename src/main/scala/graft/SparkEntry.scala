@@ -73,6 +73,12 @@ object SparkEntry {
     // store, delta rows appended after the tick (rows-only; the
     // base∪tick ≡ batch identity through the store is spec-gated)
     "dedup_minhash_store" -> ((s, d) => Dedup.minhashLshIncrementalStore(s, d)),
+    // CDC rung: delete/re-ingest through the banded BucketStores —
+    // before-images come from the row store itself (keyed by id),
+    // tombstoned ids excluded from candidate+verify, band store
+    // applies first (crash-consistent ordering); store parity with a
+    // fresh seed of the mutated corpus is spec-gated
+    "dedup_minhash_cdc"   -> ((s, d) => Dedup.minhashCdcStore(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_simhash_inc"   -> ((s, d) => Dedup.simhashIncremental(s, d)),
     // the simhash tick through a REAL parquet fingerprint/band store

@@ -389,6 +389,52 @@ object Dedup {
     out
   }
 
+  /** Registered `dedup_minhash_cdc` — the CDC rung of the banded-store
+    * family ([[nearDupStoreCdcTick]]) exercised end-to-end on the
+    * planted corpus: seed BOTH BucketStores from the full planted
+    * corpus, apply ONE data-derived CDC batch — every fifth planted
+    * copy DELETED (its pair evidence must stop re-appearing), and
+    * every `id % 50 == 7` live doc RE-INGESTED as an exact copy of its
+    * predecessor (its old signature must leave the index, and the new
+    * one must pair with the predecessor) — then return the tick's
+    * verified pairs from the pair log. Rows-only (LSH banding is not
+    * SQL-expressible); NearDupStoreSpec pins the store parity that
+    * matters: post-CDC row + band stores value-equal a fresh seed of
+    * the MUTATED corpus, same-batch deletes never pair, and the
+    * band-store-first crash window replays exactly.
+    */
+  def minhashCdcStore(spark: SparkSession, sfDir: String,
+      bucketCap: Int = 10000,
+      artifactDir: String = "target/graft-artifacts"): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val det = minhashDetector(spark, 0.5)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    // per-run unique store path — the lineDedupStore convention (a
+    // shared path would let a concurrent bench/verify pair race the
+    // seed overwrite; values are path-independent)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val root = s"$artifactDir/minhash_cdc_${digest}_$runId"
+    val docs = dupPlantedDocs(spark, sfDir).select(col("doc_id"), col("text")).cache()
+    graft.PhaseTimer.timed("dedup_minhash_cdc", "seed") {
+      seedNearDupStores(spark, docs, det, s"$root/sig", s"$root/band", nBuckets = 64)
+    }
+    val dels = docs.filter(col("doc_id") >= 10000000L && col("doc_id") % 5 === 0)
+      .select(lit("d").as("op"), col("doc_id"), lit(null).cast("string").as("text"))
+    val pred = docs.select((col("doc_id") + 1).as("doc_id"),
+      col("text").as("new_text"))
+    val ups = docs.filter(col("doc_id") < 10000000L && col("doc_id") % 50 === 7)
+      .join(pred, Seq("doc_id"))
+      .select(lit("u").as("op"), col("doc_id"), col("new_text").as("text"))
+    graft.PhaseTimer.timed("dedup_minhash_cdc", "tick") {
+      nearDupStoreCdcTick(spark, det, s"$root/sig", s"$root/band",
+        s"$root/pairs", dels.unionByName(ups), batchId = 1L,
+        nBuckets = 64, bucketCap = bucketCap)
+    }
+    docs.unpersist()
+    readPairLog(spark, s"$root/pairs")
+  }
+
   /** One near-dup detector, as the three pieces the banded-LSH store
     * machinery needs and nothing else: `rows` maps an ingest batch to
     * the keyed row-store rows (signatures / fingerprints / vectors),
@@ -523,15 +569,72 @@ object Dedup {
     */
   private[graft] def nearDupStoreTick(spark: SparkSession, det: NearDupDetector,
       rowsDir: String, bandDir: String, pairsDir: String, batchRows: DataFrame,
+      batchId: Long, nBuckets: Int, bucketCap: Int): Unit =
+    nearDupTickCore(spark, det, rowsDir, bandDir, pairsDir, batchRows, None,
+      batchId, nBuckets, bucketCap)
+
+  /** CDC tick for the banded stores — the delete/re-ingest seam the
+    * BM25 and IVF indexes already have (`cdcBm25Tick`,
+    * `ivfAppendTick`'s tombstones): `cdc` carries an `op` column
+    * ('i'/'u'/'d') plus the detector's input columns ('d' rows may
+    * leave the payload null — only the id is needed). The before-image
+    * comes from the ROW STORE ITSELF: unlike BM25, whose postings are
+    * keyed by content and need `text_before` in the feed, the row
+    * store is keyed by id, so a delete's stored signature — and hence
+    * every (id, band, key) index entry to tombstone — is one PRUNED
+    * bucket read away. An upsert is delete(stored image) +
+    * insert(new payload) under the same id in one tick. New content is
+    * probed against the post-delete view (tombstoned ids excluded from
+    * both candidate and verify sides), so a same-batch delete can
+    * never pair. Both stores advance through `applyTick` WITH
+    * `removed` (rows must come OUT of buckets — the merge price, paid
+    * only on CDC batches; pure-insert ticks keep the O(delta) append
+    * path). The pair log is an EVENT log: pairs a dead id earned while
+    * live stay recorded; keeper/cluster consumers join against live
+    * ids (documented — the same contract as the CDC ratings store's
+    * downstream).
+    */
+  private[graft] def nearDupStoreCdcTick(spark: SparkSession, det: NearDupDetector,
+      rowsDir: String, bandDir: String, pairsDir: String, cdc: DataFrame,
       batchId: Long, nBuckets: Int, bucketCap: Int): Unit = {
+    val ins = cdc.filter(col("op").isin("i", "u"))
+      .select(det.inputCols.map(col): _*)
+    val gone = cdc.filter(col("op").isin("d", "u"))
+      .select(col(det.idCol)).distinct()
+    nearDupTickCore(spark, det, rowsDir, bandDir, pairsDir, ins, Some(gone),
+      batchId, nBuckets, bucketCap)
+  }
+
+  private def nearDupTickCore(spark: SparkSession, det: NearDupDetector,
+      rowsDir: String, bandDir: String, pairsDir: String, batchRows: DataFrame,
+      tombstones: Option[DataFrame], batchId: Long, nBuckets: Int,
+      bucketCap: Int): Unit = {
     import graft.streaming.BucketStore
     graft.functions.VectorFunctions.register(spark)
     val id = det.idCol
     val deltaRows = det.rows(batchRows).cache()
     val deltaBands = det.bands(deltaRows).cache()
+    // tombstoned ids' stored band keys, materialized BEFORE any store
+    // mutates (the lazy-read gc hazard): pruned row-store read by id,
+    // band keys re-derived from the stored signatures
+    val gone = tombstones.map(_.cache())
+    val goneBandKeys = gone.map { g =>
+      val gBuckets = BucketStore.touchedBuckets(g.select(
+        BucketStore.longBucket(col(id), nBuckets).as(BucketStore.BucketCol)))
+      val k = det.bands(
+          BucketStore.readBuckets(spark, rowsDir, gBuckets, nBuckets)
+            .join(g, Seq(id), "left_semi"))
+        .select(col(id), col("band"), col("key")).distinct().cache()
+      k.count()
+      k
+    }
     val probeBuckets = BucketStore.touchedBuckets(deltaBands.select(
       BucketStore.longBucket(col("key"), nBuckets).as(BucketStore.BucketCol)))
-    val storeBands = BucketStore.readBuckets(spark, bandDir, probeBuckets, nBuckets)
+    val storeBands0 = BucketStore.readBuckets(spark, bandDir, probeBuckets, nBuckets)
+    // CDC: the probe sees the POST-delete view — a same-batch delete
+    // must never generate or verify a candidate
+    val storeBands = gone.map(g => storeBands0.join(g, Seq(id), "left_anti"))
+      .getOrElse(storeBands0)
     val hot = hotBucketList(storeBands, bucketCap)
     val dPruned = deltaBands.join(broadcast(hot), Seq("band", "key"), "left_anti")
     val probe = storeBands.unionByName(deltaBands)
@@ -570,7 +673,9 @@ object Dedup {
     val candBuckets = BucketStore.touchedBuckets(
       cand.select(explode(array(col(det.aCol), col(det.bCol))).as(id))
         .select(BucketStore.longBucket(col(id), nBuckets).as(BucketStore.BucketCol)))
-    val storeRows = BucketStore.readBuckets(spark, rowsDir, candBuckets, nBuckets)
+    val storeRows0 = BucketStore.readBuckets(spark, rowsDir, candBuckets, nBuckets)
+    val storeRows = gone.map(g => storeRows0.join(g, Seq(id), "left_anti"))
+      .getOrElse(storeRows0)
     val out = det.verify(cand,
       storeRows.unionByName(deltaRows).dropDuplicates(id)).cache()
     // materialize, then publish the pair log BEFORE the stores mutate:
@@ -578,22 +683,49 @@ object Dedup {
     // the stores advanced must not lose the batch's pairs
     out.count()
     out.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-    // append-only ingest (new ids by contract) → both stores stack
-    // the delta as one generation with ZERO carry-over reads. This
-    // matters most for the BAND store: a text delta's band keys are
-    // hash-distributed across ~every bucket, so the old merge tick
-    // re-read and rewrote ~the whole band store per tick (the BM25
-    // postings problem); the append tick's write I/O is ∝ delta
-    // bands, and the maxLiveGenerations fold amortizes compaction.
-    BucketStore.applyAppendTick(spark, rowsDir,
-      deltaRows.withColumn(BucketStore.BucketCol,
-        BucketStore.longBucket(col(id), nBuckets)),
-      batchId, n = nBuckets)
-    BucketStore.applyAppendTick(spark, bandDir,
-      deltaBands.withColumn(BucketStore.BucketCol,
-        BucketStore.longBucket(col("key"), nBuckets)),
-      batchId, n = nBuckets)
-    Seq(deltaRows, deltaBands, cand, out).foreach(_.unpersist())
+    gone match {
+      case None =>
+        // append-only ingest (new ids by contract) → both stores stack
+        // the delta as one generation with ZERO carry-over reads. This
+        // matters most for the BAND store: a text delta's band keys are
+        // hash-distributed across ~every bucket, so the old merge tick
+        // re-read and rewrote ~the whole band store per tick (the BM25
+        // postings problem); the append tick's write I/O is ∝ delta
+        // bands, and the maxLiveGenerations fold amortizes compaction.
+        BucketStore.applyAppendTick(spark, rowsDir,
+          deltaRows.withColumn(BucketStore.BucketCol,
+            BucketStore.longBucket(col(id), nBuckets)),
+          batchId, n = nBuckets)
+        BucketStore.applyAppendTick(spark, bandDir,
+          deltaBands.withColumn(BucketStore.BucketCol,
+            BucketStore.longBucket(col("key"), nBuckets)),
+          batchId, n = nBuckets)
+      case Some(g) =>
+        // CDC: rows must come OUT of buckets → merge ticks with
+        // tombstones (upserted ids are in BOTH removed and appended;
+        // applyTick drops by key first, so the new image wins).
+        // ORDER MATTERS for crash consistency: the band store's
+        // removal keys derive from the ROW store's before-images, so
+        // the band store applies FIRST — a crash between the two
+        // replays with the row store still pre-tick (band keys
+        // re-derivable, band apply skips on its marker); the inverse
+        // order would strand tombstoned band entries forever (the
+        // before-image is gone once the row store advances).
+        BucketStore.applyTick(spark, bandDir,
+          deltaBands.withColumn(BucketStore.BucketCol,
+            BucketStore.longBucket(col("key"), nBuckets)),
+          Seq(id, "band"), batchId, n = nBuckets,
+          removed = goneBandKeys.map(_.select(col(id), col("band"),
+            BucketStore.longBucket(col("key"), nBuckets).as(BucketStore.BucketCol))))
+        BucketStore.applyTick(spark, rowsDir,
+          deltaRows.withColumn(BucketStore.BucketCol,
+            BucketStore.longBucket(col(id), nBuckets)),
+          Seq(id), batchId, n = nBuckets,
+          removed = Some(g.select(col(id),
+            BucketStore.longBucket(col(id), nBuckets).as(BucketStore.BucketCol))))
+    }
+    (Seq(deltaRows, deltaBands, cand, out) ++ gone ++ goneBandKeys)
+      .foreach(_.unpersist())
     ()
   }
 

@@ -194,16 +194,30 @@ object DocStream {
         val spark = batch.sparkSession
         val d = det(spark)
         BucketStore.recover(rowsDir); BucketStore.recover(bandDir)
-        val b = batch.toDF().select(d.inputCols.map(col): _*).distinct().cache()
+        // a stream WITH an `op` column is a CDC feed (the
+        // startBm25Maintain convention): delete/re-ingest batches
+        // route through the tombstoning merge tick — before-images
+        // come from the row store itself, so the feed carries only
+        // (op, id, payload). Pure-insert streams keep the O(delta)
+        // append tick; don't put an op column on one.
+        val isCdc = batch.columns.contains("op")
+        val cols = if (isCdc) col("op") +: d.inputCols.map(col)
+          else d.inputCols.map(col)
+        val b = batch.toDF().select(cols: _*).distinct().cache()
         if (b.count() > 0 && BucketStore.appliedBatchId(bandDir) < batchId) {
-          graft.operators.Dedup.nearDupStoreTick(spark, d, rowsDir, bandDir,
-            pairsDir, b, batchId, nBuckets, bucketCap)
+          if (isCdc)
+            graft.operators.Dedup.nearDupStoreCdcTick(spark, d, rowsDir, bandDir,
+              pairsDir, b, batchId, nBuckets, bucketCap)
+          else
+            graft.operators.Dedup.nearDupStoreTick(spark, d, rowsDir, bandDir,
+              pairsDir, b, batchId, nBuckets, bucketCap)
           // planted-recall drift probe over a hash-sample of THIS
           // tick's rows (the startIvfMaintain convention): exact-copy
           // plants must pair with their just-ticked sources, so every
           // miss isolates a stale hot-bucket freeze — the banded
-          // families' staleness signal
-          probe.filter(p => batchId % p.everyNTicks.max(1) == 0).foreach { p =>
+          // families' staleness signal. CDC batches skip it (delete
+          // rows carry null payloads the detector can't sample).
+          probe.filter(p => !isCdc && batchId % p.everyNTicks.max(1) == 0).foreach { p =>
             val qs = b.orderBy(md5(col(d.idCol).cast("string"))).limit(p.sample)
             val r = graft.operators.Dedup.bandedDriftProbe(spark, d,
               rowsDir, bandDir, qs, nBuckets, bucketCap, p.floor)

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Similarity
-import graft.streaming.DocStream
+import graft.streaming.{BucketStore, DocStream}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -102,6 +102,67 @@ class NearDupStoreSpec extends AnyFunSuite {
     // and 2×16 band rows — zero carry-over from the landed corpus
     assert(spark.read.parquet(s"$sigDir/gen-1").count() === 2L)
     assert(spark.read.parquet(s"$bandDir/gen-1").count() === 32L)
+  }
+
+  test("CDC tick: delete + re-ingest leave the stores ≡ a fresh seed of the mutated corpus; same-batch deletes never pair; replay no-op") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("neardup_cdc").toString
+    val det = graft.operators.Dedup.minhashDetector(spark, 0.5)
+    val d1 = "the quick brown fox jumps over the lazy dog by the river tonight"
+    val d2 = d1.replace("tonight", "today")
+    val seed = Seq(
+      1L -> d1, 2L -> d2,
+      3L -> "completely unrelated text about cooking pasta with garlic and olive oil",
+      4L -> "another distinct document covering mountain hiking trails in early spring",
+      5L -> "financial report third quarter revenue grew beyond expectations this year",
+      6L -> "gardening tips for growing tomatoes indoors during the cold winter months")
+    graft.operators.Dedup.seedNearDupStores(spark,
+      seed.toDF("doc_id", "text"), det, s"$root/sig", s"$root/band", nBuckets = 64)
+
+    // one CDC batch: DELETE doc 2 (the seed's planted pair partner),
+    // UPSERT doc 5 to a near-copy of doc 1 (old signature must leave
+    // the index, new one must pair), INSERT doc 20 with the DELETED
+    // doc's exact text (must pair with 1, must NOT pair with 2)
+    val cdc = Seq(
+      ("d", 2L, null: String),
+      ("u", 5L, d1.replace("quick", "sly")),
+      ("i", 20L, d2)).toDF("op", "doc_id", "text")
+    def runTick() = graft.operators.Dedup.nearDupStoreCdcTick(spark, det,
+      s"$root/sig", s"$root/band", s"$root/pairs", cdc,
+      batchId = 1L, nBuckets = 64, bucketCap = 10000)
+    runTick()
+
+    def pairs = graft.operators.Dedup.readPairLog(spark, s"$root/pairs")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pairs
+    assert(p1.contains((1L, 20L)), "re-ingested text must pair with its live near-copy")
+    assert(p1.contains((1L, 5L)), "upserted content must pair under its NEW signature")
+    assert(!p1.exists(p => p._1 == 2L || p._2 == 2L),
+      "a same-batch delete must never generate or verify a pair")
+
+    // store parity: both stores value-equal a fresh seed of the
+    // MUTATED corpus (2 gone, 5 re-texted, 20 added)
+    val mutated = Seq(1L -> d1,
+      3L -> "completely unrelated text about cooking pasta with garlic and olive oil",
+      4L -> "another distinct document covering mountain hiking trails in early spring",
+      5L -> d1.replace("quick", "sly"),
+      6L -> "gardening tips for growing tomatoes indoors during the cold winter months",
+      20L -> d2)
+    graft.operators.Dedup.seedNearDupStores(spark,
+      mutated.toDF("doc_id", "text"), det, s"$root/sig2", s"$root/band2", nBuckets = 64)
+    def bandSet(dir: String) = BucketStore.readAll(spark, dir)
+      .select("doc_id", "band", "key")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    def idSet(dir: String) = BucketStore.readAll(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(idSet(s"$root/sig") === idSet(s"$root/sig2"))
+    assert(bandSet(s"$root/band") === bandSet(s"$root/band2"))
+
+    // replay: same batch id no-ops the stores, pair log stays exact
+    runTick()
+    assert(idSet(s"$root/sig") === idSet(s"$root/sig2"))
+    assert(bandSet(s"$root/band") === bandSet(s"$root/band2"))
+    assert(pairs === p1)
   }
 
   test("simhash maintainer: stores ∪ ticks ≡ batch, cross-tick copies found") {
