@@ -582,13 +582,18 @@ object Similarity {
     * upsert(new image) in the same batch; the upsert wins on key
     * collision (applyTick merges changes after the drop).
     *
-    * A tombstone-free tick (new vec_ids only — the common ingest
-    * shape) takes [[graft.streaming.BucketStore.applyAppendTick]]:
-    * the delta stacks as one generation with ZERO carry-over reads,
-    * so tick write I/O ∝ the batch — the `appendBm25Tick` protocol.
-    * CDC batches must merge (rows have to come OUT of a bucket), so
-    * they stay on `applyTick`, which collapses a touched bucket's
-    * generation stack back to one.
+    * A tombstone-free tick (new vec_ids ONLY — the strict append
+    * contract, same key-purity rule as the banded row stores) takes
+    * [[graft.streaming.BucketStore.applyAppendTick]]: the delta
+    * stacks as one generation with ZERO carry-over reads, so tick
+    * write I/O ∝ the batch — the `appendBm25Tick` protocol. Because
+    * the append path never performs keyed replacement, a vec_id
+    * re-sent on a LATER tombstone-free tick coexists as a duplicate
+    * row (double-counted by search/mining) — a re-embed must arrive
+    * as CDC delete(old image)+upsert(new image), which routes through
+    * the keyed merge below. CDC batches must merge (rows have to come
+    * OUT of a bucket), so they stay on `applyTick`, which collapses a
+    * touched bucket's generation stack back to one.
     */
   private[graft] def ivfAppendTick(spark: SparkSession, storeDir: String,
       cents: Seq[(Int, Seq[Double])], newVectors: DataFrame,

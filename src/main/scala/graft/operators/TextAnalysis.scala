@@ -266,9 +266,21 @@ object TextAnalysis {
                       topK: Int = 100, capacity: Int = 1 << 16): DataFrame =
     ngramTopKApproxOf(spark, Tables.documents(spark, sfDir), n, topK, capacity)
 
-  /** Core on an injectable corpus — spec entry. */
+  /** Core on an injectable corpus — spec entry.
+    *
+    * Certification is adaptive: if the capacity can't certify the
+    * requested rank (maxMiss > 0 and the k-th candidate's frequency
+    * doesn't clear it — e.g. a deep-tail topK over a high-cardinality
+    * gram universe), the capacity DOUBLES and the two-pass plan
+    * re-runs, up to `maxEscalations` times, before failing. Each
+    * attempt stays capacity-bounded in memory; the common case
+    * (heavy-hitter-regime topK, or a corpus whose per-partition
+    * distinct grams fit the summary ⇒ maxMiss = 0) certifies on the
+    * first attempt and pays nothing.
+    */
   private[graft] def ngramTopKApproxOf(spark: SparkSession, docs: DataFrame,
-      n: Int = 3, topK: Int = 100, capacity: Int = 1 << 16): DataFrame = {
+      n: Int = 3, topK: Int = 100, capacity: Int = 1 << 16,
+      maxEscalations: Int = 4): DataFrame = {
     import spark.implicits._
     require(capacity > 0, "capacity must be positive")
     def grams = docs
@@ -277,20 +289,21 @@ object TextAnalysis {
       .select(col("doc_id"), explode(wordGrams(n)).as("ngram"))
     // pass 1: per-partition MG summaries — emit (key, null-sentinel)
     // candidate rows plus ONE (null, d_p) decrement-count row each
+    def attempt(cap: Int): (DataFrame, Long, Long, Long) = {
     val summaries = grams.select(col("ngram")).as[String]
       .mapPartitions { it =>
-        val counts = new java.util.HashMap[String, java.lang.Long](capacity * 2)
+        val counts = new java.util.HashMap[String, java.lang.Long](cap * 2)
         var decEvents = 0L
         while (it.hasNext) {
           val g = it.next()
           val cur = counts.get(g)
           if (cur != null) counts.put(g, cur + 1L)
-          else if (counts.size < capacity) counts.put(g, 1L)
+          else if (counts.size < cap) counts.put(g, 1L)
           else {
             // decrement-all-by-one sweep, drop zeros (classic MG);
-            // each event cancels `capacity` prior increments, so the
+            // each event cancels `cap` prior increments, so the
             // total sweep work is O(stream) amortized and
-            // d_p ≤ n_p / (capacity + 1)
+            // d_p ≤ n_p / (cap + 1)
             decEvents += 1L
             val es = counts.entrySet.iterator
             while (es.hasNext) {
@@ -319,18 +332,34 @@ object TextAnalysis {
     val rows = top.count()
     val kth = if (rows == 0) 0L else top.agg(min(col("freq"))).head().getLong(0)
     summaries.unpersist()
+    (top, maxMiss, rows, kth)
+    }
     // certificate: with maxMiss = 0 the summaries were exact (candidates
     // = every gram) and any result — even one shorter than topK — is
     // unconditionally the true list. With maxMiss > 0, exactness needs
     // BOTH a full k rows (a short list means unseen grams could fill
     // it) AND the k-th frequency clearing the bound no non-candidate
-    // can exceed.
-    require(maxMiss == 0L || (rows == topK && kth > maxMiss),
-      s"top-$topK not certifiable at capacity=$capacity: a non-candidate " +
-      s"gram could hold up to $maxMiss occurrences vs the k-th candidate's " +
-      s"$kth over $rows returned rows — raise capacity (certificate: full " +
-      "k rows with kth > sum of per-partition MG decrement events)")
-    top
+    // can exceed. An uncertified attempt escalates (capacity ×2,
+    // uncached result dropped) rather than aborting the run.
+    var cap = capacity
+    var tries = 0
+    var result: DataFrame = null
+    while (result == null) {
+      val (top, maxMiss, rows, kth) = attempt(cap)
+      if (maxMiss == 0L || (rows == topK && kth > maxMiss)) result = top
+      else {
+        top.unpersist()
+        require(tries < maxEscalations,
+          s"top-$topK not certifiable at capacity=$cap after $tries " +
+          s"escalation(s): a non-candidate gram could hold up to $maxMiss " +
+          s"occurrences vs the k-th candidate's $kth over $rows returned " +
+          "rows (certificate: full k rows with kth > sum of per-partition " +
+          "MG decrement events)")
+        tries += 1
+        cap = math.min(cap.toLong * 2L, Int.MaxValue / 2).toInt
+      }
+    }
+    result
   }
 
   /** C4/Gopher-style quality-filter CASCADE with an audit column: the

@@ -177,10 +177,14 @@ object DocStream {
     startBandedMaintain(clips, _ => graft.multimodal.Multimodal.videoFpDetector(maxTrim, tol),
       rowsDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe)
 
-  /** The shared maintainer loop behind all three detectors. The band
-    * store's marker is the LAST thing a tick moves, so "band store
-    * caught up" ⇒ the whole tick (pairs included) landed; anything
-    * earlier re-runs idempotently.
+  /** The shared maintainer loop behind all three detectors. The replay
+    * guard keys on whichever store each tick path moves LAST — the
+    * BAND store for append ticks, the ROW store for CDC ticks (CDC
+    * applies band-first because its removal keys derive from the row
+    * store's before-images) — so "commit store caught up" ⇒ the whole
+    * tick (pairs included) landed; anything earlier re-runs
+    * idempotently (the already-applied store skips on its own marker,
+    * the other catches up).
     */
   private def startBandedMaintain(input: DataFrame,
       det: org.apache.spark.sql.SparkSession => graft.operators.Dedup.NearDupDetector,
@@ -204,7 +208,12 @@ object DocStream {
         val cols = if (isCdc) col("op") +: d.inputCols.map(col)
           else d.inputCols.map(col)
         val b = batch.toDF().select(cols: _*).distinct().cache()
-        if (b.count() > 0 && BucketStore.appliedBatchId(bandDir) < batchId) {
+        // replay guard on the store each path applies LAST (append:
+        // rows→band; CDC: band→rows). Guarding on the first-moved
+        // store would skip a crash-interrupted tick on redelivery and
+        // permanently strand the second store.
+        val commitDir = if (isCdc) rowsDir else bandDir
+        if (b.count() > 0 && BucketStore.appliedBatchId(commitDir) < batchId) {
           if (isCdc)
             graft.operators.Dedup.nearDupStoreCdcTick(spark, d, rowsDir, bandDir,
               pairsDir, b, batchId, nBuckets, bucketCap)
@@ -430,17 +439,22 @@ object DocStream {
         // optional CDC op column: "delete" rows are tombstones and
         // must carry the INDEXED (before-image) embedding — see
         // Similarity.ivfAppendTick; a re-embed is delete + upsert in
-        // one batch
+        // one batch. An OP-LESS stream is strictly append-only (new
+        // vec_ids by contract — the banded stores' key-purity rule):
+        // its ticks take the O(delta) append path, which stacks rows
+        // without keyed replacement, so a re-sent vec_id would
+        // coexist as a duplicate. Re-embeds MUST arrive as CDC
+        // delete+upsert; "insert" below names that contract.
         val hasOp = batch.columns.contains("op")
         val b = batch.toDF()
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
-            (if (hasOp) col("op") else lit("upsert")).as("op"))
+            (if (hasOp) col("op") else lit("insert")).as("op"))
           .distinct()
           .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
           .cache()
         if (b.count() > 0 && BucketStore.appliedBatchId(storeDir) < batchId) {
           val cents = graft.operators.Similarity.loadCentroids(spark, centroidsDir)
-          val ups = b.filter(col("op") === "upsert").drop("op")
+          val ups = b.filter(col("op").isin("upsert", "insert")).drop("op")
           val removed =
             if (hasOp) Some(b.filter(col("op") === "delete").drop("op")) else None
           codebooksDir match {
@@ -528,10 +542,10 @@ object DocStream {
   /** Continuous maintainer for the PERSISTED BM25 index
     * (`text_bm25_store`'s store) — the rung that completes the
     * retrieval family's batch → inc → store → streaming ladder: each
-    * micro-batch of (doc_id, text) rows appends its postings and doc
-    * lengths as stacked O(delta) generations in their two
-    * BucketStores through
-    * [[graft.operators.Retrieval.appendBm25Tick]] (doclen tick
+    * micro-batch of (doc_id, text) rows appends its dl-denormalized
+    * postings plus one corpus-stats partial as stacked O(delta)
+    * generations through
+    * [[graft.operators.Retrieval.appendBm25Tick]] (stats tick
     * BEFORE the postings marker — the verdict-log ordering; replay
     * skips both via the applied-batch guards; the store's
     * `maxLiveGenerations` fold amortizes compaction across ticks).

@@ -165,6 +165,78 @@ class NearDupStoreSpec extends AnyFunSuite {
     assert(pairs === p1)
   }
 
+  test("CDC crash window: band store applied, row store not — the maintainer guard re-fires and the replay heals") {
+    import spark.implicits._
+    // the CDC tick applies BAND first (its removal keys derive from
+    // the row store's before-images), so the crash state is band
+    // marker AT batchId, row marker BEHIND. The maintainer's replay
+    // guard must key on the ROW store for CDC batches — guarding on
+    // the band marker (the append-path commit store) would skip the
+    // redelivery and permanently strand the row store pre-tick.
+    val root = java.nio.file.Files.createTempDirectory("neardup_cdc_crash").toString
+    val det = graft.operators.Dedup.minhashDetector(spark, 0.5)
+    val d1 = "the quick brown fox jumps over the lazy dog by the river tonight"
+    val seed = Seq(
+      1L -> d1, 2L -> d1.replace("tonight", "today"),
+      3L -> "completely unrelated text about cooking pasta with garlic and olive oil",
+      4L -> "another distinct document covering mountain hiking trails in early spring")
+    graft.operators.Dedup.seedNearDupStores(spark,
+      seed.toDF("doc_id", "text"), det, s"$root/sig", s"$root/band", nBuckets = 64)
+
+    def copyDir(from: String, to: String): Unit = {
+      val src = java.nio.file.Paths.get(from)
+      java.nio.file.Files.walk(src).forEach { p =>
+        val dst = java.nio.file.Paths.get(to).resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def wipeDir(dir: String): Unit = {
+      val d = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    copyDir(s"$root/sig", s"$root/sig_pre")
+
+    val cdc = Seq(
+      ("d", 2L, null: String),
+      ("i", 20L, d1.replace("quick", "sly"))).toDF("op", "doc_id", "text")
+    def runTick() = graft.operators.Dedup.nearDupStoreCdcTick(spark, det,
+      s"$root/sig", s"$root/band", s"$root/pairs", cdc,
+      batchId = 1L, nBuckets = 64, bucketCap = 10000)
+    runTick()
+    // manufacture the crash: rewind the ROW store to its pre-tick
+    // image; the band store and pair log keep the applied tick
+    wipeDir(s"$root/sig"); copyDir(s"$root/sig_pre", s"$root/sig")
+    assert(BucketStore.appliedBatchId(s"$root/band") === 1L)
+    assert(BucketStore.appliedBatchId(s"$root/sig") < 1L)
+    // the OLD guard (band marker — the append-path commit store)
+    // would see the batch as applied and skip; the fixed guard keys
+    // on the CDC path's last-applied store and re-fires
+    assert(!(BucketStore.appliedBatchId(s"$root/band") < 1L),
+      "band marker alone cannot detect the CDC crash window")
+    assert(BucketStore.appliedBatchId(s"$root/sig") < 1L,
+      "the CDC commit store (rows) must still demand the replay")
+    // redelivery: band store skips on its own marker, row store
+    // catches up; both stores end ≡ a fresh seed of the mutated corpus
+    runTick()
+    graft.operators.Dedup.seedNearDupStores(spark,
+      Seq(1L -> d1,
+        3L -> "completely unrelated text about cooking pasta with garlic and olive oil",
+        4L -> "another distinct document covering mountain hiking trails in early spring",
+        20L -> d1.replace("quick", "sly")).toDF("doc_id", "text"),
+      det, s"$root/sig2", s"$root/band2", nBuckets = 64)
+    def idSet(dir: String) = BucketStore.readAll(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def bandSet(dir: String) = BucketStore.readAll(spark, dir)
+      .select("doc_id", "band", "key")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(idSet(s"$root/sig") === idSet(s"$root/sig2"))
+    assert(bandSet(s"$root/band") === bandSet(s"$root/band2"))
+  }
+
   test("simhash maintainer: stores ∪ ticks ≡ batch, cross-tick copies found") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -206,9 +206,18 @@ class TextPipelineSpec extends AnyFunSuite {
       .map { case (t, id) => (id.toLong, t) }
     val ex = intercept[IllegalArgumentException] {
       TextAnalysis.ngramTopKApproxOf(spark, docs(rows: _*), n = 3, topK = 10,
-        capacity = 2).collect()
+        capacity = 2, maxEscalations = 0).collect()
     }
-    assert(ex.getMessage.contains("raise capacity"))
+    assert(ex.getMessage.contains("not certifiable"))
+    // with escalation allowed (the registered default), the same
+    // uncertifiable capacity self-heals: doublings reach a summary
+    // size that certifies, and the answer equals the exact plan's
+    val exact = TextAnalysis.ngramTopKOf(docs(rows: _*), n = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val healed = TextAnalysis.ngramTopKApproxOf(spark, docs(rows: _*), n = 3,
+        topK = 10, capacity = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(healed === exact)
   }
 
   test("MG result is partitioning-invariant when certified, even under forced decrement sweeps") {
