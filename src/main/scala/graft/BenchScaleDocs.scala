@@ -620,7 +620,7 @@ object BenchScaleDocs {
       }
       extras("bm25_store_bytes") = du(idxDir)
       extras("bm25_tick_gen_bytes") =
-        du(s"$idxDir/postings/gen-0") + du(s"$idxDir/doclen/gen-0")
+        du(s"$idxDir/postings/gen-0") + du(s"$idxDir/stats/gen-0")
       // pruned search over the stacked (multi-generation) store
       for (_ <- 0 until 2)
         timedWrite("bm25_search_1m", s"$scaleDir/bm25_hits")(

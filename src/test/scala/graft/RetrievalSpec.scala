@@ -206,22 +206,32 @@ class RetrievalSpec extends AnyFunSuite {
       out.toMap
     }
     val postingsBefore = files("postings")
-    val doclenBefore = files("doclen")
-    assert(postingsBefore.nonEmpty && doclenBefore.nonEmpty)
+    val statsBefore = files("stats")
+    assert(postingsBefore.nonEmpty && statsBefore.nonEmpty)
 
     Retrieval.appendBm25Tick(spark, s"$root/idx", delta, 0L)
 
     // the tick's generations hold EXACTLY the delta's rows — tick
     // write bytes ∝ delta, not store size (the r12 verdict's bound,
-    // closed by applyAppendTick's stacked generations)
+    // closed by applyAppendTick's stacked generations); the stats
+    // store gains ONE partial row per tick, never a corpus-∝ table
     val deltaPostings = delta
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token").count().count()
     assert(spark.read.parquet(s"$root/idx/postings/gen-0").count() === deltaPostings)
-    assert(spark.read.parquet(s"$root/idx/doclen/gen-0").count() === delta.count())
+    assert(spark.read.parquet(s"$root/idx/stats/gen-0").count() === 1L)
     // and the seed generation's files were not rewritten at all
     assert(files("postings") === postingsBefore)
-    assert(files("doclen") === doclenBefore)
+    assert(files("stats") === statsBefore)
+    // the aggregated partials equal a direct corpus recount
+    val dlTrue = corpus
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id").count()
+    val (nTrue, avgTrue) = dlTrue
+      .agg(count(lit(1)), avg(col("count"))).as[(Long, Double)].head()
+    val st = Retrieval.readBm25Stats(spark, s"$root/idx")
+      .as[(Long, Double)].head()
+    assert(st === ((nTrue, avgTrue)))
     // searches over the stacked store still score the merged corpus
     val qs = Retrieval.pseudoQueries(Tables.documents(spark, TestSpark.sf))
     Retrieval.buildBm25Index(corpus, s"$root/full")
@@ -260,8 +270,12 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!got.exists(_._2 % 5 == 3))
     assert(graft.streaming.BucketStore.readAll(spark, s"$root/idx/postings")
       .filter(col("doc_id") % 5 === 3).count() === 0L)
-    assert(graft.streaming.BucketStore.readAll(spark, s"$root/idx/doclen")
-      .filter(col("doc_id") % 5 === 3).count() === 0L)
+    // the signed stats partials net out to the mutated corpus's exact
+    // (n_docs, avgdl) — ≡ the rebuild's seed-time stats
+    assert(Retrieval.readBm25Stats(spark, s"$root/idx")
+        .as[(Long, Double)].head() ===
+      Retrieval.readBm25Stats(spark, s"$root/rebuild")
+        .as[(Long, Double)].head())
     // replay guard: the same batch re-applied is a no-op
     Retrieval.cdcBm25Tick(spark, s"$root/idx", cdc, 0L)
     assert(hits(s"$root/idx") === got)
