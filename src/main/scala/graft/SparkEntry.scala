@@ -142,6 +142,7 @@ object SparkEntry {
     // copies give guaranteed true semantic dups at every SF
     "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "dedup_semantic_store" -> ((s, d) => Similarity.semanticDedupStore(s, d)),
+    "dedup_semantic_cdc" -> ((s, d) => Similarity.semanticDedupCdc(s, d)),
     // cluster-based prototypicality pruning (Sorscher et al. 2022;
     // the D4 companion of SemDeDup): drop the floor(frac·n_c) most
     // centroid-like vectors per cluster — map-side assignment +

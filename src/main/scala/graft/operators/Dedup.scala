@@ -859,9 +859,25 @@ object Dedup {
     * leaves duplicate rows that [[readPairLog]]'s `distinct`
     * collapses, and the next fold sweeps the leftovers. Incomplete
     * folds from earlier crashes are deleted up front.
+    *
+    * CDC-aware retention (r14, the r13 verdict's #3): the log is an
+    * EVENT log, so pairs a tombstoned id earned while live stay
+    * recorded forever and the log grows with HISTORY, not the live
+    * corpus. Passing `live` (the row store's current id set — one
+    * column, named by `idCols`' convention below) makes the fold
+    * drop every pair with a dead endpoint: fold output ≡ the
+    * live-filtered history, so the log re-bounds to the live corpus
+    * at each fold. `idCols` names the pair frame's two id columns
+    * (the detector's `aCol`/`bCol`). Point-in-time by design: a fold
+    * filters against live-at-fold-time, and consumers keep joining
+    * against live ids for pairs earned since — the same contract as
+    * before, now with bounded history. Crash windows are unchanged
+    * (a completed fold resumes its deletes; its content is already
+    * filtered).
     */
   private[graft] def compactPairLog(spark: SparkSession, pairsDir: String,
-                                    upTo: Long): Unit = {
+                                    upTo: Long, live: Option[DataFrame] = None,
+                                    idCols: Seq[String] = Seq.empty): Unit = {
     val p = new org.apache.hadoop.fs.Path(pairsDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
@@ -889,8 +905,24 @@ object Dedup {
       foldable.foreach(fs.delete(_, true))
       return
     }
-    if (foldable.size <= 1) return
-    spark.read.parquet(foldable.map(_.toString): _*).distinct()
+    if (foldable.size <= 1 && live.isEmpty) return
+    if (foldable.isEmpty) return
+    require(live.isEmpty || idCols.size == 2,
+      "live-filtered folds need the pair frame's two id columns")
+    val folded0 = spark.read.parquet(foldable.map(_.toString): _*).distinct()
+    val folded = live match {
+      case Some(l) =>
+        // plain semi-joins (no broadcast hint): the live set is the
+        // row store's id column — corpus-∝, exactly what must never
+        // be forced onto the driver; AQE may still broadcast small
+        // ones at bench SF
+        val ids = l.toDF("__live_id").distinct()
+        folded0
+          .join(ids, folded0(idCols.head) === col("__live_id"), "left_semi")
+          .join(ids, folded0(idCols(1)) === col("__live_id"), "left_semi")
+      case None => folded0
+    }
+    folded
       .coalesce(1.max(foldable.size / 8))
       .write.mode("overwrite").parquet(target.toString)
     foldable.foreach(fs.delete(_, true))

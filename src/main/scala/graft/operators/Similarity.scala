@@ -1389,6 +1389,86 @@ object Similarity {
     verdicts
   }
 
+  /** CDC tick for the semantic-dedup store — the delete/re-ingest
+    * seam every other store family has (r13 verdict task #2; the
+    * family where a dead row actively corrupts FUTURE verdicts: the
+    * keeper rule drops a new arrival against ANY stored lower-id
+    * vector, so a tombstoned-but-present keeper wrongly suppresses a
+    * live re-ingest forever). Feed convention = [[ivfAppendTick]]'s
+    * (the store's nearest cousin — same vector payload, same
+    * cluster-bucketed layout): op ∈ 'upsert'|'delete' with ONE
+    * embedding column; a 'delete' row must carry the INDEXED
+    * (before-image) embedding — the store is bucketed by cluster,
+    * not id, so the only way to name a delete's bucket without a
+    * full scan is re-deriving its cluster map-side under the frozen
+    * quantizer; a re-embed is delete(old image) + upsert(new image)
+    * in one batch (the upsert's keyed merge wins on collision).
+    *
+    * Upserted vectors are verdict-ed against the POST-delete view:
+    * tombstoned ids are anti-joined out of the candidate side, so a
+    * same-batch-deleted keeper can never suppress its own
+    * re-ingest. Stored verdicts of OTHER rows are point-in-time
+    * decisions and are NOT rewritten (a keeper's death does not
+    * retroactively resurrect the copies it dropped while live — that
+    * re-evaluation is [[rebuildSemanticIndex]]'s job); what CDC
+    * fixes is membership and every verdict from this tick on.
+    * Deletes must pull rows OUT of cluster buckets, so CDC batches
+    * pay `applyTick`'s touched-bucket merge — pure-insert batches
+    * stay on [[semanticDedupTick]]'s O(delta) append path.
+    * Returns the upserts' verdicts (vec_id, cluster, keep).
+    */
+  private[graft] def semanticDedupCdcTick(spark: SparkSession, storeDir: String,
+      cents: Seq[(Int, Seq[Double])], cdc: DataFrame, threshold: Double,
+      nlist: Int, batchId: Long, verdictsDir: Option[String] = None): DataFrame = {
+    import graft.streaming.BucketStore
+    val gone = assignClusters(
+        withVecNorm(spark, cdc.filter(col("op") === "delete")
+          .select(col("vec_id"), col("v"))), cents)
+      .select(col("vec_id"),
+        BucketStore.longBucket(col("cluster"), nlist).as(BucketStore.BucketCol))
+      .cache()
+    gone.count() // materialize before any store mutation (gc hazard)
+    val d = assignClusters(
+        withVecNorm(spark, cdc.filter(col("op") === "upsert")
+          .select(col("vec_id"), col("v"))), cents)
+      .select(col("vec_id"), col("v"), col("norm"), col("cluster")).cache()
+    val touched = BucketStore.touchedBuckets(
+      d.select(BucketStore.longBucket(col("cluster"), nlist).as(BucketStore.BucketCol)))
+    // candidate side = stored rows of the touched clusters MINUS this
+    // batch's tombstones (and minus the upserted ids' own old images —
+    // the new image replaces them) ∪ the delta itself
+    val stored = BucketStore.readBuckets(spark, storeDir, touched, nlist)
+      .join(gone.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .join(d.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("cluster"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("norm").as("na"))
+    val candidates = stored.unionByName(
+      d.select(col("cluster"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("norm").as("na")))
+    val probe = d.select(col("cluster"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("norm").as("nb"))
+    val dropped = candidates.join(probe, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    val verdicts = d.select(col("vec_id"), col("cluster"))
+      .join(dropped.withColumn("dropFlag", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        not(coalesce(col("dropFlag"), lit(false))).as("keep"))
+      .cache()
+    verdicts.count()
+    verdictsDir.foreach(dir =>
+      verdicts.write.mode("overwrite").parquet(s"$dir/batch=$batchId"))
+    BucketStore.applyTick(spark, storeDir,
+      d.join(verdicts.select(col("vec_id"), col("keep")), Seq("vec_id"))
+        .withColumn(BucketStore.BucketCol,
+          BucketStore.longBucket(col("cluster"), nlist)),
+      Seq("vec_id"), batchId = batchId, n = nlist,
+      removed = Some(gone))
+    d.unpersist(); gone.unpersist()
+    verdicts
+  }
+
   /** Registered `dedup_semantic_store`: the store rung — seed the
     * first `baseFrac` of the planted corpus (id-ordered split, the
     * [[graft.operators.TextAnalysis.lineDedupStore]] convention),
@@ -1424,6 +1504,48 @@ object Similarity {
         cents, delta, threshold, cents.size, batchId = 0L)
     }
     seedVerdicts.unionByName(tickVerdicts)
+  }
+
+  /** Registered `dedup_semantic_cdc` — [[semanticDedupCdcTick]]
+    * exercised end-to-end on the planted corpus: seed the store from
+    * the full planted corpus (originals + their cos≈0.999 copies, the
+    * copies dropped by the keeper rule), then apply ONE CDC batch
+    * that deletes every fifth planted original AND its live copy
+    * (both before-images from the corpus — the redaction shape: all
+    * instances of a document family go), and re-ingests the deleted
+    * content under fresh ids. Pre-CDC, those re-ingests would be
+    * dropped by the dead keeper; post-CDC they must verdict
+    * keep=true — the exact hazard the seam closes. Returns the tick
+    * verdicts. Rows-only (k-means keeper geometry has no SQL form);
+    * NearDupStoreSpec pins the store-membership parity, the
+    * dead-keeper-no-suppress rule, and replay no-op.
+    */
+  def semanticDedupCdc(spark: SparkSession, sfDir: String, nPlant: Int = 50,
+      threshold: Double = 0.92,
+      artifactDir: String = "target/graft-artifacts"): DataFrame = {
+    val vecs = Dedup.plantedCorpus(spark, sfDir, nPlant)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val storeDir = s"$artifactDir/semdedup_cdc_$runId/store"
+    val centroidsDir = s"$artifactDir/semdedup_cdc_$runId/cents"
+    val nl = deriveSemanticNlist(vecs.count())
+    graft.PhaseTimer.timed("dedup_semantic_cdc", "seed") {
+      seedSemanticStore(spark, vecs, storeDir, centroidsDir, threshold, nl)
+    }
+    val cents = loadCentroids(spark, centroidsDir)
+    // delete a planted family (original + its live near-copy), carrying
+    // the indexed before-images; re-ingest the original's content new
+    val fam = vecs.filter(col("vec_id") < nPlant && col("vec_id") % 5 === 0)
+    val dels = fam.select(lit("delete").as("op"), col("vec_id"), col("v"))
+      .unionByName(vecs.join(
+          fam.select((col("vec_id") + 1000000L).as("vec_id")), Seq("vec_id"))
+        .select(lit("delete").as("op"), col("vec_id"), col("v")))
+    val ups = fam.select(lit("upsert").as("op"),
+      (col("vec_id") + 2000000L).as("vec_id"), col("v"))
+    graft.PhaseTimer.timed("dedup_semantic_cdc", "tick") {
+      semanticDedupCdcTick(spark, storeDir, cents, dels.unionByName(ups),
+        threshold, cents.size, batchId = 1L)
+    }
   }
 
   // ----- semantic dedup: quantizer-drift probe + versioned rebuild --

@@ -588,6 +588,19 @@ object DocStream {
       }
       .start()
 
+  /** Continuous maintainer for the semantic-dedup store. Streams
+    * WITHOUT an `op` column are append-only ingest (new vec_ids by
+    * contract — the O(delta) append tick); a stream WITH (op, vec_id,
+    * embedding) columns is a CDC feed routed through
+    * [[graft.operators.Similarity.semanticDedupCdcTick]] — the
+    * `startIvfMaintain` op convention (op ∈ 'upsert'|'delete',
+    * deletes carry the INDEXED before-image embedding, a re-embed is
+    * delete+upsert in one batch). CDC closes the family's dead-keeper
+    * hazard: a tombstoned vector leaves its cluster bucket, so it can
+    * never again suppress a live re-ingest through the lower-id
+    * keeper rule. The drift probe runs on append batches only (CDC
+    * deletes are before-images, not fresh data).
+    */
   def startSemanticDedupMaintain(vecs: DataFrame, storeDir: String,
       centroidsDir: String, verdictsDir: String, checkpointDir: String,
       threshold: Double = 0.92, nlist: Int = -1,
@@ -598,19 +611,26 @@ object DocStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         BucketStore.recover(storeDir)
-        val b = batch.toDF()
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .distinct().cache()
+        val isCdc = batch.columns.contains("op")
+        val cols =
+          (if (isCdc) Seq(col("op")) else Seq.empty) ++
+            Seq(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val b = batch.toDF().select(cols: _*).distinct().cache()
         if (b.count() > 0 && BucketStore.appliedBatchId(storeDir) < batchId) {
           val cents = graft.operators.Similarity.loadCentroids(spark, centroidsDir)
           // nlist ≤ 0: the quantizer artifact IS the bucket contract
           val nl = if (nlist > 0) nlist else cents.size
-          graft.operators.Similarity.semanticDedupTick(spark, storeDir, cents,
-            b, threshold, nl, batchId, verdictsDir = Some(verdictsDir))
+          if (isCdc)
+            graft.operators.Similarity.semanticDedupCdcTick(spark, storeDir,
+              cents, b, threshold, nl, batchId, verdictsDir = Some(verdictsDir))
+          else
+            graft.operators.Similarity.semanticDedupTick(spark, storeDir, cents,
+              b, threshold, nl, batchId, verdictsDir = Some(verdictsDir))
           // keeper-recall drift probe over a hash-sample of THIS
           // tick's vectors — fresh data is where frozen-quantizer
-          // drift shows first (the startIvfMaintain convention)
-          probe.filter(p => batchId % p.everyNTicks.max(1) == 0).foreach { p =>
+          // drift shows first (the startIvfMaintain convention);
+          // append batches only (CDC deletes carry before-images)
+          probe.filter(p => !isCdc && batchId % p.everyNTicks.max(1) == 0).foreach { p =>
             val qs = b.orderBy(md5(col("vec_id").cast("string"))).limit(p.sample)
               .select(col("vec_id"), col("v"))
             val r = graft.operators.Similarity.semanticDriftProbe(spark,

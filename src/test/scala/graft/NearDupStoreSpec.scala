@@ -653,7 +653,187 @@ class NearDupStoreSpec extends AnyFunSuite {
     assert(!after.tripped, s"post-rebuild $after")
     ()
   }
+
+  test("CDC-aware pair-log fold drops dead ids' pairs; read ≡ live-filtered history across crash windows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pairlog_cdc").toString + "/pairs"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeBatch(id: Long, pairs: Seq[(Long, Long, Double)]): Unit =
+      pairs.toDF("vec_a", "vec_b", "cos")
+        .write.mode("overwrite").parquet(s"$dir/batch=$id")
+    def readSet = graft.operators.Dedup.readPairLog(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    writeBatch(0, Seq((1L, 2L, 0.95), (3L, 5L, 0.91)))
+    writeBatch(1, Seq((5L, 6L, 0.99), (2L, 4L, 0.93)))
+    // ids 5 and 6 are tombstoned (CDC removed them from the row
+    // store); the live set is what the row store still holds
+    val live = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+    graft.operators.Dedup.compactPairLog(spark, dir, upTo = 1,
+      live = Some(live), idCols = Seq("vec_a", "vec_b"))
+    assert(readSet === Set((1L, 2L), (2L, 4L)),
+      "the fold must drop every pair with a dead endpoint")
+    // crash window: fold completed but an input's delete didn't land —
+    // the resumed fold finishes the deletes; the dead pair the
+    // leftover dir re-exposes disappears again (point-in-time
+    // filtering is the documented contract for rows since the fold)
+    writeBatch(1, Seq((5L, 6L, 0.99), (2L, 4L, 0.93)))
+    assert(readSet === Set((1L, 2L), (2L, 4L), (5L, 6L)))
+    graft.operators.Dedup.compactPairLog(spark, dir, upTo = 1,
+      live = Some(live), idCols = Seq("vec_a", "vec_b"))
+    assert(readSet === Set((1L, 2L), (2L, 4L)))
+    // a later live-filtered fold can shrink even a lone compact dir
+    graft.operators.Dedup.compactPairLog(spark, dir, upTo = 2,
+      live = Some(Seq(1L, 2L).toDF("vec_id")), idCols = Seq("vec_a", "vec_b"))
+    assert(readSet === Set((1L, 2L)))
+  }
+
+  test("CDC tick genericity: wide embed-LSH delete/re-ingest ≡ fresh seed of the mutated corpus") {
+    import spark.implicits._
+    // the r13 verdict's #4: nearDupStoreCdcTick was spec'd on MinHash
+    // only; this exercises the same seam on a second family whose row
+    // store holds SIGNATURE ARRAYS (sigw), whose band keys are 32-bit
+    // words, and whose verify is cosine — any minhash-specific
+    // assumption in the tick (column names, key derivation from
+    // before-images, post-delete probing) would surface here
+    val root = java.nio.file.Files.createTempDirectory("wide_cdc").toString
+    val det = graft.operators.Dedup.embedLshWideDetector(0.9)
+    def oneHot(i: Int): Seq[Double] = Seq.tabulate(8)(j => if (j == i % 8) 1.0 else 0.0)
+    def nearCopy(v: Seq[Double], eps: Double): Seq[Double] = v.updated(7, v(7) + eps)
+    val seed: Seq[(Long, Seq[Double])] = Seq(
+      1L -> oneHot(0), 2L -> nearCopy(oneHot(0), 0.001), // planted pair
+      3L -> oneHot(1), 4L -> oneHot(2), 5L -> oneHot(3))
+    graft.operators.Dedup.seedNearDupStores(spark,
+      seed.toDF("vec_id", "embedding"), det, s"$root/sig", s"$root/band",
+      nBuckets = 64)
+
+    // DELETE vec 2 with a NULL payload — the before-image signature
+    // (and hence every band key to tombstone) must come from the row
+    // store itself; UPSERT vec 5 to a near-copy of 1; INSERT 20 with
+    // the deleted vector's content (pairs with 1, never with 2)
+    val cdc = Seq(
+      ("d", 2L, null: Seq[Double]),
+      ("u", 5L, nearCopy(oneHot(0), 0.002)),
+      ("i", 20L, nearCopy(oneHot(0), 0.001))).toDF("op", "vec_id", "embedding")
+    def runTick() = graft.operators.Dedup.nearDupStoreCdcTick(spark, det,
+      s"$root/sig", s"$root/band", s"$root/pairs", cdc,
+      batchId = 1L, nBuckets = 64, bucketCap = 10000)
+    runTick()
+
+    val pairs = graft.operators.Dedup.readPairLog(spark, s"$root/pairs")
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 20L)))
+    assert(pairs.contains((1L, 5L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      "a same-batch delete must never pair")
+
+    val mutated: Seq[(Long, Seq[Double])] = Seq(
+      1L -> oneHot(0), 3L -> oneHot(1), 4L -> oneHot(2),
+      5L -> nearCopy(oneHot(0), 0.002), 20L -> nearCopy(oneHot(0), 0.001))
+    graft.operators.Dedup.seedNearDupStores(spark,
+      mutated.toDF("vec_id", "embedding"), det, s"$root/sig2", s"$root/band2",
+      nBuckets = 64)
+    def sigSet(dir: String) = BucketStore.readAll(spark, dir)
+      .select(col("vec_id"), col("sigw").cast("array<string>").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    def bandSet(dir: String) = BucketStore.readAll(spark, dir)
+      .select("vec_id", "band", "key")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(sigSet(s"$root/sig") === sigSet(s"$root/sig2"))
+    assert(bandSet(s"$root/band") === bandSet(s"$root/band2"))
+
+    // replay no-op
+    runTick()
+    assert(sigSet(s"$root/sig") === sigSet(s"$root/sig2"))
+    assert(bandSet(s"$root/band") === bandSet(s"$root/band2"))
+  }
+
+  test("semantic CDC: a dead keeper no longer suppresses a live re-ingest; membership ≡ mutated corpus; replay no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("semdedup_cdc").toString
+    val d = 27
+    def vec(base: Int, noiseDim: Int, noiseAmp: Double): Seq[Double] =
+      Seq.tabulate(d)(j =>
+        (if (j == base) 1.0 else 0.0) + (if (j == noiseDim) noiseAmp else 0.0))
+    val seed = (for (b <- 0 until 3; i <- 0 until 8)
+      yield ((b * 8 + i).toLong, vec(b, 3 + b * 8 + i, 0.5))).toSeq
+    Similarity.seedSemanticStore(spark, seed.toDF("vec_id", "v"),
+      root + "/store", root + "/cents", threshold = 0.92, nlist = 3)
+    val cents = Similarity.loadCentroids(spark, root + "/cents")
+
+    // sanity: WITHOUT CDC, a near-copy of seed 0 is suppressed by it
+    val probe = Seq(2000L -> vec(0, 3, 0.6)).toDF("vec_id", "v")
+    val pre = Similarity.semanticDedupTick(spark, root + "/store", cents,
+      probe, threshold = 0.92, nlist = 3, batchId = 1L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(pre === Map(2000L -> false), "live keeper must suppress the copy")
+
+    // CDC batch: delete keeper 0 (before-image) AND its just-landed
+    // copy 2000, re-ingest the content as 3000 (must now KEEP — the
+    // dead keeper is out of its bucket), plus 3001 near LIVE seed 8
+    // (must still DROP — CDC only removes the tombstoned rows)
+    val cdc = Seq(
+      ("delete", 0L, vec(0, 3, 0.5)),
+      ("delete", 2000L, vec(0, 3, 0.6)),
+      ("upsert", 3000L, vec(0, 3, 0.6)),
+      ("upsert", 3001L, vec(1, 11, 0.6))).toDF("op", "vec_id", "v")
+    def runTick() = Similarity.semanticDedupCdcTick(spark, root + "/store",
+      cents, cdc, threshold = 0.92, nlist = 3, batchId = 2L)
+    val got = runTick().collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(got === Map(3000L -> true, 3001L -> false))
+
+    // membership ≡ the mutated corpus; the dead rows are really out
+    def ids = BucketStore.readAll(spark, root + "/store")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = seed.map(_._1).toSet - 0L + 3000L + 3001L
+    assert(ids === expected)
+    // and the landed verdicts match the returned ones
+    val storedVerdicts = BucketStore.readAll(spark, root + "/store")
+      .filter(col("vec_id") >= 3000L)
+      .select("vec_id", "keep").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(storedVerdicts === got)
+
+    // replay: the same batch id no-ops
+    val marker = BucketStore.appliedBatchId(root + "/store")
+    runTick()
+    assert(BucketStore.appliedBatchId(root + "/store") === marker)
+    assert(ids === expected)
+  }
+
+  test("semantic maintainer routes op-column batches through the CDC tick") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("semdedup_cdc_mv").toString
+    val d = 27
+    def vec(base: Int, noiseDim: Int, noiseAmp: Double): Seq[Double] =
+      Seq.tabulate(d)(j =>
+        (if (j == base) 1.0 else 0.0) + (if (j == noiseDim) noiseAmp else 0.0))
+    val seed = (for (b <- 0 until 3; i <- 0 until 8)
+      yield ((b * 8 + i).toLong, vec(b, 3 + b * 8 + i, 0.5))).toSeq
+    Similarity.seedSemanticStore(spark, seed.toDF("vec_id", "v"),
+      root + "/store", root + "/cents", threshold = 0.92, nlist = 3)
+
+    val input = MemoryStream[VecCdcIngest]
+    val q = streaming.DocStream.startSemanticDedupMaintain(
+      input.toDF(), root + "/store", root + "/cents", root + "/verdicts",
+      root + "/ckpt", threshold = 0.92, nlist = 3)
+    input.addData(
+      VecCdcIngest("delete", 0L, vec(0, 3, 0.5)),
+      VecCdcIngest("upsert", 3000L, vec(0, 3, 0.6)))
+    q.processAllAvailable()
+    q.stop()
+    val ticked = spark.read.parquet(root + "/verdicts")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(ticked === Map(3000L -> true),
+      "the streamed CDC batch must tombstone the keeper before verdicting")
+    val ids = BucketStore.readAll(spark, root + "/store")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids === (seed.map(_._1).toSet - 0L + 3000L))
+  }
 }
 
 case class VecIngest(vec_id: Long, embedding: Seq[Double])
+case class VecCdcIngest(op: String, vec_id: Long, embedding: Seq[Double])
 case class ImgIngest(doc_id: Long, payload: Array[Byte])
