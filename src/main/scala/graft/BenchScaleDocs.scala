@@ -542,6 +542,29 @@ object BenchScaleDocs {
         .map { case (_, h, n) => s"$h:$n" }.mkString("|")
       extras("audiofp_hist_planted") = histStr(true)
       extras("audiofp_hist_other") = histStr(false)
+      // r14 (the r13 verdict's #8): pair-EMISSION cap receipt on the
+      // degenerate regime the cap exists for — one 5k-clip single-tone
+      // clump (below bucketCap, so the DF-cap can't help) is O(clump²)
+      // uncapped; the default cap bounds it to ~n·cap·2 with the
+      // planted gain-copy still found (distance-first ranking)
+      val clump = spark.range(0L, 5000L, 1L, 32).as[Long]
+        .map(i => graft.multimodal.MmAsset(i, "audio/wav",
+          graft.multimodal.Multimodal.makeWav(42L)))
+      val clumpPlant = spark.range(0L, 1L).as[Long].map(_ =>
+        graft.multimodal.MmAsset(10000000L, "audio/wav",
+          graft.multimodal.Multimodal.scaleWav(
+            graft.multimodal.Multimodal.makeWav(42L), 0.5)))
+      val clumped = clump.union(clumpPlant)
+      timedWrite("audiofp_clump_uncapped", s"$scaleDir/afp_clump_unc")(
+        graft.multimodal.Multimodal.audioDupsOn(spark, clumped, maxPairsPerDoc = 0))
+      timedWrite("audiofp_clump_capped", s"$scaleDir/afp_clump_cap")(
+        graft.multimodal.Multimodal.audioDupsOn(spark, clumped))
+      extras("audiofp_clump_pairs_uncapped") =
+        spark.read.parquet(s"$scaleDir/afp_clump_unc").count()
+      val cappedPairs = spark.read.parquet(s"$scaleDir/afp_clump_cap")
+      extras("audiofp_clump_pairs_capped") = cappedPairs.count()
+      extras("audiofp_clump_plant_kept") = cappedPairs
+        .filter(col("doc_b") === 10000000L && col("doc_a") === 0L).count()
     }
 
     // ----- video: temporal-fingerprint near-dup at 100k ----------
@@ -637,6 +660,40 @@ object BenchScaleDocs {
             concat(col("text"), lit(" "), col("text")).as("text"),
             col("text").as("text_before")))
       timedUnit("bm25_cdc_tick") { Retrieval.cdcBm25Tick(spark, idxDir, cdc, 1L) }
+    }
+
+    // ----- hard-negative mining from at-rest artifacts — the r13
+    // verdict's #6 receipt: the denoise read must be ∝ the mining
+    // batch's id buckets, never the vector store (r13 read ALL 2M
+    // stored vectors per batch for a Q·20-row shortlist)
+    locally {
+      import graft.operators.Retrieval
+      def du(p: String): Long = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+      }
+      val byidDir = s"$scaleDir/hn_byid"
+      timedUnit("hn_byid_seed_2m") {
+        Retrieval.seedVecSidecar(spark, corpus(), byidDir)
+      }
+      timedWrite("hn_mine_1m", s"$scaleDir/hn_mined")(
+        Retrieval.hardNegativesFromIndexes(spark, s"$scaleDir/bm25_idx", byidDir,
+          Retrieval.pseudoQueries(docs), nNeg = 5, simFloor = 0.35))
+      extras("hn_mined") = spark.read.parquet(s"$scaleDir/hn_mined").count()
+      extras("hn_byid_store_bytes") = du(byidDir)
+      // the pruned read, reconstructed at the exact shape the mining
+      // used (shortlist ∪ query ids) — its file list vs the store's
+      val qs = Retrieval.pseudoQueries(docs)
+      val wanted = Retrieval.bm25FromIndex(spark, s"$scaleDir/bm25_idx", qs,
+          Retrieval.RrfRankCap)
+        .select(col("doc_id").as("vec_id"))
+        .unionByName(qs.select(col("q_id").as("vec_id"))).distinct()
+      val prunedFiles = Retrieval.readVecSidecar(spark, byidDir, wanted).inputFiles
+      extras("hn_denoise_files_read") = prunedFiles.length.toLong
+      extras("hn_denoise_bytes_read") = prunedFiles.map(du).sum
+      extras("hn_byid_files_total") =
+        graft.streaming.BucketStore.readAll(spark, byidDir).inputFiles.length.toLong
     }
 
     // ----- curation pipeline end-to-end at 200k docs/vectors ------

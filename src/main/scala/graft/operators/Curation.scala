@@ -141,7 +141,8 @@ object Curation {
     */
   def corpusCurate(spark: SparkSession, sfDir: String,
                    threshold: Double = 0.92,
-                   pruneFrac: Double = 0.25): DataFrame = {
+                   pruneFrac: Double = 0.25,
+                   artifactDir: String = "target/graft-artifacts"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val docs = Tables.documents(spark, sfDir)
@@ -155,10 +156,16 @@ object Curation {
       .setMaxIter(10).fit(train)
     val cents = model.clusterCenters.zipWithIndex
       .map { case (vec, i) => (i, vec.toArray.toSeq) }.toSeq
+    // r14: the selection LM runs the FROZEN artifact lifecycle
+    // (counts + cutpoints persisted per run — day-N batches reuse the
+    // same dirs), not an in-query refit (the r13 verdict's #9 nit)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
     curateFrom(spark, docs, Similarity.assignClusters(c, cents)
         .select(col("vec_id"), col("v"), col("norm"), col("cluster")),
       cents, threshold, pruneFrac,
-      target = docs.filter(col("lang") === "en" && col("doc_id") % 10 === 0))
+      target = docs.filter(col("lang") === "en" && col("doc_id") % 10 === 0),
+      freezeLmTo = Some((s"$artifactDir/curate_lm_counts_$runId",
+        s"$artifactDir/curate_lm_cuts_$runId")))
   }
 
   /** The pipeline under FROZEN centroids — separated so the spec can
@@ -166,10 +173,27 @@ object Curation {
     * quantizers. Each phase's keep set is materialized (cache +
     * count) so the PhaseTimer numbers measure real work and the
     * funnel counts land in the log.
+    *
+    * `freezeLmTo` (r14, the r13 verdict's #9): when set to
+    * (countsDir, cutsDir), the select phase runs the
+    * `text_lm_frozen` ARTIFACT lifecycle instead of an in-query
+    * fit+ntile: the counts artifact is built from `target`
+    * ([[Lm.buildLmArtifact]]), the kept set is scored THROUGH it
+    * ([[Lm.scoreWithArtifact]]), per-language tercile cutpoints are
+    * frozen from that reference scoring ([[Lm.buildLmCutpoints]] —
+    * the freeze-day kept distribution IS the reference the selection
+    * gates against), and labeling is the broadcast-join
+    * [[Lm.withStoredTerciles]] — no window, no sort, and the two
+    * artifacts persist for day-N batches to reuse (score + label
+    * against the SAME dirs: cross-day-consistent selection, the
+    * CCNet deployment). The in-query branch (None) stays as the
+    * oracle-able reference; LmSpec bounds their agreement and
+    * CurationSpec pins both compositions.
     */
   private[graft] def curateFrom(spark: SparkSession, docs: DataFrame,
       assigned0: DataFrame, cents: Seq[(Int, Seq[Double])],
-      threshold: Double, pruneFrac: Double, target: DataFrame): DataFrame = {
+      threshold: Double, pruneFrac: Double, target: DataFrame,
+      freezeLmTo: Option[(String, String)] = None): DataFrame = {
     val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Curation")
     val assigned = assigned0.cache()
     val keep1 = graft.PhaseTimer.timed("q_corpus_curate", "semantic") {
@@ -188,9 +212,17 @@ object Curation {
     val kept = docs.join(keep2.withColumnRenamed("vec_id", "doc_id"),
       Seq("doc_id"), "left_semi")
     val selected = graft.PhaseTimer.timed("q_corpus_curate", "select") {
-      val (uni, bi) = Lm.fitCounts(target)
-      val s = Lm.withTerciles(Lm.scoreOf(kept, uni, bi))
-        .filter(col("tercile") <= 2).select(col("doc_id")).cache()
+      val labeled = freezeLmTo match {
+        case Some((countsDir, cutsDir)) =>
+          Lm.buildLmArtifact(target, countsDir)
+          val scored = Lm.scoreWithArtifact(spark, countsDir, kept)
+          Lm.buildLmCutpoints(scored, cutsDir)
+          Lm.withStoredTerciles(spark, scored, cutsDir)
+        case None =>
+          val (uni, bi) = Lm.fitCounts(target)
+          Lm.withTerciles(Lm.scoreOf(kept, uni, bi))
+      }
+      val s = labeled.filter(col("tercile") <= 2).select(col("doc_id")).cache()
       log.info(s"q_corpus_curate select: ${s.count()} kept")
       s
     }

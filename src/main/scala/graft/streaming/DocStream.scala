@@ -244,34 +244,43 @@ object DocStream {
       }
       .start()
 
-  /** Streaming materialized view of the exact-dedup GROUP STORE — the
+  /** Streaming materialized view of the exact-dedup store — the
     * corpus twin of [[EventStream.startCoocMaintain]], and the
     * deployment regime the [[graft.operators.Dedup.exactDelta]]
-    * scaladoc promises: each micro-batch of ingested documents flows
-    * through [[graft.operators.Dedup.exactDeltaApplyTracked]] (touched
-    * groups only — compute ∝ batch, the landed corpus never re-dedups)
-    * and is MERGED into a bucket-partitioned store ([[BucketStore]],
-    * md5-prefix bucket). The tick is O(delta) in I/O as well as
-    * compute: the touched buckets are a pure function of the batch's
-    * content hashes, so the merge reads only those bucket partitions
-    * and the apply rewrites only those bucket directories — untouched
-    * buckets stay byte-identical (DedupStoreSpec pins it). Replay
-    * guard: the applied-batch marker promotes into the store only
-    * after every touched bucket landed, so an at-least-once
-    * redelivery (marker >= batchId) skips the apply instead of
-    * double-counting copies.
+    * scaladoc promises. r14 (the r13 verdict's #5): the store holds
+    * (text_md5, doc_id) MEMBER rows and the group surface derives
+    * merge-on-read ([[graft.operators.Dedup.readDedupGroups]] —
+    * min = keeper, count = copies), because merged group rows cannot
+    * take deletes: min(keep_doc_id) is not invertible, so a dead
+    * keeper's replacement is unknowable from (md5, min, count) alone,
+    * where the member rows name the next-lowest live member exactly.
+    * The redesign also upgrades append ticks from touched-bucket
+    * merges to pure O(delta) generation stacks (new doc_ids ⇒ new
+    * member keys ⇒ zero carry-over reads; `applyAppendTick`, identity
+    * compaction modulo a defensive member-key distinct).
+    *
+    * Streams WITHOUT an `op` column are append-only ingest. A stream
+    * WITH (op ∈ 'i'|'u'|'d', doc_id, text, text_before) columns is a
+    * CDC feed (the `startBm25Maintain` shape): a delete tombstones
+    * the (md5(text_before), doc_id) member — if that doc was the
+    * keeper, the group's next read elects the next-lowest live
+    * member; the last member's deletion ends the group — and an
+    * update moves the doc between groups (remove the before-image
+    * member not re-asserted, insert the new one) in one `applyTick`
+    * merge. Replay guard: the applied-batch marker promotes into the
+    * store only after every touched bucket landed, so an
+    * at-least-once redelivery (marker >= batchId) skips the apply
+    * instead of double-counting copies.
     *
     * The store IS the dedup decision surface: `keep_doc_id` per
     * content group, `n_copies` for audit — the reference recomputes
     * its dedup from scratch per ingest (prepare_dataset.py); this is
     * that tick made incremental.
     *
-    * @param docs          streaming (doc_id, text) ingest rows
-    * @param storeDir      bucketed store of (text_md5, keep_doc_id,
-    *                      n_copies) — seed the batch
-    *                      [[graft.operators.Dedup.exact]] output with
-    *                      [[BucketStore.seed]] bucketed by
-    *                      `BucketStore.md5Bucket(text_md5, nBuckets)`
+    * @param docs          streaming (doc_id, text) ingest rows —
+    *                      optionally with the CDC op columns above
+    * @param storeDir      bucketed MEMBER store — seed with
+    *                      [[graft.operators.Dedup.seedDedupMemberStore]]
     * @param checkpointDir durable streaming checkpoint (REQUIRED for
     *                      the replay guard: batch ids must be
     *                      monotonic across restarts)
@@ -286,20 +295,35 @@ object DocStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         BucketStore.recover(storeDir)
-        val b = batch.toDF().select(col("doc_id"), col("text")).cache()
+        val isCdc = batch.columns.contains("op")
+        def members(df: DataFrame): DataFrame = df
+          .filter(col("text").isNotNull)
+          .select(md5(col("text")).as("text_md5"), col("doc_id")).distinct()
+          .withColumn(BucketStore.BucketCol,
+            BucketStore.md5Bucket(col("text_md5"), nBuckets))
+        val cols = if (isCdc)
+          Seq(col("op"), col("doc_id"), col("text"), col("text_before"))
+        else Seq(col("doc_id"), col("text"))
+        val b = batch.toDF().select(cols: _*).distinct().cache()
         if (b.count() > 0 && BucketStore.appliedBatchId(storeDir) < batchId) {
-          // touched buckets straight from the batch's content hashes —
-          // no store read needed to learn them
-          val touched = BucketStore.touchedBuckets(b.select(
-            BucketStore.md5Bucket(md5(col("text")), nBuckets).as(BucketStore.BucketCol)))
-          val store = BucketStore.readBuckets(spark, storeDir, touched, nBuckets)
-          val (changes, cached) =
-            graft.operators.Dedup.exactDeltaApplyTracked(store, b)
-          BucketStore.applyTick(spark, storeDir,
-            changes.withColumn(BucketStore.BucketCol,
-              BucketStore.md5Bucket(col("text_md5"), nBuckets)),
-            Seq("text_md5"), batchId, n = nBuckets)
-          cached.foreach(_.unpersist())
+          if (isCdc) {
+            val changes = members(
+              b.filter(col("op").isin("i", "u")).select(col("doc_id"), col("text")))
+            // before-image members not re-asserted by the new text
+            // (an unchanged-content 'u' must not delete its member)
+            val removedKeys = members(b.filter(col("op").isin("u", "d"))
+                .select(col("doc_id"), col("text_before").as("text")))
+              .join(changes.select(col("text_md5"), col("doc_id")),
+                Seq("text_md5", "doc_id"), "left_anti")
+            BucketStore.applyTick(spark, storeDir, changes,
+              Seq("text_md5", "doc_id"), batchId, n = nBuckets,
+              removed = Some(removedKeys))
+          } else {
+            BucketStore.applyAppendTick(spark, storeDir,
+              members(b), batchId, n = nBuckets,
+              onCompact = _.dropDuplicates("text_md5", "doc_id"))
+          }
+          ()
         }
         b.unpersist()
         ()
@@ -327,6 +351,16 @@ object DocStream {
     * strikes at ingest. Replay guard identical to the other
     * maintainers (applied-batch marker; redelivered ticks no-op
     * instead of double-counting).
+    *
+    * CDC (r14, the r13 verdict's #5): a stream WITH (op ∈ 'i'|'u'|'d',
+    * doc_id, text, text_before) columns appends SIGNED partials — the
+    * before-image's line counts negated, the new text's counts
+    * positive — through the SAME append protocol: a deleted doc's
+    * lines stop inflating `ndocs >= minDocs` boilerplate verdicts the
+    * moment the tick lands, with no merge tick at all (sum-partials
+    * stores are the one family where deletes ride the O(delta) append
+    * path — subtraction IS addition). Net-zero keys vanish at the
+    * next compaction fold and are filtered by [[readLineCounts]].
     */
   def startLineCountMaintain(docs: DataFrame, storeDir: String, checkpointDir: String,
                              nBuckets: Int = BucketStore.DefaultBuckets): StreamingQuery =
@@ -336,15 +370,29 @@ object DocStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         BucketStore.recover(storeDir)
-        val b = batch.toDF().select(col("doc_id"), col("text")).cache()
+        val isCdc = batch.columns.contains("op")
+        val cols = if (isCdc)
+          Seq(col("op"), col("doc_id"), col("text"), col("text_before"))
+        else Seq(col("doc_id"), col("text"))
+        val b = batch.toDF().select(cols: _*).distinct().cache()
         if (b.count() > 0 && BucketStore.appliedBatchId(storeDir) < batchId) {
-          val deltaCounts = graft.operators.TextAnalysis.lineCountsOf(b)
+          def counts(df: DataFrame, sign: Int): DataFrame =
+            graft.operators.TextAnalysis.lineCountsOf(df.filter(col("text").isNotNull))
+              .select(col("k"), (col("ndocs") * sign).as("ndocs"))
+          val deltaCounts =
+            if (isCdc)
+              counts(b.filter(col("op").isin("i", "u"))
+                  .select(col("doc_id"), col("text")), 1)
+                .unionByName(counts(b.filter(col("op").isin("u", "d"))
+                  .select(col("doc_id"), col("text_before").as("text")), -1))
+            else counts(b, 1)
           BucketStore.applyAppendTick(spark, storeDir,
             deltaCounts.withColumn(BucketStore.BucketCol,
               BucketStore.md5Bucket(md5(col("k")), nBuckets)),
             batchId, n = nBuckets,
             onCompact = _.groupBy(col("k"), col(BucketStore.BucketCol))
-              .agg(sum(col("ndocs")).as("ndocs")))
+              .agg(sum(col("ndocs")).as("ndocs"))
+              .filter(col("ndocs") =!= 0))
         }
         b.unpersist()
         ()
@@ -359,6 +407,9 @@ object DocStream {
   def readLineCounts(spark: SparkSession, storeDir: String): DataFrame =
     BucketStore.readAll(spark, storeDir)
       .groupBy(col("k")).agg(sum(col("ndocs")).as("ndocs"))
+      // CDC partials are signed: a fully-deleted line nets 0 (dropped
+      // here and reclaimed at the next compaction fold)
+      .filter(col("ndocs") > 0)
 
   /** Continuous decontamination at ingest: flag incoming documents
     * whose word n-grams hit the PERSISTED eval-suite bloom artifact

@@ -129,6 +129,67 @@ class CurationSpec extends AnyFunSuite {
     ()
   }
 
+  test("curate with frozen LM artifacts ≡ the spec-chained frozen operators; select agrees with in-query ntile") {
+    import graft.operators.{Lm, SeqPack}
+    val sf = TestSpark.sf
+    val docs = graft.Tables.documents(spark, sf)
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val c = Similarity.withVecNorm(spark, vecs)
+    val root = java.nio.file.Files.createTempDirectory("curate_frozen").toString
+    val cents = Similarity.trainQuantizer(spark, c,
+      s"$root/cents", Similarity.deriveSemanticNlist(c.count()))
+    val assigned = Similarity.assignClusters(c, cents)
+      .select(col("vec_id"), col("v"), col("norm"), col("cluster")).cache()
+    val target = docs.filter(col("lang") === "en" && col("doc_id") % 10 === 0)
+
+    val got = Curation.curateFrom(spark, docs, assigned, cents,
+        threshold = 0.92, pruneFrac = 0.25, target = target,
+        freezeLmTo = Some((s"$root/lm_counts", s"$root/lm_cuts")))
+      .as[(Long, Int, Int, Long, Int)].collect().toSet
+
+    // the same funnel via the PUBLIC frozen-artifact operators
+    val keep1 = Similarity.semanticVerdicts(assigned, 0.92)
+      .filter(col("keep")).select("vec_id")
+    val keep2 = Curation.protoVerdicts(
+        assigned.join(keep1, Seq("vec_id"), "left_semi"), cents, 0.25)
+      .filter(col("keep")).select("vec_id")
+    val kept = docs.join(keep2.withColumnRenamed("vec_id", "doc_id"),
+      Seq("doc_id"), "left_semi")
+    Lm.buildLmArtifact(target, s"$root/lm_counts2")
+    val scored = Lm.scoreWithArtifact(spark, s"$root/lm_counts2", kept)
+    Lm.buildLmCutpoints(scored, s"$root/lm_cuts2")
+    val selFrozen = Lm.withStoredTerciles(spark, scored, s"$root/lm_cuts2")
+      .filter(col("tercile") <= 2).select("doc_id")
+    val finalDocs = kept.join(selFrozen, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    val nPieces = finalDocs
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(coalesce(sum(expr("(n + 511) div 512")), lit(0L))).head.getLong(0)
+    val expected = SeqPack.packBestFitOf(finalDocs, 512,
+        SeqPack.deriveBfdBuckets(nPieces))
+      .as[(Long, Int, Int, Long, Int)].collect().toSet
+    assert(got.nonEmpty)
+    assert(got === expected)
+
+    // the frozen artifacts really landed (day-N batches reuse them)
+    assert(spark.read.parquet(s"$root/lm_counts").count() > 0)
+    assert(spark.read.parquet(s"$root/lm_cuts").count() > 0)
+
+    // the frozen value-cut select agrees with the in-query ntile
+    // select within the LmSpec bound (exact percentile at this SF —
+    // only boundary-tie docs may differ)
+    val (uni, bi) = Lm.fitCounts(target)
+    val selIn = Lm.withTerciles(Lm.scoreOf(kept, uni, bi))
+      .filter(col("tercile") <= 2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val selFr = selFrozen.collect().map(_.getLong(0)).toSet
+    val overlap = (selIn & selFr).size.toDouble / math.max(selIn.size, selFr.size)
+    assert(overlap >= 0.95, f"frozen vs in-query select agreement $overlap%.3f")
+    assigned.unpersist()
+    ()
+  }
+
   test("verdicts under frozen centroids are partitioning-invariant") {
     val cents: Seq[(Int, Seq[Double])] = Seq(
       (0, Seq(1.0, 0.0, 0.0, 0.0)), (1, Seq(0.0, 0.0, 1.0, 0.0)))

@@ -108,4 +108,47 @@ class LineStoreSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("ndocs"))).toMap
     assert(counts("base line") === 2L)
   }
+
+  test("line-count CDC: deletes subtract, updates move lines, boilerplate verdicts deflate; ≡ batch recount of the mutated corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("line_cdc").toString
+    val storeDir = root + "/store"
+    // "Cookie notice" sits at the minDocs=2 boilerplate threshold
+    // through docs 1 and 2; deleting doc 2 must deflate it below
+    val seed = Seq(
+      (1L, "Cookie notice\nbody one"),
+      (2L, "Cookie notice\nbody two"),
+      (3L, "unique alpha"))
+    BucketStore.seed(
+      TextAnalysis.lineCountsOf(seed.toDF("doc_id", "text")),
+      BucketStore.md5Bucket(md5(col("k")), 64), storeDir, n = 64,
+      kind = BucketStore.KindMd5)
+
+    val input = MemoryStream[DocCdcIngest]
+    val q = DocStream.startLineCountMaintain(input.toDF(), storeDir, root + "/ckpt")
+    // one CDC batch: DELETE doc 2, UPDATE doc 3 to carry a line it
+    // shares with nobody plus one it keeps (unchanged lines must not
+    // double-count through the +1/-1 union)
+    input.addData(
+      DocCdcIngest("d", 2L, null, "Cookie notice\nbody two"),
+      DocCdcIngest("u", 3L, "unique alpha\nunique gamma", "unique alpha"))
+    q.processAllAvailable()
+    q.stop()
+    val mutated = Seq(
+      (1L, "Cookie notice\nbody one"),
+      (3L, "unique alpha\nunique gamma"))
+    val expected = TextAnalysis.lineCountsOf(mutated.toDF("doc_id", "text"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = DocStream.readLineCounts(spark, storeDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expected)
+    // the deflated line no longer reaches the boilerplate verdict
+    assert(got.contains(("Cookie notice", 1L)))
+    assert(!got.exists(t => t._1 == "body two"),
+      "a fully-deleted line must net to zero and drop out of the read")
+    // and the whole CDC tick rode the APPEND path: one stacked
+    // generation of signed partials, no bucket re-merge
+    assert(new java.io.File(s"$storeDir/gen-0").exists())
+  }
 }

@@ -67,6 +67,38 @@ class MmAudioSpec extends AnyFunSuite {
       assert(pairs.contains((id, id + 10000000L)), s"planted copy of $id missed") }
   }
 
+  test("pair cap: emission-identical on diverse corpora; bounds a degenerate clump with the planted pair kept") {
+    import spark.implicits._
+    // diverse regime (the registered fixture): partners per clip ≪
+    // the cap, so capped ≡ uncapped EXACTLY
+    val clips = Multimodal.assets(spark, sf)
+      .filter(col("mime") === lit("audio/wav"))
+      .as[graft.multimodal.MmAsset]
+    def pairSet(cap: Int) = Multimodal.audioDupsOn(spark, clips, maxPairsPerDoc = cap)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(Multimodal.DefaultAudioPairCap) === pairSet(0))
+
+    // degenerate regime: 300 clips of ONE tone (every pair legitimate
+    // — O(n²) uncapped) + one gain-scaled plant of clip 0. cap=10
+    // bounds emission near n·cap·2 while the plant — at the distance
+    // floor of its source's list — must survive the cap
+    val clump = (0L until 300L).map(i =>
+      graft.multimodal.MmAsset(i, "audio/wav", Multimodal.makeWav(42L)))
+    val plant = graft.multimodal.MmAsset(10000000L, "audio/wav",
+      Multimodal.scaleWav(Multimodal.makeWav(42L), 0.5))
+    val ds = spark.createDataset(clump :+ plant)
+    val uncapped = Multimodal.audioDupsOn(spark, ds, maxPairsPerDoc = 0).count()
+    assert(uncapped > 40000L, s"clump should explode uncapped, got $uncapped")
+    val capped = Multimodal.audioDupsOn(spark, ds, maxPairsPerDoc = 10)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.length <= 301 * 10 * 2,
+      s"capped emission must be ≤ n·cap·2, got ${capped.length}")
+    // union semantics keep the plant: clip 0 is the plant's closest
+    // small-id partner (tie-break id asc), so the plant's own list
+    // retains it even though 0's list is crowded by equal-distance ids
+    assert(capped.contains((0L, 10000000L)), "planted pair lost to the cap")
+  }
+
   test("audio maintainer: seed ∪ tick ≡ batch, cross-tick gain-scaled copy found") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

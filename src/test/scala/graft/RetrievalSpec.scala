@@ -125,6 +125,21 @@ class RetrievalSpec extends AnyFunSuite {
       assert(n <= nb && n < Retrieval.IndexBuckets,
         s"postings scan read $n paths; query vocabulary spans $nb buckets")
     }
+    // r14 (the r13 verdict's #1): the search plan's ENTIRE input is
+    // the query buckets' postings + the bounded stats partials — no
+    // corpus-∝ side table exists to read (the r13 layout read and
+    // joined the full 1M-row doclen store per query batch). Every
+    // input file is under postings/ or stats/, and the stats read is
+    // bounded by generation count, not corpus rows.
+    val inputs = pruned.inputFiles.toSeq
+    assert(inputs.nonEmpty)
+    assert(inputs.forall(f => f.contains("/postings/") || f.contains("/stats/")),
+      s"search read outside postings/stats: ${inputs.filterNot(f =>
+        f.contains("/postings/") || f.contains("/stats/"))}")
+    val statsRows = inputs.filter(_.contains("/stats/"))
+      .map(f => spark.read.parquet(f).count()).sum
+    assert(statsRows <= 4L,
+      s"stats read must be a handful of partial rows, got $statsRows")
     qsSmall.unpersist()
     ()
   }
@@ -172,19 +187,25 @@ class RetrievalSpec extends AnyFunSuite {
       .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
       .cache()
     Retrieval.buildBm25Index(corpus.select("doc_id", "text"), s"$root/bm25")
-    val cents = graft.operators.Similarity.trainQuantizer(
-      spark, emb, s"$root/cents", 8)
-    graft.operators.Similarity.seedIvfStore(
-      spark, emb.select(col("vec_id"), col("v"), col("norm")),
-      s"$root/ivf", cents, 8)
+    Retrieval.seedVecSidecar(spark, emb, s"$root/byid")
     val got = Retrieval.hardNegativesFromIndexes(spark, s"$root/bm25",
-        s"$root/ivf", qs, nNeg = 5, simFloor = 0.35)
+        s"$root/byid", qs, nNeg = 5, simFloor = 0.35)
       .as[(Long, Long, Double, Int)].collect().toSet
     val expected = Retrieval.hardNegativesOf(corpus.select("doc_id", "text"),
         qs, emb, nNeg = 5, simFloor = 0.35)
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(got.nonEmpty)
     assert(got === expected)
+    // the denoise read is PRUNED: the sidecar scan for a known id set
+    // resolves to exactly those ids' buckets' files, not the store
+    val someIds = Seq(7L, 107L).toDF("vec_id")
+    val pruned = Retrieval.readVecSidecar(spark, s"$root/byid", someIds)
+    val files = pruned.inputFiles.toSeq
+    val wantBuckets = Seq(7L % 64, 107L % 64).map(b => s"bucket=$b")
+    assert(files.nonEmpty &&
+      files.forall(f => wantBuckets.exists(f.contains)),
+      s"sidecar read touched files outside the ids' buckets: $files")
+    assert(pruned.collect().map(_.getLong(0)).toSet === Set(7L, 107L))
     emb.unpersist()
     ()
   }
