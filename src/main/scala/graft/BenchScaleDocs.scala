@@ -683,17 +683,35 @@ object BenchScaleDocs {
       extras("hn_mined") = spark.read.parquet(s"$scaleDir/hn_mined").count()
       extras("hn_byid_store_bytes") = du(byidDir)
       // the pruned read, reconstructed at the exact shape the mining
-      // used (shortlist ∪ query ids) — its file list vs the store's
+      // used (shortlist ∪ query ids) — its file list vs the store's.
+      // The id list is collected first (bounded: ≤ Q·(RrfRankCap+1)
+      // rows — the shortlist, never the corpus) so the measured
+      // frame's lineage holds ONLY the sidecar read, not the BM25
+      // derivation of the shortlist.
       val qs = Retrieval.pseudoQueries(docs)
-      val wanted = Retrieval.bm25FromIndex(spark, s"$scaleDir/bm25_idx", qs,
+      val wantedIds = Retrieval.bm25FromIndex(spark, s"$scaleDir/bm25_idx", qs,
           Retrieval.RrfRankCap)
         .select(col("doc_id").as("vec_id"))
         .unionByName(qs.select(col("q_id").as("vec_id"))).distinct()
-      val prunedFiles = Retrieval.readVecSidecar(spark, byidDir, wanted).inputFiles
+        .collect().map(_.getLong(0)).toSeq
+      import spark.implicits._
+      val prunedFiles = Retrieval.readVecSidecar(spark, byidDir,
+        wantedIds.toDF("vec_id")).inputFiles
+      extras("hn_denoise_ids") = wantedIds.length.toLong
       extras("hn_denoise_files_read") = prunedFiles.length.toLong
       extras("hn_denoise_bytes_read") = prunedFiles.map(du).sum
       extras("hn_byid_files_total") =
         graft.streaming.BucketStore.readAll(spark, byidDir).inputFiles.length.toLong
+      // single-query mining (the steady-state online shape): 21 ids
+      // touch ≤ 21 of the store's buckets — the read is ∝ the mining
+      // batch, not the corpus (the full 500-query batch's ~10.5k ids
+      // saturate the bucket space; row pruning then rides the
+      // semi-join)
+      val oneQ = wantedIds.take(21)
+      val files1q = Retrieval.readVecSidecar(spark, byidDir,
+        oneQ.toDF("vec_id")).inputFiles
+      extras("hn_denoise_files_read_1q") = files1q.length.toLong
+      extras("hn_denoise_bytes_read_1q") = files1q.map(du).sum
     }
 
     // ----- curation pipeline end-to-end at 200k docs/vectors ------

@@ -653,7 +653,7 @@ object Retrieval {
     * already spec-gated), read pruned to exactly the ids a mining
     * batch names.
     */
-  val VecSidecarBuckets = 64
+  val VecSidecarBuckets = 256
 
   /** Seed the id-bucketed (vec_id, v, norm) sidecar. */
   private[graft] def seedVecSidecar(spark: SparkSession, emb: DataFrame,

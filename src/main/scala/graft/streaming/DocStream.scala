@@ -475,11 +475,21 @@ object DocStream {
     *                      `searchIvfPqStore`); quantizer staleness then
     *                      rebuilds via `rebuildIvfPqIndex`, which
     *                      re-encodes everything
+    * @param byIdDir       set ⇒ ticks also mirror into the id-bucketed
+    *                      (vec_id, v, norm) SIDECAR at this path — the
+    *                      row store `hardNegativesFromIndexes` reads
+    *                      id-pruned (r14; seed with
+    *                      [[graft.operators.Retrieval.seedVecSidecar]]);
+    *                      sidecar applies before the main store (main
+    *                      marker = commit point), deletes tombstone by
+    *                      id directly (no before-image needed — the
+    *                      bucket IS the id)
     */
   def startIvfMaintain(vecs: DataFrame, storeDir: String, centroidsDir: String,
                        checkpointDir: String, nlist: Int,
                        probe: Option[graft.operators.Similarity.IvfProbeConfig] = None,
-                       codebooksDir: Option[String] = None): StreamingQuery =
+                       codebooksDir: Option[String] = None,
+                       byIdDir: Option[String] = None): StreamingQuery =
     vecs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -508,6 +518,34 @@ object DocStream {
           val ups = b.filter(col("op").isin("upsert", "insert")).drop("op")
           val removed =
             if (hasOp) Some(b.filter(col("op") === "delete").drop("op")) else None
+          // optional id-bucketed (vec_id, v, norm) SIDECAR mirror —
+          // the row store hard-negative mining reads id-pruned (r14;
+          // seed with Retrieval.seedVecSidecar). Applies BEFORE the
+          // main store so the main marker stays the batch's commit
+          // point (the r14 commit-store rule); a crash in between
+          // replays, the sidecar skipping on its own marker. Deletes
+          // need no before-image here — the sidecar is bucketed by
+          // the id itself.
+          byIdDir.foreach { sd =>
+            BucketStore.recover(sd)
+            val sb = graft.operators.Retrieval.VecSidecarBuckets
+            def bucketed(df: DataFrame) = df
+              .select(col("vec_id"), col("v"), col("norm"))
+              .withColumn(BucketStore.BucketCol,
+                BucketStore.longBucket(col("vec_id"), sb))
+            removed match {
+              case Some(r) =>
+                BucketStore.applyTick(spark, sd, bucketed(ups),
+                  Seq("vec_id"), batchId, n = sb,
+                  removed = Some(r.select(col("vec_id"),
+                    BucketStore.longBucket(col("vec_id"), sb)
+                      .as(BucketStore.BucketCol))))
+              case None =>
+                BucketStore.applyAppendTick(spark, sd, bucketed(ups),
+                  batchId, n = sb)
+            }
+            ()
+          }
           codebooksDir match {
             case Some(bd) =>
               graft.operators.Similarity.ivfPqAppendTick(spark, storeDir, cents,

@@ -129,12 +129,16 @@ class IvfStoreSpec extends AnyFunSuite {
     val base = c.filter(col("vec_id") % 10 =!= 7).select("vec_id", "v", "norm")
     val cents = Similarity.trainQuantizer(spark, base, centsDir, nlist)
     Similarity.seedIvfStore(spark, base, storeDir, cents, nlist)
+    // r14: the id-bucketed sidecar mirror (hard-neg mining's row
+    // store) rides the same ticks
+    graft.operators.Retrieval.seedVecSidecar(spark, base, s"$root/byid")
 
     val byId = c.select(col("vec_id"), col("v")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val input = MemoryStream[VecCdc]
     val q = streaming.DocStream.startIvfMaintain(
-      input.toDF(), storeDir, centsDir, s"$root/ckpt", nlist)
+      input.toDF(), storeDir, centsDir, s"$root/ckpt", nlist,
+      byIdDir = Some(s"$root/byid"))
     // one CDC batch: add the held-out split, delete two indexed
     // vectors (before-image embeddings), re-embed one (delete old
     // image + upsert a shifted vector in the same batch)
@@ -156,6 +160,12 @@ class IvfStoreSpec extends AnyFunSuite {
     // no duplicate postings anywhere
     val n = graft.streaming.BucketStore.readAll(spark, storeDir).count()
     assert(n === rows.size)
+    // the sidecar mirrored every mutation: membership ≡ the IVF store
+    val side = graft.streaming.BucketStore.readAll(spark, s"$root/byid")
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(side.keySet === rows.keySet)
+    assert(side(40L) === reEmbedded)
     c.unpersist()
     ()
   }

@@ -201,7 +201,8 @@ class RetrievalSpec extends AnyFunSuite {
     val someIds = Seq(7L, 107L).toDF("vec_id")
     val pruned = Retrieval.readVecSidecar(spark, s"$root/byid", someIds)
     val files = pruned.inputFiles.toSeq
-    val wantBuckets = Seq(7L % 64, 107L % 64).map(b => s"bucket=$b")
+    val wantBuckets = Seq(7L % Retrieval.VecSidecarBuckets,
+      107L % Retrieval.VecSidecarBuckets).map(b => s"bucket=$b")
     assert(files.nonEmpty &&
       files.forall(f => wantBuckets.exists(f.contains)),
       s"sidecar read touched files outside the ids' buckets: $files")
