@@ -508,6 +508,515 @@ object VectorFunctions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** pq_encode(v) → array<int> of m subspace code ids — the PQ encode
+    * argmin as ONE codegen'd pass over the row's vector.
+    *
+    * The prior formulation nested `graft_dot` inside a per-subspace
+    * `transform(codebook, b -> struct(dist, code))` + `array_min`:
+    * higher-order functions are CodegenFallback, so the entire
+    * m·ncent·sub multiply-accumulate ran interpreted with a boxed
+    * struct allocation per (row, subspace, centroid) — and the encode
+    * IS the dominant cost of every PQ rung (store build, in-query
+    * IVF+PQ's probe-union encode). Codebooks arrive flattened by
+    * (subspace, centroid id) as constructor arguments — model
+    * artifacts, far past what an `expr(...)` string or a foldable
+    * registry argument can carry (the [[GraftShims.column]] path) —
+    * and are referenced from generated code via `addReferenceObj`
+    * (broadcast once per codegen'd task, not per row).
+    *
+    * Distance per centroid is `‖c‖² − 2·⟨v_sub, c⟩` (the row-constant
+    * `‖v_sub‖²` dropped from the argmin), accumulated in the same
+    * order as the old expression tree, so code ids are bit-identical;
+    * ties keep the lowest centroid id, matching `array_min` over
+    * struct(dist, code).
+    */
+  case class PqEncode(child: Expression, books: Array[Double],
+      c2: Array[Double], m: Int, ncent: Int, sub: Int)
+      extends UnaryExpression {
+    require(books.length == m * ncent * sub,
+      s"flat codebook length ${books.length} != m*ncent*sub ${m * ncent * sub}")
+    require(c2.length == m * ncent,
+      s"c2 length ${c2.length} != m*ncent ${m * ncent}")
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double> input, got ${other.simpleString}")
+    }
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_pq_encode"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val code = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var cI = 0
+        while (cI < ncent) {
+          val base = (s * ncent + cI) * sub
+          var dot = 0.0
+          var j = 0
+          while (j < sub) { dot += v.getDouble(s * sub + j) * books(base + j); j += 1 }
+          val dist = c2(s * ncent + cI) - 2.0 * dot
+          if (dist < bestD) { bestD = dist; best = cI }
+          cI += 1
+        }
+        code(s) = best
+        s += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(code)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val booksRef = ctx.addReferenceObj("pqBooks", books, "double[]")
+        val c2Ref = ctx.addReferenceObj("pqC2", c2, "double[]")
+        val code = ctx.freshName("code")
+        val s = ctx.freshName("s")
+        val cI = ctx.freshName("cI")
+        val j = ctx.freshName("j")
+        val base = ctx.freshName("base")
+        val dot = ctx.freshName("dot")
+        val dist = ctx.freshName("dist")
+        val best = ctx.freshName("best")
+        val bestD = ctx.freshName("bestD")
+        s"""
+           |int[] $code = new int[$m];
+           |for (int $s = 0; $s < $m; $s++) {
+           |  int $best = 0;
+           |  double $bestD = Double.POSITIVE_INFINITY;
+           |  for (int $cI = 0; $cI < $ncent; $cI++) {
+           |    int $base = ($s * $ncent + $cI) * $sub;
+           |    double $dot = 0.0;
+           |    for (int $j = 0; $j < $sub; $j++) {
+           |      $dot += $a.getDouble($s * $sub + $j) * $booksRef[$base + $j];
+           |    }
+           |    double $dist = $c2Ref[$s * $ncent + $cI] - 2.0 * $dot;
+           |    if ($dist < $bestD) { $bestD = $dist; $best = $cI; }
+           |  }
+           |  $code[$s] = $best;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+           |  .fromPrimitiveArray($code);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** vdiv(v, d) → array<double> of v[i] / d — unit-normalization as a
+    * codegen'd primitive loop. `transform(v, x -> x / norm)` is
+    * CodegenFallback (one interpreted lambda frame + boxed Double per
+    * ELEMENT), and normalization fronts every PQ/ADC rung's corpus
+    * scan. Division (not multiply-by-reciprocal) keeps results
+    * bit-identical to the HOF it replaces.
+    */
+  case class VecDiv(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<double>, double), got " +
+            s"(${l.simpleString}, ${r.simpleString})")
+      }
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "graft_vdiv"
+
+    override def nullSafeEval(v: Any, d: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val den = d.asInstanceOf[Double]
+      val out = new Array[Double](x.numElements())
+      var i = 0
+      while (i < out.length) { out(i) = x.getDouble(i) / den; i += 1 }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, d) => {
+        val i = ctx.freshName("i")
+        val out = ctx.freshName("out")
+        s"""
+           |double[] $out = new double[$v.numElements()];
+           |for (int $i = 0; $i < $out.length; $i++) {
+           |  $out[$i] = $v.getDouble($i) / $d;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+           |  .fromPrimitiveArray($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** pq_adc(lut, code) → Σᵢ lut[i·ncent + code[i]] — the ADC
+    * asymmetric-distance lookup as one codegen'd loop. The prior
+    * `aggregate(sequence(0, m−1), …, element_at…)` formulation ran
+    * interpreted (HOF CodegenFallback) and materialized the index
+    * sequence per (query, candidate) pair — the inner loop of every
+    * coarse ADC scan. Summation order (i ascending) matches the old
+    * aggregate fold, so scores are bit-identical.
+    */
+  case class PqAdc(left: Expression, right: Expression, ncent: Int)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<double>, array<int>), got " +
+            s"(${l.simpleString}, ${r.simpleString})")
+      }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_pq_adc"
+
+    override def nullSafeEval(lut: Any, code: Any): Any = {
+      val l = lut.asInstanceOf[ArrayData]
+      val c = code.asInstanceOf[ArrayData]
+      var sum = 0.0
+      var i = 0
+      while (i < c.numElements()) { sum += l.getDouble(i * ncent + c.getInt(i)); i += 1 }
+      sum
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, c) => {
+        val i = ctx.freshName("i")
+        val sum = ctx.freshName("sum")
+        s"""
+           |double $sum = 0.0;
+           |for (int $i = 0; $i < $c.numElements(); $i++) {
+           |  $sum += $l.getDouble($i * $ncent + $c.getInt($i));
+           |}
+           |${ev.value} = $sum;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** hash_arr(strs) → array<long> of xxhash64(s) per element — the
+    * shingle/token hashing pass as one codegen'd loop. The
+    * `transform(shingles, s -> xxhash64(s))` formulation interprets a
+    * lambda frame per SHINGLE (≈ words/doc × docs across every minhash
+    * and simhash rung). Calls the exact same `XXH64.hashUTF8String`
+    * (seed 42) Spark's own xxhash64 lowers to, so hashes — and every
+    * downstream signature, band key, and stored artifact — are
+    * bit-identical. A null element hashes to the seed, matching
+    * xxhash64(NULL).
+    */
+  case class HashStrArr(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> input, got ${other.simpleString}")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_hash_arr"
+
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val out = new Array[Long](a.numElements())
+      var i = 0
+      while (i < out.length) {
+        out(i) =
+          if (a.isNullAt(i)) 42L
+          else org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUTF8String(a.getUTF8String(i), 42L)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val out = ctx.freshName("out")
+        s"""
+           |long[] $out = new long[$a.numElements()];
+           |for (int $i = 0; $i < $out.length; $i++) {
+           |  $out[$i] = $a.isNullAt($i) ? 42L :
+           |    org.apache.spark.sql.catalyst.expressions.XXH64
+           |      .hashUTF8String($a.getUTF8String($i), 42L);
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+           |  .fromPrimitiveArray($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** sig_agree(a, b) → count of positions where two array<long>
+    * signatures agree — the minhash similarity estimate's inner loop
+    * (was `aggregate(zip_with(…, IF(x = y, 1, 0)), …)`, interpreted
+    * per candidate pair with a boxed struct per position).
+    */
+  case class SigAgree(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      })
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> inputs, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_sig_agree"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var c = 0
+      var i = 0
+      while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+      c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val c = ctx.freshName("c")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $c = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** hamming(a, b) → Σ popcount(a[i] ^ b[i]) over two array<long>
+    * fingerprints — the 128-bit image/audio Hamming verify (was
+    * `aggregate(zip_with(…, bit_count(x ^ y)), …)`, interpreted per
+    * candidate pair).
+    */
+  case class HammingWide(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      })
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> inputs, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_hamming"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var c = 0
+      var i = 0
+      while (i < n) { c += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1 }
+      c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val c = ctx.freshName("c")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $c = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $c += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** word_grams(w, n) → all n-word grams of a token array, in order,
+    * duplicates kept — `TextAnalysis.wordGrams`' contract (space-
+    * joined, matching the DuckDB oracles' construction) as one pass.
+    * The `transform(sequence(…), i -> concat_ws(' ', slice(w, i, n)))`
+    * form interpreted a lambda AND materialized a slice copy per gram.
+    * One eval per row (CodegenFallback, the Shingles precedent).
+    * Callers pre-filter `size(w) >= n` (same contract as the HOF);
+    * shorter inputs return an empty array here.
+    */
+  case class WordGrams(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<string>, int literal), got " +
+            s"(${l.simpleString}, ${r.simpleString})")
+      }
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_word_grams"
+
+    override def nullSafeEval(wAny: Any, nAny: Any): Any = {
+      val w = wAny.asInstanceOf[ArrayData]
+      val n = nAny.asInstanceOf[Int]
+      val total = w.numElements() - n + 1
+      if (total <= 0)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[AnyRef](0))
+      val out = new Array[AnyRef](total)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < total) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          // concat_ws skips nulls; split() never yields them, but
+          // mirror the semantic for safety
+          if (!w.isNullAt(i + j)) sb.append(w.getUTF8String(i + j).toString)
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** nearest_clusters(v) → the k nearest centroid ids by squared-L2,
+    * ordered (dist asc, id asc) — the coarse-quantizer assignment
+    * (k=1) and probe-selection (k=nprobe) loop. Replaces
+    * `array_min(transform(cents, …))` / `slice(array_sort(…), 1, k)
+    * .cluster` over a centroid literal: the HOF interpreted the whole
+    * nc·dim multiply-accumulate per row with a boxed struct per
+    * centroid — the dominant term of every corpus-wide assignment
+    * (IVF seed/tick, semantic dedup, k-means probe). Centroids arrive
+    * flattened as constructor arguments (model artifacts — the
+    * [[GraftShims.column]] path) in the SAME order as the literal the
+    * HOF read, with dist = norm2 + ‖c‖² − 2·⟨v,c⟩ accumulated in the
+    * same order, so assignments are bit-identical including
+    * struct-ordering tie-breaks.
+    */
+  case class NearestClusters(child: Expression, cents: Array[Double],
+      c2: Array[Double], ids: Array[Int], dim: Int, k: Int)
+      extends UnaryExpression {
+    require(ids.length == c2.length && cents.length == ids.length * dim,
+      s"centroid shapes disagree: ${cents.length} flat, ${c2.length} c2, ${ids.length} ids, dim $dim")
+    require(k >= 1, s"k=$k must be positive")
+    // mirror slice(array_sort(…), 1, k): k past the centroid count
+    // returns them all
+    private val kk = math.min(k, ids.length)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double> input, got ${other.simpleString}")
+    }
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_nearest_clusters"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = math.min(v.numElements(), dim)
+      var norm2 = 0.0
+      var i = 0
+      while (i < n) { val x = v.getDouble(i); norm2 += x * x; i += 1 }
+      val bestD = Array.fill(kk)(Double.PositiveInfinity)
+      val bestId = Array.fill(kk)(Int.MaxValue)
+      var c = 0
+      while (c < ids.length) {
+        var dot = 0.0
+        var j = 0
+        val base = c * dim
+        while (j < n) { dot += v.getDouble(j) * cents(base + j); j += 1 }
+        val d = norm2 + c2(c) - 2.0 * dot
+        val id = ids(c)
+        // insertion by (dist, id) — array_sort's struct ordering
+        if (d < bestD(kk - 1) || (d == bestD(kk - 1) && id < bestId(kk - 1))) {
+          var p = kk - 1
+          while (p > 0 && (d < bestD(p - 1) || (d == bestD(p - 1) && id < bestId(p - 1)))) {
+            bestD(p) = bestD(p - 1); bestId(p) = bestId(p - 1); p -= 1
+          }
+          bestD(p) = d; bestId(p) = id
+        }
+        c += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(bestId)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val centsRef = ctx.addReferenceObj("nnCents", cents, "double[]")
+        val c2Ref = ctx.addReferenceObj("nnC2", c2, "double[]")
+        val idsRef = ctx.addReferenceObj("nnIds", ids, "int[]")
+        val n = ctx.freshName("n")
+        val norm2 = ctx.freshName("norm2")
+        val x = ctx.freshName("x")
+        val bestD = ctx.freshName("bestD")
+        val bestId = ctx.freshName("bestId")
+        val i = ctx.freshName("i")
+        val c = ctx.freshName("c")
+        val j = ctx.freshName("j")
+        val base = ctx.freshName("base")
+        val dot = ctx.freshName("dot")
+        val d = ctx.freshName("d")
+        val id = ctx.freshName("id")
+        val p = ctx.freshName("p")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $dim);
+           |double $norm2 = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = $a.getDouble($i); $norm2 += $x * $x;
+           |}
+           |double[] $bestD = new double[$kk];
+           |int[] $bestId = new int[$kk];
+           |java.util.Arrays.fill($bestD, Double.POSITIVE_INFINITY);
+           |java.util.Arrays.fill($bestId, Integer.MAX_VALUE);
+           |for (int $c = 0; $c < $idsRef.length; $c++) {
+           |  double $dot = 0.0;
+           |  int $base = $c * $dim;
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    $dot += $a.getDouble($j) * $centsRef[$base + $j];
+           |  }
+           |  double $d = $norm2 + $c2Ref[$c] - 2.0 * $dot;
+           |  int $id = $idsRef[$c];
+           |  if ($d < $bestD[$kk - 1] || ($d == $bestD[$kk - 1] && $id < $bestId[$kk - 1])) {
+           |    int $p = $kk - 1;
+           |    while ($p > 0 && ($d < $bestD[$p - 1] || ($d == $bestD[$p - 1] && $id < $bestId[$p - 1]))) {
+           |      $bestD[$p] = $bestD[$p - 1]; $bestId[$p] = $bestId[$p - 1]; $p--;
+           |    }
+           |    $bestD[$p] = $d; $bestId[$p] = $id;
+           |  }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+           |  .fromPrimitiveArray($bestId);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Canonical name → builder list for the vector/sketch functions.
     * Single source of truth shared by the programmatic per-session
     * `register` below and the `spark.sql.extensions` deployment path
@@ -521,7 +1030,12 @@ object VectorFunctions {
     "graft_hyperplane64" -> (exprs => Hyperplane64(exprs.head)),
     "graft_hyperplane" -> (exprs => HyperplaneWide(exprs(0), exprs(1))),
     "graft_sq8" -> (exprs => Sq8Encode(exprs.head)),
-    "graft_sq8_dot" -> (exprs => Sq8Dot(exprs(0), exprs(1))))
+    "graft_sq8_dot" -> (exprs => Sq8Dot(exprs(0), exprs(1))),
+    "graft_vdiv" -> (exprs => VecDiv(exprs(0), exprs(1))),
+    "graft_hash_arr" -> (exprs => HashStrArr(exprs.head)),
+    "graft_word_grams" -> (exprs => WordGrams(exprs(0), exprs(1))),
+    "graft_sig_agree" -> (exprs => SigAgree(exprs(0), exprs(1))),
+    "graft_hamming" -> (exprs => HammingWide(exprs(0), exprs(1))))
 
   /** Spark ships production Bloom expressions (the machinery behind
     * runtime row-group filtering: `BloomFilterAggregate` builds the

@@ -641,10 +641,16 @@ object Multimodal extends Serializable {
     )).as("e")).select(col("doc_id"), col("fp"), col("e.band"), col("e.key"))
 
   /** Exact 128-bit Hamming between two fp word arrays — per-word
-    * popcount summed with zip_with/aggregate (codegen'd, width-generic).
+    * popcount summed in one codegen'd loop
+    * ([[graft.functions.VectorFunctions.HammingWide]]; the prior
+    * zip_with/aggregate form was CodegenFallback — an interpreted
+    * lambda frame per word per candidate pair).
     */
   private def hamming128(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
+    org.apache.spark.sql.GraftShims.column(
+      graft.functions.VectorFunctions.HammingWide(
+        org.apache.spark.sql.GraftShims.expression(col(a)),
+        org.apache.spark.sql.GraftShims.expression(col(b))))
 
   /** Core on an injectable asset set — spec / scale-bench entry. */
   private[graft] def imageDupsOn(spark: SparkSession,
@@ -981,42 +987,25 @@ object Multimodal extends Serializable {
     * (1 + 12/32)^4 ≈ 3.6 masks/window vs 16; MmVideoSpec pins both
     * the recall and the ≤-budget emission).
     */
-  private[graft] def videoBands(rows: DataFrame): DataFrame = {
-    def d(i: Int) =
-      s"(element_at(levels, w + ${i + 2}) - element_at(levels, w + ${i + 1}) + 256)"
-    val bits = Seq("pmod(g, 2)", "pmod(g div 2, 2)", "pmod(g div 4, 2)", "pmod(g div 8, 2)")
-    def cell(i: Int) = s"cast(floor((${d(i)} + ${bits(i)} * 16) / 32) as bigint)"
-    def needB(i: Int) = s"(pmod(${d(i)}, 32) < 6 OR pmod(${d(i)}, 32) >= 26)"
-    val combined = (0 until 4).map(cell).reduce((a, b) => s"($a * 64 + $b)")
-    val allowed = (0 until 4).map(i => s"(${bits(i)} = 0 OR ${needB(i)})").mkString(" AND ")
-    rows.select(col("doc_id"), explode(expr(
-      "flatten(transform(sequence(0, size(levels) - 5), w -> " +
-      s"transform(filter(sequence(0, 15), g -> $allowed), g -> " +
-      s"named_struct('band', g, 'key', xxhash64($combined)))))"
-    )).as("e")).select(col("doc_id"), col("e.band"), col("e.key"))
-  }
+  private[graft] def videoBands(rows: DataFrame): DataFrame =
+    rows.select(col("doc_id"), explode(org.apache.spark.sql.GraftShims.column(
+      graft.functions.MediaFunctions.VideoBandKeys(
+        org.apache.spark.sql.GraftShims.expression(col("levels")))))
+      .as("e")).select(col("doc_id"), col("e.band"), col("e.key"))
 
-  /** Best-alignment mean |Δluminance| between two level sequences as
-    * one builtin-only SQL expression: minimum over offsets −maxTrim..
-    * maxTrim of the mean absolute difference across the overlap
-    * (≥ `minOverlap` frames; shorter overlaps score +∞-ish).
+  /** Best-alignment mean |Δluminance| between two level sequences:
+    * minimum over offsets −maxTrim..maxTrim of the mean absolute
+    * difference across the overlap (≥ `minOverlap` frames; shorter
+    * overlaps score +∞-ish). One native eval per candidate pair
+    * ([[graft.functions.MediaFunctions.AlignDiff]]) — the prior
+    * builtin-only form interpreted a lambda per offset × frame.
     */
-  private def alignDiffSql(a: String, b: String, maxTrim: Int, minOverlap: Int): String = {
-    def meanAbs(x: String, y: String, n: String) =
-      s"CASE WHEN $n >= $minOverlap THEN " +
-      s"aggregate(zip_with($x, $y, (p, q) -> abs(p - q)), 0, (acc, x) -> acc + x) " +
-      s"/ cast($n as double) ELSE 1.0e9 END"
-    val pos = meanAbs(
-      s"slice($a, o + 1, least(size($a) - o, size($b)))",
-      s"slice($b, 1, least(size($a) - o, size($b)))",
-      s"least(size($a) - o, size($b))")
-    val neg = meanAbs(
-      s"slice($a, 1, least(size($a), size($b) + o))",
-      s"slice($b, 1 - o, least(size($a), size($b) + o))",
-      s"least(size($a), size($b) + o)")
-    s"array_min(transform(sequence(-$maxTrim, $maxTrim), o -> " +
-    s"CASE WHEN o >= 0 THEN $pos ELSE $neg END))"
-  }
+  private def alignDiffCol(a: String, b: String, maxTrim: Int, minOverlap: Int) =
+    org.apache.spark.sql.GraftShims.column(
+      graft.functions.MediaFunctions.AlignDiff(
+        org.apache.spark.sql.GraftShims.expression(col(a)),
+        org.apache.spark.sql.GraftShims.expression(col(b)),
+        maxTrim, minOverlap))
 
   /** Spec/plant helper: demux, drop the first `trim` frames, decode +
     * re-encode every remaining frame (JPEG requantization — different
@@ -1086,7 +1075,7 @@ object Multimodal extends Serializable {
     cand
       .join(rows.select(col("doc_id").as("doc_a"), col("levels").as("la")), Seq("doc_a"))
       .join(rows.select(col("doc_id").as("doc_b"), col("levels").as("lb")), Seq("doc_b"))
-      .withColumn("align_diff", expr(alignDiffSql("la", "lb", maxTrim, minOverlap)))
+      .withColumn("align_diff", alignDiffCol("la", "lb", maxTrim, minOverlap))
       .filter(col("align_diff") <= tol)
       .select(col("doc_a"), col("doc_b"), round(col("align_diff"), 2).as("align_diff"))
   }
@@ -1106,7 +1095,7 @@ object Multimodal extends Serializable {
       (cand, rows) => cand
         .join(rows.select(col("doc_id").as("doc_a"), col("levels").as("la")), Seq("doc_a"))
         .join(rows.select(col("doc_id").as("doc_b"), col("levels").as("lb")), Seq("doc_b"))
-        .withColumn("align_diff", expr(alignDiffSql("la", "lb", maxTrim, minOverlap)))
+        .withColumn("align_diff", alignDiffCol("la", "lb", maxTrim, minOverlap))
         .filter(col("align_diff") <= tol)
         .select(col("doc_a"), col("doc_b"),
           round(col("align_diff"), 2).as("align_diff")),

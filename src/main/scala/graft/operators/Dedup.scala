@@ -277,7 +277,7 @@ object Dedup {
   private[graft] def minhashSets(spark: SparkSession, docs: DataFrame): DataFrame =
     shingledOn(spark, docs)
       .select(col("doc_id"),
-        expr("transform(shingles, s -> xxhash64(s))").as("hs"))
+        expr("graft_hash_arr(shingles)").as("hs"))
       .withColumn("sig", expr("graft_minhash64(hs)"))
 
   /** 16 bands × 4 rows banding of the signatures — the band index. */
@@ -297,7 +297,7 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .withColumn("est_jaccard", round(
-        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)") / 64.0, 4))
+        expr("graft_sig_agree(sig_a, sig_b)") / 64.0, 4))
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       // two sub-3-word docs have EMPTY shingle sets yet identical
       // all-sentinel signatures, so they collide in every band and
@@ -1044,7 +1044,7 @@ object Dedup {
   private def simhashFingerprints(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), words(col("text")).as("toks"))
-      .withColumn("fp", expr("graft_simhash64(transform(toks, t -> xxhash64(t)))"))
+      .withColumn("fp", expr("graft_simhash64(graft_hash_arr(toks))"))
       .select(col("doc_id"), col("fp"))
 
   /** 4×16-bit band blocking of the fingerprints; fp rides along so the
@@ -1220,7 +1220,7 @@ object Dedup {
     // without it the optimizer re-derives the shingling per branch
     val sets = shingled(spark, sfDir)
       .select(col("doc_id"),
-        expr("transform(shingles, s -> xxhash64(s))").as("hs"))
+        expr("graft_hash_arr(shingles)").as("hs"))
       .cache()
     val sh = sets.select(col("doc_id"), explode(col("hs")).as("shingle"))
     // stop-shingle list: tiny by construction (only keys hotter than
@@ -1261,7 +1261,7 @@ object Dedup {
       .agg(floor(count(lit(1)) * baseFrac).cast("long").as("cut"))
     val sets = shingledOn(spark, dupPlantedDocs(spark, sfDir))
       .select(col("doc_id"),
-        expr("transform(shingles, s -> xxhash64(s))").as("hs"))
+        expr("graft_hash_arr(shingles)").as("hs"))
       .cache()
     val sh = sets.select(col("doc_id"), explode(col("hs")).as("shingle"))
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -1633,11 +1633,19 @@ object Dedup {
     */
   private def windowIndex(docs: DataFrame, k: Int, dfCap: Int,
       hotMaxRows: Long = Hints.DeltaBroadcastMaxRows): DataFrame = {
-    val wins = docs.withColumn("w", split(col("text"), " "))
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    // r14: per-doc window dedup happens MAP-SIDE on the 8-byte hashes
+    // (array_distinct over graft_hash_arr) — the prior explode(string
+    // windows).distinct() shuffled every ~50-byte window string
+    // through a full exchange before hashing. Equivalent up to
+    // intra-doc 64-bit hash collision, the same equivalence class the
+    // cross-doc h-join already accepts (and the SQL oracle, which
+    // joins on window STRINGS, still hash-gates the result).
+    val hw = docs.withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= k)
-      .select(col("doc_id"), explode(TextAnalysis.wordGrams(k)).as("win"))
-      .distinct()
-    val hw = wins.select(col("doc_id"), xxhash64(col("win")).as("h"))
+      .select(col("doc_id"),
+        explode(expr("array_distinct(graft_hash_arr(" +
+          s"graft_word_grams(w, $k)))")).as("h"))
     val hot = hw.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)
       .select(col("h")).cache()

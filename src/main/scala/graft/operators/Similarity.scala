@@ -218,7 +218,7 @@ object Similarity {
     val sample = c
       .withColumn("hk", md5(col("vec_id").cast("string")))
       .orderBy(col("hk")).limit(trainCap)
-      .select(expr("transform(v, x -> x / norm)").as("v"))
+      .select(expr("graft_vdiv(v, norm)").as("v"))
       .collect().map(_.getSeq[Double](0).toArray)
     (0 until m).flatMap { s =>
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
@@ -275,31 +275,24 @@ object Similarity {
     * codebooks — spec entry.
     */
   /** Map-side PQ encode: per subspace, argmin over the codebook
-    * literal (||v_sub||² is constant within a row's argmin —
-    * dropped). Expects a UNIT-normalized `v` column; keeps every
-    * other column and adds `code` (m small ints).
+    * (||v_sub||² is constant within a row's argmin — dropped).
+    * Expects a UNIT-normalized `v` column; keeps every other column
+    * and adds `code` (m small ints). One codegen'd pass per row
+    * ([[graft.functions.VectorFunctions.PqEncode]]) — the prior
+    * per-subspace `transform`+`array_min` over a codebook literal ran
+    * the whole m·ncent·sub MAC interpreted (HOFs are CodegenFallback)
+    * and was the dominant term of every encode-heavy rung.
     */
   private def pqEncode(df: DataFrame, books: Seq[(Int, Int, Seq[Double])],
       m: Int, sub: Int): DataFrame = {
-    val encoded = (0 until m).foldLeft(df) { (d, s) =>
-      val bl = typedLit(books.filter(_._1 == s)
-        .map { case (_, i, cv) => (cv, cv.map(x => x * x).sum, i) })
-      // the subvector slice is hoisted OUT of the per-centroid
-      // transform for explicitness; measured NEUTRAL at 2M vectors
-      // (Catalyst's common-subexpression elimination already shares
-      // the inline slice) — the encode's real cost is the m·ncent
-      // graft_dot argmins, which are the algorithm
-      d.withColumn("sv", expr(s"slice(v, ${s * sub + 1}, $sub)"))
-        .withColumn("bk", bl)
-        .withColumn(s"c_$s",
-          expr("array_min(transform(bk, b -> struct(" +
-              "b._2 - 2.0d * graft_dot(sv, b._1) AS dist, " +
-              "b._3 AS code))).code"))
-        .drop("bk").drop("sv")
-    }
-    (0 until m).foldLeft(
-      encoded.withColumn("code", array((0 until m).map(s => col(s"c_$s")): _*))
-    ) { (d, s) => d.drop(s"c_$s") }
+    val sorted = books.sortBy(b => (b._1, b._2))
+    val flat = sorted.flatMap(_._3).toArray
+    val c2 = sorted.map(_._3.map(x => x * x).sum).toArray
+    val ncent = c2.length / m
+    df.withColumn("code", org.apache.spark.sql.GraftShims.column(
+      graft.functions.VectorFunctions.PqEncode(
+        org.apache.spark.sql.GraftShims.expression(col("v")),
+        flat, c2, m, ncent, sub)))
   }
 
   /** ADC lookup tables, built in Spark: query × broadcast codebook →
@@ -318,10 +311,15 @@ object Similarity {
         .as("lut"))
   }
 
-  /** Approximate dot via m ADC table lookups — codegen'd builtins. */
+  /** Approximate dot via m ADC table lookups — one codegen'd loop
+    * ([[graft.functions.VectorFunctions.PqAdc]]; the prior
+    * `aggregate(sequence(…))` HOF ran interpreted per (query,
+    * candidate) pair — the coarse scan's inner loop).
+    */
   private def adcExpr(m: Int, ncent: Int): org.apache.spark.sql.Column =
-    expr(s"aggregate(sequence(0, ${m - 1}), cast(0.0 as double), " +
-      s"(acc, i) -> acc + element_at(lut, i * $ncent + element_at(code, i + 1) + 1))")
+    org.apache.spark.sql.GraftShims.column(graft.functions.VectorFunctions.PqAdc(
+      org.apache.spark.sql.GraftShims.expression(col("lut")),
+      org.apache.spark.sql.GraftShims.expression(col("code")), ncent))
 
   private[graft] def knnPqOn(spark: SparkSession, c: DataFrame,
       books: Seq[(Int, Int, Seq[Double])], nQueries: Int, k: Int,
@@ -329,11 +327,11 @@ object Similarity {
     val sub = books.head._3.size
     // the corpus-side scan carries only (vec_id, m-int code)
     val codes = pqEncode(
-      c.select(col("vec_id"), expr("transform(v, x -> x / norm)").as("v")),
+      c.select(col("vec_id"), expr("graft_vdiv(v, norm)").as("v")),
       books, m, sub).select(col("vec_id"), col("code"))
     val luts = pqLuts(spark, c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
-        expr("transform(v, x -> x / norm)").as("qv")), books, sub)
+        expr("graft_vdiv(v, norm)").as("qv")), books, sub)
     // stage 1: coarse ADC scores — m table lookups per candidate
     val coarse = codes.join(broadcast(luts), col("vec_id") =!= col("query_id"))
       .withColumn("approx", adcExpr(m, ncent))
@@ -432,10 +430,10 @@ object Similarity {
     val codes = pqEncode(
       assigned.join(broadcast(probedClusters), Seq("cluster"), "leftsemi")
         .select(col("vec_id"), col("cluster"),
-          expr("transform(v, x -> x / norm)").as("v")),
+          expr("graft_vdiv(v, norm)").as("v")),
       books, m, sub).select(col("vec_id"), col("cluster"), col("code"))
     val luts = pqLuts(spark, q.select(col("query_id"),
-      expr("transform(qv, x -> x / qnorm)").as("qv")), books, sub)
+      expr("graft_vdiv(qv, qnorm)").as("qv")), books, sub)
     // coarse: ADC lookups over ONLY the probed lists' codes
     val coarse = codes.join(broadcast(probes.join(luts, Seq("query_id"))),
         Seq("cluster"))
@@ -518,33 +516,35 @@ object Similarity {
   // ---------------------------------------------------------------
   // persisted IVF index: centroids artifact + postings BucketStore
 
-  /** Centroid set as a broadcast-small literal column of
-    * `(cv, ||cv||², cluster)` structs — the quantizer ships to every
-    * task as a constant, so assignment and probing are MAP-SIDE (zero
-    * shuffle, codegen-friendly `transform`/`array_min` over the
-    * literal), the way a 100 TB assign pass must run. Bounded by
-    * `nlist` (the one sanctioned driver-side materialization here,
-    * same class as BucketStore's bucket-id pull).
+  /** The k nearest centroid ids by squared-L2, ordered (dist, id) —
+    * the quantizer ships to every task as a reference object, so
+    * assignment and probing stay MAP-SIDE (zero shuffle), the way a
+    * 100 TB assign pass must run; bounded by `nlist` (the one
+    * sanctioned driver-side materialization here, same class as
+    * BucketStore's bucket-id pull). Computed as
+    * one codegen'd pass over the row's vector
+    * ([[graft.functions.VectorFunctions.NearestClusters]]; the prior
+    * `array_min`/`array_sort` over a `transform(cents, …)` literal
+    * interpreted the whole nc·dim MAC per row — the dominant term of
+    * every corpus-wide assignment).
     */
-  private def centsLit(cents: Seq[(Int, Seq[Double])]): org.apache.spark.sql.Column =
-    typedLit(cents.map { case (i, cv) => (cv, cv.map(x => x * x).sum, i) })
+  private def nearestClustersCol(vCol: String,
+      cents: Seq[(Int, Seq[Double])], k: Int): org.apache.spark.sql.Column = {
+    val dim = cents.head._2.size
+    org.apache.spark.sql.GraftShims.column(
+      graft.functions.VectorFunctions.NearestClusters(
+        org.apache.spark.sql.GraftShims.expression(col(vCol)),
+        cents.flatMap(_._2).toArray,
+        cents.map(_._2.map(x => x * x).sum).toArray,
+        cents.map(_._1).toArray, dim, k))
+  }
 
-  /** Squared-L2 distance array to every centroid, as sortable
-    * `(dist, cluster)` structs; requires columns `v`, `norm2`,
-    * `cents`.
-    */
-  private val distArr =
-    "transform(cents, c -> struct(norm2 + c._2 - 2.0d * graft_dot(v, c._1) AS dist, c._3 AS cluster))"
-
-  /** Nearest-centroid assignment, map-side (see [[centsLit]]); ties
-    * break to the lowest cluster id via struct ordering.
+  /** Nearest-centroid assignment, map-side; ties break to the lowest
+    * cluster id (the struct ordering the array_min form used).
     */
   private[graft] def assignClusters(df: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
-    df.withColumn("cents", centsLit(cents))
-      .withColumn("norm2", expr("graft_dot(v, v)"))
-      .withColumn("cluster", expr(s"array_min($distArr)").getField("cluster"))
-      .drop("cents", "norm2")
+    df.withColumn("cluster", element_at(nearestClustersCol("v", cents, 1), 1))
   }
 
   /** Train the coarse quantizer on a deterministic sample of `df`
@@ -644,12 +644,8 @@ object Similarity {
       k: Int, nprobe: Int, nlist: Int): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val probes = queries
-      .withColumn("cents", centsLit(cents))
-      .withColumn("norm2", expr("graft_dot(qv, qv)").as("norm2"))
-      .withColumn("v", col("qv")) // distArr reads v
-      .withColumn("ps", expr(s"slice(array_sort($distArr), 1, $nprobe)"))
       .select(col("query_id"), col("qv"), col("qnorm"),
-        explode(col("ps.cluster")).as("cluster"))
+        explode(nearestClustersCol("qv", cents, nprobe)).as("cluster"))
     val touched = graft.streaming.BucketStore.touchedBuckets(
       probes.select(col("cluster").as(graft.streaming.BucketStore.BucketCol)))
     val postings = graft.streaming.BucketStore.readBuckets(spark, storeDir, touched, nlist)
@@ -708,7 +704,7 @@ object Similarity {
     val cols = df.columns
     val enc = pqEncode(
       df.withColumnRenamed("v", "rawv")
-        .withColumn("v", expr("transform(rawv, x -> x / norm)")),
+        .withColumn("v", expr("graft_vdiv(rawv, norm)")),
       books, m, sub)
     enc.drop("v").withColumnRenamed("rawv", "v")
       .select((cols :+ "code").map(col): _*)
@@ -784,16 +780,13 @@ object Similarity {
     val ncent = books.count(_._1 == 0)
     val sub = books.head._3.size
     val probes = queries
-      .withColumn("cents", centsLit(cents))
-      .withColumn("norm2", expr("graft_dot(qv, qv)"))
-      .withColumn("v", col("qv"))
-      .withColumn("ps", expr(s"slice(array_sort($distArr), 1, $nprobe)"))
-      .select(col("query_id"), explode(col("ps.cluster")).as("cluster"))
+      .select(col("query_id"),
+        explode(nearestClustersCol("qv", cents, nprobe)).as("cluster"))
     val touched = BucketStore.touchedBuckets(
       probes.select(col("cluster").as(BucketStore.BucketCol)))
     val postings = BucketStore.readBuckets(spark, storeDir, touched, nlist)
     val luts = pqLuts(spark, queries.select(col("query_id"),
-      expr("transform(qv, x -> x / qnorm)").as("qv")), books, sub)
+      expr("graft_vdiv(qv, qnorm)").as("qv")), books, sub)
     // coarse: ADC over STORED codes in the probed lists only
     val coarse = postings.select(col("vec_id"), col("cluster"), col("code"))
       .join(broadcast(probes.join(luts, Seq("query_id"))), Seq("cluster"))
@@ -911,12 +904,9 @@ object Similarity {
         val gate = f"${(corpusFraction * 256).toInt}%02x"
         all.filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit(gate))
       }
-    // probe list per query, map-side against the centroid literal
+    // probe list per query, map-side against the centroid artifact
     val probed = queries
-      .withColumn("cents", centsLit(cents))
-      .withColumn("v", col("qv"))
-      .withColumn("norm2", expr("graft_dot(qv, qv)"))
-      .withColumn("probed", expr(s"slice(array_sort($distArr), 1, $nprobe).cluster"))
+      .withColumn("probed", nearestClustersCol("qv", cents, nprobe))
       .select(col("query_id"), col("qv"), col("qnorm"), col("probed"))
     // true top-k over the (sampled) store, with each neighbor's
     // assigned cluster riding along; hit = cluster ∈ probe list

@@ -129,7 +129,10 @@ object TextAnalysis {
     * short docs as a single shingle.
     */
   private[graft] def wordGrams(n: Int): org.apache.spark.sql.Column =
-    expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))")
+    org.apache.spark.sql.GraftShims.column(
+      graft.functions.VectorFunctions.WordGrams(
+        org.apache.spark.sql.GraftShims.expression(col("w")),
+        org.apache.spark.sql.catalyst.expressions.Literal(n)))
 
   /** Within-document repetition score — the Gopher-style "fraction of
     * duplicate n-grams" quality filter: machine-generated and boiler-

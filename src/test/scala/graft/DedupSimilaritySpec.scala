@@ -593,4 +593,75 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ns.map(Similarity.derivePqNcent) === ns.map(Similarity.derivePqNcent).sorted)
     assert(ns.map(Similarity.deriveSemanticNlist) === ns.map(Similarity.deriveSemanticNlist).sorted)
   }
+
+  test("native PQ encode/ADC expressions are bit-identical to the HOF formulation") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.GraftShims
+    graft.functions.VectorFunctions.register(spark)
+    val m = 4; val sub = 4; val ncent = 8; val dim = m * sub
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 256L)
+      .map(i => (i, Seq.fill(dim)(rnd.nextGaussian()))).toDF("vec_id", "v")
+    // shuffled book order: the native path must sort by (s, cid) itself
+    val books: Seq[(Int, Int, Seq[Double])] = rnd.shuffle(
+      (for (s <- 0 until m; c <- 0 until ncent)
+        yield (s, c, Seq.fill(sub)(rnd.nextGaussian()).toSeq)).toVector)
+    // oracle: the pre-r14 interpreted HOF formulation, verbatim
+    val oracle = (0 until m).foldLeft(vecs) { (d, s) =>
+      val bl = typedLit(books.filter(_._1 == s)
+        .map { case (_, i, cv) => (cv, cv.map(x => x * x).sum, i) })
+      d.withColumn("sv", expr(s"slice(v, ${s * sub + 1}, $sub)"))
+        .withColumn("bk", bl)
+        .withColumn(s"c_$s",
+          expr("array_min(transform(bk, b -> struct(" +
+            "b._2 - 2.0d * graft_dot(sv, b._1) AS dist, b._3 AS code))).code"))
+        .drop("bk").drop("sv")
+    }.withColumn("ocode", array((0 until m).map(s => col(s"c_$s")): _*))
+    val sorted = books.sortBy(b => (b._1, b._2))
+    val flat = sorted.flatMap(_._3).toArray
+    val c2 = sorted.map(_._3.map(x => x * x).sum).toArray
+    val native = GraftShims.column(VectorFunctions.PqEncode(
+      GraftShims.expression(col("v")), flat, c2, m, ncent, sub))
+    val both = oracle.withColumn("code", native).cache()
+    assert(both.filter(!(col("ocode") <=> col("code"))).count() === 0)
+    // ADC: same lut, old aggregate-HOF vs native loop — bit-identical sums
+    val lut = Seq.fill(m * ncent)(rnd.nextGaussian())
+    val withLut = both.withColumn("lut", typedLit(lut))
+    val oadc = expr(s"aggregate(sequence(0, ${m - 1}), cast(0.0 as double), " +
+      s"(acc, i) -> acc + element_at(lut, i * $ncent + element_at(code, i + 1) + 1))")
+    val nadc = GraftShims.column(VectorFunctions.PqAdc(
+      GraftShims.expression(col("lut")), GraftShims.expression(col("code")), ncent))
+    assert(withLut.filter(!(oadc <=> nadc)).count() === 0)
+    both.unpersist()
+    // interpreted path (nullSafeEval — streaming eval / codegen fallback)
+    // against an independent plain-Scala argmin
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val v = Array.fill(dim)(rnd.nextGaussian())
+    val got = VectorFunctions.PqEncode(
+        Literal.create(v.toSeq, ArrayType(DoubleType)), flat, c2, m, ncent, sub)
+      .eval(null).asInstanceOf[ArrayData].toIntArray()
+    val want = (0 until m).map { s =>
+      (0 until ncent).minBy { c =>
+        val base = (s * ncent + c) * sub
+        c2(s * ncent + c) - 2.0 * (0 until sub).map(j => v(s * sub + j) * flat(base + j)).sum
+      }
+    }
+    assert(got.toSeq === want)
+    val code = got
+    val gotAdc = VectorFunctions.PqAdc(
+        Literal.create(lut, ArrayType(DoubleType)),
+        Literal.create(code.toSeq, ArrayType(org.apache.spark.sql.types.IntegerType)),
+        ncent)
+      .eval(null).asInstanceOf[Double]
+    assert(gotAdc === (0 until m).map(i => lut(i * ncent + code(i))).sum)
+    // graft_vdiv ≡ the transform lambda it replaced (division kept,
+    // not multiply-by-reciprocal — bit-identical)
+    val vd = vecs.withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .withColumn("a", expr("graft_vdiv(v, norm)"))
+      .withColumn("b", expr("transform(v, x -> x / norm)"))
+    assert(vd.filter(!(col("a") <=> col("b"))).count() === 0)
+  }
 }

@@ -326,8 +326,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     // the pair join keys on the 64-bit window hash, never the string
     // (the hash lives in an aggregate's result projection, which the
-    // executed plan's toString elides — check the analyzed plan)
-    assert(df.queryExecution.analyzed.toString.contains("xxhash64"))
+    // executed plan's toString elides — check the analyzed plan).
+    // r14: the hash is graft_hash_arr (the per-window xxhash64 fused
+    // map-side with the per-doc distinct — no window string ever
+    // reaches an exchange)
+    assert(df.queryExecution.analyzed.toString.contains("graft_hash_arr"))
   }
 
   test("substring dedup: hot-window anti-join size-gates — broadcast under the cap, shuffled past it, identical rows") {
