@@ -1017,6 +1017,45 @@ object VectorFunctions {
       copy(child = newChild)
   }
 
+  /** rolling_fp(text) → the Rabin–Karp-style rolling polynomial
+    * document fingerprint over token hashes, one pass: split on ' '
+    * (the same `UTF8String.split` Spark's split() lowers to, limit
+    * −1), xxhash64 each token (seed 42, `XXH64.hashUTF8String`), fold
+    * `pmod(acc·1000003 + (h & 0xFFFFFFFF), 2^31−1)`. Replaces an
+    * `aggregate(transform(split(…)))` pair that interpreted two
+    * lambda frames per token. Arithmetic identical (acc < 2³¹,
+    * masked h < 2³², product < 2⁵² — no overflow), so fingerprints
+    * are bit-identical. CodegenFallback — one eval per row.
+    */
+  case class RollingFp(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string input, got ${other.simpleString}")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_rolling_fp"
+
+    private val space = UTF8String.fromString(" ")
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[UTF8String].split(space, -1)
+      var acc = 0L
+      var i = 0
+      while (i < toks.length) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(toks(i), 42L)
+        acc = java.lang.Math.floorMod(acc * 1000003L + (h & 4294967295L), 2147483647L)
+        i += 1
+      }
+      acc
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Canonical name → builder list for the vector/sketch functions.
     * Single source of truth shared by the programmatic per-session
     * `register` below and the `spark.sql.extensions` deployment path
@@ -1034,6 +1073,7 @@ object VectorFunctions {
     "graft_vdiv" -> (exprs => VecDiv(exprs(0), exprs(1))),
     "graft_hash_arr" -> (exprs => HashStrArr(exprs.head)),
     "graft_word_grams" -> (exprs => WordGrams(exprs(0), exprs(1))),
+    "graft_rolling_fp" -> (exprs => RollingFp(exprs.head)),
     "graft_sig_agree" -> (exprs => SigAgree(exprs(0), exprs(1))),
     "graft_hamming" -> (exprs => HammingWide(exprs(0), exprs(1))))
 

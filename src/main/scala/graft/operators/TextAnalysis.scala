@@ -584,11 +584,14 @@ object TextAnalysis {
     * multiplier 2^20) so it never overflows a long — Spark 4's ANSI
     * mode makes wrap-around an error, and modular form is portable.
     */
-  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     Tables.documents(spark, sfDir)
       .select(
         col("doc_id"),
-        expr("aggregate(transform(split(text, ' '), t -> xxhash64(t)), " +
-             "0L, (acc, h) -> pmod(acc * 1000003L + (h & 4294967295L), 2147483647L))")
-          .as("fingerprint"))
+        // r14: one native pass (graft_rolling_fp) — the
+        // aggregate(transform(split(…))) form interpreted two lambda
+        // frames per token; fingerprints bit-identical (spec-pinned)
+        expr("graft_rolling_fp(text)").as("fingerprint"))
+  }
 }

@@ -182,6 +182,24 @@ class NativeExprParitySpec extends AnyFunSuite {
     assert(allK.filter(!(col("na") <=> col("oa"))).count() === 0)
   }
 
+  test("graft_rolling_fp ≡ the aggregate/transform/split fingerprint fold") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(31)
+    val docs = (0 until 200).map { i =>
+      // includes empty docs, repeated/trailing spaces (split keeps the
+      // empty tokens; the fold must hash them identically)
+      val words = Seq.fill(rnd.nextInt(40))(
+        if (rnd.nextInt(8) == 0) "" else rnd.alphanumeric.take(1 + rnd.nextInt(10)).mkString)
+      (i.toLong, words.mkString(" ") + (if (i % 9 == 0) " " else ""))
+    }.toDF("id", "text")
+    val both = docs
+      .withColumn("a", expr("graft_rolling_fp(text)"))
+      .withColumn("b", expr("aggregate(transform(split(text, ' '), t -> xxhash64(t)), " +
+        "0L, (acc, h) -> pmod(acc * 1000003L + (h & 4294967295L), 2147483647L))"))
+    assert(both.filter(col("a") =!= col("b")).count() === 0)
+  }
+
   test("graft_vdiv interpreted eval matches codegen (UnsafeArrayData path)") {
     // the expression appears inside non-codegen contexts too
     // (e.g. under CodegenFallback parents) — pin eval directly
