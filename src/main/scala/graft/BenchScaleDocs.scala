@@ -534,6 +534,9 @@ object BenchScaleDocs {
       extras("audiofp_planted_found") = pairs
         .filter(col("doc_b") - col("doc_a") === 10000000L).count()
       extras("audiofp_planted_total") = nClip / 10
+      extras("audiofp_decode_sec") = math.round(graft.PhaseTimer.snapshot()
+        .getOrElse("mm_audio_dedup", Map.empty)
+        .getOrElse("decode", 0.0) * 1000.0) / 1000.0
       val hist = pairs
         .withColumn("planted", col("doc_b") - col("doc_a") === 10000000L)
         .groupBy(col("planted"), col("hamming")).count()

@@ -852,6 +852,9 @@ object Multimodal extends Serializable {
       maxDist: Int = 3, bucketCap: Int = 10000,
       maxPairsPerDoc: Int = DefaultAudioPairCap): DataFrame = {
     val hashed = audioFpRows(clipAssets.toDF()).cache()
+    // r14: decode split from the band/verify tail, the videoDupsOn
+    // convention — the cache makes the forcing count the decode pass
+    graft.PhaseTimer.timed("mm_audio_dedup", "decode") { hashed.count() }
     val bands = graft.operators.Dedup.dropHotBuckets(phashBands(hashed), bucketCap)
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -43,10 +43,18 @@ object Similarity {
       // multiply the one shuffle here ~30× (measured shape at 2M
       // vectors in BENCH_scale_docs)
       .select(col("query_id"), col("vec_id"), col("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
+    // r14: top-k via the heap aggregate, not a window — the scored set
+    // is queries × corpus, and the window fully sorted it per query;
+    // graft_topk's partial aggregation ships ≤ k rows per query per
+    // map partition. Same (cos desc, vec_id asc) total order incl.
+    // tie-breaks, rn reconstructed from the heap's sorted position —
+    // hash-identical output (the ItemCF precedent; same SQL oracle).
+    graft.functions.TopKAgg.register(spark)
+    scored.groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(cos, vec_id, $k)").as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cos"), (col("pos") + 1).as("rn"))
   }
 
   /** Per-label mean embedding (centroids) via positional explode —
@@ -84,11 +92,17 @@ object Similarity {
       .join(broadcast(q.select(col("query_id"), col("qcode"))),
         col("vec_id") =!= col("query_id"))
       .withColumn("approx", expr("graft_sq8_dot(code, qcode)"))
-    val wCoarse = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx").desc, col("vec_id").asc)
-    val cands = coarse.withColumn("crn", row_number().over(wCoarse))
-      .filter(col("crn") <= k * oversample)
-      .select(col("query_id"), col("vec_id"))
+    // r14: per-query coarse top-(k·oversample) via the heap aggregate,
+    // not a window — the scored candidate set is queries × corpus (or
+    // × probed lists); a window re-shuffles and fully sorts it on
+    // query_id, where graft_topk's partial aggregation ships ≤
+    // k·oversample rows per query per map partition. Same
+    // (approx desc, vec_id asc) total order incl. tie-breaks (the
+    // ItemCF precedent) — candidate set identical.
+    graft.functions.TopKAgg.register(spark)
+    val cands = coarse.groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(approx, vec_id, ${k * oversample})").as("topk"))
+      .select(col("query_id"), explode(expr("topk.id")).as("vec_id"))
     // stage 2: exact re-rank of the survivors only
     val exact = cands
       .join(c.select(col("vec_id"), col("v"), col("norm")), Seq("vec_id"))
@@ -336,11 +350,17 @@ object Similarity {
     val coarse = codes.join(broadcast(luts), col("vec_id") =!= col("query_id"))
       .withColumn("approx", adcExpr(m, ncent))
       .select(col("query_id"), col("vec_id"), col("approx"))
-    val wCoarse = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx").desc, col("vec_id").asc)
-    val cands = coarse.withColumn("crn", row_number().over(wCoarse))
-      .filter(col("crn") <= k * oversample)
-      .select(col("query_id"), col("vec_id"))
+    // r14: per-query coarse top-(k·oversample) via the heap aggregate,
+    // not a window — the scored candidate set is queries × corpus (or
+    // × probed lists); a window re-shuffles and fully sorts it on
+    // query_id, where graft_topk's partial aggregation ships ≤
+    // k·oversample rows per query per map partition. Same
+    // (approx desc, vec_id asc) total order incl. tie-breaks (the
+    // ItemCF precedent) — candidate set identical.
+    graft.functions.TopKAgg.register(spark)
+    val cands = coarse.groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(approx, vec_id, ${k * oversample})").as("topk"))
+      .select(col("query_id"), explode(expr("topk.id")).as("vec_id"))
     // stage 2: exact re-rank of the survivors only
     val qFull = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
@@ -440,11 +460,17 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("approx", adcExpr(m, ncent))
       .select(col("query_id"), col("vec_id"), col("approx"))
-    val wCoarse = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx").desc, col("vec_id").asc)
-    val cands = coarse.withColumn("crn", row_number().over(wCoarse))
-      .filter(col("crn") <= k * oversample)
-      .select(col("query_id"), col("vec_id"))
+    // r14: per-query coarse top-(k·oversample) via the heap aggregate,
+    // not a window — the scored candidate set is queries × corpus (or
+    // × probed lists); a window re-shuffles and fully sorts it on
+    // query_id, where graft_topk's partial aggregation ships ≤
+    // k·oversample rows per query per map partition. Same
+    // (approx desc, vec_id asc) total order incl. tie-breaks (the
+    // ItemCF precedent) — candidate set identical.
+    graft.functions.TopKAgg.register(spark)
+    val cands = coarse.groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(approx, vec_id, ${k * oversample})").as("topk"))
+      .select(col("query_id"), explode(expr("topk.id")).as("vec_id"))
     val exact = cands
       .join(c.select(col("vec_id"), col("v"), col("norm")), Seq("vec_id"))
       .join(broadcast(q), Seq("query_id"))
@@ -793,11 +819,17 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("approx", adcExpr(m, ncent))
       .select(col("query_id"), col("vec_id"), col("approx"))
-    val wCoarse = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx").desc, col("vec_id").asc)
-    val cands = coarse.withColumn("crn", row_number().over(wCoarse))
-      .filter(col("crn") <= k * oversample)
-      .select(col("query_id"), col("vec_id"))
+    // r14: per-query coarse top-(k·oversample) via the heap aggregate,
+    // not a window — the scored candidate set is queries × corpus (or
+    // × probed lists); a window re-shuffles and fully sorts it on
+    // query_id, where graft_topk's partial aggregation ships ≤
+    // k·oversample rows per query per map partition. Same
+    // (approx desc, vec_id asc) total order incl. tie-breaks (the
+    // ItemCF precedent) — candidate set identical.
+    graft.functions.TopKAgg.register(spark)
+    val cands = coarse.groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(approx, vec_id, ${k * oversample})").as("topk"))
+      .select(col("query_id"), explode(expr("topk.id")).as("vec_id"))
     // exact re-rank: survivors' raw vectors from the same pruned
     // buckets (different parquet columns, same files)
     val exact = cands

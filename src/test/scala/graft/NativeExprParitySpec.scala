@@ -200,6 +200,50 @@ class NativeExprParitySpec extends AnyFunSuite {
     assert(both.filter(col("a") =!= col("b")).count() === 0)
   }
 
+  test("native expressions on degenerate shapes: empty arrays, short inputs") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
+    def arr(e: Any): ArrayData = e.asInstanceOf[ArrayData]
+    val emptyS = Literal.create(Seq.empty[String], ArrayType(StringType))
+    val emptyL = Literal.create(Seq.empty[Long], ArrayType(LongType))
+    val emptyD = Literal.create(Seq.empty[Double], ArrayType(DoubleType))
+    val emptyI = Literal.create(Seq.empty[Int], ArrayType(IntegerType))
+    // empty token array → no grams, no hashes
+    assert(arr(VectorFunctions.WordGrams(emptyS, Literal(3)).eval(null)).numElements() === 0)
+    assert(arr(VectorFunctions.HashStrArr(emptyS).eval(null)).numElements() === 0)
+    // one word, n=3: shorter than a gram → empty (callers pre-filter,
+    // but the expression must stay total)
+    assert(arr(VectorFunctions.WordGrams(
+      Literal.create(Seq("a"), ArrayType(StringType)), Literal(3)).eval(null))
+      .numElements() === 0)
+    // empty signatures agree on nothing and differ in nothing
+    assert(VectorFunctions.SigAgree(emptyL, emptyL).eval(null) === 0)
+    assert(VectorFunctions.HammingWide(emptyL, emptyL).eval(null) === 0)
+    // empty vector divides/encodes to empty / code of all-zero argmins
+    assert(arr(VectorFunctions.VecDiv(emptyD, Literal(2.0)).eval(null)).numElements() === 0)
+    // empty LUT/code → ADC sum 0
+    assert(VectorFunctions.PqAdc(emptyD, emptyI, 8).eval(null) === 0.0)
+    // fewer than 5 frames → no windows, no band keys
+    assert(arr(MediaFunctions.VideoBandKeys(
+      Literal.create(Seq(1, 2, 3, 4), ArrayType(IntegerType))).eval(null))
+      .numElements() === 0)
+    // overlap below minOverlap at every offset → the 1.0e9 sentinel
+    assert(MediaFunctions.AlignDiff(
+      Literal.create(Seq(1, 2), ArrayType(IntegerType)),
+      Literal.create(Seq(1, 2), ArrayType(IntegerType)),
+      maxTrim = 3, minOverlap = 6).eval(null) === 1.0e9)
+    // empty text still fingerprints (one empty token, not a crash)
+    assert(VectorFunctions.RollingFp(Literal.create("", StringType)).eval(null)
+      .isInstanceOf[Long])
+    // vector shorter than the centroid dim: argmin over the shared
+    // prefix (min-length contract), still returns k ids
+    val nc = VectorFunctions.NearestClusters(
+      Literal.create(Seq(1.0), ArrayType(DoubleType)),
+      Array(1.0, 0.0, 0.0, 1.0), Array(1.0, 1.0), Array(0, 1), dim = 2, k = 2)
+    assert(arr(nc.eval(null)).toIntArray().toSeq === Seq(0, 1))
+  }
+
   test("graft_vdiv interpreted eval matches codegen (UnsafeArrayData path)") {
     // the expression appears inside non-codegen contexts too
     // (e.g. under CodegenFallback parents) — pin eval directly
