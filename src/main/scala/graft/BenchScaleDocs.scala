@@ -261,6 +261,43 @@ object BenchScaleDocs {
     val recall = bruteHits.count(ivfHits.contains).toDouble / math.max(1, bruteHits.size)
     extras("ivf_recall_at10") = f"$recall%.4f"
 
+    // ----- embeddings: DERIVED coarse knobs vs the hand-picked pair
+    // (r15, the r14 verdict's #1 receipt): deriveIvfNlist(2M) = 2048
+    // (~1k vectors per inverted list) and deriveIvfNprobe(2048) = 64
+    // hold the SAME 1/32 scan fraction the hand-picked 256/8 above
+    // measured healthy, with 8×-finer lists — this block measures
+    // what a DEFAULT-KNOB user now gets at 2M (r11 closed this class
+    // for PQ knobs; the coarse stage was the one silent-degradation
+    // knob left). Alongside: the recall-vs-nprobe curve under derived
+    // nlist (the knob a 100 TB operator actually turns — r14
+    // receipted only nprobe=8 at nlist=256).
+    val nlistD = Similarity.deriveIvfNlist(extras("n_vecs").asInstanceOf[Long])
+    val nprobeD = Similarity.deriveIvfNprobe(nlistD)
+    extras("ivf_nlist_derived") = nlistD.toLong
+    extras("ivf_nprobe_derived") = nprobeD.toLong
+    val centroidsDirD = s"$scaleDir/ivf_centroids_derived"
+    val storeDirD = s"$scaleDir/ivf_store_derived"
+    var centsD: Seq[(Int, Seq[Double])] = Seq.empty
+    timedUnit("ivf_build_2m_derived") {
+      centsD = Similarity.trainQuantizer(spark, corpus(), centroidsDirD, nlistD)
+      Similarity.seedIvfStore(spark, corpus(), storeDirD, centsD, nlistD)
+    }
+    val curve = Seq(4, 8, 16, nprobeD).distinct.sorted.map { np =>
+      val label = if (np == nprobeD) "ivf_search_2m_derived"
+        else s"ivf_search_2m_derived_np$np"
+      timedWrite(label, s"$scaleDir/ivf_hits_d_np$np")(
+        Similarity.searchIvfStore(spark, storeDirD, centsD, queries(),
+          k = 10, nprobe = np, nlist = nlistD))
+      val hits = spark.read.parquet(s"$scaleDir/ivf_hits_d_np$np")
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rc = bruteHits.count(hits.contains).toDouble / math.max(1, bruteHits.size)
+      f"$np:$rc%.4f"
+    }
+    extras("ivf_nprobe_curve") = curve.mkString(",")
+    extras("ivf_recall_at10_derived") =
+      curve.find(_.startsWith(s"$nprobeD:")).get.split(':')(1)
+
     // ----- embeddings: SemDeDup (cluster-bounded semantic dedup) --
     // 200k-vector subset at nlist=256 (~800 vectors/cluster): the
     // moderate-threshold regime banding cannot serve. The planted
@@ -321,7 +358,7 @@ object BenchScaleDocs {
     // store rung remains the deployment shape (encode once, at rest).
     timedWrite("ivfpq_inquery_2m", s"$scaleDir/ivfpq_inq_hits")(
       Similarity.knnIvfPqOn(spark, corpus(), nQueries = 64, k = 10,
-        nlist = nlist, nprobe = 8, m = 16, ncent0 = -1, oversample0 = -1))
+        nlist0 = nlist, nprobe0 = 8, m = 16, ncent0 = -1, oversample0 = -1))
     locally {
       val hits = spark.read.parquet(s"$scaleDir/ivfpq_inq_hits")
         .select(col("query_id"), col("neighbor_id")).collect()

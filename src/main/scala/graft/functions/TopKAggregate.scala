@@ -109,11 +109,33 @@ object TopKAgg {
   /** Bounded min-heap over (score, id) keeping the k best by
     * (score DESC, id ASC): the worst retained element — lowest score,
     * then largest id — sits at the root and is evicted first.
+    *
+    * Score comparisons are NaN-total, NOT primitive `<`/`==`: every
+    * primitive comparison against NaN is false, so a NaN score (0/0
+    * from a zero-norm vector) could lodge at the heap root and block
+    * all evictions, and `sortWith` on NaN violates the ordering
+    * contract. [[cmpScore]] mirrors Spark's own sort semantics
+    * (`nanSafeCompareDoubles`): NaN ranks LARGEST — exactly how the
+    * window sort this aggregate replaced ranked it (NaN first under
+    * `desc`) — and -0.0 == 0.0 falls to the id tie-break, like
+    * Spark's, where raw Double.compare would order the zero signs.
     */
   final class Heap(k: Int) {
+    private def cmpScore(x: Double, y: Double): Int = {
+      val xN = java.lang.Double.isNaN(x)
+      val yN = java.lang.Double.isNaN(y)
+      if ((xN && yN) || x == y) 0
+      else if (xN) 1
+      else if (yN) -1
+      else if (x > y) 1
+      else -1
+    }
+
     // order "a is worse than b": lower score, or same score and larger id
-    private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 < s2 || (s1 == s2 && i1 > i2)
+    private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val c = cmpScore(s1, s2)
+      c < 0 || (c == 0 && i1 > i2)
+    }
 
     private val scores = new Array[Double](math.max(k, 1))
     private val ids = new Array[Long](math.max(k, 1))
@@ -164,7 +186,10 @@ object TopKAgg {
       val out = new Array[(Double, Long)](n)
       var j = 0
       while (j < n) { out(j) = (scores(j), ids(j)); j += 1 }
-      out.sortWith { case ((s1, i1), (s2, i2)) => s1 > s2 || (s1 == s2 && i1 < i2) }
+      out.sortWith { case ((s1, i1), (s2, i2)) =>
+        val c = cmpScore(s1, s2)
+        c > 0 || (c == 0 && i1 < i2)
+      }
     }
   }
 

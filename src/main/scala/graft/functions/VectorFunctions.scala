@@ -548,6 +548,14 @@ object VectorFunctions {
 
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
+      // fail loudly on a short vector: the inner loop reads v[0 ..
+      // m·sub) unguarded, so a dimension mismatch would be an opaque
+      // ArrayIndexOutOfBounds (interpreted) or an undefined
+      // UnsafeArrayData read (codegen) — a silently-wrong code
+      if (v.numElements() < m * sub)
+        throw new IllegalArgumentException(
+          s"graft_pq_encode: vector has ${v.numElements()} dims, codebook " +
+            s"expects m*sub = ${m * sub}")
       val code = new Array[Int](m)
       var s = 0
       while (s < m) {
@@ -583,6 +591,11 @@ object VectorFunctions {
         val best = ctx.freshName("best")
         val bestD = ctx.freshName("bestD")
         s"""
+           |if ($a.numElements() < ${m * sub}) {
+           |  throw new IllegalArgumentException(
+           |    "graft_pq_encode: vector has " + $a.numElements() +
+           |    " dims, codebook expects m*sub = ${m * sub}");
+           |}
            |int[] $code = new int[$m];
            |for (int $s = 0; $s < $m; $s++) {
            |  int $best = 0;
@@ -758,6 +771,14 @@ object VectorFunctions {
     * signatures agree — the minhash similarity estimate's inner loop
     * (was `aggregate(zip_with(…, IF(x = y, 1, 0)), …)`, interpreted
     * per candidate pair with a boxed struct per position).
+    *
+    * MIN-LENGTH CONTRACT: unequal-length inputs count over the shared
+    * prefix — which the IF(x = y, 1, 0) zip_with form this replaced
+    * ALSO did (null-padded positions hit IF's else branch and
+    * contribute 0), so the two agree on every width
+    * (NativeExprParitySpec pins both the equal-width parity and the
+    * unequal-width prefix count). Every caller compares FIXED-width
+    * signatures (one minhash/band geometry per store).
     */
   case class SigAgree(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -806,7 +827,13 @@ object VectorFunctions {
   /** hamming(a, b) → Σ popcount(a[i] ^ b[i]) over two array<long>
     * fingerprints — the 128-bit image/audio Hamming verify (was
     * `aggregate(zip_with(…, bit_count(x ^ y)), …)`, interpreted per
-    * candidate pair).
+    * candidate pair). MIN-LENGTH CONTRACT: unequal widths sum over
+    * the shared prefix — here this IS a deliberate divergence from
+    * the old form (bit_count(x ^ null) nulls the whole zip_with sum,
+    * unlike [[SigAgree]]'s IF which zeroed the padding): every caller
+    * passes fixed-width fingerprints, and a prefix count degrades
+    * more usefully than a NULL if widths ever drift mid-migration.
+    * NativeExprParitySpec pins both sides of the contract.
     */
   case class HammingWide(left: Expression, right: Expression)
       extends BinaryExpression {

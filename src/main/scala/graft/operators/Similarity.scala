@@ -200,6 +200,43 @@ object Similarity {
   private[graft] def deriveSemanticNlist(n: Long): Int =
     math.min(65536, math.max(16, nextPow2(ceilDiv(n, 1000L))))
 
+  /** Scale-derived IVF coarse-quantizer size: ~1k vectors per inverted
+    * list (the [[deriveSemanticNlist]] curve), next power of two,
+    * clamped to [8, 65536] — the same silent-degradation class the r11
+    * sweep closed for PQ knobs, closed for the coarse stage. A FIXED
+    * nlist makes every inverted list corpus/nlist-sized: at the old
+    * default 8, a 2M-vector corpus probes 250k-row lists (the probed
+    * fraction is a constant nprobe/nlist of the corpus no matter how
+    * big the corpus gets), and a 100 TB corpus would make each list a
+    * shard-sized scan. Deriving holds per-list size ≈ 1k rows flat, so
+    * probe cost is ∝ nprobe·1k regardless of corpus scale. The min
+    * clamp 8 keeps the registered entries' historical shape at test SF
+    * (≤ 8k vectors derive 8); 2M derives 2048. The derivation is
+    * frozen into the centroid artifact at seed time — ticks and
+    * maintainers recover it as `loadCentroids(..).size`
+    * ([[graft.streaming.DocStream.startIvfMaintain]]'s nlist ≤ 0
+    * path) — and re-derived from the GROWN corpus at
+    * [[rebuildIvfIndex]]/[[rebuildIvfPqIndex]], the semantic-family
+    * precedent.
+    */
+  private[graft] def deriveIvfNlist(n: Long): Int =
+    math.min(65536, math.max(8, nextPow2(ceilDiv(n, 1000L))))
+
+  /** Scale-derived probe width for a derived nlist: nlist/32, clamped
+    * to [2, 64] — holds the probed corpus fraction at the 1/32 the
+    * committed 2M scale run measured healthy by hand (nlist 256,
+    * nprobe 8 → recall@10 0.94 on the clustered scale corpus), while
+    * the derived-finer lists keep per-probe reads ~1k rows. Small
+    * corpora (nlist 8) keep the historical nprobe 2; 2M (nlist 2048)
+    * derives 64. Recall at a fixed scan fraction is corpus-geometry-
+    * dependent — the BENCH_scale_docs `ivf_nprobe_curve` receipt
+    * measures recall@10 at nprobe ∈ {4, 8, 16, derived} under derived
+    * nlist so the knob a 100 TB operator actually turns has a
+    * published curve.
+    */
+  private[graft] def deriveIvfNprobe(nlist: Int): Int =
+    math.min(64, math.max(2, nlist / 32))
+
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
 
   private def nextPow2(x: Long): Int = {
@@ -300,6 +337,17 @@ object Similarity {
   private def pqEncode(df: DataFrame, books: Seq[(Int, Int, Seq[Double])],
       m: Int, sub: Int): DataFrame = {
     val sorted = books.sortBy(b => (b._1, b._2))
+    // the emitted code id is the SORTED POSITION within the subspace,
+    // and pqLuts' lut layout indexes by the same position — equivalent
+    // to the books' cid field only while cids are dense 0..ncent-1 per
+    // subspace (true for trainPqCodebooks/loadCodebooks output). Make
+    // that density assumption explicit: a future sparse codebook would
+    // otherwise silently mis-key codes against luts and stored postings.
+    sorted.groupBy(_._1).foreach { case (s, bs) =>
+      require(bs.map(_._2) == (0 until bs.size),
+        s"pqEncode: subspace $s codebook ids not dense 0..${bs.size - 1}: " +
+          bs.map(_._2).mkString(","))
+    }
     val flat = sorted.flatMap(_._3).toArray
     val c2 = sorted.map(_._3.map(x => x * x).sum).toArray
     val ncent = c2.length / m
@@ -404,22 +452,25 @@ object Similarity {
     * store rung, always.
     */
   def knnIvfPq(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 10,
-               nlist: Int = 8, nprobe: Int = 2, m: Int = 16, ncent: Int = -1,
+               nlist: Int = -1, nprobe: Int = -1, m: Int = 16, ncent: Int = -1,
                oversample: Int = -1): DataFrame =
     knnIvfPqOn(spark, corpus(spark, sfDir), nQueries, k, nlist, nprobe,
       m, ncent, oversample)
 
   /** Core over an injectable (vec_id, v, norm) corpus — spec /
-    * scale-bench entry. `ncent`/`oversample` ≤ 0 derive from the
-    * corpus count ([[derivePqNcent]]/[[derivePqOversample]], the
-    * [[knnPq]] contract).
+    * scale-bench entry. `nlist`/`nprobe`/`ncent`/`oversample` ≤ 0
+    * derive from the corpus count ([[deriveIvfNlist]]/
+    * [[deriveIvfNprobe]]/[[derivePqNcent]]/[[derivePqOversample]],
+    * the [[knnPq]] contract).
     */
   private[graft] def knnIvfPqOn(spark: SparkSession, rawCorpus: DataFrame,
-      nQueries: Int, k: Int, nlist: Int, nprobe: Int, m: Int, ncent0: Int,
+      nQueries: Int, k: Int, nlist0: Int, nprobe0: Int, m: Int, ncent0: Int,
       oversample0: Int): DataFrame = {
     import spark.implicits._
     val c = rawCorpus.withColumn("fv", array_to_vector(col("v"))).cache()
     val n = c.count() // materializes the cache; knob-derivation input
+    val nlist = if (nlist0 > 0) nlist0 else deriveIvfNlist(n)
+    val nprobe = if (nprobe0 > 0) nprobe0 else deriveIvfNprobe(nlist)
     val ncent = if (ncent0 > 0) ncent0 else derivePqNcent(n)
     val oversample = if (oversample0 > 0) oversample0 else derivePqOversample(n)
     val train = c.filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit("40"))
@@ -492,10 +543,15 @@ object Similarity {
     * `nprobe` nearest centroids and scan only those buckets.
     * Output schema matches [[knnBrute]] plus the probed-cluster id, so
     * recall against the brute-force baseline is a direct join.
+    * `nlist`/`nprobe` ≤ 0 scale-derive from the corpus count
+    * ([[deriveIvfNlist]]/[[deriveIvfNprobe]] — the [[knnPq]] knob
+    * contract, extended to the coarse stage).
     */
   def ivfSearch(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 10,
-                nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+                nlist0: Int = -1, nprobe0: Int = -1): DataFrame = {
     val c = corpus(spark, sfDir).withColumn("fv", array_to_vector(col("v"))).cache()
+    val nlist = if (nlist0 > 0) nlist0 else deriveIvfNlist(c.count())
+    val nprobe = if (nprobe0 > 0) nprobe0 else deriveIvfNprobe(nlist)
     // FAISS-style: train the coarse quantizer on a deterministic
     // ~25% sample, not the corpus — at 100 TB the quantizer needs
     // O(100k) training points for O(1k) centroids, never a full pass;
@@ -528,15 +584,13 @@ object Similarity {
       // slim BEFORE the rank shuffle (same reasoning as knnBrute)
       .select(col("query_id"), col("vec_id"), col("cos"),
         assigned("cluster").as("cluster"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
     // NOTE: c stays cached — the returned plan scans it again for both
     // the probe and corpus sides, so unpersisting here would force the
     // caller's action to recompute the corpus + assignment from scratch.
     // Callers (bench, verify) drop it via spark.catalog.clearCache().
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"),
-        col("cluster"))
+    // r15: rank through the packed-key heap, not a window (see
+    // [[heapRankWithCluster]] / the searchIvfStore commentary).
+    heapRankWithCluster(spark, scored, k)
   }
 
   // ---------------------------------------------------------------
@@ -681,11 +735,42 @@ object Similarity {
       // slim BEFORE the rank shuffle (same reasoning as knnBrute)
       .select(col("query_id"), col("vec_id"), col("cos"),
         postings("cluster").as("cluster"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"),
-        col("cluster"))
+    // r15: the last ANN rank site off the per-query window (§7k.4's
+    // sweep couldn't take it because the output carries `cluster`,
+    // which the (score, id) heap has no slot for). The ItemCF pair-key
+    // packing precedent solves it: pack (vec_id << 16 | cluster) into
+    // the heap's id long — cluster always fits 16 bits (deriveIvfNlist
+    // clamps at 65536) and each (query, vec_id) appears at most once
+    // (a vector lives in exactly one inverted list), so id-asc on the
+    // packed key ≡ vec_id asc, the window's exact tie-break. A window
+    // sorts the whole probed set (≈ nprobe·1k rows/query under derived
+    // knobs, corpus/4 under the old fixed ones) in ONE task per query;
+    // graft_topk ships ≤ k rows per query per map partition.
+    // Contract: vec_id ∈ [0, 2^47) keeps the packed long non-negative
+    // and order-preserving (the packPair unsigned-shift caveat).
+    graft.functions.TopKAgg.register(spark)
+    heapRankWithCluster(spark, scored, k)
+  }
+
+  /** Per-query top-k of (query_id, vec_id, cos, cluster) through the
+    * graft_topk heap with (vec_id << 16 | cluster) key packing —
+    * [[searchIvfStore]]'s rank stage, shared by [[ivfSearch]]. Total
+    * order ≡ the window formulation's (cos desc, vec_id asc) incl.
+    * NaN placement (the Heap's nanSafeCompare).
+    */
+  private def heapRankWithCluster(spark: SparkSession, scored: DataFrame,
+      k: Int): DataFrame = {
+    graft.functions.TopKAgg.register(spark)
+    scored.select(col("query_id"), col("cos"),
+        (shiftleft(col("vec_id").cast("long"), 16) + col("cluster")).as("pk"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(cos, pk, $k)").as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"),
+        shiftrightunsigned(col("col.id"), 16).as("neighbor_id"),
+        col("col.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rn"),
+        col("col.id").bitwiseAND(lit(0xffffL)).cast("int").as("cluster"))
   }
 
   // ---------------------------------------------------------------
@@ -857,7 +942,7 @@ object Similarity {
     * corpus count (the [[knnPq]] contract).
     */
   def ivfPqStoreSearch(spark: SparkSession, sfDir: String, nQueries: Int = 10,
-      k: Int = 10, nlist: Int = 8, nprobe: Int = 2, m: Int = 16,
+      k: Int = 10, nlist0: Int = -1, nprobe0: Int = -1, m: Int = 16,
       ncent: Int = -1, oversample: Int = -1,
       artifactDir: String = "target/graft-artifacts"): DataFrame = {
     val digest = java.security.MessageDigest.getInstance("MD5")
@@ -867,10 +952,24 @@ object Similarity {
     val codebooksDir = s"$artifactDir/ivfpq_books_$digest"
     val c = corpus(spark, sfDir).cache()
     val n = c.count()
+    val nlist = if (nlist0 > 0) nlist0 else deriveIvfNlist(n)
+    val nprobe = if (nprobe0 > 0) nprobe0 else deriveIvfNprobe(nlist)
     val nc = if (ncent > 0) ncent else derivePqNcent(n)
     val os = if (oversample > 0) oversample else derivePqOversample(n)
     val base = c.filter(col("vec_id") % 10 =!= 7).select("vec_id", "v", "norm")
     val delta = c.filter(col("vec_id") % 10 === 7).select("vec_id", "v", "norm")
+    // r15 receipt for the r14 "train phase 1.12 → 10.57 s" watch item:
+    // NOT a train-path regression. Measured in the SAME Bench harness
+    // at sf0.1 — solo: train 2.44 s; after the five in-family
+    // predecessors: 1.66 s; steady-state repeats in one session:
+    // 2.05/2.03/1.81 s (TrainPhaseProbe). The official full-bench
+    // number is whole-session contention (130 preceding queries'
+    // accumulated heap/GC and listener debris landing on this query's
+    // driver-bound MLlib fits — train is two k-means over ≤ 2k rows,
+    // ~100% scheduler/driver overhead at this SF, exactly the work
+    // profile session debris inflates). The r14 native expressions are
+    // exonerated by the same measurements: they run in seed/tick/
+    // search, and those phases moved nothing.
     val (cents, books) = graft.PhaseTimer.timed("knn_ivfpq_store", "train") {
       val ce = trainQuantizer(spark, base, centroidsDir, nlist)
       val bo = trainPqCodebooks(spark, base, m, nc)
@@ -941,11 +1040,16 @@ object Similarity {
       .withColumn("probed", nearestClustersCol("qv", cents, nprobe))
       .select(col("query_id"), col("qv"), col("qnorm"), col("probed"))
     // true top-k over the (sampled) store, with each neighbor's
-    // assigned cluster riding along; hit = cluster ∈ probe list
+    // assigned cluster riding along; hit = cluster ∈ probe list.
+    // r15: ranked through the packed-key heap like searchIvfStore —
+    // the window sorted each query's whole (sampled) store scan in
+    // one task; the probe's truth pass is corpus-∝ by design, so its
+    // rank stage shouldn't be single-task too
     val scored = postings.join(broadcast(probed), col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(expr(dot) / (col("norm") * col("qnorm")), 4))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    val truth = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("cluster"))
+    val truth = heapRankWithCluster(spark, scored, k)
+      .join(broadcast(probed.select(col("query_id"), col("probed"))), Seq("query_id"))
       .withColumn("hit", array_contains(col("probed"), col("cluster")))
     val agg = truth.agg(
       avg(col("hit").cast("double")).as("recall"),
@@ -1005,11 +1109,17 @@ object Similarity {
     * lost at cutover).
     */
   private[graft] def rebuildIvfIndex(spark: SparkSession, vectors: DataFrame,
-      indexRoot: String, nlist: Int,
+      indexRoot: String, nlist: Int = -1,
       beforePublish: () => Unit = () => ()): Long =
     publishIndexVersion(spark, indexRoot, vDir => {
-      val cents = trainQuantizer(spark, vectors, s"$vDir/centroids", nlist)
-      seedIvfStore(spark, vectors, s"$vDir/store", cents, nlist)
+      // nlist ≤ 0 RE-derives from the GROWN corpus — the whole point
+      // of a rebuild is that the index shape no longer fits the data,
+      // and that includes the list count (the semantic-family
+      // precedent); readers recover the new nlist from the published
+      // version's centroid artifact (loadCentroids(..).size)
+      val nl = if (nlist > 0) nlist else deriveIvfNlist(vectors.count())
+      val cents = trainQuantizer(spark, vectors, s"$vDir/centroids", nl)
+      seedIvfStore(spark, vectors, s"$vDir/store", cents, nl)
     }, beforePublish)
 
   /** [[rebuildIvfIndex]] for the IVF+PQ family: re-trains BOTH frozen
@@ -1022,14 +1132,18 @@ object Similarity {
     * resolve with [[resolveIvfPqIndex]].
     */
   private[graft] def rebuildIvfPqIndex(spark: SparkSession, vectors: DataFrame,
-      indexRoot: String, nlist: Int, m: Int = 16, ncent: Int = -1,
+      indexRoot: String, nlist: Int = -1, m: Int = 16, ncent: Int = -1,
       beforePublish: () => Unit = () => ()): Long =
     publishIndexVersion(spark, indexRoot, vDir => {
-      val nc = if (ncent > 0) ncent else derivePqNcent(vectors.count())
-      val cents = trainQuantizer(spark, vectors, s"$vDir/centroids", nlist)
+      // defaulted knobs re-derive from the GROWN corpus (one count
+      // shared across both quantizers) — the rebuildIvfIndex contract
+      lazy val n = vectors.count()
+      val nl = if (nlist > 0) nlist else deriveIvfNlist(n)
+      val nc = if (ncent > 0) ncent else derivePqNcent(n)
+      val cents = trainQuantizer(spark, vectors, s"$vDir/centroids", nl)
       val books = trainPqCodebooks(spark, vectors, m, nc)
       saveCodebooks(spark, books, s"$vDir/codebooks")
-      seedIvfPqStore(spark, vectors, s"$vDir/store", cents, books, nlist)
+      seedIvfPqStore(spark, vectors, s"$vDir/store", cents, books, nl)
     }, beforePublish)
 
   /** Resolve the live IVF+PQ version's (storeDir, centroidsDir,
@@ -1193,7 +1307,7 @@ object Similarity {
     * universal constant.
     */
   def ivfDriftProbe(spark: SparkSession, sfDir: String, k: Int = 10,
-      nlist: Int = 8, nprobe: Int = 2, threshold: Double = 0.9,
+      nlist0: Int = -1, nprobe0: Int = -1, threshold: Double = 0.9,
       artifactDir: String = "target/graft-artifacts"): DataFrame = {
     import spark.implicits._
     val digest = java.security.MessageDigest.getInstance("MD5")
@@ -1201,6 +1315,8 @@ object Similarity {
     val storeDir = s"$artifactDir/ivf_store_$digest"
     val centroidsDir = s"$artifactDir/ivf_centroids_$digest"
     val c = corpus(spark, sfDir).cache()
+    val nlist = if (nlist0 > 0) nlist0 else deriveIvfNlist(c.count())
+    val nprobe = if (nprobe0 > 0) nprobe0 else deriveIvfNprobe(nlist)
     val base = c.filter(col("vec_id") % 10 =!= 7).select("vec_id", "v", "norm")
     val delta = c.filter(col("vec_id") % 10 === 7).select("vec_id", "v", "norm")
     val cents = graft.PhaseTimer.timed("knn_ivf_drift", "train") {
@@ -1223,13 +1339,15 @@ object Similarity {
   }
 
   def ivfStoreSearch(spark: SparkSession, sfDir: String, nQueries: Int = 10,
-      k: Int = 10, nlist: Int = 8, nprobe: Int = 2,
+      k: Int = 10, nlist0: Int = -1, nprobe0: Int = -1,
       artifactDir: String = "target/graft-artifacts"): DataFrame = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val storeDir = s"$artifactDir/ivf_store_$digest"
     val centroidsDir = s"$artifactDir/ivf_centroids_$digest"
     val c = corpus(spark, sfDir).cache()
+    val nlist = if (nlist0 > 0) nlist0 else deriveIvfNlist(c.count())
+    val nprobe = if (nprobe0 > 0) nprobe0 else deriveIvfNprobe(nlist)
     val base = c.filter(col("vec_id") % 10 =!= 7)
     val delta = c.filter(col("vec_id") % 10 === 7)
     val cents = graft.PhaseTimer.timed("knn_ivf_store", "train") {

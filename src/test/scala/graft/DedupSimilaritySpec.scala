@@ -594,6 +594,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ns.map(Similarity.deriveSemanticNlist) === ns.map(Similarity.deriveSemanticNlist).sorted)
   }
 
+  test("scale-derived IVF coarse knobs pin anchors, clamps, and the probe fraction") {
+    // test-SF shape: every test corpus (≤ 8k vectors) keeps the
+    // historical registered default nlist 8 / nprobe 2 — derived-knob
+    // entries are byte-identical to the pre-derivation rounds there
+    assert(Similarity.deriveIvfNlist(500) === 8)
+    assert(Similarity.deriveIvfNlist(2000) === 8)
+    assert(Similarity.deriveIvfNprobe(8) === 2)
+    // scale anchors: 2M vectors derive 2048 lists (~1k vectors each —
+    // the deriveSemanticNlist curve) and nprobe 64, holding the probed
+    // corpus fraction at the 1/32 the hand-picked 256/8 scale run
+    // measured healthy (recall@10 0.94); per-probe reads stay ~1k rows
+    assert(Similarity.deriveIvfNlist(2000000L) === 2048)
+    assert(Similarity.deriveIvfNprobe(2048) === 64)
+    assert(Similarity.deriveIvfNprobe(256) === 8) // ≡ the hand-picked pair
+    // clamps: nlist tops out at 65536 (cluster must fit the packed
+    // heap key's 16 bits — the searchIvfStore rank contract), nprobe
+    // at 64; floors keep the degenerate-corpus shape sane
+    assert(Similarity.deriveIvfNlist(1L) === 8)
+    assert(Similarity.deriveIvfNlist(100000000000L) === 65536)
+    assert(Similarity.deriveIvfNprobe(65536) === 64)
+    assert(Similarity.deriveIvfNprobe(1) === 2)
+    // monotone non-decreasing, and the probe fraction nprobe/nlist
+    // never grows past 1/4 (the old fixed default's worst case)
+    val ns = Seq(1L, 1000L, 100000L, 1000000L, 10000000L, 1000000000L)
+    assert(ns.map(Similarity.deriveIvfNlist) === ns.map(Similarity.deriveIvfNlist).sorted)
+    ns.foreach { n =>
+      val nl = Similarity.deriveIvfNlist(n)
+      assert(Similarity.deriveIvfNprobe(nl).toDouble / nl <= 0.25)
+    }
+  }
+
   test("native PQ encode/ADC expressions are bit-identical to the HOF formulation") {
     import spark.implicits._
     import graft.functions.VectorFunctions

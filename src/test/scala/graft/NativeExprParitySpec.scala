@@ -52,6 +52,29 @@ class NativeExprParitySpec extends AnyFunSuite {
         expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
     assert(both.filter(col("agree_n") =!= col("agree_o")).count() === 0)
     assert(both.filter(col("ham_n") =!= col("ham_o")).count() === 0)
+    // MIN-LENGTH CONTRACT on unequal widths (the one place the HOF
+    // forms disagreed with EACH OTHER): zip_with null-pads the short
+    // side — the IF(x = y, 1, 0) agree form zeroes padded positions
+    // (≡ the native shared-prefix count), while bit_count(x ^ null)
+    // nulls the whole Hamming sum. The natives count the shared
+    // prefix in BOTH — deliberate: every caller compares fixed-width
+    // signatures, and a prefix count degrades more usefully than a
+    // NULL if widths ever drift mid-migration. This pin makes the
+    // contract a spec fact rather than a silent semantic difference.
+    val uneq = Seq((1L, Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L)))
+      .toDF("id", "sig_a", "sig_b")
+      .withColumn("agree_n", expr("graft_sig_agree(sig_a, sig_b)"))
+      .withColumn("agree_o",
+        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
+      .withColumn("ham_n", expr("graft_hamming(sig_a, sig_b)"))
+      .withColumn("ham_o",
+        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
+      .head()
+    assert(uneq.getAs[Int]("agree_n") === 2)           // shared prefix: pos 0 and 2
+    assert(uneq.getAs[Int]("agree_o") === 2)           // IF form zeroed the padding
+    assert(uneq.getAs[Int]("ham_n") ===
+      java.lang.Long.bitCount(2L ^ 9L))                // prefix position 1 differs
+    assert(uneq.isNullAt(uneq.fieldIndex("ham_o")))    // XOR form nulled the sum
   }
 
   test("VideoBandKeys ≡ the builtin-SQL boundary-aware banding, keys bit-identical") {
@@ -242,6 +265,18 @@ class NativeExprParitySpec extends AnyFunSuite {
       Literal.create(Seq(1.0), ArrayType(DoubleType)),
       Array(1.0, 0.0, 0.0, 1.0), Array(1.0, 1.0), Array(0, 1), dim = 2, k = 2)
     assert(arr(nc.eval(null)).toIntArray().toSeq === Seq(0, 1))
+    // PqEncode on a SHORT vector fails LOUDLY with the dimension
+    // mismatch named (r15, the r14 ADVICE: the unguarded inner loop
+    // was an opaque ArrayIndexOutOfBounds interpreted / undefined
+    // UnsafeArrayData read under codegen)
+    val shortErr = intercept[IllegalArgumentException] {
+      VectorFunctions.PqEncode(
+        Literal.create(Seq(1.0), ArrayType(DoubleType)),
+        books = Array.fill(2 * 2 * 2)(0.5), c2 = Array.fill(4)(0.5),
+        m = 2, ncent = 2, sub = 2).eval(null)
+    }
+    assert(shortErr.getMessage.contains("graft_pq_encode") &&
+      shortErr.getMessage.contains("m*sub"))
   }
 
   test("graft_vdiv interpreted eval matches codegen (UnsafeArrayData path)") {

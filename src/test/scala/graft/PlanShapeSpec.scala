@@ -110,6 +110,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(bucket"), p.take(4000))
   }
 
+  test("ivf store search: rank is the packed-key heap — no window left in the ANN family") {
+    // searchIvfStore was the last ANN rank site on a per-query window
+    // (it carries `cluster`, which the (score, id) heap has no slot
+    // for — solved by packing (vec_id << 16 | cluster) into the heap
+    // id). A window here sorts the whole probed set in one task per
+    // query; the heap ships ≤ k rows per query per map partition.
+    val p = plan(graft.operators.Similarity.ivfStoreSearch(spark, sf,
+      artifactDir = java.nio.file.Files.createTempDirectory("planshape_ivf").toString))
+    assert(p.contains("partial_graft_topk"), p.take(4000))
+    assert(!p.contains("Window"), "window sort crept back into searchIvfStore\n" + p.take(4000))
+  }
+
   test("recommend: top-N is the partial-aggregating heap, not a window sort") {
     // partial_graft_topk below the exchange = map-side combine ships
     // ≤ N rows per user per partition (the degree-cap window's

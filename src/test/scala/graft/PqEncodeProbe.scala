@@ -63,7 +63,7 @@ object PqEncodeProbe {
     }
     timed("ivfpq_inquery_2m") {
       Similarity.knnIvfPqOn(spark, corpus(), nQueries = 64, k = 10,
-        nlist = 256, nprobe = 8, m = 16, ncent0 = -1, oversample0 = -1)
+        nlist0 = 256, nprobe0 = 8, m = 16, ncent0 = -1, oversample0 = -1)
         .write.mode("overwrite").parquet(s"$scaleDir/ivfpq_inq_hits")
     }
     spark.stop()

@@ -35,6 +35,33 @@ class TopKAggSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((5.0, 1L), (3.0, 2L), (2.0, 3L), (2.0, 4L)))
   }
 
+  test("NaN scores rank largest (the window's NaN placement) and never block evictions") {
+    import spark.implicits._
+    graft.functions.TopKAgg.register(spark)
+    // a NaN score (0/0 from a zero-norm vector) arrives EARLY, then
+    // better finite rows must still evict the finite occupants — the
+    // primitive-comparator bug was NaN lodging at the root and
+    // freezing the heap; the fix ranks NaN as largest, exactly how
+    // Spark's window sort ordered it (NaN first under desc)
+    val df = Seq((1L, Double.NaN, 7L), (1L, 1.0, 1L), (1L, 2.0, 2L),
+                 (1L, 3.0, 3L), (1L, 4.0, 4L), (1L, 5.0, 5L))
+      .toDF("g", "s", "i")
+    val out = df.repartition(1).groupBy("g").agg(expr("graft_topk(s, i, 3)").as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.score"), col("e.id")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(out.length === 3)
+    assert(out(0)._1.isNaN && out(0)._2 === 7L)
+    assert(out(1) === ((5.0, 5L)))
+    assert(out(2) === ((4.0, 4L)))
+    // two NaNs tie-break by id asc, like any equal pair
+    val twoNaN = Seq((1L, Double.NaN, 9L), (1L, Double.NaN, 2L), (1L, 8.0, 1L))
+      .toDF("g", "s", "i")
+      .groupBy("g").agg(expr("graft_topk(s, i, 2)").as("t"))
+      .select(explode(col("t")).as("e")).select(col("e.id")).collect().map(_.getLong(0))
+    assert(twoNaN.toSeq === Seq(2L, 9L))
+  }
+
   test("k larger than group size returns the whole group sorted") {
     import spark.implicits._
     graft.functions.TopKAgg.register(spark)
