@@ -69,9 +69,10 @@ object DocStream {
                            nBuckets: Int = BucketStore.DefaultBuckets,
                            threshold: Double = 0.5,
                            bucketCap: Int = 10000,
-                           probe: Option[graft.operators.Dedup.BandedProbeConfig] = None): StreamingQuery =
+                           probe: Option[graft.operators.Dedup.BandedProbeConfig] = None,
+                           compactPairsEveryNTicks: Int = 8): StreamingQuery =
     startBandedMaintain(docs, s => graft.operators.Dedup.minhashDetector(s, threshold),
-      sigDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe)
+      sigDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe, compactPairsEveryNTicks)
 
   /** [[startNearDupMaintain]] with the SimHash detector: fingerprint +
     * band BucketStores, Hamming-verified pairs. Seed with
@@ -83,9 +84,10 @@ object DocStream {
                            nBuckets: Int = BucketStore.DefaultBuckets,
                            maxHamming: Int = 6,
                            bucketCap: Int = 10000,
-                           probe: Option[graft.operators.Dedup.BandedProbeConfig] = None): StreamingQuery =
+                           probe: Option[graft.operators.Dedup.BandedProbeConfig] = None,
+                           compactPairsEveryNTicks: Int = 8): StreamingQuery =
     startBandedMaintain(docs, _ => graft.operators.Dedup.simhashDetector(maxHamming),
-      fpDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe)
+      fpDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe, compactPairsEveryNTicks)
 
   /** [[startNearDupMaintain]] with the embedding-LSH detector over a
     * stream of (vec_id, embedding) rows: (vector, norm, hyperplane
@@ -98,9 +100,10 @@ object DocStream {
                                 nBuckets: Int = BucketStore.DefaultBuckets,
                                 threshold: Double = 0.9,
                                 bucketCap: Int = 10000,
-                           probe: Option[graft.operators.Dedup.BandedProbeConfig] = None): StreamingQuery =
+                           probe: Option[graft.operators.Dedup.BandedProbeConfig] = None,
+                           compactPairsEveryNTicks: Int = 8): StreamingQuery =
     startBandedMaintain(vecs, _ => graft.operators.Dedup.embedLshDetector(threshold),
-      vecDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe)
+      vecDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe, compactPairsEveryNTicks)
 
   /** [[startEmbedNearDupMaintain]] with the WIDE-signature detector
     * ([[graft.operators.Dedup.embedLshWideDetector]]) — the
@@ -114,9 +117,10 @@ object DocStream {
                                     nBuckets: Int = BucketStore.DefaultBuckets,
                                     threshold: Double = 0.9,
                                     bucketCap: Int = 10000,
-                           probe: Option[graft.operators.Dedup.BandedProbeConfig] = None): StreamingQuery =
+                           probe: Option[graft.operators.Dedup.BandedProbeConfig] = None,
+                           compactPairsEveryNTicks: Int = 8): StreamingQuery =
     startBandedMaintain(vecs, _ => graft.operators.Dedup.embedLshWideDetector(threshold),
-      vecDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe)
+      vecDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe, compactPairsEveryNTicks)
 
   /** [[startNearDupMaintain]] with the perceptual-hash IMAGE detector
     * ([[graft.multimodal.Multimodal.imagePhashDetector]]) over a
@@ -135,9 +139,10 @@ object DocStream {
                                 nBuckets: Int = BucketStore.DefaultBuckets,
                                 maxDist: Int = 7,
                                 bucketCap: Int = 10000,
-                           probe: Option[graft.operators.Dedup.BandedProbeConfig] = None): StreamingQuery =
+                           probe: Option[graft.operators.Dedup.BandedProbeConfig] = None,
+                           compactPairsEveryNTicks: Int = 8): StreamingQuery =
     startBandedMaintain(imgs, _ => graft.multimodal.Multimodal.imagePhashDetector(maxDist),
-      fpDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe)
+      fpDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe, compactPairsEveryNTicks)
 
   /** [[startImageNearDupMaintain]]'s AUDIO twin: each micro-batch of
     * (doc_id, payload) WAV rows is decoded and spectrally
@@ -154,9 +159,10 @@ object DocStream {
                                 nBuckets: Int = BucketStore.DefaultBuckets,
                                 maxDist: Int = 3,
                                 bucketCap: Int = 10000,
-                           probe: Option[graft.operators.Dedup.BandedProbeConfig] = None): StreamingQuery =
+                           probe: Option[graft.operators.Dedup.BandedProbeConfig] = None,
+                           compactPairsEveryNTicks: Int = 8): StreamingQuery =
     startBandedMaintain(clips, _ => graft.multimodal.Multimodal.audioFpDetector(maxDist),
-      fpDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe)
+      fpDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe, compactPairsEveryNTicks)
 
   /** The VIDEO rung — sixth family through the same generic tick:
     * each micro-batch of (doc_id, payload) AVI rows is demuxed and
@@ -173,9 +179,10 @@ object DocStream {
                                 nBuckets: Int = BucketStore.DefaultBuckets,
                                 maxTrim: Int = 3, tol: Double = 8.0,
                                 bucketCap: Int = 10000,
-                           probe: Option[graft.operators.Dedup.BandedProbeConfig] = None): StreamingQuery =
+                           probe: Option[graft.operators.Dedup.BandedProbeConfig] = None,
+                           compactPairsEveryNTicks: Int = 8): StreamingQuery =
     startBandedMaintain(clips, _ => graft.multimodal.Multimodal.videoFpDetector(maxTrim, tol),
-      rowsDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe)
+      rowsDir, bandDir, pairsDir, checkpointDir, nBuckets, bucketCap, probe, compactPairsEveryNTicks)
 
   /** The shared maintainer loop behind all three detectors. The replay
     * guard keys on whichever store each tick path moves LAST — the
@@ -190,7 +197,8 @@ object DocStream {
       det: org.apache.spark.sql.SparkSession => graft.operators.Dedup.NearDupDetector,
       rowsDir: String, bandDir: String, pairsDir: String, checkpointDir: String,
       nBuckets: Int, bucketCap: Int,
-      probe: Option[graft.operators.Dedup.BandedProbeConfig] = None): StreamingQuery =
+      probe: Option[graft.operators.Dedup.BandedProbeConfig] = None,
+      compactPairsEveryNTicks: Int = 8): StreamingQuery =
     input.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -237,6 +245,25 @@ object DocStream {
                 "or re-band/rebuild the store")
               p.onDrift(batchId, r)
             }
+          }
+          // r15 (the r14 verdict's #6): the pair log folds ITSELF —
+          // every `compactPairsEveryNTicks` ticks the maintainer runs
+          // the live-filtered fold (the maxLiveGenerations deferred-
+          // compaction precedent), instead of leaving compaction
+          // operator-initiated. Without this the log grows one dir per
+          // tick forever AND keeps tombstoned ids' pairs (an event log
+          // grows with history, not the live corpus). Fold point:
+          // after this tick's stores committed, up to the replay-guard
+          // marker — a replayed batch ≤ the marker skips its tick
+          // (pair write included), so folded batches are never
+          // rewritten. The live set is the row store's current id
+          // column (corpus-∝ — semi-joined, never collected).
+          if (compactPairsEveryNTicks > 0 && batchId > 0 &&
+              batchId % compactPairsEveryNTicks == 0) {
+            val live = BucketStore.readAll(spark, rowsDir).select(col(d.idCol))
+            graft.operators.Dedup.compactPairLog(spark, pairsDir,
+              upTo = BucketStore.appliedBatchId(commitDir),
+              live = Some(live), idCols = Seq(d.aCol, d.bCol))
           }
         }
         b.unpersist()

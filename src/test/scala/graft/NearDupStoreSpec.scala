@@ -1,5 +1,6 @@
 package graft
 
+import graft.multimodal.Multimodal
 import graft.operators.Similarity
 import graft.streaming.{BucketStore, DocStream}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -831,6 +832,182 @@ class NearDupStoreSpec extends AnyFunSuite {
     val ids = BucketStore.readAll(spark, root + "/store")
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(ids === (seed.map(_._1).toSet - 0L + 3000L))
+  }
+
+  /** The CDC-genericity contract, detector-parameterized (the r14
+    * wide-embed-LSH template, generalized): seed the stores, run ONE
+    * CDC tick (delete with null payload — before-images must come
+    * from the row store — plus an upsert and a re-ingest of the dead
+    * id's content under a new id), then pin (a) the re-ingest pairs
+    * with the ORIGINAL keeper and never with the tombstoned id,
+    * (b) row + band stores ≡ a fresh seed of the mutated corpus
+    * (every column, json-serialized — detector-generic), (c) replay
+    * is a no-op. Any family-specific assumption in the tick (column
+    * names, key derivation from before-images, post-delete probing)
+    * surfaces as a diff here.
+    */
+  private def cdcFamilyCheck(det: graft.operators.Dedup.NearDupDetector,
+      root: String, seedDF: org.apache.spark.sql.DataFrame,
+      cdcDF: org.apache.spark.sql.DataFrame,
+      mutatedDF: org.apache.spark.sql.DataFrame,
+      mustPair: (Long, Long), dead: Long): Unit = {
+    graft.operators.Dedup.seedNearDupStores(spark, seedDF, det,
+      s"$root/rows", s"$root/band", nBuckets = 64)
+    def runTick() = graft.operators.Dedup.nearDupStoreCdcTick(spark, det,
+      s"$root/rows", s"$root/band", s"$root/pairs", cdcDF,
+      batchId = 1L, nBuckets = 64, bucketCap = 10000)
+    runTick()
+    val pairs = graft.operators.Dedup.readPairLog(spark, s"$root/pairs")
+      .select(det.aCol, det.bCol)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains(mustPair),
+      s"${det.name}: re-ingest pair $mustPair missing, got $pairs")
+    assert(!pairs.exists(p => p._1 == dead || p._2 == dead),
+      s"${det.name}: tombstoned id $dead paired: $pairs")
+    graft.operators.Dedup.seedNearDupStores(spark, mutatedDF, det,
+      s"$root/rows2", s"$root/band2", nBuckets = 64)
+    def snap(dir: String): Set[String] = {
+      val df = BucketStore.readAll(spark, dir)
+      df.select(to_json(struct(df.columns.sorted.map(col): _*)))
+        .collect().map(_.getString(0)).toSet
+    }
+    assert(snap(s"$root/rows") === snap(s"$root/rows2"),
+      s"${det.name}: row store ≠ fresh seed of the mutated corpus")
+    assert(snap(s"$root/band") === snap(s"$root/band2"),
+      s"${det.name}: band store ≠ fresh seed of the mutated corpus")
+    runTick() // replay no-op
+    assert(snap(s"$root/rows") === snap(s"$root/rows2"))
+    assert(snap(s"$root/band") === snap(s"$root/band2"))
+  }
+
+  test("CDC tick genericity: simhash delete/re-ingest ≡ fresh seed of the mutated corpus") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("simhash_cdc").toString
+    val d1 = "the quick brown fox jumps over the lazy dog by the river tonight"
+    val pasta = "completely unrelated text about cooking pasta with garlic and olive oil"
+    val hike = "another distinct document covering mountain hiking trails in early spring"
+    cdcFamilyCheck(graft.operators.Dedup.simhashDetector(6), root,
+      seedDF = Seq(1L -> d1, 2L -> d1, 3L -> pasta, 4L -> hike)
+        .toDF("doc_id", "text"),
+      cdcDF = Seq(("d", 2L, null: String), ("u", 4L, pasta), ("i", 20L, d1))
+        .toDF("op", "doc_id", "text"),
+      mutatedDF = Seq(1L -> d1, 3L -> pasta, 4L -> pasta, 20L -> d1)
+        .toDF("doc_id", "text"),
+      mustPair = (1L, 20L), dead = 2L)
+  }
+
+  test("CDC tick genericity: image dHash delete/re-ingest ≡ fresh seed of the mutated corpus") {
+    import spark.implicits._
+    def png(s: Long) = Multimodal.makePng(s)
+    val root = java.nio.file.Files.createTempDirectory("image_cdc").toString
+    cdcFamilyCheck(Multimodal.imagePhashDetector(7), root,
+      seedDF = Seq(1L -> png(100), 2L -> Multimodal.brightenPng(png(100), 4),
+          3L -> png(102), 4L -> png(108))
+        .toDF("doc_id", "payload"),
+      cdcDF = Seq(("d", 2L, null: Array[Byte]),
+          ("u", 4L, Multimodal.brightenPng(png(102), 4)),
+          ("i", 20L, Multimodal.brightenPng(png(100), 4)))
+        .toDF("op", "doc_id", "payload"),
+      mutatedDF = Seq(1L -> png(100), 3L -> png(102),
+          4L -> Multimodal.brightenPng(png(102), 4),
+          20L -> Multimodal.brightenPng(png(100), 4))
+        .toDF("doc_id", "payload"),
+      mustPair = (1L, 20L), dead = 2L)
+  }
+
+  test("CDC tick genericity: audio spectral delete/re-ingest ≡ fresh seed of the mutated corpus") {
+    import spark.implicits._
+    def wav(s: Long) = Multimodal.makeWav(s)
+    val root = java.nio.file.Files.createTempDirectory("audio_cdc").toString
+    cdcFamilyCheck(Multimodal.audioFpDetector(), root,
+      seedDF = Seq(1L -> wav(1), 2L -> Multimodal.scaleWav(wav(1), 0.5),
+          3L -> wav(3), 4L -> wav(4))
+        .toDF("doc_id", "payload"),
+      cdcDF = Seq(("d", 2L, null: Array[Byte]),
+          ("u", 4L, Multimodal.scaleWav(wav(3), 0.5)),
+          ("i", 20L, Multimodal.scaleWav(wav(1), 0.5)))
+        .toDF("op", "doc_id", "payload"),
+      mutatedDF = Seq(1L -> wav(1), 3L -> wav(3),
+          4L -> Multimodal.scaleWav(wav(3), 0.5),
+          20L -> Multimodal.scaleWav(wav(1), 0.5))
+        .toDF("doc_id", "payload"),
+      mustPair = (1L, 20L), dead = 2L)
+  }
+
+  test("CDC tick genericity: video temporal-luminance delete/re-ingest ≡ fresh seed of the mutated corpus") {
+    import spark.implicits._
+    def avi(s: Long) = Multimodal.makeAvi(s)
+    val root = java.nio.file.Files.createTempDirectory("video_cdc").toString
+    // id 21 re-ingests the DELETED clip 3's content: after the
+    // tombstone it must pair with NOTHING (its only neighbor is dead)
+    cdcFamilyCheck(Multimodal.videoFpDetector(), root,
+      seedDF = Seq(1L -> avi(1), 3L -> avi(3), 5L -> avi(5), 7L -> avi(7))
+        .toDF("doc_id", "payload"),
+      cdcDF = Seq(("d", 3L, null: Array[Byte]),
+          ("u", 7L, Multimodal.reencodeTrimAvi(avi(5), 2)),
+          ("i", 20L, Multimodal.reencodeTrimAvi(avi(1), 2)),
+          ("i", 21L, Multimodal.reencodeTrimAvi(avi(3), 2)))
+        .toDF("op", "doc_id", "payload"),
+      mutatedDF = Seq(1L -> avi(1), 5L -> avi(5),
+          7L -> Multimodal.reencodeTrimAvi(avi(5), 2),
+          20L -> Multimodal.reencodeTrimAvi(avi(1), 2),
+          21L -> Multimodal.reencodeTrimAvi(avi(3), 2))
+        .toDF("doc_id", "payload"),
+      mustPair = (1L, 20L), dead = 3L)
+  }
+
+  test("maintainer folds the pair log itself: after N ticks + CDC, dirs collapse and dead ids drop with no manual call") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pairlog_selffold").toString
+    val vecDir = root + "/vec"; val bandDir = root + "/bands"; val pairsDir = root + "/pairs"
+    def oneHot(i: Int): Seq[Double] = Seq.tabulate(8)(j => if (j == i % 8) 1.0 else 0.0)
+    def nearCopy(v: Seq[Double]): Seq[Double] = v.updated(7, v(7) + 0.001)
+    val seed: Seq[(Long, Seq[Double])] = Seq(
+      1L -> oneHot(0), 2L -> nearCopy(oneHot(0)),
+      3L -> oneHot(1), 4L -> oneHot(2), 5L -> oneHot(3))
+    graft.operators.Dedup.seedNearDupStores(spark, seed.toDF("vec_id", "embedding"),
+      graft.operators.Dedup.embedLshDetector(0.9), vecDir, bandDir, nBuckets = 64)
+
+    // op-column stream: every batch routes through the CDC tick; the
+    // maintainer's own fold cadence is 2 ticks
+    val input = MemoryStream[VecCdcIngest]
+    val q = DocStream.startEmbedNearDupMaintain(
+      input.toDF(), vecDir, bandDir, pairsDir, root + "/ckpt",
+      compactPairsEveryNTicks = 2)
+    def dirNames = {
+      val p = new org.apache.hadoop.fs.Path(pairsDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName).toSet
+    }
+    def pairSet = graft.operators.Dedup.readPairLog(spark, pairsDir)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch 0: vec 10 pairs with seed 1 AND seed 2; batch 1: vec 11
+    // pairs with seed 3 — two event dirs stack, no fold yet (0 and 1
+    // are both off the cadence)
+    input.addData(VecCdcIngest("i", 10L, nearCopy(oneHot(0))))
+    q.processAllAvailable()
+    input.addData(VecCdcIngest("i", 11L, nearCopy(oneHot(1))))
+    q.processAllAvailable()
+    assert(dirNames === Set("batch=0", "batch=1"), dirNames.toString)
+    assert(pairSet.contains((2L, 10L)), "pre-fold, the doomed id's pair is in the log")
+
+    // batch 2: CDC delete of vec 2 (before-image from the row store) +
+    // an insert pairing with seed 4 — the cadence fires: the maintainer
+    // folds batches 0..2 into one compact dir and the live filter
+    // drops every pair with the tombstoned endpoint, NO manual
+    // compactPairLog anywhere in this test
+    input.addData(
+      VecCdcIngest("d", 2L, null),
+      VecCdcIngest("i", 12L, nearCopy(oneHot(2))))
+    q.processAllAvailable()
+    q.stop()
+    assert(dirNames === Set("compact-2"), dirNames.toString)
+    assert(pairSet === Set((1L, 10L), (3L, 11L), (4L, 12L)),
+      s"fold must keep live pairs and drop the dead endpoint's, got $pairSet")
+    // the log is now bounded by the live corpus: ≤ live-pair rows
+    assert(!pairSet.exists(p => p._1 == 2L || p._2 == 2L))
   }
 }
 
