@@ -1138,6 +1138,52 @@ object SparkEntry {
         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id""".stripMargin
 
   private val oracleSqlTail: Map[String, String] = Map(
+    // r15 (the r14 verdict's #8): the reference-fidelity surface gets
+    // value gates — the MovieLens loaders are deterministic CSV reads,
+    // so DuckDB can reproduce them end-to-end (read_csv over the SAME
+    // files the Spark source layer reads; ratings are exact halves, so
+    // float32-vs-double aggregation is bit-stable)
+    "ml_top_movies" ->
+      """WITH r AS (
+        |  SELECT movieId AS movie_id, CAST(rating AS DOUBLE) AS rating, userId
+        |  FROM read_csv('/root/reference/prototype/ml-latest-small/ratings.csv', header=true)
+        |  WHERE rating >= 3.5),
+        |agg AS (
+        |  SELECT movie_id, ROUND(AVG(rating), 4) AS avg_rating,
+        |         CAST(COUNT(userId) AS BIGINT) AS votes
+        |  FROM r GROUP BY movie_id)
+        |SELECT a.movie_id, m.title, a.avg_rating, a.votes
+        |FROM agg a
+        |JOIN read_csv('/root/reference/prototype/ml-latest-small/movies_enriched.csv', header=true) m
+        |  USING (movie_id)
+        |ORDER BY a.votes DESC, a.avg_rating DESC, a.movie_id ASC
+        |LIMIT 20""".stripMargin,
+    "ml_genre_stats" ->
+      """WITH m AS (
+        |  SELECT movie_id,
+        |    COALESCE(CAST(NULLIF(regexp_extract(title, '\((\d{4})\)\s*$', 1), '') AS INT),
+        |             year) AS year_derived,
+        |    genres
+        |  FROM read_csv('/root/reference/prototype/ml-latest-small/movies_enriched.csv', header=true)),
+        |exploded AS (
+        |  SELECT movie_id, year_derived, genre
+        |  FROM m, UNNEST(string_split(COALESCE(genres, ''), '|')) AS t(genre)
+        |  WHERE genre <> ''),
+        |stats AS (
+        |  SELECT movieId AS movie_id, CAST(COUNT(userId) AS BIGINT) AS votes,
+        |         SUM(CAST(rating AS DOUBLE)) AS rating_sum
+        |  FROM read_csv('/root/reference/prototype/ml-latest-small/ratings.csv', header=true)
+        |  GROUP BY movieId)
+        |SELECT genre,
+        |  CAST(COUNT(e.movie_id) AS BIGINT) AS n_movies,
+        |  CAST(MIN(year_derived) AS INT) AS min_year,
+        |  CAST(MAX(year_derived) AS INT) AS max_year,
+        |  CAST(SUM(COALESCE(s.votes, 0)) AS BIGINT) AS votes,
+        |  CASE WHEN SUM(COALESCE(s.votes, 0)) > 0
+        |       THEN ROUND(SUM(COALESCE(s.rating_sum, 0.0)) / SUM(COALESCE(s.votes, 0)), 4)
+        |  END AS avg_rating
+        |FROM exploded e LEFT JOIN stats s USING (movie_id)
+        |GROUP BY genre""".stripMargin,
     // the incremental tick over the dup-planted corpus: same exact
     // jaccard, restricted to pairs with a post-cut member (the filter
     // is pushed into the join so DuckDB never forms base×base pairs)
