@@ -415,6 +415,32 @@ object BenchScaleDocs {
       extras("pq_recall_at10_derived") = recallOf(s"$scaleDir/ivfpq_full_hits")
     }
 
+    // ----- embeddings: the IVF+PQ store at the DERIVED coarse knobs
+    // (r15): the block above keeps the hand-picked 256/8 for
+    // round-over-round comparability; THIS is what a default-knob
+    // user's deployment rung now builds at 2M — nlist 2048 / nprobe
+    // 64 (with ncent/oversample already derived) — so the family's
+    // headline store receipt covers the path the defaults take.
+    val ivfpqRootD = s"$scaleDir/ivfpq_derived"
+    var ivfpqCentsD: Seq[(Int, Seq[Double])] = Seq.empty
+    timedUnit("ivfpq_store_build_2m_derived") {
+      ivfpqCentsD = Similarity.trainQuantizer(spark, corpus(), s"$ivfpqRootD/cents", nlistD)
+      Similarity.seedIvfPqStore(spark, corpus(), s"$ivfpqRootD/store",
+        ivfpqCentsD, ivfpqBooks, nlistD)
+    }
+    for (_ <- 0 until 2)
+      timedWrite("ivfpq_store_search_2m_derived", s"$scaleDir/ivfpq_store_hits_d")(
+        Similarity.searchIvfPqStore(spark, s"$ivfpqRootD/store", ivfpqCentsD,
+          ivfpqBooks, queries(), k = 10, nprobe = nprobeD, nlist = nlistD,
+          oversample = dOs))
+    locally {
+      val hits = spark.read.parquet(s"$scaleDir/ivfpq_store_hits_d")
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      extras("ivfpq_store_recall_at10_derived") =
+        f"${bruteHits.count(hits.contains).toDouble / math.max(1, bruteHits.size)}%.4f"
+    }
+
     // ----- documents: text pipeline at 200× ----------------------
     // line-structured variant of the same corpus: tokens chunked into
     // 12-word lines, so the 13-word boilerplate preamble's first 12

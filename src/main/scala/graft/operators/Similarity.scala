@@ -758,7 +758,7 @@ object Similarity {
     * order ≡ the window formulation's (cos desc, vec_id asc) incl.
     * NaN placement (the Heap's nanSafeCompare).
     */
-  private def heapRankWithCluster(spark: SparkSession, scored: DataFrame,
+  private[graft] def heapRankWithCluster(spark: SparkSession, scored: DataFrame,
       k: Int): DataFrame = {
     graft.functions.TopKAgg.register(spark)
     scored.select(col("query_id"), col("cos"),
@@ -1082,7 +1082,12 @@ object Similarity {
     * probe's own truth scan; at 100 TB pair it with `corpusFraction`
     * to bound the truth side too.
     */
-  case class IvfProbeConfig(sample: Int = 8, k: Int = 10, nprobe: Int = 2,
+  /** `nprobe` ≤ 0 (the r15 default) derives from the index's actual
+    * list count at probe time ([[deriveIvfNprobe]] via the
+    * maintainer's `probeWidth`) so the probe measures recall at the
+    * operating point derived-knob searches use.
+    */
+  case class IvfProbeConfig(sample: Int = 8, k: Int = 10, nprobe: Int = -1,
       threshold: Double = 0.9, corpusFraction: Double = 1.0,
       everyNTicks: Int = 1, onDrift: (Long, IvfProbeResult) => Unit = (_, _) => (),
       corpusSample: Int = 0, corpusEveryNTicks: Int = 0)

@@ -193,6 +193,18 @@ object DocStream {
     * idempotently (the already-applied store skips on its own marker,
     * the other catches up).
     */
+  /** The drift probe's operating width: an explicit `nprobe` wins;
+    * the ≤ 0 default derives from the index's ACTUAL list count
+    * ([[graft.operators.Similarity.deriveIvfNprobe]]) so the probe
+    * measures recall at the operating point derived-knob searches use
+    * — a fixed probe width on a derived-nlist index would read a
+    * constant-fraction scan the searches never perform.
+    */
+  private def probeWidth(p: graft.operators.Similarity.IvfProbeConfig,
+      nlist: Int): Int =
+    if (p.nprobe > 0) p.nprobe
+    else graft.operators.Similarity.deriveIvfNprobe(nlist)
+
   private def startBandedMaintain(input: DataFrame,
       det: org.apache.spark.sql.SparkSession => graft.operators.Dedup.NearDupDetector,
       rowsDir: String, bandDir: String, pairsDir: String, checkpointDir: String,
@@ -487,7 +499,15 @@ object DocStream {
     * @param checkpointDir durable streaming checkpoint (REQUIRED: the
     *                      replay guard needs monotonic batch ids)
     * @param nlist         the quantizer's centroid count = the
-    *                      store's bucket count, must match the seed
+    *                      store's bucket count, must match the seed.
+    *                      ≤ 0 (the r15 default) RECOVERS it from the
+    *                      centroid artifact itself (`cents.size` —
+    *                      the artifact IS the bucket contract, the
+    *                      startSemanticDedupMaintain precedent), so a
+    *                      derived-nlist seed and its maintainer can
+    *                      never silently disagree: an operator-typed
+    *                      nlist that mismatched the seed would bucket
+    *                      tick rows into the WRONG inverted lists
     * @param probe         optional recall-drift probe policy: sampled
     *                      recall measured after qualifying ticks,
     *                      logged with the tick stats; a reading below
@@ -513,7 +533,7 @@ object DocStream {
     *                      bucket IS the id)
     */
   def startIvfMaintain(vecs: DataFrame, storeDir: String, centroidsDir: String,
-                       checkpointDir: String, nlist: Int,
+                       checkpointDir: String, nlist: Int = -1,
                        probe: Option[graft.operators.Similarity.IvfProbeConfig] = None,
                        codebooksDir: Option[String] = None,
                        byIdDir: Option[String] = None): StreamingQuery =
@@ -542,6 +562,8 @@ object DocStream {
           .cache()
         if (b.count() > 0 && BucketStore.appliedBatchId(storeDir) < batchId) {
           val cents = graft.operators.Similarity.loadCentroids(spark, centroidsDir)
+          // nlist ≤ 0: the centroid artifact is the bucket contract
+          val nl = if (nlist > 0) nlist else cents.size
           val ups = b.filter(col("op").isin("upsert", "insert")).drop("op")
           val removed =
             if (hasOp) Some(b.filter(col("op") === "delete").drop("op")) else None
@@ -577,10 +599,10 @@ object DocStream {
             case Some(bd) =>
               graft.operators.Similarity.ivfPqAppendTick(spark, storeDir, cents,
                 graft.operators.Similarity.loadCodebooks(spark, bd),
-                ups, batchId, nlist, removedVectors = removed)
+                ups, batchId, nl, removedVectors = removed)
             case None =>
               graft.operators.Similarity.ivfAppendTick(spark, storeDir, cents,
-                ups, batchId, nlist, removedVectors = removed)
+                ups, batchId, nl, removedVectors = removed)
           }
           probe.filter(p => batchId % p.everyNTicks.max(1) == 0).foreach { p =>
             // probe queries = a deterministic hash-sample of THIS
@@ -592,7 +614,7 @@ object DocStream {
               .select(col("vec_id").as("query_id"), col("v").as("qv"),
                 col("norm").as("qnorm"))
             val r = graft.operators.Similarity.ivfRecallProbe(spark, storeDir,
-              cents, qs, p.k, p.nprobe, nlist, p.threshold, p.corpusFraction)
+              cents, qs, p.k, probeWidth(p, nl), nl, p.threshold, p.corpusFraction)
             log.info(s"$storeDir batch=$batchId $r")
             if (r.tripped) {
               log.warn(s"$storeDir batch=$batchId RECALL DRIFT: $r — " +
@@ -612,7 +634,7 @@ object DocStream {
               .select(col("vec_id").as("query_id"), col("v").as("qv"),
                 col("norm").as("qnorm"))
             val r = graft.operators.Similarity.ivfRecallProbe(spark, storeDir,
-              cents, qs, p.k, p.nprobe, nlist, p.threshold, p.corpusFraction)
+              cents, qs, p.k, probeWidth(p, nl), nl, p.threshold, p.corpusFraction)
             log.info(s"$storeDir batch=$batchId corpus-probe $r")
             if (r.tripped) {
               log.warn(s"$storeDir batch=$batchId CORPUS RECALL DRIFT: $r — " +

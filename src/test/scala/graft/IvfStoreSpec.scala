@@ -92,8 +92,11 @@ class IvfStoreSpec extends AnyFunSuite {
       .collect().map(r => VecIngest(r.getLong(0), r.getSeq[Double](1))).toSeq
 
     val input = MemoryStream[VecIngest]
+    // no explicit nlist: the maintainer recovers the bucket contract
+    // from the centroid artifact itself (the r15 default — the proven
+    // path IS the default path)
     val q = streaming.DocStream.startIvfMaintain(
-      input.toDF(), storeDir, centsDir, s"$root/ckpt", nlist)
+      input.toDF(), storeDir, centsDir, s"$root/ckpt")
     input.addData(ingest(7): _*); q.processAllAvailable()
     input.addData(ingest(3): _*); q.processAllAvailable()
     q.stop()

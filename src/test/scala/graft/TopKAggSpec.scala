@@ -62,6 +62,43 @@ class TopKAggSpec extends AnyFunSuite {
     assert(twoNaN.toSeq === Seq(2L, 9L))
   }
 
+  test("packed-key heap rank ≡ the window formulation on randomized scored frames (ties + NaN)") {
+    import spark.implicits._
+    // searchIvfStore's rank stage: the (vec_id << 16 | cluster)
+    // packing must reproduce the window's (cos desc, vec_id asc)
+    // total order EXACTLY — randomized frames with heavy tie mass
+    // (scores drawn from 4 distinct values), one NaN row per query,
+    // and clusters spanning the 16-bit range's edges
+    val rnd = new scala.util.Random(99)
+    val rows = (for (q <- 0L until 7L; i <- 0 until 200) yield {
+      val vecId = rnd.nextInt(1 << 20).toLong
+      val cos = if (i == 0) Double.NaN else Seq(0.1, 0.5, 0.5, 0.9)(rnd.nextInt(4))
+      val cluster = Seq(0, 1, 7, 65535)(rnd.nextInt(4))
+      (q, vecId, cos, cluster)
+    }).distinct
+    // dedupe on (query, vec_id): the store invariant (one posting per
+    // vector) that makes packed-id-asc ≡ vec_id-asc
+    val df = rows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      .toDF("query_id", "vec_id", "cos", "cluster")
+    val k = 9
+    val viaHeap = graft.operators.Similarity.heapRankWithCluster(spark, df, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getInt(4)))
+      .map { case (q, n, c, rn, cl) =>
+        (q, n, if (c.isNaN) "NaN" else c.toString, rn, cl) }.toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    val viaWindow = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
+        col("rn"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getInt(4)))
+      .map { case (q, n, c, rn, cl) =>
+        (q, n, if (c.isNaN) "NaN" else c.toString, rn, cl) }.toSet
+    assert(viaHeap === viaWindow)
+    assert(viaHeap.size === 7 * k)
+  }
+
   test("k larger than group size returns the whole group sorted") {
     import spark.implicits._
     graft.functions.TopKAgg.register(spark)
