@@ -514,7 +514,7 @@ object Retrieval {
     * serves neighbors-of — it never returns the query row).
     */
   def hybridRrfStored(spark: SparkSession, sfDir: String, topK: Int = 10,
-                      nlist: Int = 8, nprobe: Int = 2,
+                      nlist0: Int = -1, nprobe0: Int = -1,
                       artifactDir: String = "target/graft-artifacts"): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val docs = Tables.documents(spark, sfDir)
@@ -528,6 +528,13 @@ object Retrieval {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
       .cache()
+    // r15: the dense arm's coarse knobs scale-derive like every other
+    // IVF site (deriveIvfNlist/deriveIvfNprobe — the r14 verdict's #1
+    // class; a fixed nlist here would leave the hybrid's ANN arm
+    // probing corpus/4-sized lists at scale while knn_ivf_store's own
+    // entry derived correctly)
+    val nlist = if (nlist0 > 0) nlist0 else Similarity.deriveIvfNlist(emb.count())
+    val nprobe = if (nprobe0 > 0) nprobe0 else Similarity.deriveIvfNprobe(nlist)
     val cents = graft.PhaseTimer.timed("q_hybrid_rrf_store", "dense_train") {
       Similarity.trainQuantizer(spark, emb, s"$denseRoot/centroids", nlist)
     }
