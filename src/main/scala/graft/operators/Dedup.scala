@@ -221,11 +221,17 @@ object Dedup {
     * zero carry-over reads — the banded row-store economics).
     */
   private[graft] def seedDedupMemberStore(spark: SparkSession, docs: DataFrame,
-      storeDir: String, nBuckets: Int): Unit =
-    graft.streaming.BucketStore.seed(
-      docs.select(md5(col("text")).as("text_md5"), col("doc_id")).distinct(),
-      graft.streaming.BucketStore.md5Bucket(col("text_md5"), nBuckets),
-      storeDir, nBuckets, kind = graft.streaming.BucketStore.KindMd5)
+      storeDir: String, nBuckets: Int = -1): Unit = {
+    val members = docs.select(md5(col("text")).as("text_md5"), col("doc_id")).distinct()
+    // nBuckets ≤ 0 (the r15 default): layout derives from the seed
+    // corpus (BucketStore.deriveBuckets); maintainers recover it from
+    // the store meta
+    val n = if (nBuckets > 0) nBuckets
+      else graft.streaming.BucketStore.deriveBuckets(members.count())
+    graft.streaming.BucketStore.seed(members,
+      graft.streaming.BucketStore.md5Bucket(col("text_md5"), n),
+      storeDir, n, kind = graft.streaming.BucketStore.KindMd5)
+  }
 
   /** Canonical reader of the member store: the dedup DECISION surface
     * (text_md5, keep_doc_id, n_copies), derived by one aggregate over
@@ -448,7 +454,10 @@ object Dedup {
     val root = s"$artifactDir/minhash_cdc_${digest}_$runId"
     val docs = dupPlantedDocs(spark, sfDir).select(col("doc_id"), col("text")).cache()
     graft.PhaseTimer.timed("dedup_minhash_cdc", "seed") {
-      seedNearDupStores(spark, docs, det, s"$root/sig", s"$root/band", nBuckets = 64)
+      // derived layout (r15): the registered demo seeds at the DEFAULT
+      // knobs a user gets — deriveBuckets at test SF is the historical
+      // 64, and the tick below recovers the count from the store meta
+      seedNearDupStores(spark, docs, det, s"$root/sig", s"$root/band")
     }
     val dels = docs.filter(col("doc_id") >= 10000000L && col("doc_id") % 5 === 0)
       .select(lit("d").as("op"), col("doc_id"), lit(null).cast("string").as("text"))
@@ -460,7 +469,7 @@ object Dedup {
     graft.PhaseTimer.timed("dedup_minhash_cdc", "tick") {
       nearDupStoreCdcTick(spark, det, s"$root/sig", s"$root/band",
         s"$root/pairs", dels.unionByName(ups), batchId = 1L,
-        nBuckets = 64, bucketCap = bucketCap)
+        nBuckets = -1, bucketCap = bucketCap)
     }
     docs.unpersist()
     readPairLog(spark, s"$root/pairs")
@@ -543,14 +552,20 @@ object Dedup {
     * SimHash fingerprints, and hyperplane-signed vectors alike.
     */
   private[graft] def seedNearDupStores(spark: SparkSession, input: DataFrame,
-      det: NearDupDetector, rowsDir: String, bandDir: String, nBuckets: Int): Unit = {
+      det: NearDupDetector, rowsDir: String, bandDir: String,
+      nBuckets: Int = -1): Unit = {
     import graft.streaming.BucketStore
     graft.functions.VectorFunctions.register(spark)
     val rows = det.rows(input).cache()
+    // nBuckets ≤ 0 (the r15 default): derive the layout from the seed
+    // corpus (BucketStore.deriveBuckets — ~4k rows/bucket; test SFs
+    // keep the historical 64). The derivation freezes into the store
+    // meta; ticks/maintainers recover it via seededBuckets.
+    val n = if (nBuckets > 0) nBuckets else BucketStore.deriveBuckets(rows.count())
     BucketStore.seed(rows,
-      BucketStore.longBucket(col(det.idCol), nBuckets), rowsDir, nBuckets)
+      BucketStore.longBucket(col(det.idCol), n), rowsDir, n)
     BucketStore.seed(det.bands(rows),
-      BucketStore.longBucket(col("key"), nBuckets), bandDir, nBuckets)
+      BucketStore.longBucket(col("key"), n), bandDir, n)
     rows.unpersist()
     ()
   }
@@ -638,10 +653,15 @@ object Dedup {
 
   private def nearDupTickCore(spark: SparkSession, det: NearDupDetector,
       rowsDir: String, bandDir: String, pairsDir: String, batchRows: DataFrame,
-      tombstones: Option[DataFrame], batchId: Long, nBuckets: Int,
+      tombstones: Option[DataFrame], batchId: Long, nBuckets0: Int,
       bucketCap: Int): Unit = {
     import graft.streaming.BucketStore
     graft.functions.VectorFunctions.register(spark)
+    // nBuckets ≤ 0: recover the layout from the store's own meta
+    // (seededBuckets — the artifact-is-the-contract rule; an explicit
+    // count still asserts against the meta on every read/apply)
+    val nBuckets = if (nBuckets0 > 0) nBuckets0
+      else BucketStore.seededBuckets(rowsDir)
     val id = det.idCol
     val deltaRows = det.rows(batchRows).cache()
     val deltaBands = det.bands(deltaRows).cache()

@@ -259,6 +259,42 @@ private[graft] object BucketStore {
   }
 
   /** Bucket of a non-negative long key. */
+  /** Scale-derived bucket count for a seed over `rows` keyed rows:
+    * ~4k rows per bucket, next power of two, clamped to [64, 65536] —
+    * the deriveIvfNlist discipline applied to the layout knob. A
+    * FIXED count makes each bucket rows/n-sized: at the 64 default a
+    * 100 TB store's CDC merge ticks rewrite terabyte-scale touched
+    * buckets and pruned reads lose granularity, which is why the 1M-
+    * doc scale run hand-picked 256 (= what this derives at 1M) while
+    * default-knob users kept 64. Test corpora (≤ 256k rows) derive
+    * the historical 64, so existing layouts and specs are unchanged.
+    * The derived count freezes into the store's meta file at seed
+    * time; ticks and maintainers recover it via [[seededBuckets]]
+    * (and a mismatched explicit count still fails loudly on every
+    * pruned read/apply).
+    */
+  def deriveBuckets(rows: Long): Int = {
+    var p = 64L
+    val target = (rows + 3999L) / 4000L
+    while (p < target && p < 65536L) p <<= 1
+    p.toInt
+  }
+
+  /** The bucket count a store was seeded with, from its meta file —
+    * the recovery path for maintainers/ticks handed `n ≤ 0` (the
+    * artifact-is-the-contract rule: an operator-typed count that
+    * mismatched the seed would bucket rows into the wrong dirs; this
+    * cannot).
+    */
+  def seededBuckets(dir: String): Int = {
+    val (fs, p) = fsFor(dir)
+    readSmall(fs, new HPath(p, MetaFile))
+      .flatMap(_.split("\n").find(_.startsWith("n="))
+        .map(_.stripPrefix("n=").trim.toInt))
+      .getOrElse(throw new IllegalStateException(
+        s"store $dir has no meta file — cannot recover its bucket count"))
+  }
+
   def longBucket(pk: Column, n: Int): Column = pmod(pk, lit(n)).cast("int")
 
   /** Bucket of a hex-digest key (e.g. md5): first 4 hex chars mod n —

@@ -62,11 +62,15 @@ object DocStream {
     * @param pairsDir      near-dup pair log, one subdir per batch
     * @param checkpointDir durable streaming checkpoint (REQUIRED: the
     *                      replay guard needs monotonic batch ids)
-    * @param nBuckets      both stores' bucket count, must match the seed
+    * @param nBuckets      both stores' bucket count, must match the
+    *                      seed; ≤ 0 (the r15 default) recovers it from
+    *                      the row store's meta — the layout contract
+    *                      the seed froze (seeds themselves now DERIVE
+    *                      the count from corpus size)
     */
   def startNearDupMaintain(docs: DataFrame, sigDir: String, bandDir: String,
                            pairsDir: String, checkpointDir: String,
-                           nBuckets: Int = BucketStore.DefaultBuckets,
+                           nBuckets: Int = -1,
                            threshold: Double = 0.5,
                            bucketCap: Int = 10000,
                            probe: Option[graft.operators.Dedup.BandedProbeConfig] = None,
@@ -81,7 +85,7 @@ object DocStream {
     */
   def startSimhashMaintain(docs: DataFrame, fpDir: String, bandDir: String,
                            pairsDir: String, checkpointDir: String,
-                           nBuckets: Int = BucketStore.DefaultBuckets,
+                           nBuckets: Int = -1,
                            maxHamming: Int = 6,
                            bucketCap: Int = 10000,
                            probe: Option[graft.operators.Dedup.BandedProbeConfig] = None,
@@ -97,7 +101,7 @@ object DocStream {
     */
   def startEmbedNearDupMaintain(vecs: DataFrame, vecDir: String, bandDir: String,
                                 pairsDir: String, checkpointDir: String,
-                                nBuckets: Int = BucketStore.DefaultBuckets,
+                                nBuckets: Int = -1,
                                 threshold: Double = 0.9,
                                 bucketCap: Int = 10000,
                            probe: Option[graft.operators.Dedup.BandedProbeConfig] = None,
@@ -114,7 +118,7 @@ object DocStream {
     */
   def startEmbedWideNearDupMaintain(vecs: DataFrame, vecDir: String, bandDir: String,
                                     pairsDir: String, checkpointDir: String,
-                                    nBuckets: Int = BucketStore.DefaultBuckets,
+                                    nBuckets: Int = -1,
                                     threshold: Double = 0.9,
                                     bucketCap: Int = 10000,
                            probe: Option[graft.operators.Dedup.BandedProbeConfig] = None,
@@ -136,7 +140,7 @@ object DocStream {
     */
   def startImageNearDupMaintain(imgs: DataFrame, fpDir: String, bandDir: String,
                                 pairsDir: String, checkpointDir: String,
-                                nBuckets: Int = BucketStore.DefaultBuckets,
+                                nBuckets: Int = -1,
                                 maxDist: Int = 7,
                                 bucketCap: Int = 10000,
                            probe: Option[graft.operators.Dedup.BandedProbeConfig] = None,
@@ -156,7 +160,7 @@ object DocStream {
     */
   def startAudioNearDupMaintain(clips: DataFrame, fpDir: String, bandDir: String,
                                 pairsDir: String, checkpointDir: String,
-                                nBuckets: Int = BucketStore.DefaultBuckets,
+                                nBuckets: Int = -1,
                                 maxDist: Int = 3,
                                 bucketCap: Int = 10000,
                            probe: Option[graft.operators.Dedup.BandedProbeConfig] = None,
@@ -176,7 +180,7 @@ object DocStream {
     */
   def startVideoNearDupMaintain(clips: DataFrame, rowsDir: String, bandDir: String,
                                 pairsDir: String, checkpointDir: String,
-                                nBuckets: Int = BucketStore.DefaultBuckets,
+                                nBuckets: Int = -1,
                                 maxTrim: Int = 3, tol: Double = 8.0,
                                 bucketCap: Int = 10000,
                            probe: Option[graft.operators.Dedup.BandedProbeConfig] = None,
@@ -234,12 +238,19 @@ object DocStream {
         // permanently strand the second store.
         val commitDir = if (isCdc) rowsDir else bandDir
         if (b.count() > 0 && BucketStore.appliedBatchId(commitDir) < batchId) {
+          // nBuckets ≤ 0 (the r15 default): the store's own meta IS
+          // the layout contract — recover it rather than trust an
+          // operator-typed count (seeds now DERIVE their count, so a
+          // maintainer default that guessed 64 would mismatch any
+          // derived-layout store; explicit counts still assert)
+          val n = if (nBuckets > 0) nBuckets
+            else BucketStore.seededBuckets(rowsDir)
           if (isCdc)
             graft.operators.Dedup.nearDupStoreCdcTick(spark, d, rowsDir, bandDir,
-              pairsDir, b, batchId, nBuckets, bucketCap)
+              pairsDir, b, batchId, n, bucketCap)
           else
             graft.operators.Dedup.nearDupStoreTick(spark, d, rowsDir, bandDir,
-              pairsDir, b, batchId, nBuckets, bucketCap)
+              pairsDir, b, batchId, n, bucketCap)
           // planted-recall drift probe over a hash-sample of THIS
           // tick's rows (the startIvfMaintain convention): exact-copy
           // plants must pair with their just-ticked sources, so every
@@ -249,7 +260,7 @@ object DocStream {
           probe.filter(p => !isCdc && batchId % p.everyNTicks.max(1) == 0).foreach { p =>
             val qs = b.orderBy(md5(col(d.idCol).cast("string"))).limit(p.sample)
             val r = graft.operators.Dedup.bandedDriftProbe(spark, d,
-              rowsDir, bandDir, qs, nBuckets, bucketCap, p.floor)
+              rowsDir, bandDir, qs, n, bucketCap, p.floor)
             log.info(s"$bandDir batch=$batchId $r")
             if (r.tripped) {
               log.warn(s"$bandDir batch=$batchId PLANTED-RECALL DRIFT: $r — " +
@@ -324,22 +335,28 @@ object DocStream {
     *                      the replay guard: batch ids must be
     *                      monotonic across restarts)
     * @param nBuckets      the store's bucket count — part of its
-    *                      on-disk contract, must match the seed
+    *                      on-disk contract, must match the seed; ≤ 0
+    *                      (the r15 default) recovers it from the
+    *                      store's meta
     */
   def startDedupMaintain(docs: DataFrame, storeDir: String, checkpointDir: String,
-                         nBuckets: Int = BucketStore.DefaultBuckets): StreamingQuery =
+                         nBuckets: Int = -1): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         BucketStore.recover(storeDir)
+        // nBuckets ≤ 0 (r15 default): recover the layout from the
+        // store's own meta — seeds derive their count now, so a
+        // guessed default would mismatch a derived-layout store
+        val n = if (nBuckets > 0) nBuckets else BucketStore.seededBuckets(storeDir)
         val isCdc = batch.columns.contains("op")
         def members(df: DataFrame): DataFrame = df
           .filter(col("text").isNotNull)
           .select(md5(col("text")).as("text_md5"), col("doc_id")).distinct()
           .withColumn(BucketStore.BucketCol,
-            BucketStore.md5Bucket(col("text_md5"), nBuckets))
+            BucketStore.md5Bucket(col("text_md5"), n))
         val cols = if (isCdc)
           Seq(col("op"), col("doc_id"), col("text"), col("text_before"))
         else Seq(col("doc_id"), col("text"))
@@ -355,11 +372,11 @@ object DocStream {
               .join(changes.select(col("text_md5"), col("doc_id")),
                 Seq("text_md5", "doc_id"), "left_anti")
             BucketStore.applyTick(spark, storeDir, changes,
-              Seq("text_md5", "doc_id"), batchId, n = nBuckets,
+              Seq("text_md5", "doc_id"), batchId, n = n,
               removed = Some(removedKeys))
           } else {
             BucketStore.applyAppendTick(spark, storeDir,
-              members(b), batchId, n = nBuckets,
+              members(b), batchId, n = n,
               onCompact = _.dropDuplicates("text_md5", "doc_id"))
           }
           ()
@@ -402,7 +419,7 @@ object DocStream {
     * next compaction fold and are filtered by [[readLineCounts]].
     */
   def startLineCountMaintain(docs: DataFrame, storeDir: String, checkpointDir: String,
-                             nBuckets: Int = BucketStore.DefaultBuckets): StreamingQuery =
+                             nBuckets: Int = -1): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -415,6 +432,9 @@ object DocStream {
         else Seq(col("doc_id"), col("text"))
         val b = batch.toDF().select(cols: _*).distinct().cache()
         if (b.count() > 0 && BucketStore.appliedBatchId(storeDir) < batchId) {
+          // nBuckets ≤ 0 (r15 default): the store meta is the layout
+          val n = if (nBuckets > 0) nBuckets
+            else BucketStore.seededBuckets(storeDir)
           def counts(df: DataFrame, sign: Int): DataFrame =
             graft.operators.TextAnalysis.lineCountsOf(df.filter(col("text").isNotNull))
               .select(col("k"), (col("ndocs") * sign).as("ndocs"))
@@ -427,8 +447,8 @@ object DocStream {
             else counts(b, 1)
           BucketStore.applyAppendTick(spark, storeDir,
             deltaCounts.withColumn(BucketStore.BucketCol,
-              BucketStore.md5Bucket(md5(col("k")), nBuckets)),
-            batchId, n = nBuckets,
+              BucketStore.md5Bucket(md5(col("k")), n)),
+            batchId, n = n,
             onCompact = _.groupBy(col("k"), col(BucketStore.BucketCol))
               .agg(sum(col("ndocs")).as("ndocs"))
               .filter(col("ndocs") =!= 0))

@@ -92,10 +92,12 @@ object EventStream {
     * @param checkpointDir durable streaming checkpoint (REQUIRED: the
     *                      applied-batch replay guard needs monotonic
     *                      batch ids across restarts)
-    * @param nBuckets      the store's bucket count, must match the seed
+    * @param nBuckets      the store's bucket count, must match the
+    *                      seed; ≤ 0 (the r15 default) recovers it
+    *                      from the store's meta
     */
   def startCdcApply(updates: DataFrame, snapshot: String, checkpointDir: String,
-                    nBuckets: Int = BucketStore.DefaultBuckets): org.apache.spark.sql.streaming.StreamingQuery =
+                    nBuckets: Int = -1): org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -103,8 +105,10 @@ object EventStream {
         val spark = batch.sparkSession
         BucketStore.recover(snapshot)
         val b = batch.toDF().cache()
+        // nBuckets ≤ 0 (r15 default): the store meta is the layout
         if (b.count() > 0 && BucketStore.appliedBatchId(snapshot) < batchId)
-          cdcMergeTick(spark, snapshot, b, batchId, nBuckets)
+          cdcMergeTick(spark, snapshot, b, batchId,
+            if (nBuckets > 0) nBuckets else BucketStore.seededBuckets(snapshot))
         b.unpersist()
         ()
       }
@@ -173,11 +177,13 @@ object EventStream {
     *                      the applied-batch marker persists, and the
     *                      guard would skip real matrix updates forever
     * @param nBuckets      the store's bucket count — part of its
-    *                      on-disk contract, must match the seed
+    *                      on-disk contract, must match the seed; ≤ 0
+    *                      (the r15 default) recovers it from the
+    *                      store's meta
     */
   def startCoocMaintain(interactions: DataFrame, factsDir: String,
                         matrixDir: String, checkpointDir: String,
-                        nBuckets: Int = BucketStore.DefaultBuckets): org.apache.spark.sql.streaming.StreamingQuery =
+                        nBuckets: Int = -1): org.apache.spark.sql.streaming.StreamingQuery =
     interactions.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -192,6 +198,9 @@ object EventStream {
         if (b.count() > 0) {
           val old = spark.read.parquet(factsDir)
           if (BucketStore.appliedBatchId(matrixDir) < batchId) {
+            // nBuckets ≤ 0 (r15 default): the store meta is the layout
+            val n = if (nBuckets > 0) nBuckets
+              else BucketStore.seededBuckets(matrixDir)
             // phase 1 — delta pair counts: needs facts + batch only
             val (pairCounts, pairCaches) =
               graft.operators.ItemCF.deltaPairCountsTracked(old, b)
@@ -200,14 +209,14 @@ object EventStream {
             // changed keys are exactly the delta-pair keys, so the
             // pruned read cannot miss a bump
             val touched = BucketStore.touchedBuckets(deltaPairs.select(
-              graft.operators.ItemCF.pairBucket(col("pk"), nBuckets).as(BucketStore.BucketCol)))
-            val matrix = BucketStore.readBuckets(spark, matrixDir, touched, nBuckets)
+              graft.operators.ItemCF.pairBucket(col("pk"), n).as(BucketStore.BucketCol)))
+            val matrix = BucketStore.readBuckets(spark, matrixDir, touched, n)
             val (changes, mergeCaches) =
               graft.operators.ItemCF.coocChangesFromPairs(matrix, deltaPairs)
             BucketStore.applyTick(spark, matrixDir,
               changes.withColumn(BucketStore.BucketCol,
-                BucketStore.longBucket(col("item_a"), nBuckets)),
-              Seq("item_a", "item_b"), batchId, n = nBuckets)
+                BucketStore.longBucket(col("item_a"), n)),
+              Seq("item_a", "item_b"), batchId, n = n)
             // unpersist ONLY this tick's intermediates — a session-wide
             // clearCache would thrash concurrent queries' caches
             (pairCaches ++ Seq(deltaPairs) ++ mergeCaches).foreach(_.unpersist())
@@ -254,7 +263,7 @@ object EventStream {
                        checkpointDir: String,
                        retrainEvery: Long = 100, topN: Int = 10,
                        rank: Int = 4, maxIter: Int = 5,
-                       nBuckets: Int = BucketStore.DefaultBuckets): org.apache.spark.sql.streaming.StreamingQuery = {
+                       nBuckets: Int = -1): org.apache.spark.sql.streaming.StreamingQuery = {
     val pending = new java.util.concurrent.atomic.AtomicLong(0L)
     updates.writeStream.outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -263,8 +272,10 @@ object EventStream {
         BucketStore.recover(snapshot)
         val b = batch.toDF().cache()
         val n = b.count()
+        // nBuckets ≤ 0 (r15 default): the store meta is the layout
         if (n > 0 && BucketStore.appliedBatchId(snapshot) < batchId)
-          cdcMergeTick(spark, snapshot, b, batchId, nBuckets)
+          cdcMergeTick(spark, snapshot, b, batchId,
+            if (nBuckets > 0) nBuckets else BucketStore.seededBuckets(snapshot))
         b.unpersist()
         if (n > 0 && pending.addAndGet(n) >= retrainEvery) {
           val train = BucketStore.readAll(spark, snapshot).select(

@@ -493,4 +493,27 @@ class BucketStoreSpec extends AnyFunSuite {
     assert(stD.applied)
     ()
   }
+
+  test("derived bucket counts pin the anchors/clamps; stores recover their layout from meta") {
+    import spark.implicits._
+    // test-SF floor: every test corpus keeps the historical 64
+    assert(BucketStore.deriveBuckets(500) === 64)
+    assert(BucketStore.deriveBuckets(256000) === 64)
+    // scale anchor: 1M rows derive the 256 the scale run hand-picked
+    assert(BucketStore.deriveBuckets(1000000L) === 256)
+    // clamp + monotone: ~4k rows/bucket up to the 65536 top
+    assert(BucketStore.deriveBuckets(1000000000L) === 65536)
+    val ns = Seq(1L, 100000L, 1000000L, 100000000L, 10000000000L)
+    assert(ns.map(BucketStore.deriveBuckets) === ns.map(BucketStore.deriveBuckets).sorted)
+    // a seeded store's meta IS the layout contract: seededBuckets
+    // round-trips the seed-time count, and an unseeded dir fails loudly
+    val dir = java.nio.file.Files.createTempDirectory("derive_buckets").toString + "/s"
+    BucketStore.seed(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      BucketStore.longBucket(col("id"), 96), dir, 96)
+    assert(BucketStore.seededBuckets(dir) === 96)
+    intercept[IllegalStateException] {
+      BucketStore.seededBuckets(dir + "_missing")
+    }
+    ()
+  }
 }
