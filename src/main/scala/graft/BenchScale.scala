@@ -153,38 +153,55 @@ object BenchScale {
       n = 20, bufferCap = 1000))
 
     // store soak: full-matrix seed + one ~5% delta tick through the
-    // bucketed store (the two heaviest maintainer operations)
-    val soakDir = s"target/graft-scale/cooc_store_${rows}"
-    locally {
-      val hp = new org.apache.hadoop.fs.Path(soakDir)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
-      ()
-    }
+    // bucketed store (the two heaviest maintainer operations). r16
+    // (the r15 verdict's #3): the matrix store's bucket count was the
+    // one layout knob still explicit, because its row economics
+    // (~pairs ≫ facts, narrow rows) had no measured anchor — sweep
+    // the candidate layouts and record the matrix row count, the
+    // receipt the derivation (or a documented stay-explicit) cites.
     val cutTs = "2024-12-15 00:00:00"
     val oldFacts = factsUnskewed.filter(col("ts") < lit(cutTs).cast("timestamp"))
       .select(col("user_id"), col("item_id")).cache()
     val deltaFacts = factsUnskewed.filter(col("ts") >= lit(cutTs).cast("timestamp"))
       .select(col("user_id"), col("item_id"))
-    val nBuckets = 256
-    timed("cooc_store_seed")(
-      // seed returns Unit; wrap the read-back count as the timed frame
-      { graft.streaming.BucketStore.seed(ItemCF.coocCountsOn(oldFacts),
-          graft.streaming.BucketStore.longBucket(col("item_a"), nBuckets), soakDir, nBuckets)
-        graft.streaming.BucketStore.readAll(spark, soakDir).select(col("item_a")) })
-    timed("cooc_store_tick") {
-      val (pairCounts, caches) = ItemCF.deltaPairCountsTracked(oldFacts, deltaFacts)
-      val deltaPairs = pairCounts.cache()
-      val touched = graft.streaming.BucketStore.touchedBuckets(deltaPairs.select(
-        ItemCF.pairBucket(col("pk"), nBuckets).as(graft.streaming.BucketStore.BucketCol)))
-      val matrix = graft.streaming.BucketStore.readBuckets(spark, soakDir, touched, nBuckets)
-      val (changes, mergeCaches) = ItemCF.coocChangesFromPairs(matrix, deltaPairs)
-      graft.streaming.BucketStore.applyTick(spark, soakDir,
-        changes.withColumn(graft.streaming.BucketStore.BucketCol,
-          graft.streaming.BucketStore.longBucket(col("item_a"), nBuckets)),
-        Seq("item_a", "item_b"), batchId = 0L, n = nBuckets)
-      (caches ++ mergeCaches :+ deltaPairs).foreach(_.unpersist())
-      graft.streaming.BucketStore.readAll(spark, soakDir).select(col("item_a"))
+    def soakAt(nBuckets: Int, seedKey: String, tickKey: String): Unit = {
+      val soakDir = s"target/graft-scale/cooc_store_${rows}_b$nBuckets"
+      locally {
+        val hp = new org.apache.hadoop.fs.Path(soakDir)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+        ()
+      }
+      timed(seedKey)(
+        // seed returns Unit; wrap the read-back count as the timed frame
+        { graft.streaming.BucketStore.seed(ItemCF.coocCountsOn(oldFacts),
+            graft.streaming.BucketStore.longBucket(col("item_a"), nBuckets), soakDir, nBuckets)
+          graft.streaming.BucketStore.readAll(spark, soakDir).select(col("item_a")) })
+      timed(tickKey) {
+        val (pairCounts, caches) = ItemCF.deltaPairCountsTracked(oldFacts, deltaFacts)
+        val deltaPairs = pairCounts.cache()
+        val touched = graft.streaming.BucketStore.touchedBuckets(deltaPairs.select(
+          ItemCF.pairBucket(col("pk"), nBuckets).as(graft.streaming.BucketStore.BucketCol)))
+        val matrix = graft.streaming.BucketStore.readBuckets(spark, soakDir, touched, nBuckets)
+        val (changes, mergeCaches) = ItemCF.coocChangesFromPairs(matrix, deltaPairs)
+        graft.streaming.BucketStore.applyTick(spark, soakDir,
+          changes.withColumn(graft.streaming.BucketStore.BucketCol,
+            graft.streaming.BucketStore.longBucket(col("item_a"), nBuckets)),
+          Seq("item_a", "item_b"), batchId = 0L, n = nBuckets)
+        (caches ++ mergeCaches :+ deltaPairs).foreach(_.unpersist())
+        graft.streaming.BucketStore.readAll(spark, soakDir).select(col("item_a"))
+      }
     }
+    // canonical keys stay the historical 256 layout (round-over-round
+    // comparability); the sweep arms land as _b64/_b1024
+    soakAt(256, "cooc_store_seed", "cooc_store_tick")
+    soakAt(64, "cooc_store_seed_b64", "cooc_store_tick_b64")
+    soakAt(1024, "cooc_store_seed_b1024", "cooc_store_tick_b1024")
+    // the anchor the derivation needs: how many matrix rows this
+    // facts table actually produces (read back from the seeded store
+    // — one pruned columnar scan, not a re-aggregation)
+    val matrixRows = graft.streaming.BucketStore
+      .readAll(spark, s"target/graft-scale/cooc_store_${rows}_b256")
+      .select(col("item_a")).count()
 
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -195,7 +212,7 @@ object BenchScale {
       results("cooc_derived_unskewed")._1 / results("cooc_plain_unskewed")._1
     val line = s"""{"metric":"scale_total","value":${results.values.map(_._1).sum},""" +
       s""""unit":"sec","rows":$rows,"facts":$nFacts,"facts_skewed":$nFactsSkewed,""" +
-      s""""hot_users":$hotUsers,"hot_degree":$hotDeg,""" +
+      s""""hot_users":$hotUsers,"hot_degree":$hotDeg,"cooc_matrix_rows":$matrixRows,""" +
       f""""derived_gate_overhead_unskewed":$gateOverhead%.3f,""" +
       s""""salted_crossover_ok":$crossoverOk,"queries":$qs,"shuffle_bytes":$sb}"""
     println(line)

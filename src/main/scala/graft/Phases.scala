@@ -38,6 +38,20 @@ object PhaseTimer {
     }
   }
 
+  /** Record an externally-measured duration under (query, phase) —
+    * accumulating like [[timed]]. For attribution splits measured by
+    * task-side accumulators (e.g. the video decode's demux vs JPEG
+    * CPU-seconds), where the wall is already covered by an enclosing
+    * [[timed]] and the split rides along as extra phases.
+    */
+  def record(query: String, phase: String, seconds: Double): Unit = {
+    timings
+      .computeIfAbsent(query,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, Double]())
+      .merge(phase, seconds, (a, b) => a + b)
+    ()
+  }
+
   def snapshot(): Map[String, Map[String, Double]] = {
     import scala.jdk.CollectionConverters._
     timings.asScala.map { case (q, m) => q -> m.asScala.toMap }.toMap

@@ -956,14 +956,25 @@ object Multimodal extends Serializable {
     * containers demux to an empty frame list and drop out here; an
     * individually undecodable frame contributes −255 (never matches).
     */
-  private[graft] def videoLevelRows(clips: DataFrame): DataFrame = {
+  private[graft] def videoLevelRows(clips: DataFrame,
+      demuxNs: Option[org.apache.spark.util.LongAccumulator] = None,
+      jpegNs: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = clips.sparkSession
     import spark.implicits._
     clips.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, p) =>
+        // optional attribution split (r16): demux vs per-frame JPEG
+        // decode CPU-nanos, summed across tasks — the one-line receipt
+        // that decides which half moved when the decode wall drifts
+        // (the r14/r15 host-variance watch item)
+        val t0 = System.nanoTime()
         val frames = demuxAvi(p)
-        (id, frames.map(f => math.round(frameBrightness(f) * 255f)).toArray)
+        val t1 = System.nanoTime()
+        val levels = frames.map(f => math.round(frameBrightness(f) * 255f)).toArray
+        demuxNs.foreach(_.add(t1 - t0))
+        jpegNs.foreach(_.add(System.nanoTime() - t1))
+        (id, levels)
       })
       .toDF("doc_id", "levels")
       .filter(size(col("levels")) >= 5)
@@ -1058,8 +1069,17 @@ object Multimodal extends Serializable {
       minShared: Int = 2, minOverlap: Int = 6): DataFrame = {
     // cached: decode dominates and three plan branches read the rows
     // (hot-bucket count, both verify sides) — ≤ 40 B/clip resident
-    val rows = videoLevelRows(clipAssets.toDF()).cache()
+    val sc = spark.sparkContext
+    val demuxNs = sc.longAccumulator("mm_video_demux_ns")
+    val jpegNs = sc.longAccumulator("mm_video_jpeg_ns")
+    val rows = videoLevelRows(clipAssets.toDF(), Some(demuxNs), Some(jpegNs)).cache()
     graft.PhaseTimer.timed("mm_video_dedup", "decode") { rows.count() }
+    // CPU-seconds summed across the decode tasks (not wall): the
+    // residual vs the decode wall is the synthetic payload encode —
+    // at production the bytes come from the lake and only these two
+    // terms remain
+    graft.PhaseTimer.record("mm_video_dedup", "decode_cpu_demux", demuxNs.value / 1e9)
+    graft.PhaseTimer.record("mm_video_dedup", "decode_cpu_jpeg", jpegNs.value / 1e9)
     // per-doc-distinct band entries BEFORE the join, so each shared
     // (band, key) contributes exactly ONE joined row per pair and the
     // shared count is a plain SUM whose partial aggregates collapse

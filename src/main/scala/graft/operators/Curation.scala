@@ -48,8 +48,9 @@ object Curation {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = Similarity.withVecNorm(spark, vecs)
-    val nlist = if (nlist0 > 0) nlist0 else Similarity.deriveSemanticNlist(c.count())
-    val train = c.filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit("40"))
+    val n = c.count()
+    val nlist = if (nlist0 > 0) nlist0 else Similarity.deriveSemanticNlist(n)
+    val train = Similarity.coarseTrainSample(c, nlist, n)
       .withColumn("fv", array_to_vector(col("v")))
     val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("fv")
       .setMaxIter(10).fit(train)
@@ -149,8 +150,9 @@ object Curation {
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val c = Similarity.withVecNorm(spark, vecs)
-    val nlist = Similarity.deriveSemanticNlist(c.count())
-    val train = c.filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit("40"))
+    val n = c.count()
+    val nlist = Similarity.deriveSemanticNlist(n)
+    val train = Similarity.coarseTrainSample(c, nlist, n)
       .withColumn("fv", array_to_vector(col("v")))
     val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("fv")
       .setMaxIter(10).fit(train)
@@ -258,9 +260,10 @@ object Curation {
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val c = Similarity.withVecNorm(spark, vecs)
-    val nlist = Similarity.deriveSemanticNlist(c.count())
+    val n = c.count()
+    val nlist = Similarity.deriveSemanticNlist(n)
     val cents = graft.PhaseTimer.timed("q_proto_prune_store", "fit") {
-      Similarity.trainQuantizer(spark, c, dir, nlist)
+      Similarity.trainQuantizer(spark, c, dir, nlist, n)
     }
     val loaded = Similarity.loadCentroids(spark, dir)
     require(loaded == cents, "centroid artifact round-trip changed the quantizer")

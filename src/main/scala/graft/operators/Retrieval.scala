@@ -533,10 +533,11 @@ object Retrieval {
     // class; a fixed nlist here would leave the hybrid's ANN arm
     // probing corpus/4-sized lists at scale while knn_ivf_store's own
     // entry derived correctly)
-    val nlist = if (nlist0 > 0) nlist0 else Similarity.deriveIvfNlist(emb.count())
+    val nEmb = emb.count()
+    val nlist = if (nlist0 > 0) nlist0 else Similarity.deriveIvfNlist(nEmb)
     val nprobe = if (nprobe0 > 0) nprobe0 else Similarity.deriveIvfNprobe(nlist)
     val cents = graft.PhaseTimer.timed("q_hybrid_rrf_store", "dense_train") {
-      Similarity.trainQuantizer(spark, emb, s"$denseRoot/centroids", nlist)
+      Similarity.trainQuantizer(spark, emb, s"$denseRoot/centroids", nlist, nEmb)
     }
     graft.PhaseTimer.timed("q_hybrid_rrf_store", "dense_seed") {
       Similarity.seedIvfStore(spark,

@@ -237,6 +237,60 @@ object Similarity {
   private[graft] def deriveIvfNprobe(nlist: Int): Int =
     math.min(64, math.max(2, nlist / 32))
 
+  /** Row bound for a coarse-quantizer training sample: max(100k,
+    * 64·nlist). k-means centroid quality saturates at ~O(100)
+    * points per centroid (FAISS trains on ≤ 256·k and only WARNS
+    * below 39·k; BENCH_scale_docs' `ivf_recall_at10_derived` /
+    * `ivfpq_store_recall_at10_derived` receipts measure recall@10
+    * at this bound at 2M vectors against the r15 unbounded-fraction
+    * numbers) — so the train pass is O(cap), never
+    * corpus-proportional. Bounded at nlist's own 65536 clamp this
+    * is ≤ 4.2M rows — artifact-build scale, not data scale.
+    */
+  private[graft] def coarseTrainCap(nlist: Int): Int =
+    math.max(100000, 64 * nlist)
+
+  /** Bounded deterministic training sample for a coarse k-means
+    * quantizer over an n-row (vec_id, …) corpus — the
+    * [[trainPqCodebooks]] `trainCap` discipline applied to the
+    * coarse stage (the r15 verdict's #1: a fixed 25% md5-gate
+    * FRACTION is corpus-proportional — at 100 TB the quantizer fit
+    * would scan 25 TB × 10 iterations; measured onset at only 2M
+    * vectors: 101 s vs 22.6 s derived-knob build).
+    *
+    * While the gate's expected yield (n/4) fits the cap (every test
+    * SF), the historical `md5(vec_id) prefix < "40"` 25% gate is
+    * returned bit-identically — registered outputs and existing
+    * centroid artifacts are unchanged. Above it the gate TIGHTENS
+    * to the fraction that lands ~cap rows in expectation
+    * ([[coarseGateSlots]] of 65536 16-bit prefix slots): still
+    * hash-uniform, engine/layout-independent, and deterministic for
+    * a given corpus, but a pure MAP-SIDE filter — unlike the PQ
+    * path's exact `orderBy(hash).limit(trainCap)` (fine at its 25k
+    * rows), an exact top-cap here would funnel up to 4.2M
+    * wide-vector rows through per-partition heaps and one merge
+    * task. The yield is cap ± the slot granularity (≤ 1/slots
+    * relative — immaterial to a k-means fit).
+    */
+  private[graft] def coarseTrainSample(df: DataFrame, nlist: Int, n: Long): DataFrame =
+    coarseTrainSampleCapped(df, n, coarseTrainCap(nlist))
+
+  /** Gate width for the tightened sample, in 16-bit md5-prefix slots:
+    * round(cap/n · 65536), clamped to [1, 16384] — 16384 IS the
+    * historical 25%, so the tightened gate only ever narrows it.
+    */
+  private[graft] def coarseGateSlots(n: Long, cap: Int): Long =
+    math.max(1L, math.min(16384L, (cap.toLong * 65536L + n / 2) / n))
+
+  /** [[coarseTrainSample]] with the cap explicit — the spec entry
+    * (suite corpora never reach the 100k floor).
+    */
+  private[graft] def coarseTrainSampleCapped(df: DataFrame, n: Long, cap: Int): DataFrame = {
+    val hk = md5(col("vec_id").cast("string"))
+    if (n / 4 <= cap) df.filter(substring(hk, 1, 2) < lit("40"))
+    else df.filter(substring(hk, 1, 4) < lit(f"${coarseGateSlots(n, cap)}%04x"))
+  }
+
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
 
   private def nextPow2(x: Long): Int = {
@@ -473,7 +527,7 @@ object Similarity {
     val nprobe = if (nprobe0 > 0) nprobe0 else deriveIvfNprobe(nlist)
     val ncent = if (ncent0 > 0) ncent0 else derivePqNcent(n)
     val oversample = if (oversample0 > 0) oversample0 else derivePqOversample(n)
-    val train = c.filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit("40"))
+    val train = coarseTrainSample(c, nlist, n)
     val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("fv")
       .setMaxIter(10).fit(train)
     val assigned = model.transform(c).withColumnRenamed("prediction", "cluster")
@@ -550,13 +604,13 @@ object Similarity {
   def ivfSearch(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 10,
                 nlist0: Int = -1, nprobe0: Int = -1): DataFrame = {
     val c = corpus(spark, sfDir).withColumn("fv", array_to_vector(col("v"))).cache()
-    val nlist = if (nlist0 > 0) nlist0 else deriveIvfNlist(c.count())
+    val n = c.count() // materializes the cache; knob-derivation + cap input
+    val nlist = if (nlist0 > 0) nlist0 else deriveIvfNlist(n)
     val nprobe = if (nprobe0 > 0) nprobe0 else deriveIvfNprobe(nlist)
-    // FAISS-style: train the coarse quantizer on a deterministic
-    // ~25% sample, not the corpus — at 100 TB the quantizer needs
-    // O(100k) training points for O(1k) centroids, never a full pass;
-    // the hash gate keeps the sample engine/layout independent
-    val train = c.filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit("40"))
+    // FAISS-style: train the coarse quantizer on a BOUNDED
+    // deterministic sample ([[coarseTrainSample]]) — O(100k)
+    // training points for O(1k) centroids, never a corpus pass
+    val train = coarseTrainSample(c, nlist, n)
     val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("fv")
       .setMaxIter(10) // coarse quantizer: centroid quality plateaus early
       .fit(train)
@@ -627,15 +681,19 @@ object Similarity {
     df.withColumn("cluster", element_at(nearestClustersCol("v", cents, 1), 1))
   }
 
-  /** Train the coarse quantizer on a deterministic sample of `df`
-    * (FAISS-style — O(100k) points for O(1k) centroids, never a full
-    * pass) and persist it as a tiny parquet artifact
-    * `(cluster, cv)` — the index's only driver-scale state.
+  /** Train the coarse quantizer on a BOUNDED deterministic sample of
+    * `df` ([[coarseTrainSample]] — O(100k) points for O(1k)
+    * centroids, never a corpus pass) and persist it as a tiny
+    * parquet artifact `(cluster, cv)` — the index's only
+    * driver-scale state. `n` < 0 counts `df` (one column-pruned
+    * pass); seed/rebuild callers that already hold the corpus count
+    * pass it through.
     */
   private[graft] def trainQuantizer(spark: SparkSession, df: DataFrame,
-      centroidsDir: String, nlist: Int): Seq[(Int, Seq[Double])] = {
+      centroidsDir: String, nlist: Int, n: Long = -1L): Seq[(Int, Seq[Double])] = {
     import spark.implicits._
-    val train = df.filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit("40"))
+    val rows = if (n >= 0L) n else df.count()
+    val train = coarseTrainSample(df, nlist, rows)
       .withColumn("fv", array_to_vector(col("v")))
     val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("fv")
       .setMaxIter(10).fit(train)
@@ -757,12 +815,28 @@ object Similarity {
     * [[searchIvfStore]]'s rank stage, shared by [[ivfSearch]]. Total
     * order ≡ the window formulation's (cos desc, vec_id asc) incl.
     * NaN placement (the Heap's nanSafeCompare).
+    *
+    * Pack-time guard (r16): the derived knobs clamp nlist ≤ 65536,
+    * but the public entries still accept an explicit nlist0 and any
+    * vec_id domain — a cluster ≥ 2^16, a vec_id ≥ 2^47 (snowflake-
+    * style ids) or a negative id would overflow the packed bits and
+    * SILENTLY corrupt neighbor_id/cluster/ordering. Out-of-range rows
+    * raise instead (the PqEncode short-vector loud-failure contract);
+    * the branch is codegen'd and never taken on in-contract data.
     */
   private[graft] def heapRankWithCluster(spark: SparkSession, scored: DataFrame,
       k: Int): DataFrame = {
     graft.functions.TopKAgg.register(spark)
-    scored.select(col("query_id"), col("cos"),
-        (shiftleft(col("vec_id").cast("long"), 16) + col("cluster")).as("pk"))
+    val vid = col("vec_id").cast("long")
+    val packed = when(
+      vid >= 0L && vid < (1L << 47) &&
+        col("cluster") >= 0 && col("cluster") < (1 << 16),
+      shiftleft(vid, 16) + col("cluster"))
+      .otherwise(raise_error(concat(
+        lit("heapRankWithCluster: unpackable row — require vec_id in [0, 2^47) " +
+          "and cluster in [0, 65536), got vec_id="),
+        vid.cast("string"), lit(" cluster="), col("cluster").cast("string"))))
+    scored.select(col("query_id"), col("cos"), packed.as("pk"))
       .groupBy(col("query_id"))
       .agg(expr(s"graft_topk(cos, pk, $k)").as("topk"))
       .select(col("query_id"), posexplode(col("topk")))
@@ -1122,8 +1196,9 @@ object Similarity {
       // and that includes the list count (the semantic-family
       // precedent); readers recover the new nlist from the published
       // version's centroid artifact (loadCentroids(..).size)
-      val nl = if (nlist > 0) nlist else deriveIvfNlist(vectors.count())
-      val cents = trainQuantizer(spark, vectors, s"$vDir/centroids", nl)
+      val n = vectors.count()
+      val nl = if (nlist > 0) nlist else deriveIvfNlist(n)
+      val cents = trainQuantizer(spark, vectors, s"$vDir/centroids", nl, n)
       seedIvfStore(spark, vectors, s"$vDir/store", cents, nl)
     }, beforePublish)
 
@@ -1142,10 +1217,10 @@ object Similarity {
     publishIndexVersion(spark, indexRoot, vDir => {
       // defaulted knobs re-derive from the GROWN corpus (one count
       // shared across both quantizers) — the rebuildIvfIndex contract
-      lazy val n = vectors.count()
+      val n = vectors.count()
       val nl = if (nlist > 0) nlist else deriveIvfNlist(n)
       val nc = if (ncent > 0) ncent else derivePqNcent(n)
-      val cents = trainQuantizer(spark, vectors, s"$vDir/centroids", nl)
+      val cents = trainQuantizer(spark, vectors, s"$vDir/centroids", nl, n)
       val books = trainPqCodebooks(spark, vectors, m, nc)
       saveCodebooks(spark, books, s"$vDir/codebooks")
       seedIvfPqStore(spark, vectors, s"$vDir/store", cents, books, nl)
@@ -1417,10 +1492,11 @@ object Similarity {
   private[graft] def semanticDedupOn(spark: SparkSession, vecs: DataFrame,
       threshold: Double, nlist0: Int): DataFrame = {
     val c = withVecNorm(spark, vecs)
-    val nlist = if (nlist0 > 0) nlist0 else deriveSemanticNlist(c.count())
-    // quantizer trained on the same content-hash sample regime as
-    // [[trainQuantizer]] (sample >> centroids, never a full pass)
-    val train = c.filter(substring(md5(col("vec_id").cast("string")), 1, 2) < lit("40"))
+    val n = c.count()
+    val nlist = if (nlist0 > 0) nlist0 else deriveSemanticNlist(n)
+    // quantizer trained on the same BOUNDED content-hash sample
+    // regime as [[trainQuantizer]] ([[coarseTrainSample]])
+    val train = coarseTrainSample(c, nlist, n)
       .withColumn("fv", array_to_vector(col("v")))
     val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("fv")
       .setMaxIter(10).fit(train)

@@ -258,7 +258,6 @@ private[graft] object BucketStore {
     if (readLease(fs, lp).exists(_._1 == lease.writerId)) { fs.delete(lp, false); () }
   }
 
-  /** Bucket of a non-negative long key. */
   /** Scale-derived bucket count for a seed over `rows` keyed rows:
     * ~4k rows per bucket, next power of two, clamped to [64, 65536] —
     * the deriveIvfNlist discipline applied to the layout knob. A
@@ -295,6 +294,7 @@ private[graft] object BucketStore {
         s"store $dir has no meta file — cannot recover its bucket count"))
   }
 
+  /** Bucket of a non-negative long key. */
   def longBucket(pk: Column, n: Int): Column = pmod(pk, lit(n)).cast("int")
 
   /** Bucket of a hex-digest key (e.g. md5): first 4 hex chars mod n —

@@ -347,21 +347,24 @@ object DocStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         BucketStore.recover(storeDir)
-        // nBuckets ≤ 0 (r15 default): recover the layout from the
-        // store's own meta — seeds derive their count now, so a
-        // guessed default would mismatch a derived-layout store
-        val n = if (nBuckets > 0) nBuckets else BucketStore.seededBuckets(storeDir)
         val isCdc = batch.columns.contains("op")
-        def members(df: DataFrame): DataFrame = df
-          .filter(col("text").isNotNull)
-          .select(md5(col("text")).as("text_md5"), col("doc_id")).distinct()
-          .withColumn(BucketStore.BucketCol,
-            BucketStore.md5Bucket(col("text_md5"), n))
         val cols = if (isCdc)
           Seq(col("op"), col("doc_id"), col("text"), col("text_before"))
         else Seq(col("doc_id"), col("text"))
         val b = batch.toDF().select(cols: _*).distinct().cache()
         if (b.count() > 0 && BucketStore.appliedBatchId(storeDir) < batchId) {
+          // nBuckets ≤ 0 (r15 default): recover the layout from the
+          // store's own meta — seeds derive their count now, so a
+          // guessed default would mismatch a derived-layout store.
+          // Resolved INSIDE the guard (the other maintainers'
+          // convention): an empty first batch against a not-yet-
+          // seeded store must stay a no-op, not a meta lookup crash.
+          val n = if (nBuckets > 0) nBuckets else BucketStore.seededBuckets(storeDir)
+          def members(df: DataFrame): DataFrame = df
+            .filter(col("text").isNotNull)
+            .select(md5(col("text")).as("text_md5"), col("doc_id")).distinct()
+            .withColumn(BucketStore.BucketCol,
+              BucketStore.md5Bucket(col("text_md5"), n))
           if (isCdc) {
             val changes = members(
               b.filter(col("op").isin("i", "u")).select(col("doc_id"), col("text")))

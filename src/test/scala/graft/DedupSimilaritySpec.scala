@@ -625,6 +625,58 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("coarse-quantizer train sample: bounded cap; gate-identical below it; deterministic hash-order pull above it") {
+    import spark.implicits._
+    // cap arithmetic: the 100k floor dominates until 64·nlist crosses
+    // it (64 points/centroid — above FAISS's 39·k warning floor; the
+    // BENCH_scale_docs ivf_train_cap receipt measures recall parity);
+    // clamped by nlist's own 65536 ceiling the cap never exceeds
+    // ~4.2M rows — artifact-build scale, never corpus-proportional
+    assert(Similarity.coarseTrainCap(8) === 100000)
+    assert(Similarity.coarseTrainCap(1562) === 100000)
+    assert(Similarity.coarseTrainCap(2048) === 131072)
+    assert(Similarity.coarseTrainCap(65536) === 4194304)
+    val nls = Seq(8, 64, 512, 2048, 16384, 65536)
+    assert(nls.map(Similarity.coarseTrainCap) === nls.map(Similarity.coarseTrainCap).sorted)
+
+    // gate-slot arithmetic: round(cap/n · 65536) clamped to [1, 16384]
+    // — 16384 IS the historical 25%, so tightening only ever narrows
+    assert(Similarity.coarseGateSlots(2000000L, 131072) === 4295L)  // the 2M receipt point
+    assert(Similarity.coarseGateSlots(100000000000L, 4194304) === 3L) // 100B rows: ~0.004%
+    assert(Similarity.coarseGateSlots(Long.MaxValue / 2, 100000) === 1L) // floor
+    assert(Similarity.coarseGateSlots(500000L, 400000) === 16384L)  // 25% ceiling
+
+    val df = (0L until 1000L).map(i => (i, i * 2)).toDF("vec_id", "payload")
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val gate = (0L until 1000L).filter(id => md5hex(id.toString) < "40").toSet
+    // below the cap (every test SF: n/4 ≤ cap): the sample IS the
+    // historical md5 gate — registered outputs and the pre-r16
+    // centroid artifacts are unchanged
+    val below = Similarity.coarseTrainSampleCapped(df, n = 1000L, cap = 300)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(below === gate)
+    // above the cap: the TIGHTENED gate — a pure map-side filter whose
+    // membership is exactly the 16-bit-prefix rule (cross-checked
+    // against JVM MessageDigest, independent of Spark's md5), whose
+    // yield lands within the slot granularity of the cap, and which is
+    // invariant under the input's partitioning
+    val cap = 50
+    def pull(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      Similarity.coarseTrainSampleCapped(d, n = 1000L, cap = cap)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val slots = Similarity.coarseGateSlots(1000L, cap)
+    val expected = (0L until 1000L)
+      .filter(id => md5hex(id.toString).substring(0, 4) < f"$slots%04x").toSet
+    val capped = pull(df)
+    assert(capped === expected)
+    // yield ≈ cap (hash-uniform; wide tolerance — the pin is on the
+    // membership RULE above, the size is expectation)
+    assert(capped.size > cap / 2 && capped.size < cap * 2, s"yield ${capped.size}")
+    assert(capped.subsetOf(gate), "a tightened gate only ever narrows the 25% gate")
+    assert(pull(df.repartition(7)) === capped)
+  }
+
   test("native PQ encode/ADC expressions are bit-identical to the HOF formulation") {
     import spark.implicits._
     import graft.functions.VectorFunctions

@@ -489,6 +489,61 @@ class IvfStoreSpec extends AnyFunSuite {
     c.unpersist()
     ()
   }
+
+  test("derived knobs VALUE gate: 64k planted corpus derives nlist 64 / nprobe 2 and holds planted-neighbor recall") {
+    // The derivation curve is arithmetic-pinned (DedupSimilaritySpec)
+    // and receipted at 2M in BENCH_scale_docs, but until r16 no SUITE
+    // test exercised a derived value other than the historical 8/2.
+    // This plants a mid-size clustered corpus whose derived knobs are
+    // 64/2 and gates RECALL at those knobs: each query's planted
+    // near-dup (cos ≈ 1, same coarse cluster by construction) must
+    // surface in its top-k through the probe-pruned store search.
+    val root = java.nio.file.Files.createTempDirectory("ivf_derived_gate").toString
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val nBase = 60000L; val nQ = 16; val k = 10
+    // 64 well-separated synthetic centers on an 8-dim cosine curve,
+    // tight per-vector noise — engine-independent, no driver RNG
+    def vecExpr(idCol: String) = expr(
+      s"transform(sequence(0, 7), d -> cos(($idCol % 64) * 2.39996 + d) * 10.0 + " +
+        s"(pmod(hash($idCol, d), 1000) / 1000.0 - 0.5) * 4.0)")
+    val base = spark.range(nBase).select(col("id").as("vec_id"))
+      .withColumn("v", vecExpr("vec_id"))
+    // planted near-dups: one per query id, new ids above the corpus,
+    // the query's EXACT vector scaled by 1.0001 — cosine exactly 1,
+    // same nearest centroid by construction, while the ±2.0 member
+    // noise keeps every OTHER in-cluster cosine well below it
+    val qIds = (0 until nQ).map(i => i * 3750L)
+    val planted = qIds.toDF("src_id")
+      .join(base.select(col("vec_id").as("src_id"), col("v")), Seq("src_id"))
+      .select((col("src_id") + nBase).as("vec_id"),
+        expr("transform(v, x -> x * 1.0001d)").as("v"))
+    val corpus = base.unionByName(planted)
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .cache()
+    val n = corpus.count()
+    assert(n === nBase + nQ)
+    val nlist = Similarity.deriveIvfNlist(n)
+    val nprobe = Similarity.deriveIvfNprobe(nlist)
+    assert(nlist === 64)  // a DERIVED value off the 8/2 test-SF rail
+    assert(nprobe === 2)
+    val cents = Similarity.trainQuantizer(spark, corpus, s"$root/cents", nlist, n)
+    assert(cents.size === nlist)
+    Similarity.seedIvfStore(spark, corpus, s"$root/store", cents, nlist)
+    val queries = corpus.filter(col("vec_id").isin(qIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val res = Similarity.searchIvfStore(spark, s"$root/store", cents,
+      queries, k, nprobe, nlist)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, rows) => q -> rows.map(_._2).toSet }
+    assert(res.keySet === qIds.toSet)
+    val recall = qIds.count(q => res(q).contains(q + nBase)).toDouble / nQ
+    assert(recall >= 0.9,
+      s"planted-neighbor recall $recall under derived knobs $nlist/$nprobe")
+    corpus.unpersist()
+    ()
+  }
 }
 
 case class VecCdc(vec_id: Long, embedding: Seq[Double], op: String)
