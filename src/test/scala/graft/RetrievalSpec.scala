@@ -201,8 +201,12 @@ class RetrievalSpec extends AnyFunSuite {
     val someIds = Seq(7L, 107L).toDF("vec_id")
     val pruned = Retrieval.readVecSidecar(spark, s"$root/byid", someIds)
     val files = pruned.inputFiles.toSeq
-    val wantBuckets = Seq(7L % Retrieval.VecSidecarBuckets,
-      107L % Retrieval.VecSidecarBuckets).map(b => s"bucket=$b")
+    // the layout is the seed's DERIVED count, recovered from meta
+    val sidecarBuckets = graft.streaming.BucketStore.seededBuckets(s"$root/byid")
+    assert(sidecarBuckets ===
+      graft.streaming.BucketStore.deriveBuckets(emb.count()))
+    val wantBuckets = Seq(7L % sidecarBuckets,
+      107L % sidecarBuckets).map(b => s"bucket=$b")
     assert(files.nonEmpty &&
       files.forall(f => wantBuckets.exists(f.contains)),
       s"sidecar read touched files outside the ids' buckets: $files")

@@ -33,6 +33,10 @@ for src_rel, art_rel in CHECKS:
     src = re.sub(r"//[^\n]*", "", src)
     want_extras = set(re.findall(r'extras\("([A-Za-z0-9_]+)"\)', src))
     want_queries = set(re.findall(r'timed(?:Once|Write|Unit)?\("([A-Za-z0-9_]+)"', src))
+    # r16: BenchScale's bucket sweep passes its seed/tick keys through
+    # soakAt(n, seedKey, tickKey) — those literals are gate-required too
+    for pair in re.findall(r'soakAt\(\s*\d+,\s*"([A-Za-z0-9_]+)",\s*"([A-Za-z0-9_]+)"', src):
+        want_queries.update(pair)
     if not os.path.exists(art_path):
         print(f"[scale-artifact] FAIL {art_rel}: missing (source {src_rel} "
               f"defines {len(want_extras)} extras / {len(want_queries)} queries)")
