@@ -10,12 +10,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * per-family specs pin each maintainer's crash/replay/CDC story in
   * isolation; a real deployment runs SEVERAL maintainers against one
   * session through interleaved ticks, restarts, and crash debris.
-  * This suite drives the four heaviest store families —
+  * This suite drives the five heaviest store families —
   *
   *   - exact-dedup MEMBER store   ([[DocStream.startDedupMaintain]])
   *   - banded minhash sig+band    ([[DocStream.startNearDupMaintain]])
   *   - IVF postings + id sidecar  ([[DocStream.startIvfMaintain]])
   *   - BM25 postings + stats      ([[DocStream.startBm25Maintain]])
+  *   - semantic-dedup store + verdict log
+  *                                ([[DocStream.startSemanticDedupMaintain]])
   *
   * — through five interleaved micro-batches (inserts, updates,
   * deletes, a re-embed) with a mid-soak SESSION RESTART, injected
@@ -33,7 +35,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class ChaosSoakSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("four maintainers through interleaved CDC ticks, a restart, crash debris, folds, and probes end ≡ batch") {
+  test("five maintainers through interleaved CDC ticks, a restart, crash debris, folds, and probes end ≡ batch") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -76,6 +78,13 @@ class ChaosSoakSpec extends AnyFunSuite {
     Retrieval.seedVecSidecar(spark, vecsDF, byIdDir)
     val bm25Dir = s"$root/bm25"
     Retrieval.buildBm25Index(docsDF, bm25Dir)
+    // fifth family: the semantic-dedup store (frozen quantizer +
+    // per-batch verdict LOG — a consistency surface none of the other
+    // four carry), fed the SAME vector mutations as the IVF family
+    val semStore = s"$root/sem"; val semCents = s"$root/semcents"
+    val semVerdicts = s"$root/semver"
+    Similarity.seedSemanticStore(spark, vecs.toSeq.toDF("vec_id", "v"),
+      semStore, semCents, threshold = 0.92, nlist = nlist)
 
     // ---- one session, four maintainers, CDC-shaped feeds ------------
     val driftFired = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -83,6 +92,7 @@ class ChaosSoakSpec extends AnyFunSuite {
     val bandIn = MemoryStream[DocCdcIngest]
     val bm25In = MemoryStream[DocCdcIngest]
     val ivfIn = MemoryStream[VecCdcIngest]
+    val semIn = MemoryStream[VecCdcIngest]
     def startAll() = (
       DocStream.startDedupMaintain(exactIn.toDF(), exactDir, s"$root/ckpt_exact"),
       DocStream.startNearDupMaintain(bandIn.toDF(), sigDir, bandDir, pairsDir,
@@ -92,8 +102,15 @@ class ChaosSoakSpec extends AnyFunSuite {
           everyNTicks = 1, onDrift = (_, _) => { driftFired.incrementAndGet(); () },
           corpusSample = 4, corpusEveryNTicks = 2)),
         byIdDir = Some(byIdDir)),
-      DocStream.startBm25Maintain(bm25In.toDF(), bm25Dir, s"$root/ckpt_bm25"))
-    var (qE, qB, qI, qM) = startAll()
+      DocStream.startBm25Maintain(bm25In.toDF(), bm25Dir, s"$root/ckpt_bm25"),
+      DocStream.startSemanticDedupMaintain(semIn.toDF(), semStore, semCents,
+        semVerdicts, s"$root/ckpt_sem", threshold = 0.92))
+    var (qE, qB, qI, qM, qS) = startAll()
+    // the two vector families see the SAME mutations (one vecs map)
+    def vecRound(events: VecCdcIngest*): Unit = {
+      ivfIn.addData(events: _*)
+      semIn.addData(events: _*)
+    }
     // the three text families see the SAME mutations (one docs map).
     // ONE addData per stream per round: the ProcessingTime(0) trigger
     // can fire between two addData calls and split a round into two
@@ -120,33 +137,33 @@ class ChaosSoakSpec extends AnyFunSuite {
     docRound(
       ("i", 13L, docs(3L), null),                          // exact copy of a seed doc
       ("i", 14L, d1.replace("tonight", "tomorrow"), null)) // near-dup of seed doc 1
-    ivfIn.addData(VecCdcIngest("upsert", 50L, vecs(5L).map(_ * 1.0001)),
+    vecRound(VecCdcIngest("upsert", 50L, vecs(5L).map(_ * 1.0001)),
       VecCdcIngest("upsert", 51L, vec(51L)))
     vecs(50L) = vecs(5L).map(_ * 1.0001); vecs(51L) = vec(51L)
-    drain(Seq(qE, qB, qI, qM))
+    drain(Seq(qE, qB, qI, qM, qS))
 
     // ---- batch 1: inserts, different drain interleave ---------------
     docRound(
       ("i", 15L, docs(14L).replace("quick", "sly"), null), // pairs TICK doc 14 (cross-tick)
       ("i", 16L, txt(160L), null))
-    ivfIn.addData(VecCdcIngest("upsert", 52L, vec(52L)),
+    vecRound(VecCdcIngest("upsert", 52L, vec(52L)),
       VecCdcIngest("upsert", 53L, vec(53L)))
     vecs(52L) = vec(52L); vecs(53L) = vec(53L)
-    drain(Seq(qI, qM, qB, qE))
+    drain(Seq(qS, qI, qM, qB, qE))
 
     // ---- batch 2: CDC mutations (fold cadence fires on the banded) --
     docRound(
       ("d", 2L, null, docs(2L)),      // kills the seed near-pair's endpoint
       ("u", 4L, txt(400L), docs(4L))) // moves a doc between content groups
     val re8 = vecs(8L).map(_ + 0.5)
-    ivfIn.addData(VecCdcIngest("delete", 7L, vecs(7L)),     // tombstone (indexed before-image)
+    vecRound(VecCdcIngest("delete", 7L, vecs(7L)),          // tombstone (indexed before-image)
       VecCdcIngest("delete", 8L, vecs(8L)),                 // re-embed = delete + upsert, one batch
       VecCdcIngest("upsert", 8L, re8))
     vecs.remove(7L); vecs(8L) = re8
-    drain(Seq(qB, qE, qM, qI))
+    drain(Seq(qB, qE, qM, qI, qS))
 
     // ---- CRASH: stop the session, plant crash debris, restart -------
-    Seq(qE, qB, qI, qM).foreach(_.stop())
+    Seq(qE, qB, qI, qM, qS).foreach(_.stop())
     // orphan unpublished generations — a writer that died mid-tick;
     // recover (every tick's first act) must roll them back
     def plantOrphan(dir: String): Unit = {
@@ -159,12 +176,13 @@ class ChaosSoakSpec extends AnyFunSuite {
     assert(new java.io.File(s"$sigDir/gen-99").exists())
     val restarted = startAll()
     qE = restarted._1; qB = restarted._2; qI = restarted._3; qM = restarted._4
+    qS = restarted._5
 
     // ---- batch 3: post-restart inserts (ids continue monotonic) -----
     docRound(("i", 17L, txt(170L), null))
-    ivfIn.addData(VecCdcIngest("upsert", 54L, vec(54L)))
+    vecRound(VecCdcIngest("upsert", 54L, vec(54L)))
     vecs(54L) = vec(54L)
-    drain(Seq(qM, qI, qE, qB))
+    drain(Seq(qM, qI, qS, qE, qB))
     assert(!new java.io.File(s"$sigDir/gen-99").exists(),
       "recover must roll the orphan generation back on the first post-crash tick")
     assert(!new java.io.File(s"$ivfDir/gen-99").exists())
@@ -173,11 +191,11 @@ class ChaosSoakSpec extends AnyFunSuite {
     docRound(
       ("d", 14L, null, docs(14L)),  // kills a TICKED near-pair endpoint
       ("i", 18L, docs(13L), null))  // one more exact copy
-    ivfIn.addData(VecCdcIngest("delete", 50L, vecs(50L)),
+    vecRound(VecCdcIngest("delete", 50L, vecs(50L)),
       VecCdcIngest("upsert", 55L, vec(55L)))
     vecs.remove(50L); vecs(55L) = vec(55L)
-    drain(Seq(qE, qI, qB, qM))
-    Seq(qE, qB, qI, qM).foreach(_.stop())
+    drain(Seq(qE, qI, qB, qM, qS))
+    Seq(qE, qB, qI, qM, qS).foreach(_.stop())
 
     // ---- end pins ----------------------------------------------------
     // 1a. exact member store ≡ fresh seed of the mutated corpus
@@ -253,7 +271,19 @@ class ChaosSoakSpec extends AnyFunSuite {
     assert(BucketStore.appliedBatchId(ivfDir) === 4L)
     assert(BucketStore.appliedBatchId(byIdDir) === 4L)
 
-    // 6. healthy-data drift probes ran each tick and never fired
+    // 6. semantic store: membership ≡ the mutated corpus, marker at
+    //    the final id, and every ticked vector has a logged verdict
+    //    (the per-batch decision log — deletes leave history in place)
+    val semIds = BucketStore.readAll(spark, semStore)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(semIds === vecs.keySet.toSet)
+    assert(BucketStore.appliedBatchId(semStore) === 4L)
+    val verdictIds = spark.read.parquet(semVerdicts)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(Set(8L, 50L, 51L, 52L, 53L, 54L, 55L).subsetOf(verdictIds),
+      s"verdict log missing ticked vectors: $verdictIds")
+
+    // 7. healthy-data drift probes ran each tick and never fired
     assert(driftFired.get() === 0,
       s"drift probe fired ${driftFired.get()} times on healthy data")
   }
