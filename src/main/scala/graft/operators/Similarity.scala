@@ -278,9 +278,25 @@ object Similarity {
   /** Gate width for the tightened sample, in 16-bit md5-prefix slots:
     * round(cap/n · 65536), clamped to [1, 16384] — 16384 IS the
     * historical 25%, so the tightened gate only ever narrows it.
+    * Valid only while the unclamped width rounds to ≥ 1 slot
+    * (cap/n ≥ 1/131072); past that resolution
+    * [[coarseTrainSampleCapped]] switches to the 32-bit gate
+    * ([[coarseGateSlots32]]) — r16's clamp-to-1 here silently
+    * degraded the bound to n/65536, corpus-proportional again
+    * (reachable with an explicit small nlist0 at ≥ 10¹⁰ rows).
     */
   private[graft] def coarseGateSlots(n: Long, cap: Int): Long =
     math.max(1L, math.min(16384L, (cap.toLong * 65536L + n / 2) / n))
+
+  /** The fine-resolution fallback: gate width in 32-bit md5-prefix
+    * slots, round(cap/n · 2³²), clamped to [1, 2³⁰]. One slot is
+    * n/2³² rows — the bound stays cap ± slot granularity out to
+    * n ≈ cap·2³² (≥ 4·10¹⁴ rows even at the 100k cap floor, past
+    * any addressable corpus). BigInt keeps cap·2³² exact (an Int
+    * cap times 2³² brushes the Long edge).
+    */
+  private[graft] def coarseGateSlots32(n: Long, cap: Int): Long =
+    ((BigInt(cap) * 4294967296L + n / 2) / n).max(1).min(1L << 30).toLong
 
   /** [[coarseTrainSample]] with the cap explicit — the spec entry
     * (suite corpora never reach the 100k floor).
@@ -288,7 +304,11 @@ object Similarity {
   private[graft] def coarseTrainSampleCapped(df: DataFrame, n: Long, cap: Int): DataFrame = {
     val hk = md5(col("vec_id").cast("string"))
     if (n / 4 <= cap) df.filter(substring(hk, 1, 2) < lit("40"))
-    else df.filter(substring(hk, 1, 4) < lit(f"${coarseGateSlots(n, cap)}%04x"))
+    // below one 16-bit slot of resolution (cap/n < 1/131072) the
+    // clamped 16-bit gate would yield n/65536 — take the 32-bit gate
+    else if ((cap.toLong * 65536L + n / 2) / n >= 1L)
+      df.filter(substring(hk, 1, 4) < lit(f"${coarseGateSlots(n, cap)}%04x"))
+    else df.filter(substring(hk, 1, 8) < lit(f"${coarseGateSlots32(n, cap)}%08x"))
   }
 
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b

@@ -646,6 +646,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Similarity.coarseGateSlots(Long.MaxValue / 2, 100000) === 1L) // floor
     assert(Similarity.coarseGateSlots(500000L, 400000) === 16384L)  // 25% ceiling
 
+    // 32-bit fallback arithmetic (r16 ADVICE): below one 16-bit slot
+    // of resolution (cap/n < 1/131072) the clamped 16-bit gate's
+    // yield was n/65536 — corpus-proportional. The 32-bit gate keeps
+    // yield ≈ cap out past any addressable corpus.
+    assert(Similarity.coarseGateSlots32(100000000000L, 100000) === 4295L)
+    // ^ n=10^11 at the 100k cap floor (explicit nlist0=8, the ADVICE
+    //   scenario; 16-bit width rounds to 0 → fallback): yield
+    //   ≈ 10^11·4295/2^32 ≈ 99 999 ≈ cap; r16's clamp-to-1 yielded
+    //   n/65536 ≈ 1.53M (15×cap) and grew linearly from there
+    assert(Similarity.coarseGateSlots32(1000000000000L, 100000) === 429L)
+    // ^ 10^12 rows: yield ≈ 99 883 ≈ cap; r16 yielded 15.3M (153×)
+    assert(Similarity.coarseGateSlots32(Long.MaxValue / 2, 1) === 1L)   // floor holds
+    assert(Similarity.coarseGateSlots32(1L, Int.MaxValue) === (1L << 30)) // ceiling exact via BigInt
+
     val df = (0L until 1000L).map(i => (i, i * 2)).toDF("vec_id", "payload")
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -675,6 +689,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(capped.size > cap / 2 && capped.size < cap * 2, s"yield ${capped.size}")
     assert(capped.subsetOf(gate), "a tightened gate only ever narrows the 25% gate")
     assert(pull(df.repartition(7)) === capped)
+
+    // the 32-bit branch engages exactly when the 16-bit width rounds
+    // to zero (n > ~131072·cap; r16 ADVICE — the clamp-to-1 yield was
+    // n/65536): the plan's gate is the 8-hex-prefix rule, still ONE
+    // map-side filter. Pinned via the analyzed plan's literal — at
+    // this width the yield on a 1k-row df is ~0 rows in either
+    // branch, so set membership can't distinguish them.
+    val n32 = 100000000000L
+    val s32 = Similarity.coarseGateSlots32(n32, cap)
+    val plan32 = Similarity.coarseTrainSampleCapped(df, n = n32, cap = cap)
+      .queryExecution.analyzed.toString
+    assert(plan32.contains(f"$s32%08x") && plan32.contains(", 1, 8)"))
+    // …and the 16-bit branch owns everything down to exactly one slot
+    val plan16 = Similarity.coarseTrainSampleCapped(df, n = 131072L * cap, cap = cap)
+      .queryExecution.analyzed.toString
+    assert(plan16.contains("0001") && plan16.contains(", 1, 4)"))
   }
 
   test("native PQ encode/ADC expressions are bit-identical to the HOF formulation") {
