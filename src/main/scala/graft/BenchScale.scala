@@ -210,11 +210,28 @@ object BenchScale {
     val crossoverOk = results("cooc_derived_skewed")._1 < results("cooc_plain_skewed")._1
     val gateOverhead =
       results("cooc_derived_unskewed")._1 / results("cooc_plain_unskewed")._1
-    val line = s"""{"metric":"scale_total","value":${results.values.map(_._1).sum},""" +
+    // r17 (ADVICE): the headline total excludes the r16 bucket-sweep
+    // arms (_b64/_b1024) so it stays comparable with every pre-sweep
+    // round — the canonical seed/tick keys were kept at 256 for
+    // exactly that reason; the sweep's own sum lands as sweep_total
+    val isSweep = (k: String) => k.endsWith("_b64") || k.endsWith("_b1024")
+    val coreTotal = results.collect { case (k, (v, _)) if !isSweep(k) => v }.sum
+    val sweepTotal = results.collect { case (k, (v, _)) if isSweep(k) => v }.sum
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    val stamp = java.time.Instant.now().toString
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val line = s"""{"metric":"scale_total","value":$coreTotal,""" +
+      s""""sweep_total":$sweepTotal,""" +
       s""""unit":"sec","rows":$rows,"facts":$nFacts,"facts_skewed":$nFactsSkewed,""" +
       s""""hot_users":$hotUsers,"hot_degree":$hotDeg,"cooc_matrix_rows":$matrixRows,""" +
       f""""derived_gate_overhead_unskewed":$gateOverhead%.3f,""" +
-      s""""salted_crossover_ok":$crossoverOk,"queries":$qs,"shuffle_bytes":$sb}"""
+      s""""salted_crossover_ok":$crossoverOk,""" +
+      // host context (r16 verdict #5): wall comparisons across rounds
+      // need the run's host-day conditions on record — the ratio
+      // claims are same-run and never did
+      f""""host":"$host","run_at":"$stamp","load_avg_at_exit":$loadAvg%.2f,""" +
+      s""""queries":$qs,"shuffle_bytes":$sb}"""
     println(line)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),

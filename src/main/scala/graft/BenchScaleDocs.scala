@@ -297,6 +297,16 @@ object BenchScaleDocs {
     extras("ivf_nprobe_curve") = curve.mkString(",")
     extras("ivf_recall_at10_derived") =
       curve.find(_.startsWith(s"$nprobeD:")).get.split(':')(1)
+    // r17: which assignment path each build took (the two-level
+    // receipt — r16 verdict #1/#4). The derived build (nlist 2048)
+    // crosses TwoLevelMinNlist and assigns through the FAISS-IMI-
+    // style group scan; the hand-picked 256 build stays flat, the
+    // bit-parity regime. nGroups comes from the memoized structure
+    // the build itself used.
+    extras("ivf_assign_mode") = s"flat:$nlist"
+    extras("ivf_assign_mode_derived") =
+      s"two_level:nlist=$nlistD:groups=${Similarity.coarseGroupsFor(centsD.sortBy(_._1)).nGroups}" +
+        s":top${Similarity.TwoLevelTopGroups}"
 
     // ----- embeddings: SemDeDup (cluster-bounded semantic dedup) --
     // 200k-vector subset at nlist=256 (~800 vectors/cluster): the
@@ -318,6 +328,12 @@ object BenchScaleDocs {
       extras("semdedup_planted_found") =
         sd.filter(!col("keep") && pmod(col("vec_id"), lit(40)) === 39).count()
       extras("semdedup_planted_total") = 200000L / 40
+      // 200k derives nlist 256 — at the flat/two-level threshold the
+      // fit's assignment stays on the exact flat path (parity regime);
+      // past ~257k vectors the SAME seam flips to two-level with no
+      // code change (r16 verdict #4 — the shared-seam receipt)
+      extras("semdedup_assign_mode") =
+        s"flat:${Similarity.deriveSemanticNlist(200000L)}"
     }
 
     // ----- embeddings: PQ/ADC two-stage vs the same brute baseline
@@ -808,6 +824,11 @@ object BenchScaleDocs {
             .select(col("vec_id"), col("v"), col("norm"), col("cluster")),
           cents, threshold = 0.9, pruneFrac = 0.25, target = target))
       extras("curate_pieces") = spark.read.parquet(s"$scaleDir/curate").count()
+      // same shared-seam receipt as semdedup_assign_mode: the curate
+      // fit assigns through Similarity.assignClusters — flat at this
+      // block's derived 256, two-level automatically above it
+      extras("curate_assign_mode") =
+        s"flat:${Similarity.deriveSemanticNlist(200000L)}"
       val ph = graft.PhaseTimer.snapshot().getOrElse("q_corpus_curate", Map.empty)
       Seq("semantic", "proto", "select", "pack").foreach { k =>
         extras(s"curate_${k}_sec") =
@@ -816,6 +837,14 @@ object BenchScaleDocs {
     }
 
     // ----- report ------------------------------------------------
+    // host context (r16 verdict #5): cross-round WALL comparisons
+    // need the run's host-day conditions on record; the artifact's
+    // ratio claims (recall gates, pruned-read fractions) are
+    // same-run and never needed the caveat
+    extras("host") = java.net.InetAddress.getLocalHost.getHostName
+    extras("run_at") = java.time.Instant.now().toString
+    extras("load_avg_at_exit") = math.round(java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage * 100.0) / 100.0
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sb = results.map { case (k, (_, b)) => "\"" + k + "\":" + b }

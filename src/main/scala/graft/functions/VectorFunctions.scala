@@ -1044,6 +1044,189 @@ object VectorFunctions {
       copy(child = newChild)
   }
 
+  /** nearest_cluster_2l(v) → the single nearest centroid id by
+    * squared-L2 through a TWO-LEVEL scan — the FAISS-IMI-style
+    * sub-linear coarse assignment (the r16 verdict's #1: the flat
+    * [[NearestClusters]] argmin is O(nlist·dim) per row, and with
+    * nlist scale-deriving to 65536 it was the derived build's
+    * dominant term at only 2M vectors). The nlist centroids are
+    * pre-clustered driver-side into ~√nlist groups
+    * ([[graft.operators.Similarity.groupCentroids]] — tiny, the BPE
+    * merge-table precedent); per row: rank the `G` group centroids
+    * by (dist, group), then EXACT (dist, id) argmin over the members
+    * of the best `topGroups` groups (2 kills most boundary error).
+    * Cost per row ≈ (G + topGroups·nlist/G)·dim MACs ≈
+    * 3·√nlist·dim vs nlist·dim flat — 15× fewer at nlist 2048,
+    * 85× at the 65536 clamp. Per-centroid distances are computed
+    * with the SAME accumulation order as [[NearestClusters]]
+    * (norm2 + ‖c‖² − 2·⟨v,c⟩, ascending j), so whenever the true
+    * nearest centroid's group survives the group pass the result is
+    * bit-identical to the flat argmin; callers keep the flat path
+    * below the [[graft.operators.Similarity.TwoLevelMinNlist]]
+    * threshold, where exact parity is contractual.
+    *
+    * `gOff`/`gIdx` are the CSR layout of group membership: group g's
+    * members are `gIdx(gOff(g) until gOff(g+1))`, indices into the
+    * id-sorted centroid arrays; every centroid appears exactly once
+    * (the member pass is exhaustive over the selected groups).
+    */
+  case class NearestClusterTwoLevel(child: Expression,
+      cents: Array[Double], c2: Array[Double], ids: Array[Int], dim: Int,
+      gCents: Array[Double], gC2: Array[Double],
+      gOff: Array[Int], gIdx: Array[Int], topGroups: Int)
+      extends UnaryExpression {
+    require(ids.length == c2.length && cents.length == ids.length * dim,
+      s"centroid shapes disagree: ${cents.length} flat, ${c2.length} c2, ${ids.length} ids, dim $dim")
+    require(gOff.length >= 2 && gOff.head == 0 && gOff.last == ids.length,
+      s"group offsets must span all ${ids.length} centroids: ${gOff.headOption}..${gOff.lastOption}")
+    require(gIdx.length == ids.length && gIdx.toSet == ids.indices.toSet,
+      "group membership must be a permutation of the centroid indices")
+    require(gC2.length == gOff.length - 1 && gCents.length == gC2.length * dim,
+      s"group centroid shapes disagree: ${gCents.length} flat, ${gC2.length} g2, ${gOff.length - 1} groups")
+    require(topGroups >= 1, s"topGroups=$topGroups must be positive")
+    private val nGroups = gOff.length - 1
+    private val tg = math.min(topGroups, nGroups)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double> input, got ${other.simpleString}")
+    }
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_nearest_cluster_2l"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = math.min(v.numElements(), dim)
+      var norm2 = 0.0
+      var i = 0
+      while (i < n) { val x = v.getDouble(i); norm2 += x * x; i += 1 }
+      // level 1: top-tg groups by (dist, group idx) — same insertion
+      // structure as NearestClusters' (dist, id) heap
+      val gD = Array.fill(tg)(Double.PositiveInfinity)
+      val gI = Array.fill(tg)(Int.MaxValue)
+      var g = 0
+      while (g < nGroups) {
+        var dot = 0.0
+        var j = 0
+        val base = g * dim
+        while (j < n) { dot += v.getDouble(j) * gCents(base + j); j += 1 }
+        val d = norm2 + gC2(g) - 2.0 * dot
+        if (d < gD(tg - 1) || (d == gD(tg - 1) && g < gI(tg - 1))) {
+          var p = tg - 1
+          while (p > 0 && (d < gD(p - 1) || (d == gD(p - 1) && g < gI(p - 1)))) {
+            gD(p) = gD(p - 1); gI(p) = gI(p - 1); p -= 1
+          }
+          gD(p) = d; gI(p) = g
+        }
+        g += 1
+      }
+      // level 2: exact (dist, id) argmin over the selected groups'
+      // members — scan order immaterial (strict total order on (d, id))
+      var bestD = Double.PositiveInfinity
+      var bestId = Int.MaxValue
+      var t = 0
+      while (t < tg) {
+        val gi = gI(t)
+        var m = gOff(gi)
+        val end = gOff(gi + 1)
+        while (m < end) {
+          val c = gIdx(m)
+          var dot = 0.0
+          var j = 0
+          val base = c * dim
+          while (j < n) { dot += v.getDouble(j) * cents(base + j); j += 1 }
+          val d = norm2 + c2(c) - 2.0 * dot
+          val id = ids(c)
+          if (d < bestD || (d == bestD && id < bestId)) { bestD = d; bestId = id }
+          m += 1
+        }
+        t += 1
+      }
+      bestId
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val centsRef = ctx.addReferenceObj("tlCents", cents, "double[]")
+        val c2Ref = ctx.addReferenceObj("tlC2", c2, "double[]")
+        val idsRef = ctx.addReferenceObj("tlIds", ids, "int[]")
+        val gCentsRef = ctx.addReferenceObj("tlGCents", gCents, "double[]")
+        val gC2Ref = ctx.addReferenceObj("tlGC2", gC2, "double[]")
+        val gOffRef = ctx.addReferenceObj("tlGOff", gOff, "int[]")
+        val gIdxRef = ctx.addReferenceObj("tlGIdx", gIdx, "int[]")
+        val n = ctx.freshName("n")
+        val norm2 = ctx.freshName("norm2")
+        val x = ctx.freshName("x")
+        val gD = ctx.freshName("gD")
+        val gI = ctx.freshName("gI")
+        val i = ctx.freshName("i")
+        val g = ctx.freshName("g")
+        val j = ctx.freshName("j")
+        val base = ctx.freshName("base")
+        val dot = ctx.freshName("dot")
+        val d = ctx.freshName("d")
+        val p = ctx.freshName("p")
+        val bestD = ctx.freshName("bestD")
+        val bestId = ctx.freshName("bestId")
+        val t = ctx.freshName("t")
+        val gi = ctx.freshName("gi")
+        val m = ctx.freshName("m")
+        val end = ctx.freshName("end")
+        val c = ctx.freshName("c")
+        val id = ctx.freshName("id")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $dim);
+           |double $norm2 = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = $a.getDouble($i); $norm2 += $x * $x;
+           |}
+           |double[] $gD = new double[$tg];
+           |int[] $gI = new int[$tg];
+           |java.util.Arrays.fill($gD, Double.POSITIVE_INFINITY);
+           |java.util.Arrays.fill($gI, Integer.MAX_VALUE);
+           |for (int $g = 0; $g < ${nGroups}; $g++) {
+           |  double $dot = 0.0;
+           |  int $base = $g * $dim;
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    $dot += $a.getDouble($j) * $gCentsRef[$base + $j];
+           |  }
+           |  double $d = $norm2 + $gC2Ref[$g] - 2.0 * $dot;
+           |  if ($d < $gD[$tg - 1] || ($d == $gD[$tg - 1] && $g < $gI[$tg - 1])) {
+           |    int $p = $tg - 1;
+           |    while ($p > 0 && ($d < $gD[$p - 1] || ($d == $gD[$p - 1] && $g < $gI[$p - 1]))) {
+           |      $gD[$p] = $gD[$p - 1]; $gI[$p] = $gI[$p - 1]; $p--;
+           |    }
+           |    $gD[$p] = $d; $gI[$p] = $g;
+           |  }
+           |}
+           |double $bestD = Double.POSITIVE_INFINITY;
+           |int $bestId = Integer.MAX_VALUE;
+           |for (int $t = 0; $t < $tg; $t++) {
+           |  int $gi = $gI[$t];
+           |  int $end = $gOffRef[$gi + 1];
+           |  for (int $m = $gOffRef[$gi]; $m < $end; $m++) {
+           |    int $c = $gIdxRef[$m];
+           |    double $dot = 0.0;
+           |    int $base = $c * $dim;
+           |    for (int $j = 0; $j < $n; $j++) {
+           |      $dot += $a.getDouble($j) * $centsRef[$base + $j];
+           |    }
+           |    double $d = $norm2 + $c2Ref[$c] - 2.0 * $dot;
+           |    int $id = $idsRef[$c];
+           |    if ($d < $bestD || ($d == $bestD && $id < $bestId)) {
+           |      $bestD = $d; $bestId = $id;
+           |    }
+           |  }
+           |}
+           |${ev.value} = $bestId;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** rolling_fp(text) → the Rabin–Karp-style rolling polynomial
     * document fingerprint over token hashes, one pass: split on ' '
     * (the same `UTF8String.split` Spark's split() lowers to, limit

@@ -963,19 +963,27 @@ object Multimodal extends Serializable {
     import spark.implicits._
     clips.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, p) =>
+      .mapPartitions { it =>
         // optional attribution split (r16): demux vs per-frame JPEG
-        // decode CPU-nanos, summed across tasks — the one-line receipt
+        // decode nanos, summed across tasks — the one-line receipt
         // that decides which half moved when the decode wall drifts
-        // (the r14/r15 host-variance watch item)
-        val t0 = System.nanoTime()
-        val frames = demuxAvi(p)
-        val t1 = System.nanoTime()
-        val levels = frames.map(f => math.round(frameBrightness(f) * 255f)).toArray
-        demuxNs.foreach(_.add(t1 - t0))
-        jpegNs.foreach(_.add(System.nanoTime() - t1))
-        (id, levels)
-      })
+        // (the r14/r15 host-variance watch item). r17 (ADVICE): true
+        // thread CPU time via ThreadMXBean — System.nanoTime was task
+        // WALL, so GC/IO stalls inflated whichever half they landed
+        // in; falls back to wall where thread CPU time is unsupported
+        val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+        val cpuOk = tmx.isCurrentThreadCpuTimeSupported
+        def now(): Long = if (cpuOk) tmx.getCurrentThreadCpuTime else System.nanoTime()
+        it.map { case (id, p) =>
+          val t0 = now()
+          val frames = demuxAvi(p)
+          val t1 = now()
+          val levels = frames.map(f => math.round(frameBrightness(f) * 255f)).toArray
+          demuxNs.foreach(_.add(t1 - t0))
+          jpegNs.foreach(_.add(now() - t1))
+          (id, levels)
+        }
+      }
       .toDF("doc_id", "levels")
       .filter(size(col("levels")) >= 5)
   }
@@ -1074,10 +1082,15 @@ object Multimodal extends Serializable {
     val jpegNs = sc.longAccumulator("mm_video_jpeg_ns")
     val rows = videoLevelRows(clipAssets.toDF(), Some(demuxNs), Some(jpegNs)).cache()
     graft.PhaseTimer.timed("mm_video_dedup", "decode") { rows.count() }
-    // CPU-seconds summed across the decode tasks (not wall): the
-    // residual vs the decode wall is the synthetic payload encode —
-    // at production the bytes come from the lake and only these two
-    // terms remain
+    // CPU-seconds summed across the decode tasks (ThreadMXBean thread
+    // CPU time, not wall): the residual vs the decode wall is the
+    // synthetic payload encode — at production the bytes come from
+    // the lake and only these two terms remain. Caveat (ADVICE r16):
+    // the accumulators live in a TRANSFORMATION, so a task retry
+    // during the materializing count() above adds its nanos twice —
+    // at-least-once, diagnostics-grade, never a result. The snapshot
+    // is read here, before the three downstream branches scan the
+    // cache, so a later eviction-recompute cannot inflate it.
     graft.PhaseTimer.record("mm_video_dedup", "decode_cpu_demux", demuxNs.value / 1e9)
     graft.PhaseTimer.record("mm_video_dedup", "decode_cpu_jpeg", jpegNs.value / 1e9)
     // per-doc-distinct band entries BEFORE the join, so each shared

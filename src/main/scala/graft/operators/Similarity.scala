@@ -680,7 +680,11 @@ object Similarity {
     * ([[graft.functions.VectorFunctions.NearestClusters]]; the prior
     * `array_min`/`array_sort` over a `transform(cents, …)` literal
     * interpreted the whole nc·dim MAC per row — the dominant term of
-    * every corpus-wide assignment).
+    * every corpus-wide assignment). This flat scan serves the
+    * QUERY-side probe selection (k = nprobe, cost ∝ queries — never
+    * corpus-proportional); the corpus-wide k = 1 assignment goes
+    * through [[assignClusters]], which switches to the two-level
+    * sub-linear scan above [[TwoLevelMinNlist]] (r17).
     */
   private def nearestClustersCol(vCol: String,
       cents: Seq[(Int, Seq[Double])], k: Int): org.apache.spark.sql.Column = {
@@ -693,12 +697,199 @@ object Similarity {
         cents.map(_._1).toArray, dim, k))
   }
 
+  /** Below this many centroids, [[assignClusters]] keeps the flat
+    * exact argmin — bit-parity with every pre-r17 store artifact and
+    * registered output (test SFs derive nlist ≤ 256). Above it the
+    * two-level path takes over: at 256 centroids flat costs 256·dim
+    * MACs/row while two-level would cost ~(16+2·16)·dim — the
+    * crossover is real well below 256, but parity is worth more than
+    * the saving until nlist leaves the test-SF regime.
+    */
+  private[graft] val TwoLevelMinNlist = 257
+
+  /** How many level-1 groups the two-level member pass scans exactly.
+    * 2 kills most boundary error (a vector only mis-assigns when its
+    * true centroid's group ranks ≥ 3 by group-centroid distance —
+    * TwoLevelAssignSpec measures the residual on an adversarial
+    * unclustered corpus; clustered corpora, the IVF regime, are
+    * exact in practice).
+    */
+  private[graft] val TwoLevelTopGroups = 2
+
+  /** CSR group structure over a centroid set: `gIdx(gOff(g) until
+    * gOff(g+1))` are group g's members as indices into the id-sorted
+    * centroid order; `gCents`/`gC2` are the flattened group centroids
+    * and their squared norms.
+    */
+  private[graft] case class CoarseGroups(gCents: Array[Double], gC2: Array[Double],
+      gOff: Array[Int], gIdx: Array[Int]) {
+    def nGroups: Int = gOff.length - 1
+  }
+
+  /** Cluster the nlist centroids into ~√nlist groups — the level-1
+    * quantizer of the FAISS-IMI-style two-level assignment
+    * ([[graft.functions.VectorFunctions.NearestClusterTwoLevel]]).
+    * Pure driver-side Lloyd's over the CENTROIDS (not the corpus):
+    * deterministic evenly-spaced init over the id-sorted order, ≤ 8
+    * iterations with stable-assignment early exit, ties to the lower
+    * group, empty groups dropped at compaction — a pure function of
+    * the centroid set, so seed and every later tick/rebuild derive
+    * the SAME groups from the same centroid artifact with nothing
+    * extra persisted (the BPE merge-table precedent). Cost is
+    * O(nc·√nc·dim·iters): ~120M MACs at nlist 2048, ~17G at the
+    * 65536 clamp — seconds, once per JVM per centroid artifact
+    * ([[coarseGroupsFor]] memoizes), amortized against the corpus
+    * pass it makes 15-85× cheaper.
+    */
+  private[graft] def groupCentroids(cents: Seq[(Int, Seq[Double])], groups0: Int = -1): CoarseGroups = {
+    val sorted = cents.sortBy(_._1)
+    val nc = sorted.size
+    require(nc > 0, "groupCentroids needs at least one centroid")
+    val dim = sorted.head._2.size
+    val cArr = new Array[Double](nc * dim)
+    var ci = 0
+    sorted.foreach { case (_, v) =>
+      var j = 0; while (j < dim) { cArr(ci * dim + j) = v(j); j += 1 }; ci += 1
+    }
+    val G = if (groups0 > 0) math.min(groups0, nc)
+      else math.max(1, math.ceil(math.sqrt(nc.toDouble)).toInt)
+    val gc = new Array[Double](G * dim)
+    var g0 = 0
+    while (g0 < G) { // evenly-spaced deterministic init
+      System.arraycopy(cArr, ((g0.toLong * nc) / G).toInt * dim, gc, g0 * dim, dim)
+      g0 += 1
+    }
+    val assign = new Array[Int](nc)
+    java.util.Arrays.fill(assign, -1)
+    var iter = 0
+    var changed = true
+    while (changed && iter < 8) {
+      changed = false
+      var c = 0
+      while (c < nc) {
+        var best = 0
+        var bd = Double.PositiveInfinity
+        var g = 0
+        while (g < G) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) { val t = cArr(c * dim + j) - gc(g * dim + j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = g } // strict <: ties keep the lower g
+          g += 1
+        }
+        if (assign(c) != best) { assign(c) = best; changed = true }
+        c += 1
+      }
+      // the LAST pass is always an assignment against the shipped
+      // means: a centroid must live in the group whose centroid is
+      // nearest to IT, or the level-1 ranking of a vector sitting on
+      // that centroid would not surface its own group first
+      if (changed && iter < 7) {
+        val sums = new Array[Double](G * dim)
+        val cnt = new Array[Int](G)
+        var c = 0
+        while (c < nc) {
+          val g = assign(c); cnt(g) += 1
+          var j = 0; while (j < dim) { sums(g * dim + j) += cArr(c * dim + j); j += 1 }
+          c += 1
+        }
+        var g = 0
+        while (g < G) { // empty groups keep their previous centroid
+          if (cnt(g) > 0) {
+            var j = 0; while (j < dim) { gc(g * dim + j) = sums(g * dim + j) / cnt(g); j += 1 }
+          }
+          g += 1
+        }
+      } else changed = false
+      iter += 1
+    }
+    // compact to live groups; members in ascending centroid order
+    val cnt = new Array[Int](G)
+    assign.foreach(g => cnt(g) += 1)
+    val live = (0 until G).filter(cnt(_) > 0)
+    val gOff = new Array[Int](live.size + 1)
+    live.zipWithIndex.foreach { case (g, k) => gOff(k + 1) = gOff(k) + cnt(g) }
+    val remap = new Array[Int](G)
+    live.zipWithIndex.foreach { case (g, k) => remap(g) = k }
+    val gIdx = new Array[Int](nc)
+    val cursor = java.util.Arrays.copyOf(gOff, gOff.length)
+    var c1 = 0
+    while (c1 < nc) {
+      val k = remap(assign(c1)); gIdx(cursor(k)) = c1; cursor(k) += 1; c1 += 1
+    }
+    val gCents = new Array[Double](live.size * dim)
+    live.zipWithIndex.foreach { case (g, k) =>
+      System.arraycopy(gc, g * dim, gCents, k * dim, dim)
+    }
+    val gC2 = new Array[Double](live.size)
+    var k = 0
+    while (k < live.size) {
+      var s = 0.0
+      var j = 0
+      while (j < dim) { val x = gCents(k * dim + j); s += x * x; j += 1 }
+      gC2(k) = s; k += 1
+    }
+    CoarseGroups(gCents, gC2, gOff, gIdx)
+  }
+
+  // group structure per centroid artifact, memoized by content hash —
+  // maintainers call assignClusters once per micro-batch with the same
+  // loaded centroids; the Lloyd's pass should run once per JVM, not
+  // once per tick (access-ordered LRU of 8 — more artifacts than any
+  // one session drives)
+  private val coarseGroupMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, CoarseGroups](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, CoarseGroups]): Boolean = size() > 8
+    })
+
+  private[graft] def coarseGroupsFor(sorted: Seq[(Int, Seq[Double])]): CoarseGroups = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8192)
+    def flush(): Unit = { md.update(bb.array(), 0, bb.position()); bb.clear() }
+    sorted.foreach { case (id, v) =>
+      if (bb.remaining() < 4 + v.size * 8) flush()
+      bb.putInt(id)
+      v.foreach { x => if (bb.remaining() < 8) flush(); bb.putDouble(x) }
+    }
+    flush()
+    val key = md.digest().map("%02x".format(_)).mkString
+    coarseGroupMemo.synchronized {
+      val hit = coarseGroupMemo.get(key)
+      if (hit != null) hit
+      else { val g = groupCentroids(sorted); coarseGroupMemo.put(key, g); g }
+    }
+  }
+
   /** Nearest-centroid assignment, map-side; ties break to the lowest
-    * cluster id (the struct ordering the array_min form used).
+    * cluster id (the struct ordering the array_min form used). Below
+    * [[TwoLevelMinNlist]] centroids this is the flat exact argmin
+    * ([[graft.functions.VectorFunctions.NearestClusters]] —
+    * bit-parity with every pre-r17 artifact; test SFs never leave
+    * this path). Above it, the FAISS-IMI-style two-level scan
+    * ([[groupCentroids]] +
+    * [[graft.functions.VectorFunctions.NearestClusterTwoLevel]]):
+    * ~3·√nlist·dim MACs/row instead of nlist·dim — the r16
+    * verdict's #1, the last corpus-×-knob term on the build path.
+    * Still a pure map-side projection: centroids and groups ship as
+    * codegen reference objects, zero shuffle.
     */
   private[graft] def assignClusters(df: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
-    df.withColumn("cluster", element_at(nearestClustersCol("v", cents, 1), 1))
+    if (cents.size < TwoLevelMinNlist)
+      df.withColumn("cluster", element_at(nearestClustersCol("v", cents, 1), 1))
+    else {
+      val sorted = cents.sortBy(_._1)
+      val g = coarseGroupsFor(sorted)
+      val dim = sorted.head._2.size
+      df.withColumn("cluster", org.apache.spark.sql.GraftShims.column(
+        graft.functions.VectorFunctions.NearestClusterTwoLevel(
+          org.apache.spark.sql.GraftShims.expression(col("v")),
+          sorted.flatMap(_._2).toArray,
+          sorted.map(_._2.map(x => x * x).sum).toArray,
+          sorted.map(_._1).toArray, dim,
+          g.gCents, g.gC2, g.gOff, g.gIdx, TwoLevelTopGroups)))
+    }
   }
 
   /** Train the coarse quantizer on a BOUNDED deterministic sample of

@@ -777,4 +777,72 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .withColumn("b", expr("transform(v, x -> x / norm)"))
     assert(vd.filter(!(col("a") <=> col("b"))).count() === 0)
   }
+
+  test("derived PQ knobs VALUE gate: 600k corpus derives ncent 64 / oversample 16 off-floor and beats the floor knobs on brute recall@10") {
+    // The r16 verdict's #3 (the IvfStoreSpec:493 precedent applied to
+    // the PQ pair): the derivation curves are arithmetic-pinned above
+    // and receipted at 2M in BENCH_scale_docs, but no SUITE test
+    // exercised derived values off the 32/8 clamp floors. 600k
+    // vectors derive ncent 64 / oversample 16 — both off-floor — and
+    // the gate mirrors the bench's own contract: recall@10 against
+    // the in-suite exact brute top-10. (A planted-dup-must-survive
+    // gate is WRONG for PQ: inside a dense cluster the ADC fuzz is
+    // wider than the gap between cosine 1.0 and the 0.98+ near-tie
+    // pool, so the coarse stage keeps 160 near-equivalent candidates
+    // and recall is meaningful only as top-k OVERLAP — measured 0/8
+    // planted survival at these very knobs while brute recall@10
+    // holds. IVF's planted gate survives because its prune is by
+    // CLUSTER, not by score fuzz.) The VALUE claim: the derived pair
+    // must beat the clamp-floor pair on the same corpus — the silent
+    // degradation the derivation exists to prevent.
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val nBase = 600000L; val nQ = 8; val k = 10
+    // an unclustered cloud in dim 16: top-10 cosines are GRADED
+    // (spread well past the 4-decimal rounding), so the brute truth
+    // set is geometry, not a tie-break artifact — mega-cluster
+    // corpora concentrate cosines into mass ties at 4 decimals and
+    // make top-k overlap unreproducible by ANY quantizer
+    def vecExpr(idCol: String) = expr(
+      s"transform(sequence(0, 15), d -> " +
+        s"(pmod(hash($idCol, d), 10000) / 10000.0D - 0.5D) * 20.0D)")
+    val corpus = spark.range(nBase).select(col("id").as("vec_id"))
+      .withColumn("v", vecExpr("vec_id"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .cache()
+    val n = corpus.count()
+    val ncent = Similarity.derivePqNcent(n)
+    val os = Similarity.derivePqOversample(n)
+    assert(ncent === 64, "600k must derive ncent OFF the 32 floor")
+    assert(os === 16, "600k must derive oversample OFF the 8 floor")
+    val m = 8 // dim 16 → 2-dim subspaces; the knobs under test are ncent/os
+    // exact brute top-10 — the truth set (one 600k × 8 scored pass)
+    val q = corpus.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    val brute = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(expr("graft_dot(qv, v)") / (col("norm") * col("qnorm")), 4))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nc: Int, ov: Int): Double = {
+      val books = Similarity.trainPqCodebooks(spark, corpus, m, nc)
+      val hits = Similarity.knnPqOn(spark, corpus, books, nQ, k, m, nc, ov)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.count(hits.contains).toDouble / brute.size
+    }
+    val recallDerived = recallAt(ncent, os)
+    val recallFloor = recallAt(32, 8)
+    // measured at this deterministic corpus: derived 0.975, floor
+    // 0.875 — the off-floor knobs recover exactly the recall the 2M
+    // bench receipt showed them recovering (0.56 → 0.94 class)
+    assert(recallDerived >= 0.95, s"derived-knob recall $recallDerived")
+    assert(recallDerived > recallFloor,
+      s"derived $recallDerived must beat floor $recallFloor")
+    corpus.unpersist()
+    ()
+  }
 }

@@ -59,4 +59,29 @@ for src_rel, art_rel in CHECKS:
     else:
         print(f"[scale-artifact] ok {art_rel}: {len(want_queries)} queries, "
               f"{len(want_extras)} extras keys all present")
+
+    # r17 (ADVICE r16, medium): the committed artifact must reflect the
+    # DERIVED vec-sidecar layout — r16 shipped deriveBuckets in
+    # seedVecSidecar but committed an artifact still carrying the old
+    # fixed 256-bucket receipts. Cross-check the bucket-proportional
+    # receipt against BucketStore.deriveBuckets(n_vecs) (seed writes
+    # one part file per bucket; a layout change that breaks the 1:1
+    # should fail here loudly and update this gate with its rationale).
+    if art_rel == "BENCH_scale_docs.json" and os.path.exists(art_path):
+        ex = art.get("extras", {})
+        n_vecs = ex.get("n_vecs")
+        files_total = ex.get("hn_byid_files_total")
+        if n_vecs is not None and files_total is not None:
+            p = 64
+            target = (int(n_vecs) + 3999) // 4000
+            while p < target and p < 65536:
+                p <<= 1
+            if int(files_total) != p:
+                print(f"[scale-artifact] FAIL {art_rel}: hn_byid_files_total="
+                      f"{files_total} but deriveBuckets({n_vecs})={p} — the "
+                      f"committed receipt predates the derived sidecar layout")
+                rc = 1
+            else:
+                print(f"[scale-artifact] ok {art_rel}: hn_byid_files_total "
+                      f"matches deriveBuckets({n_vecs})={p}")
 sys.exit(rc)
