@@ -297,16 +297,19 @@ object BenchScaleDocs {
     extras("ivf_nprobe_curve") = curve.mkString(",")
     extras("ivf_recall_at10_derived") =
       curve.find(_.startsWith(s"$nprobeD:")).get.split(':')(1)
-    // r17: which assignment path each build took (the two-level
-    // receipt — r16 verdict #1/#4). The derived build (nlist 2048)
-    // crosses TwoLevelMinNlist and assigns through the FAISS-IMI-
-    // style group scan; the hand-picked 256 build stays flat, the
-    // bit-parity regime. nGroups comes from the memoized structure
-    // the build itself used.
+    // r17: which rails each build took (the r16 verdict #1/#4
+    // follow-through). Assignment is the flat exact argmin at EVERY
+    // nlist — both sub-linear alternatives were built and measured
+    // off (exact ball-pruned: slower at dim 64; top-k heuristic:
+    // recall 1.0000 → 0.9594) — see TwoLevelMinNlist's receipt and
+    // IvfBuildPhaseProbe. The derived build's TRAINER crosses
+    // ScalableTrainMinNlist: deterministic Lloyd's instead of the
+    // MLlib fit whose driver-side k-quadratic init dominated the
+    // build (probe: ~36 s of the 49 s wall).
     extras("ivf_assign_mode") = s"flat:$nlist"
-    extras("ivf_assign_mode_derived") =
-      s"two_level:nlist=$nlistD:groups=${Similarity.coarseGroupsFor(centsD.sortBy(_._1)).nGroups}" +
-        s":top${Similarity.TwoLevelTopGroups}"
+    extras("ivf_assign_mode_derived") = s"flat:$nlistD"
+    extras("ivf_train_mode") = s"mllib_kmeans:$nlist"
+    extras("ivf_train_mode_derived") = s"lloyd_scalable:$nlistD"
 
     // ----- embeddings: SemDeDup (cluster-bounded semantic dedup) --
     // 200k-vector subset at nlist=256 (~800 vectors/cluster): the
@@ -328,10 +331,11 @@ object BenchScaleDocs {
       extras("semdedup_planted_found") =
         sd.filter(!col("keep") && pmod(col("vec_id"), lit(40)) === 39).count()
       extras("semdedup_planted_total") = 200000L / 40
-      // 200k derives nlist 256 — at the flat/two-level threshold the
-      // fit's assignment stays on the exact flat path (parity regime);
-      // past ~257k vectors the SAME seam flips to two-level with no
-      // code change (r16 verdict #4 — the shared-seam receipt)
+      // 200k derives nlist 256 — flat exact assignment (the pinned
+      // rail at every nlist) and the MLlib trainer; past ~257k
+      // vectors the SAME fitCoarseCentroids seam flips the TRAINER
+      // to scalable Lloyd's with no code change (r16 verdict #4 —
+      // the shared-seam receipt)
       extras("semdedup_assign_mode") =
         s"flat:${Similarity.deriveSemanticNlist(200000L)}"
     }
@@ -825,8 +829,9 @@ object BenchScaleDocs {
           cents, threshold = 0.9, pruneFrac = 0.25, target = target))
       extras("curate_pieces") = spark.read.parquet(s"$scaleDir/curate").count()
       // same shared-seam receipt as semdedup_assign_mode: the curate
-      // fit assigns through Similarity.assignClusters — flat at this
-      // block's derived 256, two-level automatically above it
+      // fit trains through Similarity.fitCoarseCentroids and assigns
+      // through assignClusters — MLlib + flat at this block's
+      // derived 256, scalable Lloyd's + flat automatically above
       extras("curate_assign_mode") =
         s"flat:${Similarity.deriveSemanticNlist(200000L)}"
       val ph = graft.PhaseTimer.snapshot().getOrElse("q_corpus_curate", Map.empty)

@@ -45,17 +45,11 @@ object Curation {
     */
   private[graft] def protoPruneOn(spark: SparkSession, vecs: DataFrame,
       pruneFrac: Double, nlist0: Int = -1): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val c = Similarity.withVecNorm(spark, vecs)
     val n = c.count()
     val nlist = if (nlist0 > 0) nlist0 else Similarity.deriveSemanticNlist(n)
-    val train = Similarity.coarseTrainSample(c, nlist, n)
-      .withColumn("fv", array_to_vector(col("v")))
-    val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("fv")
-      .setMaxIter(10).fit(train)
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (vec, i) => (i, vec.toArray.toSeq) }.toSeq
+    val cents = Similarity.fitCoarseCentroids(spark,
+      Similarity.coarseTrainSample(c, nlist, n), nlist)
     protoVerdicts(Similarity.assignClusters(c, cents), cents, pruneFrac)
   }
 
@@ -144,20 +138,14 @@ object Curation {
                    threshold: Double = 0.92,
                    pruneFrac: Double = 0.25,
                    artifactDir: String = "target/graft-artifacts"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val docs = Tables.documents(spark, sfDir)
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val c = Similarity.withVecNorm(spark, vecs)
     val n = c.count()
     val nlist = Similarity.deriveSemanticNlist(n)
-    val train = Similarity.coarseTrainSample(c, nlist, n)
-      .withColumn("fv", array_to_vector(col("v")))
-    val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("fv")
-      .setMaxIter(10).fit(train)
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (vec, i) => (i, vec.toArray.toSeq) }.toSeq
+    val cents = Similarity.fitCoarseCentroids(spark,
+      Similarity.coarseTrainSample(c, nlist, n), nlist)
     // r14: the selection LM runs the FROZEN artifact lifecycle
     // (counts + cutpoints persisted per run — day-N batches reuse the
     // same dirs), not an in-query refit (the r13 verdict's #9 nit)
