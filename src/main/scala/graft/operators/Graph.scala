@@ -24,6 +24,48 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Target edge rows per shuffle partition inside the CC iteration
+    * loops. Label propagation's per-round frames are |E|/|V|-sized
+    * two-long rows, so a million rows is ~16 MB of shuffle per task —
+    * small enough to never pressure memory, large enough that a
+    * near-dup pair graph (thousands of edges at bench SFs) runs its
+    * rounds in ONE task instead of `spark.sql.shuffle.partitions`
+    * (r17, guide §2.2/§2.5: an iteration over a tiny graph paid 32
+    * partitions × ~6 exchanges × rounds of pure task-scheduling
+    * overhead — measured 4-5 s of the 6.6/7.1 s dedup_clusters walls
+    * at sf0.1 with the pair build itself under 2 s).
+    */
+  private[graft] val CcRowsPerPartition: Long = 1000000L
+
+  /** Shuffle-partition count for the iteration rounds, derived from
+    * the MEASURED edge count: ceil(edges / [[CcRowsPerPartition]]),
+    * clamped to [1, spark.sql.shuffle.partitions]. The session conf
+    * stays the ceiling — a cluster-sized conf keeps cluster-sized
+    * parallelism for graphs that need it; the derive only removes
+    * overhead the row count proves unnecessary. Scale-adaptive, not
+    * local-tuned: any cluster wants 1-task rounds on a 10⁴-row graph.
+    */
+  private[graft] def deriveCcPartitions(spark: org.apache.spark.sql.SparkSession,
+      edgeRows: Long): Int = {
+    val conf = spark.sessionState.conf.numShufflePartitions.toLong
+    math.max(1L, math.min(conf,
+      (edgeRows + CcRowsPerPartition - 1) / CcRowsPerPartition)).toInt
+  }
+
+  /** Run `body` with spark.sql.shuffle.partitions temporarily set to
+    * `n`, restoring the previous value afterwards. Only the EAGER jobs
+    * inside the iteration loops run under the override (each round
+    * materializes via count/localCheckpoint); the lazy result frame
+    * plans downstream under the caller's conf.
+    */
+  private def withShufflePartitions[A](spark: org.apache.spark.sql.SparkSession,
+      n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Release the blocks behind a SUPERSEDED iteration frame: the plan
     * cache (if cached) plus any `localCheckpoint` RDD blocks — which
     * neither `Dataset.unpersist` nor `catalog.clearCache` reclaims, so
@@ -60,6 +102,13 @@ object Graph {
       .unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache()
+    // materialize (and count) the edge set under the CALLER's conf —
+    // the upstream pair-detector chain wants full parallelism — then
+    // run the iteration rounds at the partition count the edge count
+    // derives (see deriveCcPartitions)
+    val spark = edges.sparkSession
+    val nParts = deriveCcPartitions(spark, sym.count())
+    withShufflePartitions(spark, nParts) {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .cache()
@@ -112,6 +161,7 @@ object Graph {
       s"connectedComponents did not converge within $maxIter rounds " +
       "(component diameter exceeds maxIter)")
     labels
+    }
   }
 
   /** Two-phase star-contraction connected components (Kiveris et al.,
@@ -163,6 +213,11 @@ object Graph {
       .localCheckpoint()
     val nodes = input.select(col("a").as("id"))
       .unionAll(input.select(col("b").as("id"))).distinct().cache()
+    // input is an eager localCheckpoint (built under the caller's
+    // conf); the rounds run at the edge-count-derived partition count
+    val spark = edges.sparkSession
+    val nParts = deriveCcPartitions(spark, input.count())
+    withShufflePartitions(spark, nParts) {
     var pairs = input
     var converged = false
     var iter = 0
@@ -215,5 +270,6 @@ object Graph {
     val out = nodes.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
     (out, iter)
+    }
   }
 }

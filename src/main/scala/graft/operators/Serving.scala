@@ -114,7 +114,12 @@ object Serving {
     // shuffles it once and leaves AQE free to convert to broadcast from
     // the union's RUNTIME size (no eager driver-side size probe, no
     // unconditional-broadcast OOM at 10⁹ users). Measured on the pad
-    // branch at sf0.1: 2.6 s → 1.0 s warm.
+    // branch at sf0.1: 2.6 s → 1.0 s warm. (r17 re-audit: an explicit
+    // size-gated broadcast hint — cache + count + broadcastIfSmall —
+    // was A/B-measured AGAINST this plan at sf0.1 and lost, 12.3-12.6 s
+    // → 13.1-16.4 s full-query: the eager materialization the count
+    // needs costs more than the anti's exchange, precisely because AQE
+    // already converts it to a broadcast anti at runtime. Left as is.)
     val seenInPool = seen.join(broadcast(pool.select(col("item_id"))), Seq("item_id"), "left_semi")
     val excluded = seenInPool
       .unionByName(survivors.select(col("user_id"), col("item_id")))
