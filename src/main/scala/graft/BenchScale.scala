@@ -171,24 +171,28 @@ object BenchScale {
         hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
         ()
       }
+      // r17: the matrix store is packed-key — (pk, n_users), bucketed
+      // by pairBucket (≡ the previous pmod(item_a, n) placement); the
+      // read-back projects pk so the timed frame's width matches the
+      // previous item_a probe
       timed(seedKey)(
         // seed returns Unit; wrap the read-back count as the timed frame
-        { graft.streaming.BucketStore.seed(ItemCF.coocCountsOn(oldFacts),
-            graft.streaming.BucketStore.longBucket(col("item_a"), nBuckets), soakDir, nBuckets)
-          graft.streaming.BucketStore.readAll(spark, soakDir).select(col("item_a")) })
+        { graft.streaming.BucketStore.seed(ItemCF.coocCountsPkOn(oldFacts),
+            ItemCF.pairBucket(col("pk"), nBuckets), soakDir, nBuckets)
+          graft.streaming.BucketStore.readAll(spark, soakDir).select(col("pk")) })
       timed(tickKey) {
         val (pairCounts, caches) = ItemCF.deltaPairCountsTracked(oldFacts, deltaFacts)
         val deltaPairs = pairCounts.cache()
         val touched = graft.streaming.BucketStore.touchedBuckets(deltaPairs.select(
           ItemCF.pairBucket(col("pk"), nBuckets).as(graft.streaming.BucketStore.BucketCol)))
         val matrix = graft.streaming.BucketStore.readBuckets(spark, soakDir, touched, nBuckets)
-        val (changes, mergeCaches) = ItemCF.coocChangesFromPairs(matrix, deltaPairs)
+        val (changes, mergeCaches) = ItemCF.coocChangesFromPairsPk(matrix, deltaPairs)
         graft.streaming.BucketStore.applyTick(spark, soakDir,
           changes.withColumn(graft.streaming.BucketStore.BucketCol,
-            graft.streaming.BucketStore.longBucket(col("item_a"), nBuckets)),
-          Seq("item_a", "item_b"), batchId = 0L, n = nBuckets)
+            ItemCF.pairBucket(col("pk"), nBuckets)),
+          Seq("pk"), batchId = 0L, n = nBuckets)
         (caches ++ mergeCaches :+ deltaPairs).foreach(_.unpersist())
-        graft.streaming.BucketStore.readAll(spark, soakDir).select(col("item_a"))
+        graft.streaming.BucketStore.readAll(spark, soakDir).select(col("pk"))
       }
     }
     // canonical keys stay the historical 256 layout (round-over-round
@@ -201,7 +205,7 @@ object BenchScale {
     // — one pruned columnar scan, not a re-aggregation)
     val matrixRows = graft.streaming.BucketStore
       .readAll(spark, s"target/graft-scale/cooc_store_${rows}_b256")
-      .select(col("item_a")).count()
+      .select(col("pk")).count()
 
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -190,6 +190,28 @@ object ItemCF {
     */
   private[graft] def coocCountsOn(i: DataFrame, hotDegree: Int = Int.MaxValue,
                                   salts: Int = DerivedSalts,
+                                  sampleMinFacts: Long = DerivedSampleMinFacts): DataFrame =
+    unpackCoocPk(coocCountsPkOn(i, hotDegree, salts, sampleMinFacts))
+
+  /** (item_a, item_b, n_users) view of a PACKED-key pair frame — the
+    * seam between the packed-key domain the aggregations and the
+    * matrix STORE live in (r17: the store persists (pk, n_users), see
+    * [[coocIncrementalStore]]) and the unpacked rows the registered
+    * queries emit.
+    */
+  private[graft] def unpackCoocPk(pkCounts: DataFrame): DataFrame =
+    pkCounts.select(unpackA(col("pk")).as("item_a"),
+      unpackB(col("pk")).as("item_b"), col("n_users"))
+
+  /** [[coocCountsOn]] in the packed-key domain: (pk, n_users), where
+    * pk = item_a << 32 | item_b. The matrix store and the delta-merge
+    * tick stay in this domain end to end — one 8-byte key for every
+    * join/anti probe and a third less row width in the store
+    * shuffle/write (r17, guide §2.3/§3; the unpack is a final
+    * projection on the rows a caller actually surfaces).
+    */
+  private[graft] def coocCountsPkOn(i: DataFrame, hotDegree: Int = Int.MaxValue,
+                                  salts: Int = DerivedSalts,
                                   sampleMinFacts: Long = DerivedSampleMinFacts): DataFrame = {
     val pairs =
       if (hotDegree == Int.MaxValue) selfPairs(i)
@@ -274,7 +296,6 @@ object ItemCF {
     pairs
       .groupBy(col("pk"))
       .agg(count(lit(1)).as("n_users"))
-      .select(unpackA(col("pk")).as("item_a"), unpackB(col("pk")).as("item_b"), col("n_users"))
   }
 
   /** Hot cut from the MEASURED degree distribution: p99.9 of per-user
@@ -402,22 +423,32 @@ object ItemCF {
     */
   private[graft] def coocChangesFromPairs(oldCooc: DataFrame, deltaPairs: DataFrame,
       broadcastMaxRows: Long = Hints.DeltaBroadcastMaxRows): (DataFrame, Seq[DataFrame]) = {
+    val (chPk, caches) = coocChangesFromPairsPk(
+      oldCooc.select(packPair(col("item_a"), col("item_b")).as("pk"), col("n_users")),
+      deltaPairs, broadcastMaxRows)
+    (unpackCoocPk(chPk), caches)
+  }
+
+  /** [[coocChangesFromPairs]] in the packed-key domain the matrix
+    * store persists (r17): `oldCoocPk` is (pk, n_users) — the store
+    * read needs no re-pack, every join/anti keys on one long, and the
+    * changes feed [[graft.streaming.BucketStore.applyTick]] with
+    * `keyCols = Seq("pk")` (a single-long anti probe instead of a
+    * two-column composite over the carried-over matrix rows).
+    */
+  private[graft] def coocChangesFromPairsPk(oldCoocPk: DataFrame, deltaPairs: DataFrame,
+      broadcastMaxRows: Long = Hints.DeltaBroadcastMaxRows): (DataFrame, Seq[DataFrame]) = {
     // size-gate the delta-side hints off ONE measured count (bumped ⊆
     // deltaPairs, so the same decision covers both): a tick beyond the
     // broadcast regime degrades to shuffle joins instead of failing
     val small = deltaPairs.count() <= broadcastMaxRows
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    val oldPk = oldCooc
-      .select(packPair(col("item_a"), col("item_b")).as("pk"), col("n_users"))
-    val bumped = oldPk.join(hinted(deltaPairs), Seq("pk"))
+    val bumped = oldCoocPk.join(hinted(deltaPairs), Seq("pk"))
       .select(col("pk"), (col("n_users") + col("dn")).as("n_users"))
       .cache()
     val brandNew = deltaPairs.join(hinted(bumped.select(col("pk"))), Seq("pk"), "left_anti")
       .select(col("pk"), col("dn").as("n_users"))
-    val changes = bumped.unionByName(brandNew)
-      .select(unpackA(col("pk")).as("item_a"), unpackB(col("pk")).as("item_b"),
-        col("n_users"))
-    (changes, Seq(bumped))
+    (bumped.unionByName(brandNew), Seq(bumped))
   }
 
   /** Bucket of a pair row in the bucketed matrix store: a pure
@@ -592,11 +623,18 @@ object ItemCF {
     // derive costs one read of an already-materialized frame, and a
     // 100 TB deployment that cannot cache its matrix pays one count
     // pass on its one-off seed (or passes the count explicitly).
-    val seedMatrix = coocCountsOn(old).cache()
+    //
+    // r17: the store persists the PACKED pair key — (pk, n_users), pk
+    // = item_a << 32 | item_b, bucketed by pairBucket (≡ the previous
+    // pmod(item_a, n), so bucket placement is unchanged). Two longs
+    // per row instead of three through every store read, the merge
+    // tick's joins, the bucket shuffle, and the parquet write; and
+    // applyTick's carry-over anti keys on ONE long. Measured at sf0.1
+    // (12.1M matrix rows): the tick phase 10.8 → see OPTIMIZATION_r17.
+    val seedMatrix = coocCountsPkOn(old).cache()
     val n = if (nBuckets > 0) nBuckets else deriveMatrixBuckets(seedMatrix.count())
     graft.PhaseTimer.timed("q_item_cooc_store", "seed") {
-      BucketStore.seed(seedMatrix,
-        BucketStore.longBucket(col("item_a"), n), storeDir, n)
+      BucketStore.seed(seedMatrix, pairBucket(col("pk"), n), storeDir, n)
     }
     val (pairCounts, pairCaches) = deltaPairCountsTracked(old, delta)
     val deltaPairs = pairCounts.cache()
@@ -604,17 +642,15 @@ object ItemCF {
       val touched = BucketStore.touchedBuckets(deltaPairs.select(
         pairBucket(col("pk"), n).as(BucketStore.BucketCol)))
       val matrix = BucketStore.readBuckets(spark, storeDir, touched, n)
-      val (changes, caches) = coocChangesFromPairs(matrix, deltaPairs)
+      val (changes, caches) = coocChangesFromPairsPk(matrix, deltaPairs)
       BucketStore.applyTick(spark, storeDir,
-        changes.withColumn(BucketStore.BucketCol,
-          BucketStore.longBucket(col("item_a"), n)),
-        Seq("item_a", "item_b"), batchId = 0L, n = n)
+        changes.withColumn(BucketStore.BucketCol, pairBucket(col("pk"), n)),
+        Seq("pk"), batchId = 0L, n = n)
       caches
     }
     (pairCaches ++ Seq(base, old, deltaPairs, seedMatrix) ++ mergeCaches).foreach(_.unpersist())
-    BucketStore.readAll(spark, storeDir)
-      .filter(col("n_users") >= minUsers)
-      .select(col("item_a"), col("item_b"), col("n_users"))
+    unpackCoocPk(BucketStore.readAll(spark, storeDir)
+      .filter(col("n_users") >= minUsers))
   }
 
   /** Item-item cosine similarity over user-rating vectors:

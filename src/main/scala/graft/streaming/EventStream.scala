@@ -168,9 +168,12 @@ object EventStream {
     * @param interactions  streaming (user_id, item_id) new-interaction rows
     * @param factsDir      parquet snapshot of interactions seen so far
     * @param matrixDir     bucketed store of UNFILTERED pair counts
-    *                      (minUsers = 1, coocIncrement's contract) —
-    *                      seed with [[BucketStore.seed]] bucketed by
-    *                      `pmod(item_a, nBuckets)`
+    *                      (minUsers = 1, coocIncrement's contract) in
+    *                      the PACKED-key schema (pk, n_users) — seed
+    *                      with [[BucketStore.seed]] over
+    *                      [[graft.operators.ItemCF.coocCountsPkOn]]
+    *                      bucketed by `ItemCF.pairBucket(pk, nBuckets)`
+    *                      (≡ pmod(item_a, nBuckets) — r17)
     * @param checkpointDir durable streaming checkpoint. REQUIRED for
     *                      the replay guard to be sound: without one,
     *                      batch ids restart at 0 on every launch while
@@ -211,12 +214,14 @@ object EventStream {
             val touched = BucketStore.touchedBuckets(deltaPairs.select(
               graft.operators.ItemCF.pairBucket(col("pk"), n).as(BucketStore.BucketCol)))
             val matrix = BucketStore.readBuckets(spark, matrixDir, touched, n)
+            // r17: the matrix store is packed-key — (pk, n_users) rows,
+            // single-long merge keys (see ItemCF.coocIncrementalStore)
             val (changes, mergeCaches) =
-              graft.operators.ItemCF.coocChangesFromPairs(matrix, deltaPairs)
+              graft.operators.ItemCF.coocChangesFromPairsPk(matrix, deltaPairs)
             BucketStore.applyTick(spark, matrixDir,
               changes.withColumn(BucketStore.BucketCol,
-                BucketStore.longBucket(col("item_a"), n)),
-              Seq("item_a", "item_b"), batchId, n = n)
+                graft.operators.ItemCF.pairBucket(col("pk"), n)),
+              Seq("pk"), batchId, n = n)
             // unpersist ONLY this tick's intermediates — a session-wide
             // clearCache would thrash concurrent queries' caches
             (pairCaches ++ Seq(deltaPairs) ++ mergeCaches).foreach(_.unpersist())

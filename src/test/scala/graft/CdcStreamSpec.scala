@@ -116,16 +116,18 @@ class CdcStreamSpec extends AnyFunSuite {
     // seed: 3 users with overlapping profiles
     val seed = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (2L, 12L), (3L, 12L))
     seed.toDF("user_id", "item_id").write.parquet(factsDir)
+    // r17: the matrix store persists the packed pair key (pk, n_users)
     graft.streaming.BucketStore.seed(
-      graft.operators.ItemCF.coocCountsOn(spark.read.parquet(factsDir)),
-      pmod(col("item_a"), lit(64)).cast("int"), matrixDir, n = 64)
+      graft.operators.ItemCF.coocCountsPkOn(spark.read.parquet(factsDir)),
+      graft.operators.ItemCF.pairBucket(col("pk"), 64), matrixDir, n = 64)
 
     val input = MemoryStream[(Long, Long)]
     val q = EventStream.startCoocMaintain(
       input.toDF().toDF("user_id", "item_id"), factsDir, matrixDir,
       root + "/ckpt")
 
-    def matrixNow = graft.streaming.BucketStore.readAll(spark, matrixDir)
+    def matrixNow = graft.operators.ItemCF.unpackCoocPk(
+        graft.streaming.BucketStore.readAll(spark, matrixDir))
       .select("item_a", "item_b", "n_users")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     def batchNow = graft.operators.ItemCF.coocCountsOn(spark.read.parquet(factsDir))

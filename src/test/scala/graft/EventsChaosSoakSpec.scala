@@ -63,8 +63,9 @@ class EventsChaosSoakSpec extends AnyFunSuite {
     // ---- seeds: the three families' at-rest artifacts --------------
     val factsDir = s"$root/facts"; val matrixDir = s"$root/matrix"
     facts.toSeq.toDF("user_id", "item_id").write.parquet(factsDir)
-    BucketStore.seed(ItemCF.coocCountsOn(spark.read.parquet(factsDir)),
-      pmod(col("item_a"), lit(64)).cast("int"), matrixDir, n = 64)
+    // r17: the matrix store persists the packed pair key (pk, n_users)
+    BucketStore.seed(ItemCF.coocCountsPkOn(spark.read.parquet(factsDir)),
+      ItemCF.pairBucket(col("pk"), 64), matrixDir, n = 64)
     val snapDir = s"$root/ratings"
     BucketStore.seed(
       ratings.toSeq.map { case ((u, i), r) => (u, i, r, false, ts("2024-01-01 00:00:00")) }
@@ -172,7 +173,7 @@ class EventsChaosSoakSpec extends AnyFunSuite {
     // ---- end pins ----------------------------------------------------
     // 1. matrix ≡ from-scratch recount of the facts snapshot; facts
     //    deduped every repeat (seed 6 + 8 genuinely-new rows)
-    val matrixNow = BucketStore.readAll(spark, matrixDir)
+    val matrixNow = ItemCF.unpackCoocPk(BucketStore.readAll(spark, matrixDir))
       .select("item_a", "item_b", "n_users")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val batchNow = ItemCF.coocCountsOn(spark.read.parquet(factsDir))
