@@ -560,10 +560,13 @@ object TextAnalysis {
     graft.PhaseTimer.timed("text_line_dedup_store", "tick") {
       val store = spark.read.parquet(storeDir)
       val deltaCounts = lineCountsOf(delta).cache()
-      val untouched = store
-        .join(Hints.broadcastIfSmall(deltaCounts.select(col("k"))), Seq("k"), "left_anti")
+      // one size-gate decides BOTH joins (r17): the previous shape
+      // called broadcastIfSmall twice on the same projection — two
+      // counting jobs over the cached delta for one decision
+      val deltaKeys = Hints.broadcastIfSmall(deltaCounts.select(col("k")))
+      val untouched = store.join(deltaKeys, Seq("k"), "left_anti")
       val changes = store
-        .join(Hints.broadcastIfSmall(deltaCounts.select(col("k"))), Seq("k"), "left_semi")
+        .join(deltaKeys, Seq("k"), "left_semi")
         .unionByName(deltaCounts)
         .groupBy(col("k")).agg(sum(col("ndocs")).as("ndocs"))
       untouched.unionByName(changes)

@@ -373,6 +373,22 @@ private[graft] object BucketStore {
   def touchedBuckets(bucketsOnly: DataFrame): Seq[Int] =
     bucketsOnly.distinct().collect().map(_.getInt(0)).toSeq
 
+  /** Touched buckets AND total row count in ONE job (r17, guide §1.2
+    * "don't compute things you throw away" applied to job count): the
+    * merge tick used to pay two full delta passes for two facts the
+    * same aggregation yields — a `distinct` for the touched-bucket
+    * list, then the broadcast gate's `count()`. One
+    * `groupBy(bucket).count()` produces both; the collect stays
+    * bounded by the store's bucket count (≤ n rows of (int, long)),
+    * the same driver-pull bound as [[touchedBuckets]]. Package-visible
+    * so tick CALLERS with the same two needs (a pruned read's bucket
+    * list + a delta broadcast gate) fuse their passes too.
+    */
+  private[graft] def touchedBucketStats(bucketsOnly: DataFrame): (Seq[Int], Long) = {
+    val rows = bucketsOnly.groupBy(col(BucketCol)).count().collect()
+    (rows.map(_.getInt(0)).toSeq, rows.map(_.getLong(1)).sum)
+  }
+
   /** Apply one tick: `changes` is the post-merge state of every
     * touched key (bucket column included); `removed` optionally names
     * keys whose post-merge state is GONE (CDC tombstones — bucket
@@ -429,7 +445,10 @@ private[graft] object BucketStore {
     val ch = changes.cache()
     val rm = removed.map(_.cache())
     try {
-    val changed = touchedBuckets(
+    // one delta pass yields the touched buckets AND the row count the
+    // broadcast gate below needs (previously a distinct + a count —
+    // two scheduled jobs per tick for one aggregation's worth of facts)
+    val (changed, deltaKeyRows) = touchedBucketStats(
       rm.map(r => ch.select(col(BucketCol)).unionByName(r.select(col(BucketCol))))
         .getOrElse(ch.select(col(BucketCol))))
     val compacting = liveGenCount(prevManifest) >= maxLiveGenerations
@@ -456,13 +475,16 @@ private[graft] object BucketStore {
     // carry-over: touched-bucket rows the tick neither changed nor
     // removed. The changed-key side is delta-sized — size-gated
     // broadcast at the conservative (string-key) row cap, same
-    // convention as every delta hint (Hints.broadcastIfSmall).
+    // convention as every delta hint (Hints.broadcastIfSmall); the
+    // gate reuses touchedBucketStats' row count (dropKeys is a
+    // projection of the same ch ∪ rm rows, so the counts are identical
+    // by construction) instead of scheduling a second counting job.
     val dropKeys = rm.map(r => ch.select(keyCols.map(col): _*)
         .unionByName(r.select(keyCols.map(col): _*)))
       .getOrElse(ch.select(keyCols.map(col): _*))
     val merged = old
-      .join(graft.operators.Hints.broadcastIfSmall(dropKeys,
-          graft.operators.Hints.DeltaBroadcastMaxRowsMd5),
+      .join(if (deltaKeyRows <= graft.operators.Hints.DeltaBroadcastMaxRowsMd5)
+          broadcast(dropKeys) else dropKeys,
         keyCols, "left_anti")
       .unionByName(ch)
     val gen = GenPrefix + batchId
@@ -541,44 +563,39 @@ private[graft] object BucketStore {
     try {
       val (fs, p) = fsFor(dir)
       val prevManifest = readManifest(fs, p, prevId)
-      val app = appended.cache()
-      try {
-        val changed = touchedBuckets(app.select(col(BucketCol)))
-        val compacting = liveGenCount(prevManifest) >= maxLiveGenerations
-        if (changed.isEmpty && !compacting) {
-          beforePublish()
-          checkFence(dir, fence0, batchId)
-          writeManifest(fs, p, batchId, prevManifest.toSeq.sortBy(_._1))
-          writeMarker(dir, batchId)
-          gc(fs, p, dir, batchId)
-          val st = TickStats(batchId, applied = true, touchedBuckets = 0,
-            compacted = false, liveGenerations = liveGenCount(prevManifest))
-          log.info(s"$dir $st")
-          return st
-        }
-        val gen = GenPrefix + batchId
-        val out =
-          if (compacting) onCompact(selectOrEmpty(spark, dir, prevManifest, prevManifest)
-            .unionByName(app))
-          else app
-        checkFence(dir, fence0, batchId)
-        out.repartition(col(BucketCol))
-          .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$dir/$gen")
-        val written = presentBuckets(s"$dir/$gen")
-        val newManifest =
-          if (compacting) written.map(_ -> Seq(gen)).toMap
-          else prevManifest ++ written.map(b =>
-            b -> (prevManifest.getOrElse(b, Seq.empty) :+ gen))
-        beforePublish()
-        checkFence(dir, fence0, batchId)
-        writeManifest(fs, p, batchId, newManifest.toSeq.sortBy(_._1))
-        writeMarker(dir, batchId)
-        gc(fs, p, dir, batchId)
-        val st = TickStats(batchId, applied = true, touchedBuckets = changed.size,
-          compacted = compacting, liveGenerations = liveGenCount(newManifest))
-        log.info(s"$dir $st")
-        st
-      } finally app.unpersist()
+      val compacting = liveGenCount(prevManifest) >= maxLiveGenerations
+      val gen = GenPrefix + batchId
+      // r17: the delta's touched buckets are read off the written
+      // generation's partition DIRS (a filesystem listing, free)
+      // instead of a pre-write distinct over the delta — one less
+      // scheduled delta pass per append tick. The delta is consumed
+      // exactly once now, so it is not cached. An empty delta needs no
+      // special casing either: an empty generation writes no bucket
+      // dirs, the manifest update below degenerates to the previous
+      // manifest unchanged, and the marker still advances (the replay
+      // guard's requirement); the orphaned empty dir is swept by gc
+      // once it leaves the retention window.
+      val out =
+        if (compacting) onCompact(selectOrEmpty(spark, dir, prevManifest, prevManifest)
+          .unionByName(appended))
+        else appended
+      checkFence(dir, fence0, batchId)
+      out.repartition(col(BucketCol))
+        .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$dir/$gen")
+      val written = presentBuckets(s"$dir/$gen")
+      val newManifest =
+        if (compacting) written.map(_ -> Seq(gen)).toMap
+        else prevManifest ++ written.map(b =>
+          b -> (prevManifest.getOrElse(b, Seq.empty) :+ gen))
+      beforePublish()
+      checkFence(dir, fence0, batchId)
+      writeManifest(fs, p, batchId, newManifest.toSeq.sortBy(_._1))
+      writeMarker(dir, batchId)
+      gc(fs, p, dir, batchId)
+      val st = TickStats(batchId, applied = true, touchedBuckets = written.size,
+        compacted = compacting, liveGenerations = liveGenCount(newManifest))
+      log.info(s"$dir $st")
+      st
     } finally lease.foreach(releaseLease(dir, _))
   }
 
@@ -747,16 +764,31 @@ private[graft] object BucketStore {
     * DISTINCT generations among the selected buckets — at most
     * `maxLiveGenerations` (the compaction bound), and a re-seed or
     * fold collapses it to one.
+    *
+    * r17: the reader is handed the schema [[seed]] recorded instead of
+    * inferring it — a bare `spark.read.parquet` schedules a
+    * footer-inference JOB per generation group, so every pruned read
+    * and merge tick paid one-plus scheduling round trips for a fact
+    * the store's own meta already holds. Fields are declared nullable,
+    * exactly as Spark's parquet reader declares footer-inferred
+    * schemas ("all columns are automatically converted to be nullable
+    * for compatibility reasons"), so the read frame is bit-identical
+    * to the inferred one. Pre-schema-file stores fall back to
+    * inference.
     */
   private def selectPaths(spark: SparkSession, dir: String,
-                          sel: Map[Int, Seq[String]]): DataFrame =
+                          sel: Map[Int, Seq[String]]): DataFrame = {
+    val recorded = storedSchema(dir).map(s =>
+      org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true))))
     sel.toSeq.flatMap { case (b, gens) => gens.map(g => (g, b)) }
       .groupBy(_._1).map { case (gen, pairs) =>
-        spark.read
+        val reader = recorded.map(spark.read.schema).getOrElse(spark.read)
+        reader
           .option("basePath", s"$dir/$gen")
           .parquet(pairs.map(_._2).distinct.sorted
             .map(b => s"$dir/$gen/$BucketCol=$b"): _*)
       }.reduce(_ unionByName _)
+  }
 
   // ---------------------------------------------------------------
   // metadata I/O (all through the Hadoop FileSystem of the store path)

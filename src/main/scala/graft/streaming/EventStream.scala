@@ -127,11 +127,15 @@ object EventStream {
   private[graft] def cdcMergeTick(spark: SparkSession, snapshot: String, b: DataFrame,
                            batchId: Long, nBuckets: Int): Unit = {
     val keys = b.select(col("user_id"), col("item_id")).distinct().cache()
-    val touched = BucketStore.touchedBuckets(keys.select(
+    // one pass over the cached keys yields the pruned read's bucket
+    // list AND the broadcast gate's row count (r17 — previously a
+    // distinct-collect plus a separate count, two jobs per tick)
+    val (touched, nKeys) = BucketStore.touchedBucketStats(keys.select(
       BucketStore.longBucket(col("user_id"), nBuckets).as(BucketStore.BucketCol)))
+    val keysHinted = if (nKeys <= graft.operators.Hints.DeltaBroadcastMaxRows)
+      broadcast(keys) else keys
     val baseTouched = BucketStore.readBuckets(spark, snapshot, touched, nBuckets)
-      .join(graft.operators.Hints.broadcastIfSmall(keys),
-        Seq("user_id", "item_id"), "left_semi")
+      .join(keysHinted, Seq("user_id", "item_id"), "left_semi")
     val (changes, removed) =
       graft.operators.Mutations.applyBatchDelta(baseTouched, b)
     def bucketed(df: DataFrame) = df.withColumn(BucketStore.BucketCol,
