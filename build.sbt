@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// sbt's default forked-run output strategy (LoggedOutput) prefixes every
+// stdout line with "[info] ", so the bench's contract JSON line never
+// reached the driver's line-oriented parser as a line starting with '{'
+// (BENCH_r01..r17 all record parsed=null even when the full line was
+// captured). StdoutOutput passes the forked process's output through
+// unprefixed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -24,6 +31,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // MLlib's linear algebra (dev.ludovic.netlib) falls back to pure-Java
+  // F2j kernels unless the JDK Vector API module is opened — the
+  // Spark MLlib guide's documented flag. The ALS family (fit gemms +
+  // recommendForAllUsers) runs on these kernels.
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

@@ -204,19 +204,34 @@ object Bench {
         .map { case (p, t) => "\"" + p + "\":" + f"$t%.3f" }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"phases":$phasesJson,"failed":$failedJson,"sf":"$sfDir"}"""
-    println(line)
-    // stdout goes through sbt's [info] prefixing, which defeats
-    // line-oriented JSON parsing — always also write the bare line to a
-    // file ($SPARK_GRAFT_BENCH_OUT if set, else bench_out.json in cwd)
+    // The stdout CONTRACT line carries exactly the driver-contract keys
+    // ({"metric","value","unit","queries","sf"} + the failure list); the
+    // diagnostic columns (per-query shuffle bytes, store-phase splits)
+    // stay in the bench_out.json record below — r01..r17 shipped them
+    // inline and the 8+ KB line was unparseable in the driver's
+    // 2000-char artifact tail. "sf" is emitted as the numeric scale
+    // factor parsed from the data directory's trailing sf<N> component
+    // (the directory path itself is preserved in bench_out.json).
+    val sfNum = "sf([0-9.]+)/*$".r.findFirstMatchIn(sfDir).map(_.group(1))
+    val sfJson = sfNum.getOrElse("\"" + sfDir + "\"")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":$sfJson}"""
+    // Full record (contract keys + diagnostics) to a file the judges
+    // read directly ($SPARK_GRAFT_BENCH_OUT if set, else bench_out.json)
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"phases":$phasesJson,"failed":$failedJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // Quiet the shutdown and print the contract line LAST, after
+    // spark.stop(), so no concurrently-logged stderr WARN can interleave
+    // with it in a merged stdout+stderr capture.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(line)
+    System.out.flush()
     if (failedQueries.nonEmpty) {
       System.err.println(
         s"[bench] ${failedQueries.size} quer${if (failedQueries.size == 1) "y" else "ies"} FAILED: ${failedQueries.mkString(", ")}")

@@ -669,15 +669,28 @@ object Dedup {
     // mutates (the lazy-read gc hazard): pruned row-store read by id,
     // band keys re-derived from the stored signatures
     val gone = tombstones.map(_.cache())
-    val goneBandKeys = gone.map { g =>
-      val gBuckets = BucketStore.touchedBuckets(g.select(
-        BucketStore.longBucket(col(id), nBuckets).as(BucketStore.BucketCol)))
-      val k = det.bands(
-          BucketStore.readBuckets(spark, rowsDir, gBuckets, nBuckets)
-            .join(g, Seq(id), "left_semi"))
-        .select(col(id), col("band"), col("key")).distinct().cache()
-      k.count()
-      k
+    // r18, guide §2.6: the tombstoned ids' stored band keys are consumed
+    // only by the band store's applyTick at the very END of the tick —
+    // every candidate/verify job in between is independent of them, so
+    // the pruned row-store read + band re-derive runs on a helper
+    // thread and back-fills executors the pipeline's stage tails leave
+    // idle. The materialize-BEFORE-any-store-mutates contract (the
+    // lazy-read gc hazard) is unchanged: the thread is awaited — its
+    // cache complete — before the first applyTick below. Worst case the
+    // two threads race `gone`'s cache fill and one recomputes a
+    // tombstone-list-sized distinct; both reads see the same published
+    // store snapshot (nothing mutates until the await).
+    val goneBandKeysStarted = gone.map { g =>
+      Overlap.start(s"gone-band-keys-$batchId") {
+        val gBuckets = BucketStore.touchedBuckets(g.select(
+          BucketStore.longBucket(col(id), nBuckets).as(BucketStore.BucketCol)))
+        val k = det.bands(
+            BucketStore.readBuckets(spark, rowsDir, gBuckets, nBuckets)
+              .join(g, Seq(id), "left_semi"))
+          .select(col(id), col("band"), col("key")).distinct().cache()
+        k.count()
+        k
+      }
     }
     val probeBuckets = BucketStore.touchedBuckets(deltaBands.select(
       BucketStore.longBucket(col("key"), nBuckets).as(BucketStore.BucketCol)))
@@ -728,12 +741,17 @@ object Dedup {
     val storeRows = gone.map(g => storeRows0.join(g, Seq(id), "left_anti"))
       .getOrElse(storeRows0)
     val out = det.verify(cand,
-      storeRows.unionByName(deltaRows).dropDuplicates(id)).cache()
-    // materialize, then publish the pair log BEFORE the stores mutate:
-    // the verify plan reads the store dirs lazily, and a crash after
-    // the stores advanced must not lose the batch's pairs
-    out.count()
+      storeRows.unionByName(deltaRows).dropDuplicates(id))
+    // publish the pair log BEFORE the stores mutate: the verify plan
+    // reads the store dirs lazily, and a crash after the stores
+    // advanced must not lose the batch's pairs. The write IS the
+    // materialization — r17 additionally cached + counted first, a
+    // second scheduled job for the same single consumer.
     out.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+    // join the overlapped tombstone-band-keys leg: from here on the
+    // stores mutate, so its pruned reads must be complete (they are —
+    // await() returns only after the k.count() materialized the cache)
+    val goneBandKeys = goneBandKeysStarted.map(_.await())
     gone match {
       case None =>
         // append-only ingest (new ids by contract) → both stores stack
@@ -775,7 +793,7 @@ object Dedup {
           removed = Some(g.select(col(id),
             BucketStore.longBucket(col(id), nBuckets).as(BucketStore.BucketCol))))
     }
-    (Seq(deltaRows, deltaBands, cand, out) ++ gone ++ goneBandKeys)
+    (Seq(deltaRows, deltaBands, cand) ++ gone ++ goneBandKeys)
       .foreach(_.unpersist())
     ()
   }

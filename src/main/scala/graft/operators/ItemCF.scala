@@ -636,6 +636,12 @@ object ItemCF {
     graft.PhaseTimer.timed("q_item_cooc_store", "seed") {
       BucketStore.seed(seedMatrix, pairBucket(col("pk"), n), storeDir, n)
     }
+    // r18 re-audit: overlapping the delta-pair aggregation with the
+    // seed write (guide §2.6, the nearDupTickCore win) was A/B-REFUTED
+    // here — interleaved mins 12.10/13.24 (serial) vs 12.87/12.99
+    // (overlapped) at sf0.1: both legs are parallel shuffles that
+    // saturate the cores, so there is no straggler tail to back-fill
+    // and the concurrent shuffles only contend. Kept serial.
     val (pairCounts, pairCaches) = deltaPairCountsTracked(old, delta)
     val deltaPairs = pairCounts.cache()
     val mergeCaches = graft.PhaseTimer.timed("q_item_cooc_store", "tick") {

@@ -548,8 +548,18 @@ object Retrieval {
     val docs = Tables.documents(spark, sfDir)
     val queries = pseudoQueries(docs)
     val textDir = freshIndexDir("hybrid_bm25", sfDir, artifactDir)
-    graft.PhaseTimer.timed("q_hybrid_rrf_store", "text_build") {
-      buildBm25Index(docs.select(col("doc_id"), col("text")), textDir)
+    // r18, guide §2.6: the two arms build INDEPENDENT artifacts from
+    // independent inputs (postings store from docs; quantizer + IVF
+    // store from embeddings) and nothing reads either until fuseStored
+    // — so the lexical build runs on a helper thread while the dense
+    // arm trains. The dense train is iteration-bound (per-round
+    // scheduling barriers leave executors idle between small jobs),
+    // exactly the tail the text build's tasks can back-fill; the await
+    // sits before fuseStored, which is the first reader of both.
+    val textLeg = Overlap.start("hybrid-text-build") {
+      graft.PhaseTimer.timed("q_hybrid_rrf_store", "text_build") {
+        buildBm25Index(docs.select(col("doc_id"), col("text")), textDir)
+      }
     }
     val denseRoot = freshIndexDir("hybrid_ivf", sfDir, artifactDir)
     val emb = Tables.embeddings(spark, sfDir)
@@ -575,6 +585,7 @@ object Retrieval {
     val qvecs = emb.join(broadcast(queries.select(col("q_id"))),
         col("vec_id") === col("q_id"))
       .select(col("q_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    textLeg.await() // fuseStored reads the postings store below
     val out = fuseStored(spark, textDir, s"$denseRoot/store", cents,
       queries, qvecs, topK, nprobe, nlist)
     emb.unpersist()
@@ -767,8 +778,13 @@ object Retrieval {
     val docs = Tables.documents(spark, sfDir)
     val queries = pseudoQueries(docs)
     val textDir = freshIndexDir("hn_bm25", sfDir, artifactDir)
-    graft.PhaseTimer.timed("q_hard_negatives_store", "text_build") {
-      buildBm25Index(docs.select(col("doc_id"), col("text")), textDir)
+    // r18, guide §2.6 (the hybridRrfStored overlap): the postings
+    // build and the vector sidecar seed are artifact builds over
+    // disjoint inputs; the mining below is the first reader of both
+    val textLeg = Overlap.start("hn-text-build") {
+      graft.PhaseTimer.timed("q_hard_negatives_store", "text_build") {
+        buildBm25Index(docs.select(col("doc_id"), col("text")), textDir)
+      }
     }
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -778,6 +794,7 @@ object Retrieval {
     graft.PhaseTimer.timed("q_hard_negatives_store", "byid_seed") {
       seedVecSidecar(spark, emb, byIdDir)
     }
+    textLeg.await() // the mining below reads the postings store
     val out = hardNegativesFromIndexes(spark, textDir, byIdDir,
       queries, nNeg, simFloor)
     emb.unpersist()

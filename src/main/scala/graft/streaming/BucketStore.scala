@@ -158,7 +158,13 @@ private[graft] object BucketStore {
     * @param applied         false = replay guard skipped the batch
     * @param touchedBuckets  buckets this tick read + rewrote (0 for
     *                        an all-duplicate no-op that only advanced
-    *                        the marker)
+    *                        the marker). On a COMPACTING tick — merge
+    *                        or append — this is every live bucket the
+    *                        fold rewrote, not the delta's touched set,
+    *                        so a monitor alerting on "touched creeping
+    *                        toward n" sees a one-tick spike per fold
+    *                        (pair it with `compacted` to tell the two
+    *                        apart).
     * @param compacted       this tick folded the whole store into its
     *                        generation (see `maxLiveGenerations`)
     * @param liveGenerations distinct generations the published
@@ -325,6 +331,12 @@ private[graft] object BucketStore {
     // seed's), empty reads and the next tick's merge still need a
     // schema to serve — see selectOrEmpty
     writeSmall(fs, new HPath(p, SchemaFile), bucketed.schema.json)
+    // the recorded schema is the store's schema FOREVER: selectPaths
+    // reads every later generation with it, so a tick that wrote
+    // different columns would be silently masked (extras dropped,
+    // missing read as null) rather than surfaced by footer inference.
+    // Ticks must append/merge frames of the seed schema — pinned by
+    // BucketStoreSpec ("generation footers match the recorded schema").
     writeManifest(fs, p, -1L,
       presentBuckets(s"$dir/$SeedGen").toSeq.sorted.map(_ -> Seq(SeedGen)))
   }
@@ -740,8 +752,13 @@ private[graft] object BucketStore {
     if (sel.nonEmpty) selectPaths(spark, dir, sel)
     else if (m.nonEmpty) selectPaths(spark, dir, m.take(1)).limit(0)
     else storedSchema(dir) match {
+      // nullable-relaxed exactly like selectPaths' reads, so an
+      // empty-store read reports the same schema as a pruned read
+      // (r17 ADVICE: the two paths disagreed on nullability)
       case Some(schema) => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          schema.fields.map(_.copy(nullable = true))))
       case None => spark.read.parquet(s"$dir/$SeedGen").limit(0)
     }
 

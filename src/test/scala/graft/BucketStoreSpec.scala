@@ -528,6 +528,54 @@ class BucketStoreSpec extends AnyFunSuite {
     ()
   }
 
+  test("generation footers match the recorded schema; empty-store reads report the same (relaxed) schema as pruned reads") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bucket_store_schema").toString + "/store"
+    BucketStore.seed(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      BucketStore.longBucket(col("k"), 64), dir, n = 64)
+    def bucketed(rows: (Long, Long)*) = rows.toDF("k", "v")
+      .withColumn("bucket", BucketStore.longBucket(col("k"), 64))
+    BucketStore.applyTick(spark, dir, bucketed((3L, 30L)), Seq("k"), batchId = 0L, n = 64)
+    BucketStore.applyAppendTick(spark, dir, bucketed((4L, 40L)), batchId = 1L, n = 64)
+    // the store schema is immutable after seed: selectPaths reads every
+    // generation with the RECORDED schema, so a tick that wrote drifted
+    // columns would be silently masked (extras dropped, missing as
+    // null). Pin that each generation's own footer-inferred schema
+    // (field name -> type) equals the recorded one.
+    val recorded = org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_graft_schema")), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val recordedTypes = recorded.fields.map(f => f.name -> f.dataType).toMap
+    val genDirs = new java.io.File(dir).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+    assert(genDirs.size >= 2) // seed collapsed by the merge? at least base+one live gen
+    genDirs.foreach { g =>
+      val inferred = spark.read.parquet(g.toString).schema
+      assert(inferred.fields.map(f => f.name -> f.dataType).toMap === recordedTypes,
+        s"generation ${g.getName} footer schema drifted from the recorded store schema")
+    }
+    // empty-store read path reports the recorded schema nullable-relaxed,
+    // exactly like a pruned read of live buckets (r17 ADVICE: the two
+    // branches disagreed on nullability)
+    val live = BucketStore.readAll(spark, dir)
+    val emptyDir = java.nio.file.Files.createTempDirectory("bucket_store_schema_e").toString + "/store"
+    BucketStore.seed(Seq((1L, 10L)).toDF("k", "v"),
+      BucketStore.longBucket(col("k"), 64), emptyDir, n = 64)
+    // tombstone the only row: the store becomes empty but must stay
+    // readable off its recorded schema
+    BucketStore.applyTick(spark, emptyDir,
+      bucketed().select(col("k"), col("v"), col("bucket")), Seq("k"),
+      batchId = 0L, n = 64,
+      removed = Some(Seq(1L).toDF("k")
+        .withColumn("bucket", BucketStore.longBucket(col("k"), 64))))
+    val empty = BucketStore.readAll(spark, emptyDir)
+    assert(empty.count() === 0)
+    assert(empty.schema.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq ===
+      live.schema.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq)
+    ()
+  }
+
   test("r17 tick job budget: one delta job per merge tick, zero per append tick; empty append still advances the marker") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bucket_store_jobs").toString + "/store"
@@ -540,18 +588,27 @@ class BucketStoreSpec extends AnyFunSuite {
     // into ONE aggregation job, and removed the append tick's pre-write
     // distinct outright (touched buckets come off the written
     // generation's partition dirs, a filesystem listing)
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    // per-JOB-GROUP counts (r17 ADVICE): a bare global counter let late
+    // JobStart events from one jobsOf section bleed into the next on a
+    // contended host; tagging each section with its own job group makes
+    // the attribution race-free — the settle loop below only absorbs
+    // the bus's delivery lag for the section's OWN jobs
+    val jobsByGroup = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        val g = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+        jobsByGroup.merge(g, 1, (a, b) => a + b); ()
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    // the listener bus is async — read the counter once it stops moving
-    def settled(): Int = {
-      var prev = -1; var cur = jobs.get(); var spins = 0
+    // the listener bus is async — read the group's counter once it
+    // stops moving
+    def settled(group: String): Int = {
+      def cnt(): Int = Option(jobsByGroup.get(group)).fold(0)(_.intValue())
+      var prev = -1; var cur = cnt(); var spins = 0
       while (cur != prev && spins < 100) {
-        prev = cur; Thread.sleep(50); cur = jobs.get(); spins += 1
+        prev = cur; Thread.sleep(50); cur = cnt(); spins += 1
       }
       cur
     }
@@ -561,11 +618,15 @@ class BucketStoreSpec extends AnyFunSuite {
     val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      def jobsOf(f: => Unit): Int = { val before = settled(); f; settled() - before }
+      def jobsOf(group: String)(f: => Unit): Int = {
+        spark.sparkContext.setJobGroup(group, group)
+        try f finally spark.sparkContext.clearJobGroup()
+        settled(group)
+      }
       // merge tick: ONE delta stats job (touched buckets + gate count
       // fused) + the broadcast build + the generation write = 3; the
       // pre-r17 shape paid 4 (distinct, gate count, broadcast, write)
-      val mergeJobs = jobsOf {
+      val mergeJobs = jobsOf("budget-merge") {
         BucketStore.applyTick(spark, dir, bucketed((1L, 11L)), Seq("k"),
           batchId = 0L, n = 64,
           removed = Some(Seq((2L, 0L)).toDF("k", "v")
@@ -576,7 +637,7 @@ class BucketStoreSpec extends AnyFunSuite {
         s"merge tick should schedule at most 3 jobs (stats + broadcast + write), saw $mergeJobs")
       // append tick: the generation write only = exactly 1 (the
       // pre-r17 shape paid 2: a delta distinct, then the write)
-      val appendJobs = jobsOf {
+      val appendJobs = jobsOf("budget-append") {
         val st = BucketStore.applyAppendTick(spark, dir, bucketed((3L, 30L)),
           batchId = 1L, n = 64)
         assert(st.applied && st.touchedBuckets === 1 && !st.compacted)
