@@ -186,6 +186,20 @@ object Curation {
       freezeLmTo: Option[(String, String)] = None): DataFrame = {
     val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Curation")
     val assigned = assigned0.cache()
+    // r18, guide §2.6: the selection LM's COUNTS artifact is built from
+    // `target` alone — independent of the semantic/proto keep funnel,
+    // whose phase barriers (cache+count per phase) leave executors
+    // idle. Build it on a helper thread; the select phase awaits it
+    // before scoring. Values unchanged: same artifact, same dir, and
+    // the cutpoints still freeze AFTER the funnel (they depend on the
+    // kept set). The phase wall is recorded under "select" either way.
+    val lmCounts = freezeLmTo.map { case (countsDir, _) =>
+      Overlap.start("curate-lm-counts") {
+        graft.PhaseTimer.timed("q_corpus_curate", "select") {
+          Lm.buildLmArtifact(target, countsDir)
+        }
+      }
+    }
     val keep1 = graft.PhaseTimer.timed("q_corpus_curate", "semantic") {
       val k = Similarity.semanticVerdicts(assigned, threshold)
         .filter(col("keep")).select(col("vec_id")).cache()
@@ -204,7 +218,7 @@ object Curation {
     val selected = graft.PhaseTimer.timed("q_corpus_curate", "select") {
       val labeled = freezeLmTo match {
         case Some((countsDir, cutsDir)) =>
-          Lm.buildLmArtifact(target, countsDir)
+          lmCounts.foreach(_.await()) // scoring reads the counts artifact
           val scored = Lm.scoreWithArtifact(spark, countsDir, kept)
           Lm.buildLmCutpoints(scored, cutsDir)
           Lm.withStoredTerciles(spark, scored, cutsDir)

@@ -224,10 +224,20 @@ object Retrieval {
     val p = new org.apache.hadoop.fs.Path(dir)
     // wipe any previous index layout under this root: build = rebuild
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    BucketStore.seed(statsPartialOf(docs), statsBucket,
-      s"$dir/stats", StatsBuckets)
+    // r18, guide §2.6: the two seeds write disjoint subdirs with no
+    // marker protocol between them (a fresh build has no replay
+    // contract — the caller reads the index only after both land), so
+    // the tiny stats aggregate rides a helper thread under the
+    // postings explode+write. The TICK paths keep their serial order
+    // deliberately: there the postings marker is the batch's commit
+    // point and the stats store must publish before it.
+    val statsLeg = graft.operators.Overlap.start("bm25-stats-seed") {
+      BucketStore.seed(statsPartialOf(docs), statsBucket,
+        s"$dir/stats", StatsBuckets)
+    }
     BucketStore.seed(postingsOf(docs), tokenBucket(col("token")),
       s"$dir/postings", IndexBuckets)
+    statsLeg.await()
   }
 
   /** Append one batch of NEW documents into the index — the
