@@ -494,19 +494,31 @@ private[graft] object BucketStore {
     val dropKeys = rm.map(r => ch.select(keyCols.map(col): _*)
         .unionByName(r.select(keyCols.map(col): _*)))
       .getOrElse(ch.select(keyCols.map(col): _*))
-    val merged = old
-      .join(if (deltaKeyRows <= graft.operators.Hints.DeltaBroadcastMaxRowsMd5)
-          broadcast(dropKeys) else dropKeys,
+    val deltaBroadcast =
+      deltaKeyRows <= graft.operators.Hints.DeltaBroadcastMaxRowsMd5
+    val carry = old
+      .join(if (deltaBroadcast) broadcast(dropKeys) else dropKeys,
         keyCols, "left_anti")
-      .unionByName(ch)
+    // r18 (guide §2.4 "remove shuffles outright"): when the delta side
+    // is broadcast, the carry-over anti is a NARROW probe over the
+    // partition-discovered scan — every carried row is already in its
+    // bucket's files, so repartitioning the whole merged frame by
+    // bucket re-shuffled the entire touched store per tick for a
+    // clustering the scan already had. Only the delta-sized `ch` needs
+    // clustering before the partitionBy write; the union concatenates
+    // both sides' partitions without an exchange. Above the broadcast
+    // gate the anti is a key-shuffled join (bucket locality destroyed),
+    // so the full merged repartition stays.
+    val merged =
+      if (deltaBroadcast) carry.unionByName(ch.repartition(col(BucketCol)))
+      else carry.unionByName(ch).repartition(col(BucketCol))
     val gen = GenPrefix + batchId
     // fence before the data write too: a writer that lost the store
     // after the winner ALREADY published aborts here, before it can
     // clobber a same-named generation dir the winner's manifest
     // references (mode=overwrite deletes the dir first)
     checkFence(dir, fence0, batchId)
-    merged.repartition(col(BucketCol))
-      .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$dir/$gen")
+    merged.write.partitionBy(BucketCol).mode("overwrite").parquet(s"$dir/$gen")
     // new manifest: touched buckets move (collapse) to this single
     // generation iff the write produced rows for them (emptied
     // buckets drop out); untouched buckets keep their previous

@@ -664,4 +664,54 @@ class BucketStoreSpec extends AnyFunSuite {
       spark.sparkContext.removeSparkListener(listener)
     }
   }
+
+  test("r18 narrow merge: a broadcast-gated merge tick's generation write plans exactly one shuffle (the delta side)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bucket_store_narrow").toString + "/store"
+    // a store with rows in several buckets, so the carry-over side is
+    // a real multi-bucket scan
+    BucketStore.seed(
+      spark.range(0L, 1000L).select(col("id").as("k"), (col("id") * 2).as("v")),
+      BucketStore.longBucket(col("k"), 8), dir, n = 8)
+    // capture the tick's write plans off the listener manager; the bus
+    // is async, so the assertion below polls until the gen write shows
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString; () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      BucketStore.applyTick(spark, dir,
+        Seq((1L, 99L), (9L, 90L)).toDF("k", "v")
+          .withColumn("bucket", BucketStore.longBucket(col("k"), 8)),
+        Seq("k"), batchId = 1L, n = 8,
+        removed = Some(Seq((2L, 0L)).toDF("k", "v")
+          .select(col("k"), BucketStore.longBucket(col("k"), 8).as("bucket"))))
+      def genWrite(): Option[String] = plans.synchronized {
+        plans.find(p => p.contains("gen-1") && p.contains("InsertIntoHadoopFsRelation"))
+      }
+      var spins = 0
+      while (genWrite().isEmpty && spins < 100) { Thread.sleep(50); spins += 1 }
+      val planFull = genWrite().getOrElse(fail("gen-1 write plan never reached the listener"))
+      // AdaptiveSparkPlan's toString appends the pre-AQE "Initial Plan"
+      // section after the final one — count shuffles in the FINAL plan
+      val plan = planFull.split("== Initial Plan ==")(0)
+      // the carry-over side must stay NARROW: scan → broadcast anti →
+      // union, no hashpartitioning exchange of the touched store; the
+      // ONLY shuffle is the delta-sized repartition(bucket) of ch
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles === 1,
+        s"broadcast-gated merge write should shuffle only the delta, saw $shuffles exchanges in:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"carry-over anti should be a broadcast join in:\n$plan")
+      // and the merged content is right
+      assert(storeRows(dir) === (
+        (0L until 1000L).filterNot(k => k == 1L || k == 2L || k == 9L)
+          .map(k => (k, k * 2)).toSet ++ Set((1L, 99L), (9L, 90L))))
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
