@@ -752,6 +752,18 @@ object Dedup {
     // stores mutate, so its pruned reads must be complete (they are —
     // await() returns only after the k.count() materialized the cache)
     val goneBandKeys = goneBandKeysStarted.map(_.await())
+    // r18 (guide §2.6): the two store applies work on DISJOINT dirs and
+    // inputs already materialized above (delta caches, goneBandKeys),
+    // so their merge compute and generation writes overlap on a helper
+    // thread — what the crash story needs is only the PUBLISH order,
+    // and that is preserved exactly: the inline tick's `beforePublish`
+    // awaits the threaded tick's COMPLETE apply (marker included)
+    // before fence-check + manifest + marker. A crash anywhere leaves
+    // the same states as the serial code: the last-published store
+    // (the replay guard's commitDir) never leads the first, an orphan
+    // generation from an aborted inline tick is swept by recover().
+    // Chaos re-run: NearDupStoreSpec + ChaosSoakSpec + CdcStreamSpec
+    // green over this shape (interleaved CDC, restarts, orphan debris).
     gone match {
       case None =>
         // append-only ingest (new ids by contract) → both stores stack
@@ -761,37 +773,52 @@ object Dedup {
         // re-read and rewrote ~the whole band store per tick (the BM25
         // postings problem); the append tick's write I/O is ∝ delta
         // bands, and the maxLiveGenerations fold amortizes compaction.
-        BucketStore.applyAppendTick(spark, rowsDir,
-          deltaRows.withColumn(BucketStore.BucketCol,
-            BucketStore.longBucket(col(id), nBuckets)),
-          batchId, n = nBuckets)
+        // Publish order rows→band (the maintainer's replay guard keys
+        // on the band store, the LAST to move).
+        val rowsStarted = Overlap.start(s"rows-append-$batchId") {
+          BucketStore.applyAppendTick(spark, rowsDir,
+            deltaRows.withColumn(BucketStore.BucketCol,
+              BucketStore.longBucket(col(id), nBuckets)),
+            batchId, n = nBuckets)
+        }
         BucketStore.applyAppendTick(spark, bandDir,
           deltaBands.withColumn(BucketStore.BucketCol,
             BucketStore.longBucket(col("key"), nBuckets)),
-          batchId, n = nBuckets)
+          batchId, n = nBuckets,
+          beforePublish = () => { rowsStarted.await(); () })
+        // replay-skip path: a band tick that no-ops on its marker never
+        // reaches beforePublish — join the rows leg before the caches
+        // below unpersist under it (await on a done thread is free)
+        rowsStarted.await()
       case Some(g) =>
         // CDC: rows must come OUT of buckets → merge ticks with
         // tombstones (upserted ids are in BOTH removed and appended;
         // applyTick drops by key first, so the new image wins).
-        // ORDER MATTERS for crash consistency: the band store's
-        // removal keys derive from the ROW store's before-images, so
-        // the band store applies FIRST — a crash between the two
-        // replays with the row store still pre-tick (band keys
-        // re-derivable, band apply skips on its marker); the inverse
-        // order would strand tombstoned band entries forever (the
-        // before-image is gone once the row store advances).
-        BucketStore.applyTick(spark, bandDir,
-          deltaBands.withColumn(BucketStore.BucketCol,
-            BucketStore.longBucket(col("key"), nBuckets)),
-          Seq(id, "band"), batchId, n = nBuckets,
-          removed = goneBandKeys.map(_.select(col(id), col("band"),
-            BucketStore.longBucket(col("key"), nBuckets).as(BucketStore.BucketCol))))
+        // PUBLISH ORDER MATTERS for crash consistency: the band
+        // store's removal keys derive from the ROW store's
+        // before-images, so the band store publishes FIRST — a crash
+        // between the two replays with the row store still pre-tick
+        // (band keys re-derivable, band apply skips on its marker);
+        // the inverse order would strand tombstoned band entries
+        // forever (the before-image is gone once the row store
+        // advances).
+        val bandStarted = Overlap.start(s"band-tick-$batchId") {
+          BucketStore.applyTick(spark, bandDir,
+            deltaBands.withColumn(BucketStore.BucketCol,
+              BucketStore.longBucket(col("key"), nBuckets)),
+            Seq(id, "band"), batchId, n = nBuckets,
+            removed = goneBandKeys.map(_.select(col(id), col("band"),
+              BucketStore.longBucket(col("key"), nBuckets).as(BucketStore.BucketCol))))
+        }
         BucketStore.applyTick(spark, rowsDir,
           deltaRows.withColumn(BucketStore.BucketCol,
             BucketStore.longBucket(col(id), nBuckets)),
           Seq(id), batchId, n = nBuckets,
           removed = Some(g.select(col(id),
-            BucketStore.longBucket(col(id), nBuckets).as(BucketStore.BucketCol))))
+            BucketStore.longBucket(col(id), nBuckets).as(BucketStore.BucketCol))),
+          beforePublish = () => { bandStarted.await(); () })
+        // same replay-skip join as the append branch
+        bandStarted.await()
     }
     (Seq(deltaRows, deltaBands, cand) ++ gone ++ goneBandKeys)
       .foreach(_.unpersist())

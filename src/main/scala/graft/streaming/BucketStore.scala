@@ -135,6 +135,14 @@ private[graft] object BucketStore {
     */
   val DefaultMaxLiveGenerations = 8
 
+  /** The default (no-reduction) `onCompact` for [[applyAppendTick]] —
+    * a NAMED function value so the fold can recognize "plain
+    * disjoint-key append" by reference and take the narrow (no
+    * full-store re-shuffle) write path. A bare `identity` default
+    * eta-expands to a fresh lambda and would defeat the check.
+    */
+  private[graft] val IdentityCompact: DataFrame => DataFrame = df => df
+
   private val Marker = "_graft_applied_batch"
   private val LeaseFile = "_graft_writer_lease"
   private val MetaFile = "_graft_store_meta"
@@ -577,7 +585,7 @@ private[graft] object BucketStore {
                       maxLiveGenerations: Int = DefaultMaxLiveGenerations,
                       beforePublish: () => Unit = () => (),
                       lease: Option[WriterLease] = None,
-                      onCompact: DataFrame => DataFrame = identity): TickStats = {
+                      onCompact: DataFrame => DataFrame = IdentityCompact): TickStats = {
     val (prevId, fence0) = markerSnapshot(dir)
     if (prevId >= batchId)
       return TickStats(batchId, applied = false, touchedBuckets = 0,
@@ -599,13 +607,24 @@ private[graft] object BucketStore {
       // manifest unchanged, and the marker still advances (the replay
       // guard's requirement); the orphaned empty dir is swept by gc
       // once it leaves the retention window.
+      // r18 (guide §2.4, the applyTick narrow-merge twin): a plain
+      // disjoint-key fold (onCompact = IdentityCompact) re-clusters
+      // nothing — the store side is already bucket-clustered by the
+      // partition-discovered scan, so only the delta needs the bucket
+      // repartition and the fold's write skips the full-store
+      // exchange. A reducing onCompact re-groups rows (its aggregation
+      // hash-partitions by key, not bucket), so that path keeps the
+      // full repartition.
       val out =
-        if (compacting) onCompact(selectOrEmpty(spark, dir, prevManifest, prevManifest)
-          .unionByName(appended))
-        else appended
+        if (compacting) {
+          val store = selectOrEmpty(spark, dir, prevManifest, prevManifest)
+          if (onCompact eq IdentityCompact)
+            store.unionByName(appended.repartition(col(BucketCol)))
+          else onCompact(store.unionByName(appended))
+            .repartition(col(BucketCol))
+        } else appended.repartition(col(BucketCol))
       checkFence(dir, fence0, batchId)
-      out.repartition(col(BucketCol))
-        .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$dir/$gen")
+      out.write.partitionBy(BucketCol).mode("overwrite").parquet(s"$dir/$gen")
       val written = presentBuckets(s"$dir/$gen")
       val newManifest =
         if (compacting) written.map(_ -> Seq(gen)).toMap
